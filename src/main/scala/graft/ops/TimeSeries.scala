@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series wrangling core (SURVEY.md §2.3, §2.4, §2.7 stateless parts).
+  *
+  * Every function is a pure `DataFrame => DataFrame` built from Catalyst
+  * column expressions / window functions — no UDFs, so whole-stage codegen,
+  * column pruning and predicate pushdown all apply.
+  *
+  * Scale notes (100 TB design): all windows here partition by a key column
+  * (`partitionBy(keys).orderBy(ts)`), so each executor sorts only its own
+  * key groups — one hash shuffle by key, no global sort, no single-partition
+  * window. Keyless variants (global as-of) are deliberately not offered.
+  */
+object TimeSeries {
+
+  /** Forward-fill: carry the last non-null observation forward per key,
+    * in `ts` order — the canonical Spark translation of pandas
+    * `fillna(method='ffill')` (reference: intra_day_arbitrage.ipynb:58,91,110).
+    */
+  def ffill(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+            valueCol: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Min-max normalization of `valueCol` within each key group over the
+    * whole group (reference: intra_day_arbitrage.ipynb:46-47 `normalize_col`).
+    * Constant groups (max == min) yield NULL, mirroring pandas 0/0 -> NaN
+    * normalized to SQL NULL per SURVEY §2.9.
+    *
+    * Window with no ORDER BY = whole-partition frame; Catalyst evaluates
+    * min and max in one pass over each group.
+    */
+  def minMaxNormalize(df: DataFrame, keys: Seq[String], valueCol: String,
+                      outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val mn = min(col(valueCol)).over(w)
+    val mx = max(col(valueCol)).over(w)
+    df.withColumn(outCol,
+      when(mx === mn, lit(null)).otherwise((col(valueCol) - mn) / (mx - mn)))
+  }
+
+  /** Percent change vs the previous row per key (pandas `pct_change`,
+    * reference: stock_arbitrage.ipynb:266-267). First row per key is NULL.
+    */
+  def pctChange(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                valueCol: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn(outCol, col(valueCol) / lag(col(valueCol), 1).over(w) - 1)
+  }
+
+  /** Log return `ln(1 + pct_change)` (reference: stock_arbitrage.ipynb:266-267). */
+  def logReturn(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                valueCol: String, outCol: String): DataFrame =
+    pctChange(df, keys, orderCols, valueCol, "__pct")
+      .withColumn(outCol, log(lit(1.0) + col("__pct")))
+      .drop("__pct")
+
+  /** Rebase each row against the first observation of its key group:
+    * `value / first - 1` (reference `df_basing`, intra_day_arbitrage.ipynb:57-63,
+    * generalized: the reference rebases vs a base *column*; in long form the
+    * base series is just another key joined on ts — see `rebaseAgainst`).
+    */
+  def rebaseToFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                    valueCol: String, outCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, col(valueCol) / first(col(valueCol), ignoreNulls = true).over(w) - 1)
+  }
+
+  /** Rebase every series against a designated base series aligned on `ts`:
+    * `value / base_value - 1` (reference `df_basing` proper,
+    * intra_day_arbitrage.ipynb:57-63). `df` is long `(seriesCol, ts, value)`;
+    * the base rows are those with `seriesCol === baseName`.
+    *
+    * Implemented as a self-equi-join on the alignment column. The base side
+    * is typically tiny relative to the fact side (one series), so it
+    * broadcasts; at 100 TB the join key (`ts` within a bounded window) keeps
+    * the shuffle bounded if broadcast is not possible.
+    */
+  def rebaseAgainst(df: DataFrame, seriesCol: String, tsCol: String,
+                    valueCol: String, baseName: String, outCol: String): DataFrame = {
+    val base = df.filter(col(seriesCol) === baseName)
+      .select(col(tsCol), col(valueCol).as("__base"))
+    df.join(broadcast(base), Seq(tsCol), "left")
+      .withColumn(outCol, col(valueCol) / col("__base") - 1)
+      .drop("__base")
+  }
+
+  /** As-of join (pandas `reindex(...).fillna(method='ffill')`,
+    * reference: intra_day_arbitrage.ipynb:111 — FX aligned to the price grid).
+    *
+    * For each left row, attach the most recent right-side values with
+    * `right.ts <= left.ts`, per key. Implemented with the union+ffill trick:
+    * tag both sides, union, one window per key ordered by (ts, tag) with
+    * right rows sorting first at equal ts (as-of is inclusive), forward-fill
+    * the right columns, keep left rows.
+    *
+    * Scale: ONE shuffle by `keys`, sort within partitions — the same cost
+    * as a sort-merge join, with no range-explosion. This is the 100 TB-safe
+    * formulation (vs. a global single-partition window).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightValueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = rightValueCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right.select((keys :+ tsCol).map(col) ++ rightValueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    // align column sets/order for union
+    val r = l.columns.foldLeft(r0) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValueCols.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).select(leftCols.map(col) ++ rightValueCols.map(col): _*)
+  }
+
+  /** Time-of-day band filter, inclusive both ends — pandas
+    * `between_time("14:30","16:30")` semantics
+    * (reference: intra_day_arbitrage.ipynb:90-92).
+    * Minutes-of-day comparison stays a plain codegen'd expression and is
+    * evaluated at the scan (partition-prunable if the table is date-partitioned).
+    */
+  def betweenTime(df: DataFrame, tsCol: String,
+                  startMin: Int, endMin: Int): DataFrame = {
+    val mod = hour(col(tsCol)) * 60 + minute(col(tsCol))
+    df.filter(mod.between(startMin, endMin))
+  }
+
+  /** Strictly-after time-of-day predicate — the reference's `is_closing`
+    * cutoff `ts > 16:29:00` (IntradayRegionArbitrage.py:152-159; the
+    * docstring says 16:30 but the code compares to 16:29:00 — we replicate
+    * the code, SURVEY §7.4(e)).
+    */
+  def afterTime(tsCol: Column, h: Int, m: Int, s: Int): Column =
+    hour(tsCol) * 3600 + minute(tsCol) * 60 + second(tsCol) > (h * 3600 + m * 60 + s)
+
+  /** Bucket timestamps into consecutive 7-business-day blocks anchored at
+    * `anchorDate` (reference weekly `bdate_range(freq="7B")` blocks,
+    * intra_day_arbitrage.ipynb:1146-1150). Weekend days inherit the block of
+    * the preceding business day. Pure date arithmetic — no shuffle at all:
+    * business days elapsed = 5*full_weeks + weekday-remainder correction.
+    */
+  def weeklyBlock(tsCol: Column, anchorDate: String): Column = {
+    val d = datediff(to_date(tsCol), to_date(lit(anchorDate)))
+    // anchor assumed to be a Monday; business days since anchor:
+    val weeks = floor(d / 7)
+    val rem = d - weeks * 7
+    val bdays = weeks * 5 + least(rem, lit(4))
+    floor(bdays / 7).cast("int")
+  }
+
+  /** Replace NaN / ±Inf by 0.0 (reference `.replace([inf,-inf],0)` after
+    * dropna, stock_arbitrage.ipynb:268). Also the NaN→NULL sanitizer of
+    * SURVEY §2.9: Spark orders/groups IEEE NaN instead of skipping it, so
+    * aggregate inputs must be cleaned first.
+    */
+  def cleanInf(c: Column): Column =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, 0.0)
+      .otherwise(c)
+}

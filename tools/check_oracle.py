@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the sfDir tables,
+and compares schema + values (exact after sorting rows by all columns;
+floats compared to 1e-9 relative). This is stricter than any plausible
+driver compare — if this passes, the driver's hash compare should too.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({len(got)} rows)"); continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        ok, msg = compare(got, exp)
+        if ok: n_pass += 1; print(f"PASS {name} ({len(got)} rows)")
+        else: n_fail += 1; print(f"FAIL {name}: {msg}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    sys.exit(1 if n_fail else 0)
+
+def compare(got, exp):
+    if list(got.columns) != list(exp.columns):
+        g, e = sorted(got.columns), sorted(exp.columns)
+        if g != e:
+            return False, f"columns differ: spark={list(got.columns)} oracle={list(exp.columns)}"
+        got, exp = got[g], exp[e]
+    if len(got) != len(exp):
+        return False, f"row count: spark={len(got)} oracle={len(exp)}"
+    gs = got.sort_values(by=list(got.columns), na_position="first").reset_index(drop=True)
+    es = exp.sort_values(by=list(exp.columns), na_position="first").reset_index(drop=True)
+    for c in gs.columns:
+        gv, ev = gs[c].tolist(), es[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if not eq(a, b):
+                return False, f"col {c} row {i}: spark={a!r} oracle={b!r}"
+    return True, ""
+
+def eq(a, b):
+    an = a is None or (isinstance(a, float) and math.isnan(a))
+    bn = b is None or (isinstance(b, float) and math.isnan(b))
+    try:
+        import pandas as pd
+        an = an or pd.isna(a); bn = bn or pd.isna(b)
+    except (TypeError, ValueError):
+        pass
+    if an or bn: return bool(an) == bool(bn)
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isinf(fa) or math.isinf(fb): return fa == fb
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+if __name__ == "__main__":
+    main()
