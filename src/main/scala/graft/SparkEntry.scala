@@ -31,7 +31,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.TimeSeriesQ.queries
+    graft.queries.TimeSeriesQ.queries ++
+    graft.queries.BacktestQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.backtest._
+import graft.ops.TimeSeries
+
+/** T3/T4 — the reference's stateful backtests (SURVEY.md §2.7), driven by
+  * the `events` fixture: `user_id` plays the company key, 5-minute buckets
+  * of per-event-type average values play the per-exchange listing panel
+  * ('view' = base/US listing, the other four = arbitrage listings).
+  *
+  * The feeding pipeline composes the §2 wrangling ops exactly as the
+  * notebook does (§3.2): bucket → pivot-align (A2) → ffill (T1) → min-max
+  * normalize (F1) → rebase vs base (F2) → stateful fold (T3/T4).
+  *
+  * Not SQL-expressible (order-dependent mutable state) → no oracle entries;
+  * the driver records rows-only checks, and IntradaySpec/PairSpec pin the
+  * semantics against hand-computed traces.
+  */
+object BacktestQ {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val types = Seq("view", "click", "error", "purchase", "signup")
+
+  /** The aligned, ffilled, normalized 5-minute panel per user (long→wide). */
+  private[queries] def panel(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.events(s, d)
+      .withColumn("ts5", timestamp_seconds(expr("unix_seconds(ts) DIV 300") * 300))
+      .groupBy(col("user_id"), col("ts5"))
+      .pivot("event_type", types)
+      .agg(avg("value"))
+    // ffill each listing per user over the bucket grid (T1), then keep only
+    // rows where the whole panel is present (pandas dropna head-trim).
+    val filled = types.foldLeft(bucketed) { (df, t) =>
+      TimeSeries.ffill(df, Seq("user_id"), Seq("ts5"), t, t)
+    }
+    types.foldLeft(filled)((df, t) => df.filter(col(t).isNotNull))
+  }
+
+  /** Panel + per-listing min-max normalization (F1) + rebase vs the base
+    * listing (F2): `ret_x = norm_x / norm_view - 1`, NULL-safe to 0
+    * (normalization on "native" values while execution uses raw prices —
+    * the reference's quirk (d), intra.ipynb:115-119, replicated). */
+  private[queries] def companyTicks(s: SparkSession, d: String): Dataset[CompanyTick] = {
+    import s.implicits._
+    val normed = types.foldLeft(panel(s, d)) { (df, t) =>
+      val w = Window.partitionBy("user_id")
+      val mn = min(col(t)).over(w); val mx = max(col(t)).over(w)
+      df.withColumn(s"n_$t",
+        when(mx === mn, lit(null)).otherwise((col(t) - mn) / (mx - mn)))
+    }
+    val arb = types.tail
+    val withRets = arb.foldLeft(normed) { (df, t) =>
+      // ANSI-safe: n_view is exactly 0 at its min row; when() short-circuits
+      // so the division never sees the zero (pandas would yield ±inf → the
+      // reference's F8 cleanup maps it to 0, same net result).
+      df.withColumn(s"r_$t",
+        coalesce(when(col("n_view") =!= 0, col(s"n_$t") / col("n_view") - 1),
+          lit(0.0)))
+    }
+    withRets.select(
+      col("user_id").as("company"),
+      col("ts5").as("ts"),
+      (hour(col("ts5")) * 3600 + minute(col("ts5")) * 60 + second(col("ts5"))).as("sec_of_day"),
+      array((col("view") +: arb.map(t => col(t))): _*).as("prices"),
+      array(arb.map(t => col(s"r_$t")): _*).as("returns")
+    ).as[CompanyTick]
+  }
+
+  /** Aligned daily pair series per user for T3: asset1 = base listing
+    * ('view'), asset2 = 'click' listing; delta = (a2-a1)/a2
+    * (stock_arbitrage.ipynb:71); log-return legs with first-row NULL → 0. */
+  private[queries] def pairBars(s: SparkSession, d: String): Dataset[PairBar] = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts5")
+    panel(s, d)
+      .withColumn("delta", (col("click") - col("view")) / col("click"))
+      .withColumn("ret1", coalesce(log(col("view") / lag("view", 1).over(w)), lit(0.0)))
+      .withColumn("ret2", coalesce(log(col("click") / lag("click", 1).over(w)), lit(0.0)))
+      .select(col("user_id").cast("string").as("pair"), col("ts5").as("ts"),
+        col("delta"), col("ret1"), col("ret2"))
+      .as[PairBar]
+  }
+
+  private def intradayEvents(s: SparkSession, d: String): Dataset[IntradayEvent] =
+    IntradayBacktest.run(companyTicks(s, d), bal = 1000.0, minDeviation = 0.1,
+      slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1, tradeSizePercent = true)
+
+  val queries: Map[String, Q] = Map(
+    // T3 — pair state machine → trade log
+    "t3_pair_trades" -> ((s, d) =>
+      PairBacktest.run(pairBars(s, d), buyAt = 0.05, fees = 0.0)
+        .toDF()
+        .select(col("pair"), col("open_ts"), col("close_ts"),
+          round(col("ret"), 9).as("ret"))
+        .orderBy("pair", "open_ts", "close_ts")),
+
+    // T4 — intraday engine → trade blotter (tp/sl/mc + roi)
+    "t4_intraday_trades" -> ((s, d) =>
+      intradayEvents(s, d).toDF()
+        .filter(col("kind") =!= "bal")
+        .select(col("company"), col("ts"), col("kind"),
+          round(col("roi"), 9).as("roi"), round(col("balance"), 6).as("balance"))
+        .orderBy("company", "ts", "kind")),
+
+    // T4/T5 — per-tick balance history (cell-8 `[timestamp, balance]` rows)
+    "t4_balance_history" -> ((s, d) =>
+      intradayEvents(s, d).toDF()
+        .filter(col("kind") === "bal")
+        .select(col("company"), col("ts"), round(col("balance"), 6).as("balance"))
+        .orderBy("company", "ts")),
+
+    // G5/G8/W4 — the win/loss report over the trade log
+    // (intra.ipynb:11686-11715): win rate, avg profit/loss, mc-loss share.
+    "r1_trade_report" -> ((s, d) => {
+      val t = intradayEvents(s, d).toDF().filter(col("kind") =!= "bal")
+      t.agg(
+        count(lit(1)).as("n_trades"),
+        round(avg(when(col("roi") > 0, 1.0).otherwise(0.0)), 6).as("win_rate"),
+        round(avg(when(col("roi") > 0, col("roi"))), 9).as("avg_profit"),
+        round(avg(when(col("roi") < 0, col("roi"))), 9).as("avg_loss"),
+        round(avg(when(col("roi") < 0 && col("kind") === "mc", 1.0)
+          .otherwise(when(col("roi") < 0, 0.0))), 6).as("mc_loss_share"))
+    }),
+  )
+
+  /** Stateful folds are not SQL-expressible — rows-only checks by design. */
+  val oracles: Map[String, String] = Map.empty
+}
