@@ -32,11 +32,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.TimeSeriesQ.queries ++
-    graft.queries.BacktestQ.queries
+    graft.queries.BacktestQ.queries ++
+    graft.queries.TextQ.queries ++
+    graft.queries.VectorQ.queries ++
+    graft.queries.ExtQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-    graft.queries.TimeSeriesQ.oracles
+    graft.queries.TimeSeriesQ.oracles ++
+    graft.queries.TextQ.oracles ++
+    graft.queries.VectorQ.oracles ++
+    graft.queries.ExtQ.oracles
 }

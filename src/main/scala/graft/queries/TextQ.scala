@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, TextOps}
+
+/** Text-analysis + dedup extension operators over `documents`
+  * (BASELINE.json north star; SURVEY.md §7.1 step 7).
+  */
+object TextQ {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stopword-ish markers drawn from the fixture vocabulary (deterministic). */
+  private val stops = Seq("the", "a", "data", "row", "value")
+  private val langMarkers = Seq(
+    "jm" -> Seq("join", "merge", "hash"),
+    "sf" -> Seq("scan", "filter", "sort"),
+    "gw" -> Seq("group", "window", "batch"))
+
+  val queries: Map[String, Q] = Map(
+    // X1 — exact dedup: hash-groupBy on content digest
+    "x1_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("digest")),
+
+    // X2 — token counting (whitespace + regex-run proxy)
+    "x2_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("n_runs"),
+          length(col("text")).as("len"))
+        .orderBy("doc_id")),
+
+    // X3 — quality scoring (length/punct/stopword ratios)
+    "x3_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextOps.stopwordRatio(col("text"), stops), 6).as("stop_ratio"),
+          round(TextOps.qualityScore(col("text"), stops), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    // X4 — language-ID heuristic (marker-token argmax, deterministic ties)
+    "x4_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.langIdScore(col("text"), langMarkers).as("pred"))
+        .orderBy("doc_id")),
+
+    // X5 — document fingerprint (order-independent content hash)
+    "x5_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // X6 — n-gram Jaccard near-dup pairs, blocked by (lang, source) and a
+    // ±20-char length band (blocking keeps the self-join linear-ish; the
+    // full cross join is the thing this avoids at scale).
+    "x6_jaccard_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"),
+        col("n_chars").as("nc1"), col("toks").as("t1"))
+      val b = t.select(col("doc_id").as("id2"), col("lang"), col("source"),
+        col("n_chars").as("nc2"), col("toks").as("t2"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id1") < col("id2") && abs(col("nc1") - col("nc2")) <= 20)
+        .withColumn("j", round(TextOps.jaccard(col("t1"), col("t2")), 6))
+        .filter(col("j") >= 0.5)
+        .select("id1", "id2", "j")
+        .orderBy("id1", "id2")
+    }),
+
+    // X7 — MinHash + LSH near-dup candidates (32 hashes, 8 bands × 4 rows
+    // over word 3-shingles). Candidate generation is one equi-join on
+    // (band, band_hash) — no cross join at any scale.
+    "x7_minhash_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 8)
+        .filter(col("est_jaccard") >= 0.25)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // X8 — SimHash fingerprints (64-bit, majority-vote bits, UDF-free)
+    "x8_simhash" -> ((s, d) =>
+      Dedup.simHash(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "toks", "simhash")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY digest""",
+    "x2_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_runs,
+           CAST(length(text) AS INTEGER) AS len
+         FROM documents ORDER BY doc_id""",
+    "x3_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents)
+         SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                 + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.3, 6) AS quality
+         FROM t ORDER BY doc_id""",
+    "x4_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x IN ('join','merge','hash'))) AS s_jm,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x IN ('scan','filter','sort'))) AS s_sf,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x IN ('group','window','batch'))) AS s_gw
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN s_gw > (CASE WHEN s_sf > s_jm THEN s_sf ELSE s_jm END) THEN 'gw'
+                WHEN s_sf > s_jm THEN 'sf' ELSE 'jm' END AS pred
+         FROM t ORDER BY doc_id""",
+    "x5_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "x6_jaccard_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS j
+         FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+         WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+           AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
+         ORDER BY id1, id2""",
+  )
+}

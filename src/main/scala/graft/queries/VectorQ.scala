@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.Similarity
+
+/** Embedding similarity-search extension operators over `embeddings`
+  * (BASELINE.json north star): exact brute-force cosine as the baseline,
+  * LSH-bucketed ANN as the scale path.
+  */
+object VectorQ {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Corpus with vectors cast element-exactly to double. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"),
+        col("label"))
+
+  val queries: Map[String, Q] = Map(
+    // V1 — all-pairs cosine scores of a small broadcast query set vs the
+    // corpus (the exact kernel under any top-k).
+    "v1_cosine_scores" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.bruteForceScores(
+          c.filter(col("vec_id") < 5), c, "vec_id", "vec_id", "vec")
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "c_id")
+    }),
+
+    // V2 — exact top-k neighbours per query (brute force + window rank)
+    "v2_cosine_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.bruteForceTopK(
+          c.filter(col("vec_id") < 5), c.filter(col("vec_id") >= 5),
+          "vec_id", "vec_id", "vec", k = 10)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // V3 — embedding-cosine near-dup pairs, blocked by label (the metadata
+    // blocking key) + id sampling to bound the candidate set; exact cosine
+    // above threshold. The label plays the IVF-cell role.
+    "v3_neardup_cosine" -> ((s, d) => {
+      val c = corpus(s, d).filter(col("vec_id") % 10 === 0)
+      val a = c.select(col("vec_id").as("id1"), col("vec").as("v1"), col("label"))
+      val b = c.select(col("vec_id").as("id2"), col("vec").as("v2"), col("label"))
+      a.join(b, "label")
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos", round(Similarity.cosine(col("v1"), col("v2")), 6))
+        .filter(col("cos") >= 0.2)
+        .select("label", "id1", "id2", "cos")
+        .orderBy("label", "id1", "id2")
+    }),
+
+    // V4 — ANN via random-hyperplane LSH buckets + exact re-rank (the
+    // 10⁹-vector shape: one equi-join on the signature, no cross join).
+    "v4_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(corpus(s, d), "vec_id", "vec", planes = 8, k = 5)
+        .select(col("id1"), col("rank"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "rank")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_scores" ->
+      """SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cos
+         FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         ORDER BY q_id, c_id""",
+    "v2_cosine_topk" ->
+      """SELECT q_id, rank, c_id, round(cos, 6) AS cos FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+           FROM (SELECT * FROM embeddings WHERE vec_id >= 5) c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+    "v3_neardup_cosine" ->
+      """WITH c AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+         ORDER BY a.label, id1, id2""",
+  )
+}

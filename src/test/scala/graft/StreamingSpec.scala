@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Session, SessionEvent, Sessionize}
+
+/** The sessionization state kernel run through Structured Streaming
+  * (MemoryStream → flatMapGroupsWithState → memory sink), proving the
+  * batch and streaming paths share semantics (SURVEY.md §2.10). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streaming-spec").getOrCreate()
+
+  // offset from epoch: rows at event-time <= the initial watermark (epoch 0)
+  // would be dropped as late data
+  private val base = 1704067200000L // 2024-01-01T00:00:00Z
+  private def ts(min: Long) = new Timestamp(base + min * 60000L)
+
+  test("flatMapGroupsWithState sessionizes by gap; flush on stream end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = Sessionize.streamSessions(input.toDS(), gapSec = 600,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions separated by a 30-min gap; user 2: one session
+      input.addData(
+        SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 2.0),
+        SessionEvent(2L, ts(0), 5.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(40), 3.0)) // > 600s gap → closes s1
+      q.processAllAvailable()
+      // advance event time far enough that the timeout flushes session 2
+      input.addData(SessionEvent(3L, ts(200), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").as[Session].collect()
+        .map(s => (s.user_id, (s.start_ts.getTime - base) / 60000,
+          (s.end_ts.getTime - base) / 60000, s.n_events, s.total_value)).toSet
+      // session 1 of user 1: events at 0 and 5, flushed by the t=40 event
+      assert(got.contains((1L, 0L, 5L, 2L, 3.0)))
+      // user 2's only session flushed by event-time timeout
+      assert(got.contains((2L, 0L, 0L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming forms agree on session boundaries") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, ts(0), 1L, "click", 1.0, "{}"),
+      (1L, ts(5), 1L, "click", 2.0, "{}"),
+      (2L, ts(90), 1L, "click", 3.0, "{}"),
+      (3L, ts(95), 1L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = Sessionize.batchSessions(events, gapSec = 3600)
+      .orderBy("session_idx")
+      .select("n_events", "total_value").as[(Long, Double)].collect().toList
+    assert(sessions == List((2L, 3.0), (2L, 7.0)))
+  }
+}
