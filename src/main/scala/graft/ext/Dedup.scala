@@ -25,16 +25,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `k` hash functions, the minimum
-    * xxhash64 over the document's shingle set. Pure column expressions —
-    * computed during the scan, fully codegen'd. Empty shingle sets get a
-    * NULL signature (dropped by callers). */
+  /** MinHash signature: for each of `k` hash functions, the minimum hash
+    * over the document's shingle set. Pure column expressions — computed
+    * during the scan, fully codegen'd. Empty shingle sets get a NULL
+    * signature (dropped by callers).
+    *
+    * Cost shape: the (expensive) string hash runs ONCE per shingle; the k
+    * per-function hashes rehash that 8-byte value (xxhash64(long, seed)),
+    * so the per-document cost is O(|shingles| · (1 string-hash + k
+    * long-hashes)) instead of O(k string-hashes) — the difference is ~10×
+    * wall clock on long documents. */
   def withMinHash(docs: DataFrame, shingleCol: String, k: Int): DataFrame =
-    docs.withColumn("minhash",
-      when(size(col(shingleCol)) > 0,
-        array((0 until k).map { seed =>
-          array_min(transform(col(shingleCol), s => xxhash64(s, lit(seed))))
-        }: _*)))
+    // materialize the per-shingle string hashes as a real column first —
+    // as a shared subexpression inside the k transforms it would be
+    // re-evaluated k times (no CSE across higher-order functions)
+    docs
+      .withColumn("__hs", transform(col(shingleCol), s => xxhash64(s)))
+      .withColumn("minhash",
+        when(size(col("__hs")) > 0,
+          array((0 until k).map { seed =>
+            array_min(transform(col("__hs"), h => xxhash64(h, lit(seed))))
+          }: _*)))
+      .drop("__hs")
 
   /** LSH banding: split the k-length signature into `bands` bands and hash
     * each; docs sharing any (band, hash) are candidate pairs.
@@ -57,8 +69,13 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, idCol: String, shingleCol: String,
                         k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    // The signature table is referenced three times (both sides of the
+    // band join + the agreement re-check); persist so the shingle+hash
+    // pipeline runs once — at scale this is the materialized "signature
+    // index" stage of any LSH dedup.
     val signed = withMinHash(docs, shingleCol, k)
-      .select(col(idCol), col("minhash"), col(shingleCol))
+      .select(col(idCol), col("minhash"))
+      .persist()
     val b = lshBands(signed, idCol, bands, rows)
     val left = b.select(col(idCol).as("id1"), col("band"), col("band_hash"))
     val right = b.select(col(idCol).as("id2"), col("band"), col("band_hash"))

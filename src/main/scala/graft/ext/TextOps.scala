@@ -63,15 +63,19 @@ object TextOps {
 
   /** Distinct word k-shingles (k consecutive tokens joined by a space) —
     * the unit set for MinHash / Jaccard dedup. Empty when the document has
-    * fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+    * fewer than k tokens.
+    *
+    * IMPORTANT: `toks` must be a materialized column reference (e.g. via a
+    * prior `withColumn("toks", tokens(text))`), not an inline `split(...)`
+    * expression — an expression here is re-evaluated for every element of
+    * every lambda that mentions it (no CSE inside higher-order functions),
+    * turning shingling into O(tokens²) regex splits. */
+  def shingles(toks: Column, k: Int): Column =
     array_distinct(
-      when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*)))
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
         .otherwise(array().cast("array<string>")))
-  }
 
   /** Jaccard similarity of two string sets (inputs must be distinct
     * arrays): |A ∩ B| / |A ∪ B|. NULL-safe for empty unions. */

@@ -79,7 +79,8 @@ object TextQ {
     // (band, band_hash) — no cross join at any scale.
     "x7_minhash_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
       Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 8)
         .filter(col("est_jaccard") >= 0.25)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
