@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.BacktestQ.queries ++
     graft.queries.TextQ.queries ++
     graft.queries.VectorQ.queries ++
-    graft.queries.ExtQ.queries
+    graft.queries.ExtQ.queries ++
+    graft.queries.CoverageQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -44,5 +45,6 @@ object SparkEntry {
     graft.queries.TimeSeriesQ.oracles ++
     graft.queries.TextQ.oracles ++
     graft.queries.VectorQ.oracles ++
-    graft.queries.ExtQ.oracles
+    graft.queries.ExtQ.oracles ++
+    graft.queries.CoverageQ.oracles
 }
