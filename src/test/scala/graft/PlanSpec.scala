@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (the 100 TB checklist from the build brief):
+  * filters reach the parquet scan, projections prune columns, small dims
+  * broadcast, no accidental cartesian products, aggregates run
+  * partial+final. Regressions here are performance bugs even when results
+  * stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // AQE re-plans lazily and hides codegen stages from toString until
+    // execution; the static plan is what these gates inspect
+    .config("spark.sql.adaptive.enabled", "false")
+    .appName("graft-plans").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan (p6, p10)") {
+    assert(plan("p6_year_slice").contains("PushedFilters: ["))
+    val p = plan("p10_contains")
+    assert(p.contains("PushedFilters:") && p.contains("StringContains"))
+  }
+
+  test("column pruning: scan reads only referenced columns (p1)") {
+    val p = plan("p1_positional_slice")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_mktsegment"), "projection should prune c_mktsegment")
+  }
+
+  test("small dimensions broadcast (a1, j1) — no shuffle join for dims") {
+    assert(plan("a1_dim_join").contains("BroadcastHashJoin"))
+    assert(plan("j1_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("no cartesian product outside the intentional brute-force kernels") {
+    val allowed = Set("v1_cosine_scores", "v2_cosine_topk")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name has an unintended cartesian product")
+    }
+  }
+
+  test("aggregates are partial+final (map-side combine) (g5)") {
+    val p = plan("g5_agg")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate pair")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project hot path (p7)") {
+    // codegen stages print as `*(n) Op` in SparkPlan.toString
+    assert(plan("p7_threshold").contains("*("))
+  }
+
+  test("as-of join shuffles once by key — no global single-partition window (a3)") {
+    val p = plan("a3_asof_join")
+    assert(p.contains("Window"))
+    // a keyless window would appear as 'Window [...ORDER BY...]' with an
+    // Exchange SinglePartition below it
+    assert(!p.contains("SinglePartition"),
+      "as-of join must not funnel through a single partition")
+  }
+}
