@@ -29,8 +29,18 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity; NULL on zero-norm inputs (ANSI-safe). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; NULL on zero-norm / mismatched inputs.
+    * Backed by the native [[graft.functions.CosineSim]] Catalyst
+    * expression: one fused codegen'd pass computing dot + both norms
+    * (the composable zip_with/aggregate form walks each array three times
+    * and allocates the product array per row). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
+
+  /** The composable-expression form of [[cosine]], kept as the reference
+    * implementation (same accumulation order → bit-identical results;
+    * asserted in CosineSimSpec). */
+  def cosineComposed(a: Column, b: Column): Column = {
     val na = norm(a); val nb = norm(b)
     when(na === 0 || nb === 0, lit(null)).otherwise(dot(a, b) / (na * nb))
   }
