@@ -74,14 +74,15 @@ object TextQ {
         .orderBy("id1", "id2")
     }),
 
-    // X7 — MinHash + LSH near-dup candidates (32 hashes, 8 bands × 4 rows
-    // over word 3-shingles). Candidate generation is one equi-join on
-    // (band, band_hash) — no cross join at any scale.
+    // X7 — MinHash + LSH near-dup candidates (32 hashes, 16 bands × 2 rows
+    // over word 3-shingles; recall-leaning banding: P(candidate) =
+    // 1-(1-J²)^16 ≈ 0.999 at J=0.6). Candidate generation is one equi-join
+    // on (band, band_hash) — no cross join at any scale.
     "x7_minhash_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("toks", TextOps.tokens(col("text")))
         .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
-      Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 8)
+      Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 16)
         .filter(col("est_jaccard") >= 0.25)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id1", "id2")
