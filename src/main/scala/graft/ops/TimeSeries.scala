@@ -47,19 +47,24 @@ object TimeSeries {
   }
 
   /** Percent change vs the previous row per key (pandas `pct_change`,
-    * reference: stock_arbitrage.ipynb:266-267). First row per key is NULL.
+    * reference: stock_arbitrage.ipynb:266-267). First row per key is NULL;
+    * a zero previous value is NULL too (pandas would give ±inf — the F8
+    * cleanup maps those out anyway, and NULL keeps the expression ANSI-safe
+    * and DuckDB-aligned, where x/0 is NULL).
     */
   def pctChange(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                 valueCol: String, outCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
-    df.withColumn(outCol, col(valueCol) / lag(col(valueCol), 1).over(w) - 1)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn(outCol, when(prev =!= 0, col(valueCol) / prev - 1))
   }
 
-  /** Log return `ln(1 + pct_change)` (reference: stock_arbitrage.ipynb:266-267). */
+  /** Log return `ln(1 + pct_change)` (reference: stock_arbitrage.ipynb:266-267).
+    * NULL when the return is -100% (ln 0 undefined) or pct is NULL. */
   def logReturn(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                 valueCol: String, outCol: String): DataFrame =
     pctChange(df, keys, orderCols, valueCol, "__pct")
-      .withColumn(outCol, log(lit(1.0) + col("__pct")))
+      .withColumn(outCol, when(col("__pct") > -1, log(lit(1.0) + col("__pct"))))
       .drop("__pct")
 
   /** Rebase each row against the first observation of its key group:
@@ -71,7 +76,8 @@ object TimeSeries {
                     valueCol: String, outCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(outCol, col(valueCol) / first(col(valueCol), ignoreNulls = true).over(w) - 1)
+    val base = first(col(valueCol), ignoreNulls = true).over(w)
+    df.withColumn(outCol, when(base =!= 0, col(valueCol) / base - 1))
   }
 
   /** Rebase every series against a designated base series aligned on `ts`:

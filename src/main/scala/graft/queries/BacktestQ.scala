@@ -76,10 +76,16 @@ object BacktestQ {
   private[queries] def pairBars(s: SparkSession, d: String): Dataset[PairBar] = {
     import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts5")
+    def safeLogRet(c: String) = {
+      val prev = lag(c, 1).over(w)
+      coalesce(when(col(c) > 0 && prev > 0, log(col(c) / prev)), lit(0.0))
+    }
     panel(s, d)
-      .withColumn("delta", (col("click") - col("view")) / col("click"))
-      .withColumn("ret1", coalesce(log(col("view") / lag("view", 1).over(w)), lit(0.0)))
-      .withColumn("ret2", coalesce(log(col("click") / lag("click", 1).over(w)), lit(0.0)))
+      .withColumn("delta",
+        coalesce(when(col("click") =!= 0,
+          (col("click") - col("view")) / col("click")), lit(0.0)))
+      .withColumn("ret1", safeLogRet("view"))
+      .withColumn("ret2", safeLogRet("click"))
       .select(col("user_id").cast("string").as("pair"), col("ts5").as("ts"),
         col("delta"), col("ret1"), col("ret2"))
       .as[PairBar]

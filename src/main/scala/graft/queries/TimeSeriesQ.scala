@@ -233,8 +233,11 @@ object TimeSeriesQ {
          FROM events ORDER BY event_id""",
     "f7_log_return" ->
       """SELECT event_id, user_id,
-           round(ln(1 + (value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)), 9) AS lr
-         FROM events ORDER BY event_id""",
+           CASE WHEN pct > -1 THEN round(ln(1 + pct), 9) END AS lr
+         FROM (SELECT event_id, user_id,
+                 value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pct
+               FROM events)
+         ORDER BY event_id""",
     "f8_clean_inf" ->
       """SELECT event_id,
            round(CASE WHEN isinf(x) OR isnan(x) THEN 0.0 ELSE x END, 6) AS cleaned
