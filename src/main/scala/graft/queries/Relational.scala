@@ -29,6 +29,10 @@ object Relational {
       c.select(c.columns.slice(0, 3).map(col): _*).orderBy("c_custkey")
     }),
 
+    // P4 — single-column projection (history(...)["Close"], intra.ipynb:106)
+    "p4_single_column" -> ((s, d) =>
+      Tables.events(s, d).select("event_id", "value").orderBy("event_id")),
+
     // P2 — column drop by name (df.drop([...], axis=1), intra.ipynb:210)
     "p2_drop_columns" -> ((s, d) =>
       Tables.part(s, d).drop("p_brand", "p_type").orderBy("p_partkey")),
@@ -202,6 +206,8 @@ object Relational {
     "s1_dim_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "p1_positional_slice" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "p4_single_column" ->
+      "SELECT event_id, value FROM events ORDER BY event_id",
     "p2_drop_columns" ->
       "SELECT p_partkey, p_name, p_size, p_retailprice FROM part ORDER BY p_partkey",
     "p3_row_drop" ->

@@ -89,6 +89,26 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ProductAgg equals exp(sum(log)) for positive factors, exact for zero/negative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(3)
+    val pos = List.fill(50)(0.5 + rnd.nextDouble())
+    val df = pos.toDF("x")
+    val Array(viaAgg, viaLog) = df
+      .select(graft.functions.ProductAgg.product($"x").as("p"),
+        exp(sum(log($"x"))).as("q"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(viaAgg - viaLog) < 1e-9 * math.abs(viaAgg))
+    // zero and negative factors: exact where exp/log breaks down
+    val mixed = List(2.0, -3.0, 0.5).toDF("x")
+      .select(graft.functions.ProductAgg.product($"x")).collect().head.getDouble(0)
+    assert(mixed == -3.0)
+    val withZero = List(2.0, 0.0, 9.0).toDF("x")
+      .select(graft.functions.ProductAgg.product($"x")).collect().head.getDouble(0)
+    assert(withZero == 0.0)
+  }
+
   test("as-of join equals a per-row linear scan on random grids") {
     import spark.implicits._
     val rnd = new Random(99)
