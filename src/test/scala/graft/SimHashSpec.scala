@@ -1,0 +1,52 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, TextOps}
+import graft.ops.Reshape
+
+class SimHashSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-simhash").getOrCreate()
+
+  test("near-dup docs have small Hamming distance; unrelated docs ~32 bits") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    def doc() = Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = doc()
+    val nearDup = { // ~5% token edits
+      val t = base.split(" ")
+      t.map(x => if (rnd.nextDouble() < 0.05) vocab(rnd.nextInt(vocab.size)) else x)
+        .mkString(" ")
+    }
+    val unrelated = doc()
+    val df = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val hashes = Dedup.simHash(df, "toks", "simhash")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(0L), hashes(1L)) <= 12,
+      s"near-dup hamming ${hamming(hashes(0L), hashes(1L))}")
+    assert(hamming(hashes(0L), hashes(2L)) >= 16,
+      s"unrelated hamming ${hamming(hashes(0L), hashes(2L))}")
+  }
+
+  test("melt is the inverse of pivotWide") {
+    import spark.implicits._
+    val long = Seq(("t1", "a", 1.0), ("t1", "b", 2.0), ("t2", "a", 3.0))
+      .toDF("ts", "series", "value")
+    val wide = Reshape.pivotWide(long, "ts", "series", "value", Seq("a", "b"))
+    val back = Reshape.melt(wide, Seq("ts"), Seq("a", "b"), "series", "value")
+      .filter(col("value").isNotNull)
+      .orderBy("ts", "series")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toList
+    assert(back == List(("t1", "a", 1.0), ("t1", "b", 2.0), ("t2", "a", 3.0)))
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{Session, SessionEvent, Sessionize}
@@ -47,6 +48,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.contains((1L, 0L, 5L, 2L, 3.0)))
       // user 2's only session flushed by event-time timeout
       assert(got.contains((2L, 0L, 0L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowed event-time aggregation runs as a streaming query (§2.10)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("wstart"), $"user_id", $"n", $"total")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts(5), 1.0), SessionEvent(1L, ts(10), 2.0),
+        SessionEvent(1L, ts(35), 4.0))
+      q.processAllAvailable()
+      // advance the watermark past the first window's end
+      input.addData(SessionEvent(2L, ts(120), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("winagg")
+        .select($"user_id", $"n", $"total").as[(Long, Long, Double)]
+        .collect().toSet
+      // first 30-min window of user 1 closed by the watermark: 2 events
+      assert(got.contains((1L, 2L, 3.0)))
     } finally q.stop()
   }
 
