@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frozen goldens of the stateful (rows-only) queries on the deterministic
+  * sf0.01 fixture (TESTDATA seed=42) — SURVEY.md §5.1: since these folds
+  * have no SQL oracle, regenerated-once-and-frozen outputs are the
+  * regression oracle. Any intentional semantic change must update these
+  * numbers consciously. */
+class GoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-golden").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("T3 pair backtest golden: 930 trades, frozen total return") {
+    val t = SparkEntry.queries("t3_pair_trades")(spark, sf)
+    assert(t.count() == 930)
+    val s = t.agg(round(sum("ret"), 9)).collect().head.getDouble(0)
+    assert(s == 2077.777360612)
+  }
+
+  test("T4 intraday backtest golden: blotter size, kind mix, roi sum") {
+    val t = SparkEntry.queries("t4_intraday_trades")(spark, sf)
+    val row = t.agg(
+      count(lit(1)),
+      round(sum("roi"), 9),
+      count(when(col("kind") === "tp", 1)),
+      count(when(col("kind") === "sl", 1)),
+      count(when(col("kind") === "mc", 1))).collect().head
+    assert(row.getLong(0) == 3156)
+    assert(row.getDouble(1) == 155.177026929)
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) == ((155L, 603L, 2398L)))
+  }
+
+  test("T4 balance history golden: 8423 tick rows") {
+    assert(SparkEntry.queries("t4_balance_history")(spark, sf).count() == 8423)
+  }
+
+  test("trade report golden") {
+    val r = SparkEntry.queries("r1_trade_report")(spark, sf).collect().head
+    assert(r.getLong(0) == 3156)
+    assert(r.getDouble(1) == 0.423004)   // win rate
+    assert(r.getDouble(2) == 0.178705489) // avg profit
+    assert(r.getDouble(3) == -0.093282775) // avg loss
+    assert(r.getDouble(4) == 0.213647)   // mc share of losses
+  }
+}
