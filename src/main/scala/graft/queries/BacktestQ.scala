@@ -25,13 +25,21 @@ object BacktestQ {
 
   private val types = Seq("view", "click", "error", "purchase", "signup")
 
-  /** The aligned, ffilled, normalized 5-minute panel per user (long→wide). */
+  /** The aligned, ffilled, normalized 5-minute panel per user (long→wide).
+    *
+    * Wide alignment via CONDITIONAL aggregation, not `pivot`: with the
+    * value list known, `avg(when(type===t, value))` per type compiles to a
+    * single partial+final hash aggregate (one shuffle), where `pivot`
+    * plans a second aggregate+exchange pair — measurable on the hottest
+    * pipeline here, decisive at 100 TB. (`Reshape.pivotWide` remains the
+    * operator-demonstrating form, exercised by a2/w1.) */
   private[queries] def panel(s: SparkSession, d: String): DataFrame = {
     val bucketed = Tables.events(s, d)
       .withColumn("ts5", timestamp_seconds(expr("unix_seconds(ts) DIV 300") * 300))
       .groupBy(col("user_id"), col("ts5"))
-      .pivot("event_type", types)
-      .agg(avg("value"))
+      .agg(avg(when(col("event_type") === types.head, col("value"))).as(types.head),
+        types.tail.map(t =>
+          avg(when(col("event_type") === t, col("value"))).as(t)): _*)
     // ffill each listing per user over the bucket grid (T1), then keep only
     // rows where the whole panel is present (pandas dropna head-trim).
     val filled = types.foldLeft(bucketed) { (df, t) =>
