@@ -78,6 +78,59 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) index structure: pick `nCells` deterministic seed
+    * vectors as centroids (id-strided sample — at scale a k-means fit
+    * would produce them; the assignment/probe machinery is identical),
+    * assign every vector to its nearest centroid by cosine. Returns the
+    * corpus with an `ivf_cell` column — the partition/bucket key that
+    * co-locates a cell's vectors.
+    *
+    * Scale: assignment is a broadcast of nCells centroids against one
+    * corpus scan (O(n·nCells) fused-kernel evaluations, no shuffle);
+    * the cell id then acts like a partition key — a top-k query probes
+    * only `nProbe` cells instead of the full corpus. */
+  /** Centroid set: id-strided deterministic sample (no global sort — a
+    * plain pushed-down filter; at scale a k-means fit replaces this, the
+    * assignment/probe machinery below is unchanged). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int): DataFrame =
+    corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("ivf_cell"), col(vecCol).as("c_vec"))
+
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCells)
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("c_vec")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("ivf_cell"))))
+      .filter(col("__rk") === 1)
+      .select(corpus.columns.map(col) :+ col("ivf_cell"): _*)
+  }
+
+  /** IVF top-k: each query probes only the `nProbe` nearest cells; exact
+    * cosine re-ranks inside the probed cells. The join on `ivf_cell`
+    * replaces the corpus-wide scan per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+              vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val indexed = ivfAssign(corpus, cId, vecCol, nCells)
+    val centroids = ivfCentroids(corpus, cId, vecCol, nCells)
+    val probed = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(
+          cosine(col("q_vec"), col("c_vec")).desc, col("ivf_cell"))))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("ivf_cell"))
+    probed.join(indexed.select(col(cId).as("c_id"), col(vecCol).as("c_vec2"),
+        col("ivf_cell")), Seq("ivf_cell"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** ANN via LSH: candidates share a signature bucket; exact cosine re-ranks
     * within the bucket. Trades recall for a join instead of a cross join. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,

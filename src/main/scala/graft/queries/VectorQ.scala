@@ -61,6 +61,16 @@ object VectorQ {
       Similarity.annTopK(corpus(s, d), "vec_id", "vec", planes = 8, k = 5)
         .select(col("id1"), col("rank"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "rank")),
+
+    // V5 — ANN via IVF cells (centroid assignment + nProbe probing + exact
+    // in-cell re-rank): the other standard scale path for vector search.
+    "v5_ivf_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.ivfTopK(c.filter(col("vec_id") < 5), c.filter(col("vec_id") >= 5),
+          "vec_id", "vec_id", "vec", nCells = 16, nProbe = 4, k = 10)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
