@@ -30,10 +30,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: touch every table (codegen + file-footer caches + JIT) so
-    // per-query timings measure the query, not session cold start.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(t => try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () })
+    // per-query timings measure the query, not session cold start. Use the
+    // Tables loaders, not raw reads — `events` needs the nanos-timestamp
+    // handling and would otherwise silently fail to warm.
+    Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
+      Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
+      Tables.documents _, Tables.embeddings _)
+      .foreach(load => try load(spark, sfDir).count() catch { case _: Throwable => () })
 
     val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 4))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

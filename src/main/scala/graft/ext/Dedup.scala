@@ -68,11 +68,16 @@ object Dedup {
     * signature agreement via zip_with, no re-tokenization. */
   def minHashCandidates(docs: DataFrame, idCol: String, shingleCol: String,
                         k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must evenly divide signature length k ($k)")
     val rows = k / bands
     // The signature table is referenced three times (both sides of the
     // band join + the agreement re-check); persist so the shingle+hash
     // pipeline runs once — at scale this is the materialized "signature
-    // index" stage of any LSH dedup.
+    // index" stage of any LSH dedup. Lifecycle: the cached blocks are
+    // released by the ContextCleaner once this plan is unreferenced
+    // (no handle is retained here), so repeated calls don't accumulate
+    // past a GC cycle.
     val signed = withMinHash(docs, shingleCol, k)
       .select(col(idCol), col("minhash"))
       .persist()

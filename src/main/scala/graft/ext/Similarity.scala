@@ -140,8 +140,11 @@ object Similarity {
       .withColumn("sig", lshSignature(col(vecCol), planes))
     val l = signed.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("sig"))
     val r = signed.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("sig"))
+    // id1 =!= id2 (not <): each vector must rank ALL of its bucket-mates,
+    // otherwise the highest-id vector in a bucket gets no neighbors and
+    // "rank" stops meaning per-vector top-k
     l.join(r, Seq("sig"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("id1") =!= col("id2"))
       .withColumn("cos", cosine(col("v1"), col("v2")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))

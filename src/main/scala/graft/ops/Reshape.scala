@@ -28,8 +28,11 @@ object Reshape {
       .pivot(seriesCol, seriesValues)
       .agg(first(col(valueCol), ignoreNulls = true))
 
-  /** Wide → long (inverse of pivotWide; pandas `melt`). `stack` is a single
-    * narrow transform — no shuffle. */
+  /** Wide → long (inverse of pivotWide; pandas `melt`). A single narrow
+    * transform — no shuffle. NUMERIC value columns only: they are widened
+    * to double so one `value` column can hold every series (the panel
+    * use-case); string columns would cast to null — melt those in a
+    * separate pass with their own value type. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
            keyName: String, valueName: String): DataFrame = {
     val kvs = valueCols.flatMap(c => Seq(lit(c), col(c).cast("double")))

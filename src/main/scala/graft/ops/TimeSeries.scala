@@ -114,6 +114,9 @@ object TimeSeries {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightValueCols: Seq[String]): DataFrame = {
+    require(left.columns.intersect(rightValueCols).isEmpty,
+      s"left side already has column(s) ${left.columns.intersect(rightValueCols).mkString(", ")} — " +
+        "rename the right value columns before the as-of join")
     val leftCols = left.columns
     val l = rightValueCols.foldLeft(left.withColumn("__side", lit(1))) {
       (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))

@@ -103,7 +103,10 @@ object BacktestQ {
     * fold output — memoize the persisted Dataset per (session, sfDir) so
     * the bucket→pivot→ffill→normalize→fold pipeline runs once. This is
     * the materialized-intermediate pattern any 100 TB pipeline would use
-    * between a simulation stage and its reports. */
+    * between a simulation stage and its reports. The cache is bounded by
+    * the (session, sfDir) combinations of one harness run (≤ a handful);
+    * entries live until the session stops — acceptable for the driver
+    * contract, not a general-purpose cache. */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[IntradayEvent]]
 

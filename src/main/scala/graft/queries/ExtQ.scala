@@ -35,7 +35,8 @@ object ExtQ {
     // ST2 — gap-based sessionization, batch form (window algebra); the
     // same state kernel runs in flatMapGroupsWithState (StreamingSpec).
     "st2_sessionize" -> ((s, d) =>
-      Sessionize.batchSessions(Tables.events(s, d), gapSec = 3600)
+      Sessionize.batchSessions(Tables.events(s, d), gapSec = 3600,
+          orderCols = Seq("ts", "event_id"))
         .orderBy("user_id", "session_idx")),
   )
 

@@ -24,9 +24,13 @@ object Sessionize {
 
   /** Batch form: sessions split where the gap to the previous event
     * exceeds `gapSec`. Pure window algebra (lag → flag → running sum →
-    * group), one shuffle by user — SQL-expressible, DuckDB-checkable. */
-  def batchSessions(events: DataFrame, gapSec: Long): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    * group), one shuffle by user — SQL-expressible, DuckDB-checkable.
+    * `orderCols` breaks ts ties (pass `Seq("ts", "event_id")` for the
+    * events fixture; the default works for any `(user_id, ts, value)`
+    * frame, e.g. a `SessionEvent` Dataset). */
+  def batchSessions(events: DataFrame, gapSec: Long,
+                    orderCols: Seq[String] = Seq("ts")): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(orderCols.map(col): _*)
     events
       .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
       .withColumn("new_s", when(col("gap").isNull || col("gap") > gapSec * 1000000L, 1)
