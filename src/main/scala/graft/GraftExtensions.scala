@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSim
+
+/** Session extensions: expose graft's native expressions to SQL.
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`; then
+  * `SELECT cosine_sim(a, b) FROM ...` plans the fused codegen kernel.
+  * (The injectFunction hook is the (b)-rung of the custom-operator ladder;
+  * no custom LogicalPlan/Strategy is needed anywhere in this engine —
+  * SURVEY.md §7.3.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineSimDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_sim expects exactly 2 arguments")
+      CosineSim(children.head, children(1))
+    })
+}

@@ -172,6 +172,16 @@ object TimeSeries {
     floor(bdays / 7).cast("int")
   }
 
+  /** Trailing rolling-window frame over the last `n` rows per key — the
+    * pandas `rolling(n)` translation: `agg.over(trailingWindow(...))`.
+    * Rows before a full window still aggregate (pandas `min_periods=1`);
+    * add a `count(...).over(w) >= n` guard for strict windows. Not used by
+    * the reference, but a standard wrangling surface of the engine. */
+  def trailingWindow(keys: Seq[String], orderCols: Seq[String], n: Int) =
+    Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+
   /** Replace NaN / ±Inf by 0.0 (reference `.replace([inf,-inf],0)` after
     * dropna, stock_arbitrage.ipynb:268). Also the NaN→NULL sanitizer of
     * SURVEY §2.9: Spark orders/groups IEEE NaN instead of skipping it, so

@@ -141,6 +141,17 @@ object TimeSeriesQ {
         .select("event_id", "k", "tag")
         .orderBy("event_id")),
 
+    // F15 — trailing rolling mean/max over the last 5 observations per
+    // user (pandas rolling(5), min_periods=1 semantics)
+    "f15_rolling" -> ((s, d) => {
+      val w = TimeSeries.trailingWindow(Seq("user_id"), Seq("ts", "event_id"), 5)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(avg("value").over(w), 9).as("roll_mean"),
+          round(max("value").over(w), 6).as("roll_max"))
+        .orderBy("event_id")
+    }),
+
     // P5 — between_time 14:30-16:30 inclusive (intra.ipynb:90-92)
     "p5_between_time" -> ((s, d) =>
       TimeSeries.betweenTime(Tables.events(s, d), "ts", 14 * 60 + 30, 16 * 60 + 30)
@@ -269,6 +280,14 @@ object TimeSeriesQ {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            printf('%s#%04d', event_type, CAST(json_extract_string(props, '$.k') AS INTEGER)) AS tag
          FROM events ORDER BY event_id""",
+    "f15_rolling" ->
+      """SELECT event_id, user_id,
+           round(avg(value) OVER w, 9) AS roll_mean,
+           round(max(value) OVER w, 6) AS roll_max
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "p5_between_time" ->
       """SELECT event_id, ts FROM events
          WHERE extract(hour FROM ts) * 60 + extract(minute FROM ts) BETWEEN 870 AND 990

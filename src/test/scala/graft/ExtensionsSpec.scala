@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft's native expression reachable from SQL via the session-extension
+  * / function-registry path. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-extensions").getOrCreate()
+
+  test("cosine_sim callable from spark.sql after registration") {
+    // tests share one session (getOrCreate), so register through the same
+    // descriptor the withExtensions path injects
+    val (ident, info, builder) = GraftExtensions.cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val got = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c,
+                cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS o,
+                cosine_sim(array(0.0d, 0.0d), array(1.0d, 1.0d)) AS z""")
+      .collect().head
+    assert(math.abs(got.getDouble(0) - 1.0) < 1e-15) // parallel vectors
+    assert(math.abs(got.getDouble(1)) < 1e-15)       // orthogonal
+    assert(got.isNullAt(2))                          // zero norm
+  }
+}
