@@ -18,6 +18,10 @@ case class CompanyTick(company: Long, ts: Timestamp, sec_of_day: Int,
 case class IntradayEvent(company: Long, ts: Timestamp, kind: String,
                          roi: Double, balance: Double)
 
+/** Serializable state of one [[IntradayEngine]] between micro-batches. */
+case class EngineSnapshot(balance: Double, shares: Map[Int, Double],
+                          baseShares: Map[Int, Double], cpt: List[Int])
+
 /** T4 — faithful re-implementation of the reference's stateful intraday
   * pair-trading engine, class `IntradayRegionArbitrage`
   * (/root/reference/IntradayRegionArbitrage.py:5-159), as a pure per-key
@@ -65,6 +69,19 @@ final class IntradayEngine(bal: Double, minDeviation: Double, slPercent: Double,
   private var prices: Seq[Double] = Nil                       // arb prices this tick
 
   def inTrade: Boolean = cpt.nonEmpty
+
+  /** Export the mutable state as an immutable snapshot (for checkpointed
+    * execution: `GroupState` in flatMapGroupsWithState). */
+  def snapshot: EngineSnapshot =
+    EngineSnapshot(balance, shares.toMap, baseShares.toMap, cpt)
+
+  /** Restore from a snapshot (inverse of [[snapshot]]). */
+  def restore(s: EngineSnapshot): Unit = {
+    balance = s.balance
+    shares.clear(); shares ++= s.shares
+    baseShares.clear(); baseShares ++= s.baseShares
+    cpt = s.cpt
+  }
 
   /** Process one tick; returns (kind, roi) for each trade closed on it.
     * Mirrors IRA.data_feed (IRA.py:35-65). */
@@ -126,6 +143,49 @@ final class IntradayEngine(bal: Double, minDeviation: Double, slPercent: Double,
     baseShares.remove(idx)
     cpt = cpt.filterNot(_ == idx)
     out += ((kind, roi))
+  }
+}
+
+/** Streaming wrapper (SURVEY.md §2.10): the SAME transducer under
+  * `flatMapGroupsWithState` — engine state snapshots live in the state
+  * store between micro-batches, the 16:29 market-close flush fires off
+  * tick event times exactly as in batch. Assumes per-key event-time order
+  * across micro-batches (ticks within a batch are sorted here; a
+  * production feed out-of-order beyond a batch needs watermark buffering
+  * upstream — documented out-of-scope per SURVEY §2.10). */
+object IntradayStream {
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def run(ticks: Dataset[CompanyTick], bal: Double, minDeviation: Double,
+          slPercent: Double, triggerRange: Double, tradeSize: Double,
+          tradeSizePercent: Boolean, watermark: String = "1 minute"): Dataset[IntradayEvent] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .withWatermark("ts", watermark)
+      .groupByKey(_.company)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        stateFn(bal, minDeviation, slPercent, triggerRange, tradeSize,
+          tradeSizePercent))
+  }
+
+  private[graft] def stateFn(bal: Double, minDeviation: Double, slPercent: Double,
+      triggerRange: Double, tradeSize: Double, tradeSizePercent: Boolean)(
+      company: Long, ticks: Iterator[CompanyTick],
+      state: GroupState[EngineSnapshot]): Iterator[IntradayEvent] = {
+    val engine = new IntradayEngine(bal, minDeviation, slPercent, triggerRange,
+      tradeSize, tradeSizePercent)
+    state.getOption.foreach(engine.restore)
+    val out = List.newBuilder[IntradayEvent]
+    ticks.toSeq.sortBy(_.ts.getTime).foreach { t =>
+      engine.dataFeed(t.sec_of_day, t.returns, t.prices).foreach {
+        case (kind, roi) =>
+          out += IntradayEvent(company, t.ts, kind, roi, engine.balance)
+      }
+      out += IntradayEvent(company, t.ts, "bal", 0.0, engine.balance)
+    }
+    state.update(engine.snapshot)
+    out.result().iterator
   }
 }
 
