@@ -137,6 +137,73 @@ object TimeSeries {
     filled.filter(col("__side") === 1).select(leftCols.map(col) ++ rightValueCols.map(col): _*)
   }
 
+  /** As-of join for HOT keys (SCALING.md TODO 1): when one key carries so
+    * many rows that a per-key sort won't fit an executor, partition time
+    * into `sliceSeconds` slices so the shuffle key becomes (keys, slice) —
+    * the hot key spreads across slices. Semantics identical to
+    * [[asOfJoin]] (right.ts <= left.ts, inclusive), assuming unique right
+    * (keys, ts).
+    *
+    * Shape: in-slice matches come from the same union+ffill trick
+    * partitioned by (keys, slice); cross-slice carry-over comes from a
+    * tiny per-(key, slice) "last right value" table, forward-filled over a
+    * dense slice spine (rows = keys × slices — negligible) and joined
+    * back. Two shuffles of the fact data instead of one, but no partition
+    * ever exceeds one slice of one key.
+    */
+  def asOfJoinTimeSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         tsCol: String, rightValueCols: Seq[String],
+                         sliceSeconds: Long): DataFrame = {
+    require(left.columns.intersect(rightValueCols).isEmpty,
+      "rename right value columns that collide with left columns")
+    val leftCols = left.columns
+    def slice(c: Column) = floor(unix_micros(c) / (sliceSeconds * 1000000L))
+
+    val l = left.withColumn("__slice", slice(col(tsCol)))
+    val r = right.withColumn("__slice", slice(col(tsCol)))
+
+    // 1. in-slice as-of: union + ffill partitioned by (keys, __slice)
+    val lTagged = rightValueCols.foldLeft(l.withColumn("__side", lit(1))) {
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val rTagged0 = r.select((keys :+ tsCol :+ "__slice").map(col) ++
+      rightValueCols.map(col): _*).withColumn("__side", lit(0))
+    val rTagged = lTagged.columns.foldLeft(rTagged0) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(lTagged.schema(c).dataType))
+    }.select(lTagged.columns.map(col): _*)
+    val wSlice = Window.partitionBy((keys :+ "__slice").map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSlice = rightValueCols.foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wSlice))
+    }.filter(col("__side") === 1)
+
+    // 2. per-(keys, slice) last right value (unique right ts → max struct
+    //    picks the latest row deterministically)
+    val lastPerSlice = r.groupBy((keys :+ "__slice").map(col): _*)
+      .agg(max(struct((col(tsCol) +: rightValueCols.map(col)): _*)).as("__last"))
+    // 3. dense slice spine over both sides, carry = value from any EARLIER
+    //    slice (strictly: the in-slice pass covers the current slice)
+    val spine = l.select((keys :+ "__slice").map(col): _*)
+      .union(r.select((keys :+ "__slice").map(col): _*)).distinct()
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rightValueCols.foldLeft(
+      spine.join(lastPerSlice, keys :+ "__slice", "left")) { (d, c) =>
+        d.withColumn(s"__carry_$c",
+          last(col(s"__last.$c"), ignoreNulls = true).over(wCarry))
+      }.select((keys :+ "__slice").map(col) ++
+        rightValueCols.map(c => col(s"__carry_$c")): _*)
+
+    // 4. coalesce in-slice result with the carried value
+    val joined = inSlice.join(carry, keys :+ "__slice", "left")
+    rightValueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
+    }.select(leftCols.map(col) ++ rightValueCols.map(col): _*)
+  }
+
   /** Time-of-day band filter, inclusive both ends — pandas
     * `between_time("14:30","16:30")` semantics
     * (reference: intra_day_arbitrage.ipynb:90-92).

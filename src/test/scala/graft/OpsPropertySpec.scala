@@ -109,6 +109,29 @@ class OpsPropertySpec extends AnyFunSuite {
     assert(withZero == 0.0)
   }
 
+  test("time-sliced as-of join equals the plain as-of join on random grids") {
+    import spark.implicits._
+    val rnd = new Random(123)
+    (1 to 5).foreach { _ =>
+      val leftTs = (0 until 40).map(_ => rnd.nextInt(2000)).distinct
+      val rightTs = (0 until 15).map(_ => rnd.nextInt(2000)).distinct
+      val left = leftTs.map(t => ("k", new Timestamp(t * 1000L))).toDF("key", "ts")
+      val right = rightTs.map(t => ("k", new Timestamp(t * 1000L), t.toDouble))
+        .toDF("key", "ts", "rate")
+      def collectRates(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("ts").select("ts", "rate").collect()
+          .map(r => (r.getTimestamp(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toList
+      val plain = collectRates(
+        TimeSeries.asOfJoin(left, right, Seq("key"), "ts", Seq("rate")))
+      // slice size chosen so slices split the grid mid-stream (~7 slices)
+      val sliced = collectRates(
+        TimeSeries.asOfJoinTimeSliced(left, right, Seq("key"), "ts",
+          Seq("rate"), sliceSeconds = 300))
+      assert(sliced == plain)
+    }
+  }
+
   test("as-of join equals a per-row linear scan on random grids") {
     import spark.implicits._
     val rnd = new Random(99)
