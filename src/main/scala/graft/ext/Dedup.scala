@@ -66,8 +66,14 @@ object Dedup {
   /** Candidate pairs from LSH buckets + estimated Jaccard = fraction of
     * agreeing signature positions. One self-equi-join on (band, band_hash);
     * signature agreement via zip_with, no re-tokenization. */
+  /** `maxBucketSize` drops pathological LSH buckets (e.g. a boilerplate
+    * shingle set shared by millions of docs) before the self-join — a
+    * bucket of n docs contributes n² candidate pairs, so one mega-bucket
+    * can dominate the whole job. Docs in dropped buckets still pair via
+    * their other bands (and truly identical docs are exactGroups' job). */
   def minHashCandidates(docs: DataFrame, idCol: String, shingleCol: String,
-                        k: Int, bands: Int): DataFrame = {
+                        k: Int, bands: Int,
+                        maxBucketSize: Int = 10000): DataFrame = {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"bands ($bands) must evenly divide signature length k ($k)")
     val rows = k / bands
@@ -81,7 +87,12 @@ object Dedup {
     val signed = withMinHash(docs, shingleCol, k)
       .select(col(idCol), col("minhash"))
       .persist()
-    val b = lshBands(signed, idCol, bands, rows)
+    val b0 = lshBands(signed, idCol, bands, rows)
+    val b = b0.withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
     val left = b.select(col(idCol).as("id1"), col("band"), col("band_hash"))
     val right = b.select(col(idCol).as("id2"), col("band"), col("band_hash"))
     val pairs = left.join(right, Seq("band", "band_hash"))
