@@ -185,6 +185,29 @@ object Relational {
           .select(col("c_nationkey").as("nationkey")))
         .orderBy("nationkey")),
 
+    // G10 — hierarchical aggregates: ROLLUP over (flag, status) with the
+    // grouping-null subtotal rows (beyond the reference; engine
+    // completeness for reporting).
+    "g10_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // W6 — ranking-function family: rank / dense_rank / ntile over
+    // customers by balance within nation.
+    "w6_ranking" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_custkey")
+    }),
+
     // A5 — inclusive range aggregation (label slice sum, stock.ipynb:407):
     // per order, quantities shipped within [orderdate, orderdate+60d], both
     // ends inclusive. Equi key (orderkey) keeps the range join bounded.
@@ -264,6 +287,18 @@ object Relational {
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey",
     "u3_except" ->
       "SELECT n_nationkey AS nationkey FROM nation EXCEPT SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900 ORDER BY nationkey",
+    "g10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "w6_ranking" ->
+      """SELECT c_custkey, c_nationkey,
+           CAST(rank() OVER w AS INTEGER) AS rk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_custkey""",
     "a5_range_agg" ->
       """SELECT o_orderkey, round(coalesce(sum(l_quantity), 0.0), 2) AS qty_60d
          FROM orders LEFT JOIN lineitem
