@@ -1,20 +1,24 @@
 package graft
 
-import java.util.concurrent.Executors
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.LongAdder
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: times every SparkEntry query at the given SF and
-  * prints ONE JSON line.
+/** Driver-run benchmark: times every SparkEntry query at the given SF.
   *
   * Queries are independent jobs on one shared SparkSession, so they run
   * CONCURRENTLY (bounded pool) — on local[32] most queries use a handful
   * of cores at a time and wall clock is dominated by per-job scheduling
   * latency, exactly like a multi-tenant cluster; overlapping them is the
-  * engine-appropriate way to use the machine. `value` is end-to-end wall
-  * clock for the full suite; per-query numbers are individual wall times
-  * (measured under that concurrency).
+  * engine-appropriate way to use the machine.
+  *
+  * Output: the per-query detail line (wall under concurrency + summed Spark
+  * task time per query, which IS attributable round-over-round despite the
+  * concurrency) comes FIRST; the LAST line is a short summary JSON
+  * (metric/value/sum/sf only) so tail-capture parsers never truncate it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,13 +42,34 @@ object Bench {
       Tables.documents _, Tables.embeddings _)
       .foreach(load => try load(spark, sfDir).count() catch { case _: Throwable => () })
 
+    // Per-query Spark task-time attribution: each query runs under its own
+    // job group (thread-local, and each Future body runs synchronously on
+    // one pool thread), a listener maps the group's stages to task
+    // durations. Task time is concurrency-independent, so round-over-round
+    // regressions are attributable even though walls overlap.
+    val stageToGroup = new ConcurrentHashMap[Int, String]()
+    val groupTaskMs = new ConcurrentHashMap[String, LongAdder]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = js.properties.getProperty("spark.jobGroup.id")
+        if (g != null) js.stageIds.foreach(sid => stageToGroup.put(sid, g))
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val g = stageToGroup.get(te.stageId)
+        if (g != null && te.taskInfo != null)
+          groupTaskMs.computeIfAbsent(g, _ => new LongAdder).add(te.taskInfo.duration)
+      }
+    })
+
     val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 4))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
+        spark.sparkContext.setJobGroup(name, name)
         val s = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally spark.sparkContext.clearJobGroup()
         name -> (System.nanoTime() - s) / 1e9
       }
     }
@@ -52,9 +77,15 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_sec":${results.values.sum},"sf":"$sfDir"}""")
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ts = results.keys.toSeq.sorted.map { k =>
+      val ms = Option(groupTaskMs.get(k)).map(_.sum).getOrElse(0L)
+      "\"" + k + "\":" + ms / 1e3
+    }.mkString("{", ",", "}")
+    // Detail first, short summary LAST (driver tail-capture safety).
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":${groupTaskMs.values.toArray.map(_.asInstanceOf[LongAdder].sum).sum / 1e3},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

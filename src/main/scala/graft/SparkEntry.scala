@@ -20,8 +20,10 @@ object SparkEntry {
     val o = Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate")
     val c = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, d).select("n_nationkey", "n_name")
+    // Broadcast hint only on the fixed-size dim (nation); customer scales
+    // with SF — let AQE pick broadcast at runtime when it fits.
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))

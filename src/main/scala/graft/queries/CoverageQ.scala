@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.TimeSeries
+import graft.ops.{Reshape, TimeSeries}
 
 /** Remaining SURVEY.md §2 inventory entries: literal sources (S5), null
   * pruning (P9), FX conversion + unit scaling (F3/F4), last-N slices (W3),
@@ -82,6 +82,16 @@ object CoverageQ {
             .reduce(_ + _), 6).cast("double"))
         .orderBy("ts")
     }),
+
+    // W7 — wide→long melt (inverse of the A2 pivot; pandas `melt`, the
+    // direction of the reference's cell-29 flattening,
+    // intra.ipynb:11144-11156). Narrow per-row transform, zero shuffle.
+    "w7_melt" -> ((s, d) =>
+      Reshape.melt(
+          Tables.part(s, d).select("p_partkey", "p_size", "p_retailprice"),
+          Seq("p_partkey"), Seq("p_size", "p_retailprice"), "metric", "v")
+        .withColumn("v", round(col("v"), 6))
+        .orderBy("p_partkey", "metric")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +114,11 @@ object CoverageQ {
                          WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+    "w7_melt" ->
+      """SELECT p_partkey, metric, round(v, 6) AS v
+         FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+         UNPIVOT (v FOR metric IN (p_size, p_retailprice))
+         ORDER BY p_partkey, metric""",
     "w3_last_n" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
            SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem

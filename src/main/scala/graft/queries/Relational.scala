@@ -79,8 +79,12 @@ object Relational {
         .select("n_nationkey", "n_name", "r_name")
         .orderBy("n_nationkey")),
 
-    // J1 — star join: fact × orders × customer × nation × region with
-    // broadcast dims; partial aggregation pushes below the shuffle.
+    // J1 — star join: fact × orders × customer × nation × region. Broadcast
+    // hints ONLY on the fixed-cardinality dims (nation=25, region=5);
+    // customer scales with SF, so its join is left to AQE — at local SF it
+    // still converts to broadcast at runtime, at 100 TB it shuffles safely
+    // instead of OOMing the driver. Partial aggregation pushes below the
+    // shuffle either way.
     "j1_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
       val o  = Tables.orders(s, d).select("o_orderkey", "o_custkey")
@@ -88,7 +92,7 @@ object Relational {
       val n  = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
       val r  = Tables.region(s, d)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")

@@ -55,18 +55,23 @@ object TextQ {
         .select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // X6 — n-gram Jaccard near-dup pairs, blocked by (lang, source) and a
-    // ±20-char length band (blocking keeps the self-join linear-ish; the
-    // full cross join is the thing this avoids at scale).
+    // X6 — n-gram Jaccard near-dup pairs, blocked by (lang, source) AND a
+    // length bucket of the ±20-char band: bkt = floor(n_chars/20) joins as
+    // part of the equi key (probe side explodes into {bkt-1,bkt,bkt+1}), so
+    // the band prunes candidates AT the join instead of after it — a
+    // 10⁷-doc (lang, source) block becomes ~10⁷×band, not 10¹⁴ pairs. Each
+    // pair still appears at most once: the build side keeps one bucket.
     "x6_jaccard_pairs" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          floor(col("n_chars") / 20).as("bkt"),
           array_distinct(TextOps.tokens(col("text"))).as("toks"))
       val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"),
-        col("n_chars").as("nc1"), col("toks").as("t1"))
+        col("bkt"), col("n_chars").as("nc1"), col("toks").as("t1"))
       val b = t.select(col("doc_id").as("id2"), col("lang"), col("source"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
         col("n_chars").as("nc2"), col("toks").as("t2"))
-      a.join(b, Seq("lang", "source"))
+      a.join(b, Seq("lang", "source", "bkt"))
         .filter(col("id1") < col("id2") && abs(col("nc1") - col("nc2")) <= 20)
         .withColumn("j", round(TextOps.jaccard(col("t1"), col("t2")), 6))
         .filter(col("j") >= 0.5)

@@ -43,6 +43,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("j1_star_join").contains("BroadcastHashJoin"))
   }
 
+  test("SF-scaling tables carry no hard broadcast hint (j1, entry)") {
+    // customer grows with SF: a hard broadcast hint would OOM at 100×. Only
+    // the fixed-cardinality dims (nation=25, region=5) may be hinted; the
+    // customer join must be left to size stats / AQE. Assert by counting
+    // hint nodes in the analyzed logical plan: j1 hints nation+region (2),
+    // entry hints nation (1) — a customer hint would raise the count.
+    val j1 = SparkEntry.queries("j1_star_join")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(j1).size == 2,
+      "j1 must hint exactly nation and region, never customer")
+    val e = SparkEntry.entry(spark).queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(e).size == 1,
+      "entry must hint exactly nation, never customer")
+  }
+
   test("no cartesian product outside the intentional brute-force kernels") {
     val allowed = Set("v1_cosine_scores", "v2_cosine_topk")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
