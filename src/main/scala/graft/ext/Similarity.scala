@@ -89,32 +89,69 @@ object Similarity {
     * corpus scan (O(n·nCells) fused-kernel evaluations, no shuffle);
     * the cell id then acts like a partition key — a top-k query probes
     * only `nProbe` cells instead of the full corpus. */
-  /** Centroid set: id-strided deterministic sample (no global sort — a
-    * plain pushed-down filter; at scale a k-means fit replaces this, the
-    * assignment/probe machinery below is unchanged). */
-  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   nCells: Int): DataFrame =
-    corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("int").as("ivf_cell"), col(vecCol).as("c_vec"))
-
-  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                nCells: Int): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nCells)
+  /** Nearest-centroid assignment against an explicit (small, broadcast)
+    * centroid set: one corpus scan, no shuffle beyond the tiny top-n
+    * window per row. `nAssign` > 1 replicates each vector into its n
+    * nearest cells (standard IVF index replication: ×n index size buys
+    * recall for boundary vectors without touching query cost). */
+  private def assignTo(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String,
+                       nAssign: Int = 1): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("c_vec")))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("ivf_cell"))))
-      .filter(col("__rk") === 1)
+      .filter(col("__rk") <= nAssign)
       .select(corpus.columns.map(col) :+ col("ivf_cell"): _*)
+
+  /** Centroid set: deterministic, id-distribution-independent seeding plus
+    * `refineIters` Lloyd steps, all as distributed ops.
+    *
+    * Seeding: ids are hashed into `nCells` groups (pmod ∘ xxhash64 — works
+    * identically for dense ints, sparse longs, or string/UUID ids) and each
+    * group's minimum-hash row is its seed; the per-group window is
+    * key-partitioned (no global sort, no single-partition stage).
+    *
+    * Refinement: assign → element-wise mean per cell (posexplode + groupBy
+    * (cell, pos), nCells·dim groups — trivially small at any corpus scale)
+    * → reassign. One or two steps make the centroids representative of the
+    * actual geometry, which is what probe recall depends on. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, refineIters: Int = 2): DataFrame = {
+    val w = Window.partitionBy("ivf_cell")
+      .orderBy(xxhash64(col(idCol), lit(7)), col(idCol))
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .withColumn("ivf_cell", pmod(xxhash64(col(idCol)), lit(nCells)).cast("int"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("ivf_cell"), col(vecCol).as("c_vec"))
+    (0 until refineIters).foldLeft(seeds) { (cents, _) =>
+      assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+        .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("ivf_cell", "pos").agg(avg("x").as("m"))
+        .groupBy("ivf_cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("ivf_cell"),
+          transform(col("pm"), s => s.getField("m")).as("c_vec"))
+    }
   }
+
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int): DataFrame =
+    assignTo(corpus, ivfCentroids(corpus, idCol, vecCol, nCells),
+      idCol, vecCol)
 
   /** IVF top-k: each query probes only the `nProbe` nearest cells; exact
     * cosine re-ranks inside the probed cells. The join on `ivf_cell`
     * replaces the corpus-wide scan per query. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-              vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
-    val indexed = ivfAssign(corpus, cId, vecCol, nCells)
-    val centroids = ivfCentroids(corpus, cId, vecCol, nCells)
+              vecCol: String, nCells: Int, nProbe: Int, k: Int,
+              nAssign: Int = 2): DataFrame = {
+    // one refined centroid set shared by index build + query probing —
+    // persisted because refinement costs a few corpus scans (lifecycle as
+    // in Dedup.minHashCandidates: released by the ContextCleaner)
+    val centroids = ivfCentroids(corpus, cId, vecCol, nCells).persist()
+    val indexed = assignTo(corpus, centroids, cId, vecCol, nAssign)
     val probed = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
       .withColumn("__rk", row_number().over(
@@ -124,6 +161,9 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("ivf_cell"))
     probed.join(indexed.select(col(cId).as("c_id"), col(vecCol).as("c_vec2"),
         col("ivf_cell")), Seq("ivf_cell"))
+      // nAssign replication can surface the same candidate via two probed
+      // cells — dedup the pair before ranking
+      .dropDuplicates("q_id", "c_id")
       .withColumn("cos", cosine(col("q_vec"), col("c_vec2")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
@@ -131,20 +171,61 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
-  /** ANN via LSH: candidates share a signature bucket; exact cosine re-ranks
-    * within the bucket. Trades recall for a join instead of a cross join. */
+  /** ANN via LSH: candidates share ANY signature band; exact cosine
+    * re-ranks the candidates. The `planes`-bit signature is split into
+    * `bands` OR'd bands (rowsPerBand = planes/bands bits each, same scheme
+    * as [[Dedup.minHashCandidates]]): a pair is a candidate when at least
+    * one band matches, so recall is 1-(1-p^r)^B instead of the single-table
+    * p^planes that collapses as planes grow. Candidate generation stays ONE
+    * equi-join on (band, band_sig).
+    *
+    * `maxBucketSize` drops degenerate buckets (duplicate-heavy corpora,
+    * zero-ish vectors) BEFORE the self-join — a bucket of n rows is n²
+    * pairs, so one mega-bucket otherwise dominates the job. Members of a
+    * dropped bucket still pair via their other bands.
+    *
+    * Regime note (measured on the driver fixture): random-hyperplane LSH
+    * prunes effectively only when true neighbors are strongly similar
+    * (cos ≳ 0.8, i.e. near-duplicate detection). For weakly-similar corpora
+    * (fixture top-10 sits at cos 0.24-0.40 over a cos≈0 background) no
+    * (bands, planes) choice yields both high recall and sub-quadratic
+    * candidates — that regime belongs to [[ivfTopK]], which probes by real
+    * geometry, or to [[bruteForceTopK]]. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              planes: Int, k: Int): DataFrame = {
+              planes: Int, k: Int, bands: Int = 4,
+              maxBucketSize: Int = 10000): DataFrame = {
+    require(bands > 0 && bands <= planes && planes % bands == 0,
+      s"bands ($bands) must evenly divide planes ($planes)")
+    val r = planes / bands
+    // signature table is referenced by both join sides + the re-rank;
+    // persist so the O(planes·dim) signature pass runs once (lifecycle as
+    // in Dedup.minHashCandidates: released by the ContextCleaner).
     val signed = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("sig", lshSignature(col(vecCol), planes))
-    val l = signed.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("sig"))
-    val r = signed.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("sig"))
+      .persist()
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)).as("band_sig"))
+    }
+    val banded = signed
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_sig"))
+      .withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "band_sig")))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
     // id1 =!= id2 (not <): each vector must rank ALL of its bucket-mates,
     // otherwise the highest-id vector in a bucket gets no neighbors and
     // "rank" stops meaning per-vector top-k
-    l.join(r, Seq("sig"))
+    val pairs = banded.select(col(idCol).as("id1"), col("band"), col("band_sig"))
+      .join(banded.select(col(idCol).as("id2"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
       .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+    pairs
+      .join(signed.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(signed.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
       .withColumn("cos", cosine(col("v1"), col("v2")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))

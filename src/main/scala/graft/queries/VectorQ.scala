@@ -55,10 +55,13 @@ object VectorQ {
         .orderBy("label", "id1", "id2")
     }),
 
-    // V4 — ANN via random-hyperplane LSH buckets + exact re-rank (the
-    // 10⁹-vector shape: one equi-join on the signature, no cross join).
+    // V4 — ANN via random-hyperplane LSH: 32-plane signature split into 4
+    // OR'd 8-bit bands, candidate pairs from one equi-join on
+    // (band, band_sig) with a mega-bucket cap, exact cosine re-rank (the
+    // 10⁹-vector near-dup shape: no cross join at any scale).
     "v4_ann_lsh" -> ((s, d) =>
-      Similarity.annTopK(corpus(s, d), "vec_id", "vec", planes = 8, k = 5)
+      Similarity.annTopK(corpus(s, d), "vec_id", "vec", planes = 32, k = 5,
+          bands = 4)
         .select(col("id1"), col("rank"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "rank")),
 

@@ -40,6 +40,6 @@ class IvfSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = q.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
-    assert(recall >= 0.2, s"IVF recall@10 too low: $recall")
+    assert(recall >= 0.7, s"IVF recall@10 too low: $recall (nProbe=4 of nCells=16)")
   }
 }
