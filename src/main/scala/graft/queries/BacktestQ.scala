@@ -48,35 +48,50 @@ object BacktestQ {
     types.foldLeft(filled)((df, t) => df.filter(col(t).isNotNull))
   }
 
-  /** Panel + per-listing min-max normalization (F1) + rebase vs the base
-    * listing (F2): `ret_x = norm_x / norm_view - 1`, NULL-safe to 0
-    * (normalization on "native" values while execution uses raw prices —
-    * the reference's quirk (d), intra.ipynb:115-119, replicated). */
-  private[queries] def companyTicks(s: SparkSession, d: String): Dataset[CompanyTick] = {
-    import s.implicits._
-    val normed = types.foldLeft(panel(s, d)) { (df, t) =>
-      val w = Window.partitionBy("user_id")
-      val mn = min(col(t)).over(w); val mx = max(col(t)).over(w)
-      df.withColumn(s"n_$t",
-        when(mx === mn, lit(null)).otherwise((col(t) - mn) / (mx - mn)))
-    }
-    val arb = types.tail
-    val withRets = arb.foldLeft(normed) { (df, t) =>
-      // ANSI-safe: n_view is exactly 0 at its min row; when() short-circuits
-      // so the division never sees the zero (pandas would yield ±inf → the
-      // reference's F8 cleanup maps it to 0, same net result).
-      df.withColumn(s"r_$t",
-        coalesce(when(col("n_view") =!= 0, col(s"n_$t") / col("n_view") - 1),
-          lit(0.0)))
-    }
-    withRets.select(
-      col("user_id").as("company"),
-      col("ts5").as("ts"),
-      (hour(col("ts5")) * 3600 + minute(col("ts5")) * 60 + second(col("ts5"))).as("sec_of_day"),
-      array((col("view") +: arb.map(t => col(t))): _*).as("prices"),
-      array(arb.map(t => col(s"r_$t")): _*).as("returns")
-    ).as[CompanyTick]
+  /** The events fixture as long-form 5-minute quotes for the composed
+    * pipeline: `user_id` → company, event types → listings ('view' is the
+    * base/US listing at index 0), per-bucket average value → price. No FX
+    * leg (the events fixture has no currency dimension; f3 exercises the
+    * conversion operator in isolation). */
+  private[queries] def quotesLong(s: SparkSession, d: String): DataFrame = {
+    val listingIdx = types.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i)).otherwise(acc)
+      }
+    Tables.events(s, d)
+      .withColumn("ts5", timestamp_seconds(expr("unix_seconds(ts) DIV 300") * 300))
+      .groupBy(col("user_id").as("company"), col("event_type"),
+        col("ts5").as("ts"))
+      .agg(avg("value").as("price"))
+      .withColumn("listing", listingIdx)
+      .withColumn("convert", lit(false))
+      .drop("event_type")
   }
+
+  /** Week-block calendar over the events span (Jan 2024), mirroring the
+    * reference's `bdate_range(freq="7B")` structure (intra.ipynb:1146-1150):
+    * blocks of 5 trading days [start, stop) separated by 7 business days —
+    * the 2-business-day gaps between blocks are part of the shape. Literal
+    * source (S5), broadcast into the range join. */
+  private[queries] def eventBlocks(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0, "2024-01-01", "2024-01-08"),
+      (1, "2024-01-10", "2024-01-17"),
+      (2, "2024-01-19", "2024-01-26"),
+      (3, "2024-01-30", "2024-01-31"))
+      .toDF("block", "start_s", "stop_s")
+      .select(col("block"), to_timestamp(col("start_s")).as("start"),
+        to_timestamp(col("stop_s")).as("stop"))
+  }
+
+  /** The fully-composed T5 feed (SURVEY §3.2 shape): week blocks →
+    * union-grid alignment → block-local min-max normalization → block-wide
+    * ffill → 14:30-16:30 session filter → per-tick rebase vs base. See
+    * [[graft.backtest.IntradayPipeline]] for the step-by-step mapping to
+    * the reference cells. */
+  private[queries] def companyTicks(s: SparkSession, d: String): Dataset[CompanyTick] =
+    IntradayPipeline.companyTicks(quotesLong(s, d), None, eventBlocks(s))
 
   /** Aligned daily pair series per user for T3: asset1 = base listing
     * ('view'), asset2 = 'click' listing; delta = (a2-a1)/a2
@@ -144,13 +159,19 @@ object BacktestQ {
     // (intra.ipynb:11686-11715): win rate, avg profit/loss, mc-loss share.
     "r1_trade_report" -> ((s, d) => {
       val t = intradayEvents(s, d).toDF().filter(col("kind") =!= "bal")
+      // NaN guard: a position carried across a block boundary can close at
+      // a not-yet-observed (NaN) price — faithful pandas behavior. Python's
+      // `NaN > 0` is False (excluded from wins AND losses), but Spark SQL
+      // orders NaN above every value, so the exclusion must be explicit.
+      val win = col("roi") > 0 && !isnan(col("roi"))
+      val loss = col("roi") < 0
       t.agg(
         count(lit(1)).as("n_trades"),
-        round(avg(when(col("roi") > 0, 1.0).otherwise(0.0)), 6).as("win_rate"),
-        round(avg(when(col("roi") > 0, col("roi"))), 9).as("avg_profit"),
-        round(avg(when(col("roi") < 0, col("roi"))), 9).as("avg_loss"),
-        round(avg(when(col("roi") < 0 && col("kind") === "mc", 1.0)
-          .otherwise(when(col("roi") < 0, 0.0))), 6).as("mc_loss_share"))
+        round(avg(when(win, 1.0).otherwise(0.0)), 6).as("win_rate"),
+        round(avg(when(win, col("roi"))), 9).as("avg_profit"),
+        round(avg(when(loss, col("roi"))), 9).as("avg_loss"),
+        round(avg(when(loss && col("kind") === "mc", 1.0)
+          .otherwise(when(loss, 0.0))), 6).as("mc_loss_share"))
     }),
   )
 
