@@ -38,7 +38,8 @@ object SparkEntry {
     graft.queries.TextQ.queries ++
     graft.queries.VectorQ.queries ++
     graft.queries.ExtQ.queries ++
-    graft.queries.CoverageQ.queries
+    graft.queries.CoverageQ.queries ++
+    graft.queries.ReplayQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

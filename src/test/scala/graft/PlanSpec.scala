@@ -59,7 +59,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no cartesian product outside the intentional brute-force kernels") {
-    val allowed = Set("v1_cosine_scores", "v2_cosine_topk")
+    // v1/v2: the brute-force cosine kernel is a deliberate broadcast cross
+    // join; r4: a 1×1 scalar crossJoin combining two report rows.
+    val allowed = Set("v1_cosine_scores", "v2_cosine_topk", "r4_replay_report")
     SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
