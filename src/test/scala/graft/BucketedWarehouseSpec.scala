@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TimeSeries
+
+/** SCALING.md's remaining TODO (VERDICT round 1 item 9): a bucketed
+  * warehouse removes the per-query hash shuffle from every key-partitioned
+  * stage. Writing the event/quote facts `bucketBy(key)` + `sortBy(key, ts)`
+  * once means the ffill/as-of windows, the keyed aggregations, and
+  * co-bucketed joins all start from a scan whose outputPartitioning already
+  * satisfies their required distribution — `.explain` shows NO Exchange.
+  * At 100 TB that converts the dominant per-query cost (shuffling the fact
+  * table by key) into a one-time write-side cost.
+  */
+class BucketedWarehouseSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed-wh")
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false") // inspect static plans
+      .config("spark.sql.warehouse.dir", wh.toString)
+      .appName("graft-bucketed").getOrCreate()
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val table: String = {
+    Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("events_bucketed")
+    "events_bucketed"
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("keyed window (T1 ffill) over the bucketed fact runs with zero Exchange") {
+    val p = plan(TimeSeries.ffill(spark.table(table),
+      Seq("user_id"), Seq("ts"), "value", "filled"))
+    assert(p.contains("Window"))
+    assert(!p.contains("Exchange"), s"bucketed scan must feed the window directly:\n$p")
+    // the same pipeline on the raw parquet DOES shuffle — the bucketing is
+    // what removed it
+    val raw = plan(TimeSeries.ffill(
+      Tables.events(spark, sf).select("user_id", "ts", "event_id", "value"),
+      Seq("user_id"), Seq("ts"), "value", "filled"))
+    assert(raw.contains("Exchange"))
+  }
+
+  test("keyed aggregation over the bucketed fact runs with zero Exchange") {
+    val p = plan(spark.table(table).groupBy("user_id")
+      .agg(avg("value").as("m"), count(lit(1)).as("n")))
+    assert(!p.contains("Exchange"), s"bucketed agg should skip the shuffle:\n$p")
+  }
+
+  test("co-bucketed self-join (as-of shape) runs with zero Exchange") {
+    val t1 = spark.table(table)
+    val t2 = spark.table(table).select(col("user_id"),
+      col("ts").as("ts2"), col("value").as("fx"))
+    // hint("merge"): at fixture scale the planner would broadcast the tiny
+    // side; the production-relevant plan for two fact-sized tables is the
+    // sort-merge join, which co-bucketing makes exchange-free
+    val p = plan(t1.hint("merge").join(t2, Seq("user_id"))
+      .filter(col("ts2") <= col("ts"))
+      .groupBy("user_id").agg(count(lit(1)).as("n")))
+    assert(!p.contains("Exchange"),
+      s"co-bucketed join + agg should be shuffle-free:\n$p")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, TextOps}
+
+/** Validates SimHash as a SIMILARITY measure, not just a deterministic
+  * fingerprint (VERDICT round 1 item 10): across document pairs, Hamming
+  * distance between 64-bit fingerprints must fall as token Jaccard rises.
+  */
+class SimHashCorrelationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-simhash-corr").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val pairs = {
+    val docs = Dedup.simHash(
+        Tables.documents(spark, sf)
+          .filter(col("doc_id") < 120)
+          .select(col("doc_id"),
+            array_distinct(TextOps.tokens(col("text"))).as("toks")),
+        "toks", "sh")
+    val a = docs.select(col("doc_id").as("id1"), col("toks").as("t1"), col("sh").as("h1"))
+    val b = docs.select(col("doc_id").as("id2"), col("toks").as("t2"), col("sh").as("h2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("jaccard", TextOps.jaccard(col("t1"), col("t2")))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .select("id1", "id2", "jaccard", "hamming")
+      .persist()
+  }
+
+  test("Hamming distance is anti-correlated with token Jaccard") {
+    val r = pairs.agg(corr(col("hamming"), col("jaccard"))).collect().head.getDouble(0)
+    assert(r < -0.3, s"expected clear anti-correlation, got corr=$r")
+  }
+
+  test("near-duplicate pairs sit far below the background Hamming distance") {
+    val Array(nearDup, background) = pairs.agg(
+      avg(when(col("jaccard") >= 0.8, col("hamming"))),
+      avg(when(col("jaccard") < 0.2, col("hamming")))).collect().head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(!nearDup.isNaN, "fixture must contain at least one near-dup pair")
+    assert(nearDup < background / 2,
+      s"near-dup mean Hamming $nearDup should be far under background $background")
+  }
+
+  test("identical token sets give identical fingerprints (Hamming 0)") {
+    assert(pairs.filter(col("jaccard") === 1.0 && col("hamming") =!= 0).count() == 0)
+  }
+}
