@@ -84,4 +84,51 @@ object TextOps {
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(null)).otherwise(inter / uni)
   }
+
+  /** Distinct character trigrams — the classic language-ID feature
+    * (Cavnar-Trenkle n-gram profiles). Pure codegen'd expression; empty
+    * for texts shorter than 3 chars. */
+  def charTrigrams(text: Column): Column =
+    array_distinct(
+      when(length(text) >= 3,
+        transform(sequence(lit(1), length(text) - 2),
+          i => text.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>")))
+
+  /** Cavnar-Trenkle-style trigram language ID over a labeled corpus:
+    * learn per-language profiles (top `topK` trigrams by document
+    * frequency) from the rows matching `trainFilter`, then classify EVERY
+    * document by profile-hit count (argmax, lexicographic tie-break;
+    * documents hitting no profile predict ''). Returns
+    * `(doc_id, lang, pred, correct)`.
+    *
+    * Scale shape: one trigram explode, two partial-aggregated groupBys;
+    * the profile (topK × #languages rows) broadcasts. Accuracy is a
+    * property of the DATA — TrigramLangIdSpec validates the mechanism at
+    * 100% on separable languages; on the driver fixture, whose `lang`
+    * label is independent of the text (all langs share one 31-token
+    * vocabulary), chance level is the correct output. */
+  def trigramLangId(docs: org.apache.spark.sql.DataFrame,
+                    trainFilter: Column, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = docs
+      .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tg"))
+    val prof = tri.filter(trainFilter)
+      .groupBy("lang", "tg").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("tg"))))
+      .filter(col("rk") <= topK)
+      .select(col("lang").as("plang"), col("tg"))
+    val hits = tri.join(broadcast(prof), "tg")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("pred"))
+    docs.select("doc_id", "lang")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred"), lit("")).as("pred"))
+      .withColumn("correct", (col("pred") === col("lang")).cast("int"))
+  }
 }

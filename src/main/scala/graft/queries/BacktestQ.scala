@@ -126,10 +126,12 @@ object BacktestQ {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[IntradayEvent]]
 
   private def intradayEvents(s: SparkSession, d: String): Dataset[IntradayEvent] =
-    cache.getOrElseUpdate((s, d),
-      IntradayBacktest.run(companyTicks(s, d), bal = 1000.0, minDeviation = 0.1,
-        slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
-        tradeSizePercent = true).persist())
+    cache.synchronized {
+      cache.getOrElseUpdate((s, d),
+        IntradayBacktest.run(companyTicks(s, d), bal = 1000.0, minDeviation = 0.1,
+          slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
+          tradeSizePercent = true).persist())
+    }
 
   val queries: Map[String, Q] = Map(
     // T3 — pair state machine → trade log

@@ -106,16 +106,21 @@ object ReplayQ {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Dataset[IntradayEvent]]
 
+  // synchronized: r2/r3/r4 run CONCURRENTLY in Bench; TrieMap's
+  // getOrElseUpdate may evaluate the op twice under a race, which would
+  // build (and persist) the whole pipeline once per caller
   private def intradayEvents(s: SparkSession): Dataset[IntradayEvent] =
-    cache.getOrElseUpdate(s, {
-      val ticks = IntradayPipeline.companyTicks(
-        intradayQuotes(s),
-        Some(s.read.parquet(s"$fixDir/fx_5m.parquet")),
-        refBlocks(s))
-      IntradayBacktest.run(ticks, bal = 1000.0, minDeviation = 0.1,
-        slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
-        tradeSizePercent = true).persist()
-    })
+    cache.synchronized {
+      cache.getOrElseUpdate(s, {
+        val ticks = IntradayPipeline.companyTicks(
+          intradayQuotes(s),
+          Some(s.read.parquet(s"$fixDir/fx_5m.parquet")),
+          refBlocks(s))
+        IntradayBacktest.run(ticks, bal = 1000.0, minDeviation = 0.1,
+          slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
+          tradeSizePercent = true).persist()
+      })
+    }
 
   private val companyIds: Seq[Int] = 0 until 40
 

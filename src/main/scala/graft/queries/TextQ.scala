@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Dedup, TextOps}
@@ -101,6 +102,35 @@ object TextQ {
           "toks", "simhash")
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
+
+    // X9 — doc-frequency-weighted quality: mean IDF of the document's
+    // distinct tokens (rare-token mass, the df-weighted upgrade of x3).
+    // Canonical TF-IDF shape: one explode, one groupBy(token) for the df
+    // table, one join back, one groupBy(doc) — all partial-aggregated;
+    // corpus size joins as a broadcast scalar, never a driver collect.
+    "x9_idf_quality" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("corpus_n"))
+      toks.join(dfTab, "tok")
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("corpus_n").cast("double") / col("df"))), 6)
+          .as("idf_quality"))
+        .orderBy("doc_id")
+    }),
+
+    // X10 — Cavnar-Trenkle-style trigram language ID (see
+    // TextOps.trigramLangId): profiles from the doc_id % 5 = 0 train
+    // split, then classify all. NOTE the fixture's `lang` label is
+    // independent of its text (one shared vocabulary), so chance-level
+    // `correct` is the right answer here; TrigramLangIdSpec proves the
+    // mechanism at 100% on separable languages.
+    "x10_lang_trigram" -> ((s, d) =>
+      TextOps.trigramLangId(Tables.documents(s, d), col("doc_id") % 5 === 0, 30)
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +173,42 @@ object TextQ {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "x9_idf_quality" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+           FROM documents),
+         dft AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+         n AS (SELECT count(*) AS c FROM documents)
+         SELECT doc_id,
+           round(avg(ln(CAST((SELECT c FROM n) AS DOUBLE) / df)), 6) AS idf_quality
+         FROM t JOIN dft USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "x10_lang_trigram" ->
+      """WITH tri AS (
+           SELECT doc_id, lang,
+             unnest(list_distinct(CASE WHEN length(text) >= 3
+               THEN [substring(text, CAST(i AS INTEGER), 3)
+                     FOR i IN range(1, CAST(length(text) AS INTEGER) - 1)]
+               ELSE [] END)) AS tg
+           FROM documents),
+         prof AS (
+           SELECT lang AS plang, tg FROM (
+             SELECT lang, tg, count(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tg) AS rk
+             FROM tri WHERE doc_id % 5 = 0 GROUP BY lang, tg)
+           WHERE rk <= 30),
+         hits AS (
+           SELECT doc_id, plang AS pred FROM (
+             SELECT tri.doc_id, prof.plang, count(*) AS h,
+               row_number() OVER (PARTITION BY tri.doc_id
+                 ORDER BY count(*) DESC, prof.plang) AS rk
+             FROM tri JOIN prof ON tri.tg = prof.tg
+             GROUP BY tri.doc_id, prof.plang)
+           WHERE rk = 1)
+         SELECT d.doc_id, d.lang, coalesce(h.pred, '') AS pred,
+           CAST(coalesce(h.pred, '') = d.lang AS INTEGER) AS correct
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id""",
     "x6_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang, source, n_chars,

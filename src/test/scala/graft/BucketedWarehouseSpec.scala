@@ -15,20 +15,30 @@ import graft.ops.TimeSeries
   * table by key) into a one-time write-side cost.
   */
 class BucketedWarehouseSpec extends AnyFunSuite {
-  private lazy val spark = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed-wh")
-    SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false") // inspect static plans
-      .config("spark.sql.warehouse.dir", wh.toString)
-      .appName("graft-bucketed").getOrCreate()
-  }
+  // the suite may share one JVM-wide session with other specs (builder
+  // configs only apply to whichever suite creates it first), so the
+  // AQE-off requirement is enforced per-plan via runtime conf, not the
+  // builder
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-bucketed").getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val table: String = {
+    // a previous run's managed-table directory survives the in-memory
+    // catalog (which starts empty), so clear both sides first
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "events_bucketed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists) rm(loc)
     Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "value")
       .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
@@ -36,8 +46,15 @@ class BucketedWarehouseSpec extends AnyFunSuite {
     "events_bucketed"
   }
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  /** Build + stringify the plan with AQE off — the assertions inspect the
+    * static plan; an AdaptiveSparkPlan wrapper would print its pre-AQE
+    * Exchanges regardless of what runs. */
+  private def plan(mkDf: => org.apache.spark.sql.DataFrame): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mkDf.queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 
   test("keyed window (T1 ffill) over the bucketed fact runs with zero Exchange") {
     val p = plan(TimeSeries.ffill(spark.table(table),
