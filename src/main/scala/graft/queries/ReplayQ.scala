@@ -62,7 +62,7 @@ object ReplayQ {
 
   /** The reference's six [start, stop) week blocks (intra.ipynb:1146-1150)
     * as a literal calendar (S5). */
-  private[queries] def refBlocks(s: SparkSession): DataFrame = {
+  private[graft] def refBlocks(s: SparkSession): DataFrame = {
     import s.implicits._
     RefFixtureGen.Blocks.zipWithIndex.map { case ((a, z), i) =>
       (i, new java.sql.Timestamp(a.toEpochDay * 86400000L),
@@ -74,7 +74,7 @@ object ReplayQ {
     * column order, drop Fujitsu (P3), keep companies with ≥2 tickers and
     * ≥1 "." ticker, assign listing indices in pandas dropna order (base =
     * first non-null column) and FX-convert flag = ticker contains ".". */
-  private[queries] def intradayQuotes(s: SparkSession): DataFrame = {
+  private[graft] def intradayQuotes(s: SparkSession): DataFrame = {
     val dim = s.read.parquet(s"$fixDir/stocks_dim.parquet")
     val entries = array(RefFixtureGen.Exchanges.zipWithIndex.map {
       case (e, i) => struct(lit(i).as("ord"), col(e).as("ticker"))
