@@ -81,6 +81,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("p7_threshold").contains("*("))
   }
 
+  test("the composed replay tick path is fully keyed — no single-partition stage (r3)") {
+    // every window/aggregate in IntradayPipeline partitions by
+    // (company[, listing][, block][, ts]); only the bounded r4 reporting
+    // panel is allowed a global window
+    assert(!plan("r3_intraday_trades").contains("SinglePartition"),
+      "the T5 composition must never funnel fact data through one partition")
+  }
+
   test("as-of join shuffles once by key — no global single-partition window (a3)") {
     val p = plan("a3_asof_join")
     assert(p.contains("Window"))
