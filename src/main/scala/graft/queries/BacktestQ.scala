@@ -125,12 +125,18 @@ object BacktestQ {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dataset[IntradayEvent]]
 
+  // The count() inside the lock materializes the persisted fold before any
+  // caller sees it: persist() alone is lazy, so concurrent consumers (t4/w1/
+  // r1 under Bench) would otherwise race to compute the fold ~once each.
   private def intradayEvents(s: SparkSession, d: String): Dataset[IntradayEvent] =
     cache.synchronized {
-      cache.getOrElseUpdate((s, d),
-        IntradayBacktest.run(companyTicks(s, d), bal = 1000.0, minDeviation = 0.1,
-          slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
-          tradeSizePercent = true).persist())
+      cache.getOrElseUpdate((s, d), {
+        val ev = IntradayBacktest.run(companyTicks(s, d), bal = 1000.0,
+          minDeviation = 0.1, slPercent = 0.03, triggerRange = 0.01,
+          tradeSize = 0.1, tradeSizePercent = true).persist()
+        ev.count()
+        ev
+      })
     }
 
   val queries: Map[String, Q] = Map(

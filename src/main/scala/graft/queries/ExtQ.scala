@@ -22,6 +22,42 @@ object ExtQ {
         .toDF()
         .orderBy("doc_id")),
 
+    // M2 — multimodal feature extraction: payload → 8-dim embedding via a
+    // per-partition stub extractor (the "vision model over a batch" stage).
+    // The oracle compares the 16-bit quantization of each component —
+    // integer-exact on both engines, no float-rounding hazard; the float
+    // vector itself (and its flow into the similarity kernel) is pinned by
+    // MultimodalSpec.
+    "m2_media_embed" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.StubExtractor)
+        .toDF()
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim"),
+          round(col("v") * 65535.0, 0).cast("int").as("q"))
+        .orderBy("doc_id", "dim")),
+
+    // M3 — multimodal resize: aspect-preserving integer fit into 512×384,
+    // stub re-encode, metadata out (the batch image-transform stage).
+    "m3_media_resize" -> ((s, d) =>
+      Multimodal.resize(
+          Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.StubDecoder,
+          maxW = 512, maxH = 384)
+        .toDF()
+        .select("doc_id", "kind", "width", "height", "out_w", "out_h", "n_bytes_out")
+        .orderBy("doc_id")),
+
+    // M4 — video frame sampling: every 2nd frame, one row per frame via an
+    // iterator-to-iterator flatMap (rows-out ≠ rows-in batch stage).
+    "m4_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(Tables.documents(s, d))
+            .filter(col("kind") === "video"),
+          Multimodal.StubDecoder, stride = 2)
+        .toDF()
+        .select("doc_id", "frame_idx", "offset", "frame_len")
+        .orderBy("doc_id", "frame_idx")),
+
     // ST1 — event-time tumbling window aggregation (Structured Streaming's
     // window() primitive, batch-executed; epoch-aligned 6h windows).
     "st1_tumbling_window" -> ((s, d) =>
@@ -51,6 +87,46 @@ object ExtQ {
            CAST((octet_length(encode(text)) * 31) % 768 AS INTEGER) AS height,
            CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "m2_media_embed" ->
+      """SELECT doc_id, CAST(t.i AS INTEGER) AS dim,
+           CAST(('0x' || substr(md5(text), CAST(t.i * 4 + 1 AS INTEGER), 4)) AS INTEGER) AS q
+         FROM documents CROSS JOIN range(8) t(i)
+         ORDER BY doc_id, dim""",
+    "m3_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             octet_length(encode(text)) AS n_bytes,
+             CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS w,
+             CAST((octet_length(encode(text)) * 31) % 768 AS INTEGER) AS h
+           FROM documents),
+         d AS (
+           SELECT *,
+             CASE WHEN w <= 0 OR h <= 0 THEN 0
+                  WHEN w * 384 >= h * 512 THEN 512
+                  ELSE greatest(1, (w * 384) // h) END AS ow,
+             CASE WHEN w <= 0 OR h <= 0 THEN 0
+                  WHEN w * 384 >= h * 512 THEN greatest(1, (h * 512) // w)
+                  ELSE 384 END AS oh
+           FROM m)
+         SELECT doc_id, kind, w AS width, h AS height,
+           CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+           least(n_bytes, (ow * oh) // 8) AS n_bytes_out
+         FROM d ORDER BY doc_id""",
+    "m4_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+           FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+         f AS (
+           SELECT doc_id, n_bytes, n_frames,
+             unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+           FROM v WHERE n_frames > 0)
+         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           frame_idx * (n_bytes // n_frames) AS offset,
+           n_bytes // n_frames AS frame_len
+         FROM f ORDER BY doc_id, frame_idx""",
     "st1_tumbling_window" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS wstart,
            make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000 + 21600000000) AS wend,

@@ -106,9 +106,12 @@ object ReplayQ {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Dataset[IntradayEvent]]
 
-  // synchronized: r2/r3/r4 run CONCURRENTLY in Bench; TrieMap's
-  // getOrElseUpdate may evaluate the op twice under a race, which would
-  // build (and persist) the whole pipeline once per caller
+  // synchronized: r3/r4 run CONCURRENTLY in Bench; TrieMap's
+  // getOrElseUpdate may evaluate the op twice under a race, and persist()
+  // alone is lazy — without the materializing count() both callers' first
+  // actions would race to compute the fold before the block cache fills,
+  // running the whole pipeline ~twice. The count() inside the lock is the
+  // shared await: first caller computes, later callers read the cache.
   private def intradayEvents(s: SparkSession): Dataset[IntradayEvent] =
     cache.synchronized {
       cache.getOrElseUpdate(s, {
@@ -116,9 +119,11 @@ object ReplayQ {
           intradayQuotes(s),
           Some(s.read.parquet(s"$fixDir/fx_5m.parquet")),
           refBlocks(s))
-        IntradayBacktest.run(ticks, bal = 1000.0, minDeviation = 0.1,
+        val ev = IntradayBacktest.run(ticks, bal = 1000.0, minDeviation = 0.1,
           slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
           tradeSizePercent = true).persist()
+        ev.count()
+        ev
       })
     }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.{Multimodal, Similarity}
+import graft.ext.{MediaRow, Multimodal, Similarity}
 
 /** Multimodal plumbing end-to-end: documents → opaque binary payloads →
   * partition-parallel stub decode → per-item feature vector → similarity
@@ -30,6 +30,88 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.digest.length == 32)
       assert(Set("image", "audio", "video").contains(m.kind))
     }
+  }
+
+  test("fitDims: integer aspect-preserving fit stays in the box") {
+    import Multimodal.fitDims
+    assert(fitDims(0, 100, 512, 384) == (0, 0))
+    assert(fitDims(100, 0, 512, 384) == (0, 0))
+    assert(fitDims(512, 384, 512, 384) == (512, 384)) // exact fit unchanged
+    assert(fitDims(1024, 768, 512, 384) == (512, 384)) // 2:1 downscale
+    assert(fitDims(1, 10000, 512, 384) == (1, 384))    // sliver clamps to 1
+    for (w <- Seq(1, 7, 99, 1023); h <- Seq(1, 13, 767)) {
+      val (ow, oh) = fitDims(w, h, 512, 384)
+      assert(ow <= 512 && oh <= 384 && ow >= 1 && oh >= 1)
+      // floor-scaling never over-rotates the aspect ratio: the scaled axis
+      // is floor(other * bound / source), so ow/oh >= (w/h) * (1 - 1/oh)
+      val src = w.toDouble / h
+      val out = ow.toDouble / oh
+      assert(out <= src * (1 + 1.0 / math.min(ow, oh)) + 1e-9)
+      assert(out >= src / (1 + 1.0 / math.min(ow, oh)) - 1e-9)
+    }
+  }
+
+  test("resize: dims fit the box, payload shrinks with the pixel budget") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val out = Multimodal.resize(Multimodal.mediaTable(docs),
+      Multimodal.StubDecoder, maxW = 512, maxH = 384).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      assert(r.out_w <= 512 && r.out_h <= 384)
+      assert(r.n_bytes_out <= r.out_w.toLong * r.out_h / 8)
+      assert(r.media.length == r.n_bytes_out)
+    }
+  }
+
+  test("sampleFrames: stride-1 frames reassemble a prefix of the payload") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(60)
+    val media = Multimodal.mediaTable(docs).filter($"kind" === "video")
+    val metas = Multimodal.extractMeta(media, Multimodal.StubDecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    val payloads = media.as[MediaRow].collect().map(r => r.doc_id -> r.media).toMap
+    val all = Multimodal.sampleFrames(media, Multimodal.StubDecoder, stride = 1)
+      .collect().groupBy(_.doc_id)
+    // every video with n_frames>0 appears; frames concat == payload prefix
+    metas.values.filter(_.n_frames > 0).foreach { m =>
+      val frames = all(m.doc_id).sortBy(_.frame_idx)
+      assert(frames.length == m.n_frames)
+      val joined = frames.flatMap(_.frame).toArray
+      assert(joined.sameElements(
+        payloads(m.doc_id).take((m.n_bytes / m.n_frames * m.n_frames).toInt)))
+    }
+    // stride-2 keeps ceil(n/2) frames
+    val s2 = Multimodal.sampleFrames(media, Multimodal.StubDecoder, stride = 2)
+      .collect().groupBy(_.doc_id)
+    metas.values.filter(_.n_frames > 0).foreach { m =>
+      assert(s2(m.doc_id).length == (m.n_frames + 1) / 2)
+    }
+  }
+
+  test("extractFeatures: deterministic embedding feeds the ANN kernel") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.mediaTable(docs)
+    val f1 = Multimodal.extractFeatures(media, Multimodal.StubExtractor)
+      .collect().map(f => f.doc_id -> f.embedding.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media, Multimodal.StubExtractor)
+      .collect().map(f => f.doc_id -> f.embedding.toSeq).toMap
+    assert(f1 == f2) // deterministic across runs
+    f1.values.foreach { e =>
+      assert(e.length == Multimodal.StubExtractor.Dim)
+      assert(e.forall(v => v >= 0f && v <= 1f))
+    }
+    // media embeddings → brute-force cosine: querying the corpus with its
+    // own vectors must rank each item's exact duplicate (itself) first
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubExtractor)
+      .toDF()
+      .select($"doc_id", Similarity.toDouble($"embedding").as("vec"))
+    val q = feats.filter($"doc_id" < 5)
+      .select($"doc_id".as("q_id"), $"vec")
+    val top1 = Similarity.bruteForceTopK(q, feats, "q_id", "doc_id", "vec", k = 1)
+      .collect()
+    assert(top1.length == 5)
+    top1.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("decode -> feature vector -> cosine similarity composes") {
