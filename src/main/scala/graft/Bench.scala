@@ -68,7 +68,14 @@ object Bench {
       Future {
         spark.sparkContext.setJobGroup(name, name)
         val s = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count(), NOT count(): df.count() plans an Aggregate on top
+        // and the optimizer then prunes every computed column the count
+        // doesn't need — a pure-projection query (x8 simhash, x2 token
+        // stats, m2 embeddings…) would be "timed" as a parquet row count.
+        // toRdd executes the query's own plan, materializing every output
+        // column, which is what a real consumer pays.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         finally spark.sparkContext.clearJobGroup()
         name -> (System.nanoTime() - s) / 1e9
       }

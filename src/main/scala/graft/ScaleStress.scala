@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** Scale-stress harness: runs the dedup / similarity pipelines on 1×, 8×
+  * and 64× blow-ups of the sf0.1 corpus and reports wall-clock scaling.
+  * The point is evidence for the 100 TB claim: candidate generation must
+  * grow ~linearly with the corpus, not quadratically.
+  *
+  * Blow-up construction keeps the base corpus's similarity structure
+  * instead of multiplying it:
+  *  - documents: copy c prefixes every doc's text with a copy tag and
+  *    salts the shingle space per copy, so near-dup pairs exist only
+  *    WITHIN a copy (cross-copy Jaccard = 0). A naive m× replication
+  *    would make every doc an m-clique of near-dups and any engine would
+  *    go quadratic by construction — that would test the data, not the
+  *    engine.
+  *  - embeddings: copy c multiplies each component by a deterministic
+  *    ±1 pattern keyed on (copy, dim) — norms and component distributions
+  *    are preserved, cross-copy cosines collapse to ~0, so LSH/IVF cell
+  *    occupancy scales linearly.
+  *
+  * Not part of the driver contract; run ad hoc:
+  *   sbt "runMain graft.ScaleStress"          # multipliers 1 8 64
+  *   sbt "runMain graft.ScaleStress 1 4 16"
+  * Results are summarized in SCALING.md.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.isEmpty) Seq(1, 8, 64) else args.map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = "/tmp/graft_scale"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // ---- materialize the scaled corpora (data gen excluded from timings)
+    for (m <- mults) {
+      val docs = (0 until m).map { c =>
+        Tables.documents(spark, base).select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          concat(lit(s"copy$c "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"),
+          lit(c).as("copy"))
+      }.reduce(_ unionAll _)
+      docs.write.mode("overwrite").parquet(s"$out/m$m/documents.parquet")
+      val embs = (0 until m).map { c =>
+        Tables.embeddings(spark, base).select(
+          (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          zip_with(Similarity.toDouble(col("embedding")),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => x * when(pmod(xxhash64(lit(c), j), lit(2)) === 0, 1.0)
+              .otherwise(-1.0)).as("vec"),
+          col("label")).withColumn("copy", lit(c))
+      }.reduce(_ unionAll _)
+      embs.write.mode("overwrite").parquet(s"$out/m$m/embeddings.parquet")
+    }
+
+    // ---- timed pipelines (same shapes as x1/x7/x8/v2/v4/v5)
+    case class Op(name: String, run: Int => Long)
+    def docsOf(m: Int): DataFrame = spark.read.parquet(s"$out/m$m/documents.parquet")
+    def embsOf(m: Int): DataFrame = spark.read.parquet(s"$out/m$m/embeddings.parquet")
+
+    val ops = Seq(
+      Op("x1_exact_dedup", m =>
+        Dedup.exactGroups(docsOf(m), "doc_id", "text").count()),
+      Op("x7_minhash_lsh", m => {
+        // per-copy shingle salt: cross-copy near-dup structure removed
+        val sh = docsOf(m)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"),
+            transform(TextOps.shingles(col("toks"), 3),
+              x => concat(x, lit("#"), col("copy"))).as("sh"))
+        Dedup.minHashCandidates(sh, "doc_id", "sh", k = 32, bands = 16)
+          .filter(col("est_jaccard") >= 0.25).count()
+      }),
+      Op("x8_simhash", m =>
+        // filter on the fingerprint so count() can't prune the computation
+        Dedup.simHash(docsOf(m)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "doc_id", "toks", "simhash").filter(col("simhash") =!= 0).count()),
+      Op("v2_brute_topk_5q", m => {
+        val c = embsOf(m)
+        Similarity.bruteForceTopK(c.filter(col("vec_id") < 5), c,
+          "vec_id", "vec_id", "vec", k = 10).count()
+      }),
+      Op("v4_ann_lsh", m => {
+        // planes sized to the corpus (log2 rule): a FIXED 8-bit band at
+        // 128k vectors means 256 buckets of ~500 → Θ(n²/256) candidate
+        // pairs (>78 GB of spill, measured). suggestedPlanes keeps mean
+        // bucket occupancy ~constant so candidates stay ~linear.
+        val c = embsOf(m)
+        val planes = Similarity.suggestedPlanes(c.count(), bands = 4)
+        Similarity.annTopK(c, "vec_id", "vec", planes = planes, k = 5,
+          bands = 4).count()
+      }),
+      Op("v5_ivf_topk_5q", m => {
+        // standard IVF sizing: nCells ~ sqrt(n) keeps cell occupancy and
+        // probe cost balanced as the corpus grows
+        val c = embsOf(m)
+        val cells = math.max(16, math.sqrt(c.count().toDouble).toInt)
+        Similarity.ivfTopK(c.filter(col("vec_id") < 5),
+          c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
+          nCells = cells, nProbe = 4, k = 10).count()
+      }),
+    )
+
+    // warmup: run every op once at the smallest multiplier so codegen/JIT
+    // cost doesn't land in the first timed cell
+    ops.foreach(_.run(mults.min))
+
+    println(f"${"op"}%-18s ${mults.map(m => f"m=$m%-3d sec (rows)").mkString("  ")}")
+    val results = ops.map { op =>
+      val runs = mults.map { m =>
+        val (sec, n) = time(op.run(m))
+        (m, sec, n)
+      }
+      val line = runs.map { case (_, s, n) => f"$s%8.2f ($n%d)" }.mkString("  ")
+      println(f"${op.name}%-18s $line")
+      op.name -> runs
+    }
+    // scaling exponent between the two largest multipliers: log(t2/t1)/log(m2/m1)
+    if (mults.length >= 2) {
+      println("\nscaling exponent (1.0 = linear, 2.0 = quadratic):")
+      results.foreach { case (name, runs) =>
+        val (m1, t1, _) = runs(runs.length - 2)
+        val (m2, t2, _) = runs.last
+        val exp = math.log(t2 / t1) / math.log(m2.toDouble / m1)
+        println(f"  $name%-18s $exp%5.2f  (m=$m1 -> m=$m2)")
+      }
+    }
+    spark.stop()
+  }
+}

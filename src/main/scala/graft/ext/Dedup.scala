@@ -108,20 +108,37 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
-  /** 64-bit SimHash over a token array, as a pure fold over codegen'd
-    * expressions is impractical (64 weighted bit-sums), so this uses the
-    * engine's xxhash64 per token and a compact bit-count encoding:
-    * tokens → per-token hash → for each of 64 bits, majority vote.
-    * Implemented as 8 × 8-bit groups with aggregate() to bound expression
-    * size; still UDF-free. */
-  def simHash(docs: DataFrame, tokensCol: String, outCol: String): DataFrame = {
-    // per-bit majority: sum over tokens of (bit set ? 1 : -1), then sign
-    val h = transform(col(tokensCol), t => xxhash64(t))
-    val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(h, lit(0),
-        (acc, x) => acc + when(shiftright(x, bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+  /** 64-bit SimHash over a token array: per-token xxhash64, then for each
+    * of 64 bits a majority vote (+1 if the bit is set, −1 otherwise; bit
+    * set in the fingerprint iff the vote is positive).
+    *
+    * Shape: explode → codegen'd hash aggregate of 64 arithmetic sums,
+    * keyed by `idCol`. NOT an array fold: higher-order functions
+    * (`aggregate`/`transform`) are CodegenFallback — 64 interpreted folds
+    * per row measured ~1 ms/doc, ~50× the cost of this form. The explode
+    * multiplies rows but every expression stays inside whole-stage
+    * codegen, and map-side partial aggregation collapses each doc back to
+    * one 64-counter buffer before the (tiny) shuffle.
+    *
+    * Returns (idCol, outCol) — join back on `idCol` if other columns are
+    * needed. Empty/missing token arrays get fingerprint 0. */
+  def simHash(docs: DataFrame, idCol: String, tokensCol: String,
+              outCol: String): DataFrame = {
+    // explode_outer keeps empty/null-token docs as one null row — their
+    // vote is pinned to 0 (xxhash64(null) returns the SEED, not null, so
+    // an unguarded sum would fingerprint empty docs as hash(seed))
+    val exploded = docs
+      .select(col(idCol), explode_outer(col(tokensCol)).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(col("__t").isNull, lit(0L))
+        .otherwise(shiftright(col("__h"), bit).bitwiseAND(lit(1L)) * 2 - 1))
+        .as(s"__b$bit")
     }
-    docs.withColumn(outCol, bitCols.reduce((a, b) => a.bitwiseOR(b)))
+    val voted = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { bit =>
+      when(col(s"__b$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col(idCol), fp.as(outCol))
   }
 }

@@ -191,6 +191,21 @@ object Similarity {
     * (bands, planes) choice yields both high recall and sub-quadratic
     * candidates — that regime belongs to [[ivfTopK]], which probes by real
     * geometry, or to [[bruteForceTopK]]. */
+  /** Band width (bits per band) must GROW with the corpus or candidate
+    * generation goes quadratic: with fixed r-bit bands there are only
+    * bands·2^r buckets, so mean occupancy is n/2^r and the bucket
+    * self-join emits Θ(n²/2^r) pairs — measured by `graft.ScaleStress`,
+    * a 128k-vector corpus on 8-bit bands spilled >78 GB before dying.
+    * This helper sizes planes so mean bucket occupancy stays near
+    * `targetBucket` regardless of n: r = log2(n/targetBucket), capped at
+    * 16 bits/band (64-bit signature / 4 bands), floored at 8. */
+  def suggestedPlanes(corpusSize: Long, bands: Int = 4,
+                      targetBucket: Int = 32): Int = {
+    val r = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    bands * math.min(64 / bands, math.max(8, r))
+  }
+
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               planes: Int, k: Int, bands: Int = 4,
               maxBucketSize: Int = 10000): DataFrame = {

@@ -99,8 +99,7 @@ object TextQ {
       Dedup.simHash(
           Tables.documents(s, d)
             .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
-          "toks", "simhash")
-        .select("doc_id", "simhash")
+          "doc_id", "toks", "simhash")
         .orderBy("doc_id")),
 
     // X9 — doc-frequency-weighted quality: mean IDF of the document's

@@ -97,4 +97,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "as-of join must not funnel through a single partition")
   }
+
+  test("multimodal batch stages are shuffle-free scan stages (m1-m4)") {
+    // decode / feature-extract / resize / frame-sample are mapPartitions
+    // over the scan: at 100 TB they scale with input splits and nothing
+    // else. The SparkEntry queries add a presentation orderBy, so inspect
+    // the library operators directly.
+    import graft.ext.Multimodal
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val stages = Seq(
+      "extractMeta" -> Multimodal.extractMeta(media, Multimodal.StubDecoder).toDF(),
+      "extractFeatures" ->
+        Multimodal.extractFeatures(media, Multimodal.StubExtractor).toDF(),
+      "resize" -> Multimodal.resize(media, Multimodal.StubDecoder, 512, 384).toDF(),
+      "sampleFrames" ->
+        Multimodal.sampleFrames(media, Multimodal.StubDecoder, 2).toDF())
+    stages.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name must not shuffle — it is a per-partition batch stage")
+    }
+  }
 }

@@ -19,12 +19,12 @@ class SimHashCorrelationSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val pairs = {
-    val docs = Dedup.simHash(
-        Tables.documents(spark, sf)
-          .filter(col("doc_id") < 120)
-          .select(col("doc_id"),
-            array_distinct(TextOps.tokens(col("text"))).as("toks")),
-        "toks", "sh")
+    val toksDf = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    val docs = toksDf
+      .join(Dedup.simHash(toksDf, "doc_id", "toks", "sh"), "doc_id")
     val a = docs.select(col("doc_id").as("id1"), col("toks").as("t1"), col("sh").as("h1"))
     val b = docs.select(col("doc_id").as("id2"), col("toks").as("t2"), col("sh").as("h2"))
     a.join(b, col("id1") < col("id2"))

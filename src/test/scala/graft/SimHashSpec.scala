@@ -28,7 +28,7 @@ class SimHashSpec extends AnyFunSuite {
     val unrelated = doc()
     val df = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
       .withColumn("toks", TextOps.tokens(col("text")))
-    val hashes = Dedup.simHash(df, "toks", "simhash")
+    val hashes = Dedup.simHash(df, "doc_id", "toks", "simhash")
       .select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
