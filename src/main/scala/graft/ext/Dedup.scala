@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard (BASELINE.json north star).
@@ -106,6 +107,78 @@ object Dedup {
             (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k)
       .select("id1", "id2", "est_jaccard")
+  }
+
+  /** Transitive closure of candidate pairs → duplicate clusters: the step
+    * every real dedup pipeline needs between pair generation
+    * ([[minHashCandidates]], [[exactGroups]]-derived edges) and the final
+    * "keep one per cluster" filter. A is a near-dup of B and B of C ⇒
+    * {A, B, C} is one cluster even if (A, C) was never a candidate pair.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each node starts labelled with its own id; every round each node
+    * takes the min of (its label, its neighbours' labels, the label OF
+    * its label). The third term is the pointer-doubling step: it halves
+    * label-chain depth every round, so convergence is O(log diameter)
+    * rounds, not O(diameter) — a 64-node chain closes in ~7 rounds where
+    * plain neighbour-min needs 63 (DupClusterSpec pins this). Every round
+    * is two equi-joins + one partial-aggregated groupBy, no driver-side
+    * graph state; intermediate labels persisted, previous round
+    * unpersisted.
+    *
+    * Input: one row per undirected candidate edge. Output: (id,
+    * cluster_id) for every node that appears in at least one edge
+    * (singletons never enter the pair stream — left-join the corpus if
+    * they're needed). */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id1",
+                        idB: String = "id2", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) on each round's labels: persist caches
+    // DATA but keeps the full logical plan, and the self-join doubles that
+    // plan every round — exponential planner blowup by ~iteration 12.
+    // Checkpointing severs lineage so round N's plan is O(1). On a
+    // cluster, swap for checkpoint() with a reliable dir if executor loss
+    // during the loop must be survivable.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label among each node's neighbours
+      val fromNeighbours = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      // pointer jump: the label of my label (labels are always node ids,
+      // so the inner join always hits)
+      val jumped = labels
+        .join(labels.select(col("id").as("__lid"), col("label").as("jlabel")),
+          col("label") === col("__lid"))
+        .select(col("id"), col("jlabel"))
+      val next = labels
+        .join(fromNeighbours, Seq("id"), "left")
+        .join(jumped, Seq("id"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")),
+            col("jlabel")).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label") ||
+            col("jlabel") < col("label")).as("__changed"))
+        .localCheckpoint() // eager; prior rounds' blocks are GC-released
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — labels " +
+          "would be silently wrong; raise maxIter (rounds needed ~ " +
+          "log2(component diameter) + 2)")
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
   }
 
   /** 64-bit SimHash over a token array: per-token xxhash64, then for each

@@ -130,9 +130,33 @@ object TextQ {
     "x10_lang_trigram" -> ((s, d) =>
       TextOps.trigramLangId(Tables.documents(s, d), col("doc_id") % 5 === 0, 30)
         .orderBy("doc_id")),
+
+    // X11 — duplicate-cluster resolution (connected components by
+    // min-label propagation with pointer jumping). Edges here are CHAINS
+    // through each (lang, source) block (consecutive ids), so components
+    // are ~100-doc-deep paths that only close after multi-hop propagation
+    // — the hardest shape for the iteration — while the oracle can compute
+    // the expected clusters independently as the blocks themselves.
+    // Production use feeds x7's candidate pairs in as edges instead.
+    "x11_dup_clusters" -> ((s, d) => {
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      val edges = Tables.documents(s, d)
+        .withColumn("prev", lag("doc_id", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id1"), col("doc_id").as("id2"))
+      Dedup.duplicateClusters(edges)
+        .orderBy("id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "x11_dup_clusters" ->
+      """WITH g AS (SELECT lang, source FROM documents
+                    GROUP BY lang, source HAVING count(*) > 1)
+         SELECT d.doc_id AS id,
+           min(d.doc_id) OVER (PARTITION BY d.lang, d.source) AS cluster_id
+         FROM documents d JOIN g USING (lang, source)
+         ORDER BY id""",
     "x1_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY digest""",

@@ -1,0 +1,68 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** Connected-components correctness: min-label propagation must produce
+  * exactly the components a local union-find produces, for random graphs
+  * (seeded) and for adversarial shapes (long chains, stars, cliques). */
+class DupClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-dupcluster").getOrCreate()
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min id in component, which find() yields because
+    // unions always root at the smaller id
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], maxIter: Int = 20): Unit = {
+    import spark.implicits._
+    val got = Dedup.duplicateClusters(edges.toDF("id1", "id2"), maxIter = maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 5) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      check(edges)
+    }
+  }
+
+  test("long chain needs multi-hop propagation") {
+    // 0-1-2-...-63: single component, diameter 63; min-label propagation
+    // halves the frontier distance per round via the already-relabelled
+    // neighbours, so it converges well inside maxIter=20... verify.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    check(chain)
+  }
+
+  test("star and clique collapse in few rounds") {
+    val star = (1L to 50L).map(i => (0L, i))
+    check(star)
+    val clique = for (a <- 100L to 110L; b <- (a + 1) to 110L) yield (a, b)
+    check(clique ++ star)
+  }
+
+  test("duplicate and reversed edges are harmless") {
+    check(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (4L, 3L)))
+  }
+}
