@@ -147,6 +147,40 @@ object TextQ {
       Dedup.duplicateClusters(edges)
         .orderBy("id")
     }),
+
+    // X12 — repetition-based quality (the Gopher-style filter signals):
+    // repeat_ratio = 1 − distinct/total tokens, top_tok_share = most
+    // frequent token's mass. explode → two partial-aggregated groupBys,
+    // all codegen; no HOF folds (see SCALING.md on CodegenFallback).
+    "x12_repetition" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("total"), count(lit(1)).as("nd"), max("n").as("maxn"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("nd") / col("total"), 6).as("repeat_ratio"),
+          round(col("maxn") / col("total"), 6).as("top_tok_share"))
+        .orderBy("doc_id")
+    }),
+
+    // X13 — keep-one-per-cluster: the dedup pipeline's final step
+    // (pairs → clusters → canonical survivor). Survivors are docs that
+    // either never appeared in a candidate edge or are their cluster's
+    // min id.
+    "x13_dedup_keep_one" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      val edges = docs
+        .withColumn("prev", lag("doc_id", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id1"), col("doc_id").as("id2"))
+      docs.join(Dedup.duplicateClusters(edges),
+          docs("doc_id") === col("id"), "left")
+        .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +191,21 @@ object TextQ {
            min(d.doc_id) OVER (PARTITION BY d.lang, d.source) AS cluster_id
          FROM documents d JOIN g USING (lang, source)
          ORDER BY id""",
+    "x12_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         a AS (SELECT doc_id, sum(n) AS total, count(*) AS nd, max(n) AS maxn
+               FROM c GROUP BY 1)
+         SELECT doc_id, round(1 - nd / CAST(total AS DOUBLE), 6) AS repeat_ratio,
+           round(maxn / CAST(total AS DOUBLE), 6) AS top_tok_share
+         FROM a ORDER BY doc_id""",
+    "x13_dedup_keep_one" ->
+      """WITH g AS (SELECT lang, source, min(doc_id) AS keep
+                    FROM documents GROUP BY 1, 2)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN g ON d.doc_id = g.keep
+         ORDER BY d.doc_id""",
     "x1_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY digest""",
