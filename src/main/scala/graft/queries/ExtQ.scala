@@ -74,6 +74,14 @@ object ExtQ {
       Sessionize.batchSessions(Tables.events(s, d), gapSec = 3600,
           orderCols = Seq("ts", "event_id"))
         .orderBy("user_id", "session_idx")),
+
+    // ST3 — online exact dedup, batch form (keep first arrival per
+    // digest); the streaming twin is StreamDedup.streamKeepFirst
+    // (mapGroupsWithState, StreamDedupSpec proves cross-batch agreement).
+    "st3_dedup_keep_first" -> ((s, d) =>
+      graft.streaming.StreamDedup.batchKeepFirst(
+          graft.streaming.StreamDedup.digested(Tables.documents(s, d)))
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,6 +135,9 @@ object ExtQ {
            frame_idx * (n_bytes // n_frames) AS offset,
            n_bytes // n_frames AS frame_len
          FROM f ORDER BY doc_id, frame_idx""",
+    "st3_dedup_keep_first" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS digest
+         FROM documents GROUP BY md5(text) ORDER BY doc_id""",
     "st1_tumbling_window" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS wstart,
            make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000 + 21600000000) AS wend,

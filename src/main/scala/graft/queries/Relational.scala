@@ -199,6 +199,21 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // G11 — exact interpolated percentiles per group (order statistics;
+    // Spark's `percentile` == SQL percentile_cont semantics). Exact is
+    // the oracle-able form; at 100 TB swap for approx_percentile (KLL
+    // sketch, mergeable partial agg) when one pass over unsorted data
+    // matters more than exactness.
+    "g11_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 6).as("p25"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).as("p50"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 6).as("p75"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag")),
+
     // W6 — ranking-function family: rank / dense_rank / ntile over
     // customers by balance within nation.
     "w6_ranking" -> ((s, d) => {
@@ -295,6 +310,13 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "g11_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS price_p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "w6_ranking" ->
       """SELECT c_custkey, c_nationkey,
            CAST(rank() OVER w AS INTEGER) AS rk,

@@ -152,6 +152,21 @@ object TimeSeriesQ {
         .orderBy("event_id")
     }),
 
+    // F16 — TIME-range rolling (RANGE frame on epoch seconds, not row
+    // counts): trailing 1-hour sum per user. Complements f15's row-count
+    // frame; the frame is defined by event-time distance so gaps and
+    // bursts are handled correctly.
+    "f16_rolling_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(sum("value").over(w), 6).as("roll_1h"),
+          count(lit(1)).over(w).cast("int").as("n_1h"))
+        .orderBy("event_id")
+    }),
+
     // P5 — between_time 14:30-16:30 inclusive (intra.ipynb:90-92)
     "p5_between_time" -> ((s, d) =>
       TimeSeries.betweenTime(Tables.events(s, d), "ts", 14 * 60 + 30, 16 * 60 + 30)
@@ -287,6 +302,14 @@ object TimeSeriesQ {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "f16_rolling_range" ->
+      """SELECT event_id, user_id, ts,
+           round(sum(value) OVER w, 6) AS roll_1h,
+           CAST(count(*) OVER w AS INTEGER) AS n_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "p5_between_time" ->
       """SELECT event_id, ts FROM events
