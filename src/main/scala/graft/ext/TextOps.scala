@@ -77,6 +77,43 @@ object TextOps {
           i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
         .otherwise(array().cast("array<string>")))
 
+  /** Hashing-trick TF-IDF components: one row per (doc, bucket) with
+    * weight = Σ_tokens-in-bucket tf · ln(N/df). The feature-hashing step
+    * (token → one of `dim` buckets) is what makes TF-IDF vectors
+    * fixed-width without a driver-side vocabulary — THE text→vector
+    * bridge at corpus scale. Shape: one explode, three partial-aggregated
+    * groupBys (tf, df, bucket-sum); corpus size joins as a broadcast
+    * scalar.
+    *
+    * `bucketOf` is pluggable so an external SQL engine can replicate the
+    * assignment (default: xxhash64; tests/oracles can pass an md5-derived
+    * bucket both engines compute identically). */
+  def hashedTfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, dim: Int,
+                  bucketOf: Column => Column = null): org.apache.spark.sql.DataFrame = {
+    val bucketFn: Column => Column =
+      if (bucketOf != null) bucketOf else t => pmod(xxhash64(t), lit(dim))
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("corpus_n"))
+    tf.join(dfTab, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", bucketFn(col("tok")).cast("int"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("tf") * log(col("corpus_n") / col("df"))).as("weight"))
+  }
+
+  /** Assemble (id, bucket, weight) components into a dense `array<double>`
+    * vector of length `dim` — `dim` conditional sums inside one codegen'd
+    * hash aggregate (same no-HOF-fold rule as SimHash; see SCALING.md). */
+  def assembleVector(components: org.apache.spark.sql.DataFrame, idCol: String,
+                     dim: Int): org.apache.spark.sql.DataFrame =
+    components.groupBy(col(idCol))
+      .agg(array((0 until dim).map { i =>
+        coalesce(sum(when(col("bucket") === i, col("weight"))), lit(0.0))
+      }: _*).as("vec"))
+
   /** Jaccard similarity of two string sets (inputs must be distinct
     * arrays): |A ∩ B| / |A ∪ B|. NULL-safe for empty unions. */
   def jaccard(a: Column, b: Column): Column = {

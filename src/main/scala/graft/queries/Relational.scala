@@ -214,6 +214,23 @@ object Relational {
           round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 6).as("price_p90"))
         .orderBy("l_returnflag")),
 
+    // G12 — mergeable sketches: HyperLogLog++ distinct counts and KLL
+    // approx percentiles per group. THE one-pass shapes for 100 TB
+    // profiling: both are partial+final aggregates whose buffers merge
+    // associatively across partitions (no sort, no second pass; contrast
+    // g11's exact percentile, which materializes each group). No SQL
+    // oracle — approximation is engine-specific — so SketchSpec bounds
+    // the error against the exact answers instead.
+    "g12_sketches" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice").cast("double"), lit(0.5), lit(1000))
+            .as("median_price_approx"))
+        .orderBy("l_returnflag")),
+
     // W6 — ranking-function family: rank / dense_rank / ntile over
     // customers by balance within nation.
     "w6_ranking" -> ((s, d) => {

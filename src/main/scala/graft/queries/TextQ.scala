@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -164,6 +164,20 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X14 — hashing-trick TF-IDF components (the fixed-width text→vector
+    // bridge; TextOps.assembleVector + the v-kernels consume these,
+    // TfIdfVectorSpec). Bucket = md5-derived here so DuckDB replicates
+    // the assignment bit-for-bit; production default is xxhash64.
+    "x14_hashed_tfidf" -> ((s, d) => {
+      val md5Bucket: Column => Column =
+        t => conv(substring(md5(t), 1, 4), 16, 10).cast("int") % 32
+      TextOps.hashedTfIdf(Tables.documents(s, d), "doc_id", "text", 32,
+          bucketOf = md5Bucket)
+        .select(col("doc_id"), col("bucket"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -200,6 +214,17 @@ object TextQ {
          SELECT doc_id, round(1 - nd / CAST(total AS DOUBLE), 6) AS repeat_ratio,
            round(maxn / CAST(total AS DOUBLE), 6) AS top_tok_share
          FROM a ORDER BY doc_id""",
+    "x14_hashed_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS cn FROM documents)
+         SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 32 AS INTEGER) AS bucket,
+           round(sum(tf * ln(cn / CAST(df AS DOUBLE))), 6) AS weight
+         FROM tf JOIN dfx USING (tok) CROSS JOIN n
+         GROUP BY 1, 2 ORDER BY doc_id, bucket""",
     "x13_dedup_keep_one" ->
       """WITH g AS (SELECT lang, source, min(doc_id) AS keep
                     FROM documents GROUP BY 1, 2)
