@@ -108,6 +108,24 @@ object ScaleStress {
         Similarity.annTopK(c, "vec_id", "vec", planes = planes, k = 5,
           bands = 4).count()
       }),
+      Op("x14_tfidf_ann", m => {
+        // full text→vector→ANN pipeline: hashed TF-IDF vectors for every
+        // doc, then LSH ANN with corpus-sized planes (k=3 neighbours).
+        // maxBucketSize is TIGHT here (500, not the default 10000): the
+        // fixture's ~31-token shared vocabulary makes every TF-IDF vector
+        // nearly collinear, so LSH signatures collapse into giant buckets
+        // — at 64× the default cap admitted ~10⁸ candidate pairs and
+        // OOMed. When Ω(n²) of the corpus genuinely IS mutually similar,
+        // candidate output is inherently quadratic; the cap is what keeps
+        // the job bounded (dropped buckets = "this blob needs exact
+        // clustering, not ANN").
+        val docs = docsOf(m)
+        val vecs = TextOps.assembleVector(
+          TextOps.hashedTfIdf(docs, "doc_id", "text", 32), "doc_id", 32)
+        val planes = Similarity.suggestedPlanes(docs.count(), bands = 4)
+        Similarity.annTopK(vecs, "doc_id", "vec", planes = planes, k = 3,
+          bands = 4, maxBucketSize = 500).count()
+      }),
       Op("v5_ivf_topk_5q", m => {
         // standard IVF sizing: nCells ~ sqrt(n) keeps cell occupancy and
         // probe cost balanced as the corpus grows
