@@ -141,26 +141,45 @@ object Similarity {
     assignTo(corpus, ivfCentroids(corpus, idCol, vecCol, nCells),
       idCol, vecCol)
 
-  /** IVF top-k: each query probes only the `nProbe` nearest cells; exact
-    * cosine re-ranks inside the probed cells. The join on `ivf_cell`
-    * replaces the corpus-wide scan per query. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-              vecCol: String, nCells: Int, nProbe: Int, k: Int,
-              nAssign: Int = 2): DataFrame = {
-    // one refined centroid set shared by index build + query probing —
-    // persisted because refinement costs a few corpus scans (lifecycle as
-    // in Dedup.minHashCandidates: released by the ContextCleaner)
-    val centroids = ivfCentroids(corpus, cId, vecCol, nCells).persist()
-    val indexed = assignTo(corpus, centroids, cId, vecCol, nAssign)
-    val probed = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(centroids))
+  /** A built IVF index: refined centroids + cell-replicated postings,
+    * both plain DataFrames. Build once, probe many — at scale the real
+    * index lifecycle is `buildIvfIndex` → write both frames as (bucketed)
+    * tables → `IvfIndex(read, read, …)` → `probeIvf` per query batch,
+    * amortizing the Lloyd refinement and assignment scans over every
+    * probe (IvfSpec proves the parquet round-trip returns identical
+    * top-k). */
+  case class IvfIndex(centroids: DataFrame, postings: DataFrame,
+                      idCol: String, vecCol: String)
+
+  /** Build the IVF index: deterministic seeded + Lloyd-refined centroids
+    * (materialized — the build pays the refinement scans exactly once),
+    * then each corpus vector posted to its `nAssign` nearest cells. */
+  def buildIvfIndex(corpus: DataFrame, cId: String, vecCol: String,
+                    nCells: Int, nAssign: Int = 2,
+                    refineIters: Int = 2): IvfIndex = {
+    val centroids = ivfCentroids(corpus, cId, vecCol, nCells, refineIters)
+      .persist()
+    centroids.count()
+    val postings = assignTo(corpus.select(col(cId), col(vecCol)), centroids,
+      cId, vecCol, nAssign)
+    IvfIndex(centroids, postings, cId, vecCol)
+  }
+
+  /** Probe a built index: each query ranks the (broadcast) centroids,
+    * visits its `nProbe` nearest cells via one equi-join on `ivf_cell`,
+    * and exact cosine re-ranks inside them. */
+  def probeIvf(index: IvfIndex, queries: DataFrame, qId: String,
+               nProbe: Int, k: Int): DataFrame = {
+    val probed = queries
+      .select(col(qId).as("q_id"), col(index.vecCol).as("q_vec"))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("q_id").orderBy(
           cosine(col("q_vec"), col("c_vec")).desc, col("ivf_cell"))))
       .filter(col("__rk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("ivf_cell"))
-    probed.join(indexed.select(col(cId).as("c_id"), col(vecCol).as("c_vec2"),
-        col("ivf_cell")), Seq("ivf_cell"))
+    probed.join(index.postings.select(col(index.idCol).as("c_id"),
+        col(index.vecCol).as("c_vec2"), col("ivf_cell")), Seq("ivf_cell"))
       // nAssign replication can surface the same candidate via two probed
       // cells — dedup the pair before ranking
       .dropDuplicates("q_id", "c_id")
@@ -170,6 +189,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
   }
+
+  /** IVF top-k in one call (build + probe). For repeated query batches
+    * over one corpus, use [[buildIvfIndex]]/[[probeIvf]] so the index is
+    * built once. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+              vecCol: String, nCells: Int, nProbe: Int, k: Int,
+              nAssign: Int = 2): DataFrame =
+    probeIvf(buildIvfIndex(corpus, cId, vecCol, nCells, nAssign),
+      queries, qId, nProbe, k)
 
   /** ANN via LSH: candidates share ANY signature band; exact cosine
     * re-ranks the candidates. The `planes`-bit signature is split into

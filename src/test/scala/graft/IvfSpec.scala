@@ -42,4 +42,25 @@ class IvfSpec extends AnyFunSuite {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"IVF recall@10 too low: $recall (nProbe=4 of nCells=16)")
   }
+
+  test("index survives a parquet round-trip: probe(read(write(build))) == direct") {
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    val corpus = c.filter(col("vec_id") >= 5)
+    val queries = c.filter(col("vec_id") < 5)
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "vec", nCells = 16)
+    val direct = Similarity.probeIvf(idx, queries, "vec_id", nProbe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // the real index lifecycle: write both frames, read them back, probe
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    val reloaded = Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/postings"), "vec_id", "vec")
+    val viaDisk = Similarity.probeIvf(reloaded, queries, "vec_id", nProbe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaDisk == direct)
+  }
 }

@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
       "as-of join must not funnel through a single partition")
   }
 
+  test("new aggregate/window queries stay keyed and partial-aggregated") {
+    // f16's RANGE window partitions by user — never a single partition
+    assert(!plan("f16_rolling_range").contains("SinglePartition"),
+      "time-range rolling must stay keyed")
+    // x12/g11/x14 aggregates must map-side combine
+    Seq("x12_repetition", "g11_percentiles", "x14_hashed_tfidf").foreach { q =>
+      assert(plan(q).contains("partial_"), s"$q must partial-aggregate")
+    }
+  }
+
   test("multimodal batch stages are shuffle-free scan stages (m1-m4)") {
     // decode / feature-extract / resize / frame-sample are mapPartitions
     // over the scan: at 100 TB they scale with input splits and nothing
