@@ -68,6 +68,13 @@ object ScaleStress {
           col("label")).withColumn("copy", lit(c))
       }.reduce(_ unionAll _)
       embs.write.mode("overwrite").parquet(s"$out/m$m/embeddings.parquet")
+      // composed-backtest feed: m× the symbol universe (company offset per
+      // copy), same calendar span — the realistic scale direction
+      val q0 = graft.queries.BacktestQ.quotesLong(spark, base)
+      val quotes = (0 until m).map { c =>
+        q0.withColumn("company", col("company") + lit(c * 10000000L))
+      }.reduce(_ unionAll _)
+      quotes.write.mode("overwrite").parquet(s"$out/m$m/quotes.parquet")
     }
 
     // ---- timed pipelines (same shapes as x1/x7/x8/v2/v4/v5)
@@ -134,6 +141,18 @@ object ScaleStress {
         Similarity.ivfTopK(c.filter(col("vec_id") < 5),
           c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
           nCells = cells, nProbe = 4, k = 10).count()
+      }),
+      Op("t4_composed_fold", m => {
+        // the heaviest engine pipeline: T5 composed feed (blocks → grid
+        // align → block-local normalize → ffill → session filter →
+        // rebase) → T4 per-company stateful fold. Scale = m× companies.
+        val quotes = spark.read.parquet(s"$out/m$m/quotes.parquet")
+        val ticks = graft.backtest.IntradayPipeline.companyTicks(
+          quotes, None, graft.queries.BacktestQ.eventBlocks(spark))
+        graft.backtest.IntradayBacktest.run(ticks, bal = 1000.0,
+          minDeviation = 0.1, slPercent = 0.03, triggerRange = 0.01,
+          tradeSize = 0.1, tradeSizePercent = true)
+          .filter(col("kind") =!= "bal").count()
       }),
     )
 

@@ -53,7 +53,7 @@ object BacktestQ {
     * base/US listing at index 0), per-bucket average value → price. No FX
     * leg (the events fixture has no currency dimension; f3 exercises the
     * conversion operator in isolation). */
-  private[queries] def quotesLong(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quotesLong(s: SparkSession, d: String): DataFrame = {
     val listingIdx = types.zipWithIndex
       .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
         when(col("event_type") === t, lit(i)).otherwise(acc)
@@ -73,7 +73,7 @@ object BacktestQ {
     * blocks of 5 trading days [start, stop) separated by 7 business days —
     * the 2-business-day gaps between blocks are part of the shape. Literal
     * source (S5), broadcast into the range join. */
-  private[queries] def eventBlocks(s: SparkSession): DataFrame = {
+  private[graft] def eventBlocks(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       (0, "2024-01-01", "2024-01-08"),
