@@ -56,7 +56,7 @@ object ScaleStress {
           concat(lit(s"copy$c "), col("text")).as("text"),
           col("lang"), col("source"), col("n_chars"),
           lit(c).as("copy"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
       docs.write.mode("overwrite").parquet(s"$out/m$m/documents.parquet")
       val embs = (0 until m).map { c =>
         Tables.embeddings(spark, base).select(
@@ -66,14 +66,14 @@ object ScaleStress {
             (x, j) => x * when(pmod(xxhash64(lit(c), j), lit(2)) === 0, 1.0)
               .otherwise(-1.0)).as("vec"),
           col("label")).withColumn("copy", lit(c))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
       embs.write.mode("overwrite").parquet(s"$out/m$m/embeddings.parquet")
       // composed-backtest feed: m× the symbol universe (company offset per
       // copy), same calendar span — the realistic scale direction
       val q0 = graft.queries.BacktestQ.quotesLong(spark, base)
       val quotes = (0 until m).map { c =>
         q0.withColumn("company", col("company") + lit(c * 10000000L))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
       quotes.write.mode("overwrite").parquet(s"$out/m$m/quotes.parquet")
     }
 
