@@ -142,6 +142,19 @@ object ScaleStress {
           c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
           nCells = cells, nProbe = 4, k = 10).count()
       }),
+      Op("x11_cc_resolve", m => {
+        // duplicate-cluster resolution at scale: chain edges within each
+        // (copy, lang, source) block — component diameter stays ~constant
+        // while node count grows m×, so pointer-jumping round count is
+        // flat and per-round join cost is the scaling subject
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("copy", "lang", "source").orderBy("doc_id")
+        val edges = docsOf(m)
+          .withColumn("prev", lag("doc_id", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("id1"), col("doc_id").as("id2"))
+        Dedup.duplicateClusters(edges).count()
+      }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
         // align → block-local normalize → ffill → session filter →
