@@ -78,31 +78,38 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF (inverted-file) index structure: pick `nCells` deterministic seed
-    * vectors as centroids (id-strided sample — at scale a k-means fit
-    * would produce them; the assignment/probe machinery is identical),
-    * assign every vector to its nearest centroid by cosine. Returns the
-    * corpus with an `ivf_cell` column — the partition/bucket key that
-    * co-locates a cell's vectors.
+  /** Nearest-centroid assignment against an explicit (small) centroid set.
+    * `nAssign` > 1 replicates each vector into its n nearest cells
+    * (standard IVF index replication: ×n index size buys recall for
+    * boundary vectors without touching query cost).
     *
-    * Scale: assignment is a broadcast of nCells centroids against one
-    * corpus scan (O(n·nCells) fused-kernel evaluations, no shuffle);
-    * the cell id then acts like a partition key — a top-k query probes
-    * only `nProbe` cells instead of the full corpus. */
-  /** Nearest-centroid assignment against an explicit (small, broadcast)
-    * centroid set: one corpus scan, no shuffle beyond the tiny top-n
-    * window per row. `nAssign` > 1 replicates each vector into its n
-    * nearest cells (standard IVF index replication: ×n index size buys
-    * recall for boundary vectors without touching query cost). */
-  private def assignTo(corpus: DataFrame, centroids: DataFrame,
-                       idCol: String, vecCol: String,
-                       nAssign: Int = 1): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("c_vec")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("ivf_cell"))))
-      .filter(col("__rk") <= nAssign)
-      .select(corpus.columns.map(col) :+ col("ivf_cell"): _*)
+    * Scale shape: the centroid set is collapsed into ONE array-of-structs
+    * row and broadcast, so the join adds a constant-width column to every
+    * corpus row instead of expanding the scan ×nCells, and the per-row
+    * top-nAssign pick is pure array arithmetic (`transform` ranking every
+    * cell, `array_sort` + `slice` keeping the n best) — NO exchange of
+    * corpus rows anywhere in the operator (IvfPlanSpec gates this). The
+    * previous form (crossJoin ×nCells + `row_number` over idCol) hash-
+    * shuffled the *amplified* table: at 10⁹ vectors × 4096 cells that is a
+    * 4·10¹²-row exchange. Ordering matches the old window exactly: cosine
+    * desc with NULLs (zero-norm) last, cell id as tiebreak. */
+  private[graft] def assignTo(corpus: DataFrame, centroids: DataFrame,
+                              idCol: String, vecCol: String,
+                              nAssign: Int = 1): DataFrame = {
+    val packed = centroids
+      .agg(collect_list(struct(col("ivf_cell"), col("c_vec"))).as("__cents"))
+    corpus.crossJoin(broadcast(packed)) // 1-row side → broadcast nested loop
+      .withColumn("__picks",
+        slice(array_sort(transform(col("__cents"), c =>
+          // sort key: ascending (-cos, cell); NULL cos (zero-norm) → -2.0
+          // so its negation sorts after every real similarity
+          struct((-coalesce(cosine(col(vecCol), c.getField("c_vec")),
+              lit(-2.0))).as("nsim"),
+            c.getField("ivf_cell").as("cell")))), 1, nAssign))
+      .select(corpus.columns.map(col) :+ explode(col("__picks")).as("__p"): _*)
+      .withColumn("ivf_cell", col("__p.cell"))
+      .drop("__p")
+  }
 
   /** Centroid set: deterministic, id-distribution-independent seeding plus
     * `refineIters` Lloyd steps, all as distributed ops.

@@ -43,6 +43,41 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall@10 too low: $recall (nProbe=4 of nCells=16)")
   }
 
+  test("assignment never shuffles corpus rows (broadcast-packed centroids)") {
+    import spark.implicits._
+    // deterministic varied vectors so nearest-cell picks are non-trivial
+    val corpus = (0L until 200L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 31 + j * 17) % 13).toDouble - 6.0)))
+      .toDF("id", "vec").localCheckpoint()
+    val cents = (0 until 6)
+      .map(c => (c, Array.tabulate(8)(j => ((c * 7 + j * 5) % 11).toDouble - 5.0)))
+      .toDF("ivf_cell", "c_vec").localCheckpoint()
+    val assigned = Similarity.assignTo(corpus, cents, "id", "vec", nAssign = 2)
+
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      "corpus rows must never hash-shuffle during IVF assignment")
+    assert(!p.contains("Window"),
+      "no per-id window over a ×nCells expansion")
+    // only allowed shuffle: the SinglePartition packing of nCells rows
+    // (BroadcastExchange is the point of the design, not a shuffle)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 1,
+      s"at most the tiny centroid-packing exchange, got plan:\n$p")
+
+    // semantics parity with the windowed reference form (cos desc, NULLs
+    // last, cell-id tiebreak)
+    val expected = corpus.crossJoin(cents)
+      .withColumn("sim", Similarity.cosine(col("vec"), col("c_vec")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("sim").desc, col("ivf_cell"))))
+      .filter(col("rk") <= 2).select("id", "ivf_cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = assigned.select("id", "ivf_cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected)
+  }
+
   test("index survives a parquet round-trip: probe(read(write(build))) == direct") {
     val c = Tables.embeddings(spark, sf)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
