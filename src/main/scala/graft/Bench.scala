@@ -61,9 +61,35 @@ object Bench {
       }
     })
 
+    // Suite wall includes the prematerialize phase (r01/r02 walls carried
+    // the fold cost inside query walls — excluding it now would be a fake
+    // round-over-round win); only the per-query attribution changes.
+    val t0 = System.nanoTime()
+
+    // Pre-materialize shared intermediates (the intraday fold, the replay
+    // fold, the x11/x13 cluster table) under one dedicated job group BEFORE
+    // the query pool starts: their cost is reported as "prematerialize"
+    // instead of landing on whichever consumer grabs the cache lock first,
+    // so per-query task_sec stays attributable round-over-round.
+    val pre0 = System.nanoTime()
+    val prePool = Executors.newFixedThreadPool(3)
+    val preEc = ExecutionContext.fromExecutor(prePool)
+    val preWork: Seq[() => Unit] = Seq(
+      () => graft.queries.BacktestQ.prewarm(spark, sfDir),
+      () => graft.queries.ReplayQ.prewarm(spark),
+      () => graft.queries.TextQ.prewarm(spark, sfDir))
+    val preFutures = preWork.map(w => Future {
+      // job group is thread-local — set it on each prewarm thread
+      spark.sparkContext.setJobGroup("prematerialize", "shared intermediates")
+      try w() catch { case _: Throwable => () }
+      finally spark.sparkContext.clearJobGroup()
+    }(preEc))
+    preFutures.foreach(Await.result(_, Duration.Inf))
+    prePool.shutdown()
+    val preSec = (System.nanoTime() - pre0) / 1e9
+
     val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 4))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         spark.sparkContext.setJobGroup(name, name)
@@ -86,12 +112,15 @@ object Bench {
 
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ts = results.keys.toSeq.sorted.map { k =>
+    // task_sec covers the queries PLUS the "prematerialize" phase key, so
+    // the shared-intermediate cost is visible, attributed, and excluded
+    // from every per-query number.
+    val ts = (results.keys.toSeq :+ "prematerialize").sorted.map { k =>
       val ms = Option(groupTaskMs.get(k)).map(_.sum).getOrElse(0L)
       "\"" + k + "\":" + ms / 1e3
     }.mkString("{", ",", "}")
     // Detail first, short summary LAST (driver tail-capture safety).
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":${groupTaskMs.values.toArray.map(_.asInstanceOf[LongAdder].sum).sum / 1e3},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -130,21 +130,35 @@ object Dedup {
     * cluster_id) for every node that appears in at least one edge
     * (singletons never enter the pair stream — left-join the corpus if
     * they're needed). */
+  /** `checkpointDir`: when set, each round's labels are RELIABLY
+    * checkpointed there (HDFS/object store on a cluster) instead of
+    * `localCheckpoint` — local checkpoint blocks live on executors and an
+    * executor loss mid-loop kills the job; the reliable variant survives
+    * it at the cost of a per-round write. Old checkpoint files are
+    * reclaimed by `spark.cleaner.referenceTracking.cleanCheckpoints`. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id1",
-                        idB: String = "id2", maxIter: Int = 20): DataFrame = {
+                        idB: String = "id2", maxIter: Int = 20,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (not persist) on each round's labels: persist caches
-    // DATA but keeps the full logical plan, and the self-join doubles that
-    // plan every round — exponential planner blowup by ~iteration 12.
-    // Checkpointing severs lineage so round N's plan is O(1). On a
-    // cluster, swap for checkpoint() with a reliable dir if executor loss
-    // during the loop must be survivable.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // Checkpoint (not persist) on each round's labels: persist caches DATA
+    // but keeps the full logical plan, and the self-join doubles that plan
+    // every round — exponential planner blowup by ~iteration 12.
+    // Checkpointing severs lineage so round N's plan is O(1).
+    //
+    // The default (local) path marks the checkpoint LAZILY and lets the
+    // round's convergence aggregate materialize it — ONE job per round
+    // instead of checkpoint-job + convergence-job. The reliable path
+    // checkpoints eagerly (the write job is the reliability feature) and
+    // its convergence check is then a cheap scan of the checkpoint files.
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(eager = false)
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -159,16 +173,19 @@ object Dedup {
         .join(labels.select(col("id").as("__lid"), col("label").as("jlabel")),
           col("label") === col("__lid"))
         .select(col("id"), col("jlabel"))
-      val next = labels
+      val next = truncate(labels
         .join(fromNeighbours, Seq("id"), "left")
         .join(jumped, Seq("id"))
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")),
             col("jlabel")).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label") ||
-            col("jlabel") < col("label")).as("__changed"))
-        .localCheckpoint() // eager; prior rounds' blocks are GC-released
-      converged = next.filter(col("__changed")).limit(1).count() == 0
+            col("jlabel") < col("label")).as("__changed")))
+      // full-scan aggregate (no limit short-circuit): computes every
+      // partition, so the same job materializes the lazy checkpoint AND
+      // answers convergence. NULL sum = empty input = nothing to relabel.
+      val changed = next.agg(sum(col("__changed").cast("long"))).first()
+      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
       labels = next.drop("__changed")
       iter += 1
     }

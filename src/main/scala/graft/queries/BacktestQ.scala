@@ -139,6 +139,14 @@ object BacktestQ {
       })
     }
 
+  /** Bench hook: materialize the shared persisted fold up front so its
+    * cost lands in the bench's "prematerialize" phase instead of whichever
+    * consumer (t4/w1/r1) grabs the cache lock first — keeps per-query
+    * task-time attribution stable round-over-round. */
+  private[graft] def prewarm(s: SparkSession, d: String): Unit = {
+    intradayEvents(s, d); ()
+  }
+
   val queries: Map[String, Q] = Map(
     // T3 — pair state machine → trade log
     "t3_pair_trades" -> ((s, d) =>

@@ -65,4 +65,25 @@ class DupClusterSpec extends AnyFunSuite {
   test("duplicate and reversed edges are harmless") {
     check(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (4L, 3L)))
   }
+
+  test("reliable checkpointing (checkpointDir) yields identical clusters") {
+    // the cluster-credible loop: labels reliably checkpointed per round so
+    // executor loss mid-iteration is survivable; results must be identical
+    // to the localCheckpoint path on an adversarial multi-hop shape
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val rnd = new Random(7)
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val extra = Seq.fill(60)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = chain ++ extra
+    val got = Dedup.duplicateClusters(edges.toDF("id1", "id2"),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+    // the reliable path actually wrote checkpoint state
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under checkpointDir")
+  }
 }
