@@ -49,17 +49,53 @@ object Multimodal {
     def decode(row: MediaRow): MediaMeta
   }
 
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
   /** Deterministic stand-in for the real codec: metadata derived
     * arithmetically from the payload (mirrors what a real decoder would
     * emit: dimensions, frame counts, digest). */
   object StubDecoder extends Decoder {
     override def decode(r: MediaRow): MediaMeta = {
       val n = r.media.length.toLong
-      val md = MessageDigest.getInstance("MD5").digest(r.media)
-      val hex = md.map("%02x".format(_)).mkString
-      MediaMeta(r.doc_id, r.kind, n, hex,
+      MediaMeta(r.doc_id, r.kind, n, md5Hex(r.media),
         width = (n % 1024).toInt, height = ((n * 31) % 768).toInt,
         n_frames = (n % 16).toInt)
+    }
+  }
+
+  /** REAL image decoder on the JDK's built-in codecs (PNG/JPEG/GIF/BMP via
+    * `javax.imageio` — zero external dependencies). Reads header-only
+    * dimensions through an `ImageReader` (no pixel decode on the metadata
+    * path — the right cost for a 100 TB metadata sweep); payloads no
+    * registered reader claims (audio, video, synthetic fixtures) fall back
+    * to `fallback`, so one mixed-corpus stage handles everything. The
+    * class holds no codec state — `ImageReader`s are created per row on
+    * the executor — so it serializes cleanly into `mapPartitions`. */
+  class ImageIoDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+    override def decode(r: MediaRow): MediaMeta = {
+      val parsed: Option[MediaMeta] =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                // getNumImages(false) avoids an exhaustive scan; -1 =
+                // "unknown without searching" → treat as single-image
+                val n = reader.getNumImages(false)
+                Some(MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
+                  md5Hex(r.media), reader.getWidth(0), reader.getHeight(0),
+                  math.max(1, n)))
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        } catch { case _: Exception => None } // corrupt image → fallback
+      parsed.getOrElse(fallback.decode(r))
     }
   }
 
@@ -121,19 +157,64 @@ object Multimodal {
     else
       (math.max(1, (w.toLong * maxH / h).toInt), maxH)
 
-  /** Partition-parallel resize: decode dims, fit into (maxW, maxH), emit a
-    * stub payload truncated to one byte per 8 output pixels (a real codec
-    * binding would re-encode; the schema/batch plumbing is what's real).
-    * No shuffle — same mapPartitions shape as [[extractMeta]]. */
-  def resize(media: DataFrame, decoder: Decoder, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+  /** Pluggable payload rescaler for [[resize]]. Given the source row, its
+    * decoded metadata and the fitted output dims, produce the resized
+    * payload bytes. `Serializable` + deterministic, like [[Decoder]]. */
+  trait Resizer extends Serializable {
+    def apply(row: MediaRow, meta: MediaMeta, outW: Int, outH: Int): Array[Byte]
+  }
+
+  /** Stand-in rescale: payload truncated to one byte per 8 output pixels
+    * (what a codec's re-encode roughly costs in bytes). */
+  object TruncateResizer extends Resizer {
+    override def apply(r: MediaRow, m: MediaMeta, ow: Int, oh: Int): Array[Byte] =
+      r.media.take(math.min(m.n_bytes, ow.toLong * oh / 8).toInt)
+  }
+
+  /** REAL pixel rescale for decodable images: `ImageIO.read` → bilinear
+    * `Graphics2D` draw into an RGB buffer at (outW, outH) → PNG re-encode.
+    * Non-image payloads fall back. Deterministic for a fixed JDK (pure
+    * software raster, no platform codecs). */
+  class ImageIoResizer(fallback: Resizer = TruncateResizer) extends Resizer {
+    override def apply(r: MediaRow, m: MediaMeta, ow: Int, oh: Int): Array[Byte] = {
+      val scaled: Option[Array[Byte]] =
+        try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))).filter(_ => ow > 0 && oh > 0)
+            .map { src =>
+              val dst = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, ow, oh, null)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              out.toByteArray
+            }
+        } catch { case _: Exception => None }
+      scaled.getOrElse(fallback(r, m, ow, oh))
+    }
+  }
+
+  /** Partition-parallel resize: decode dims, fit into (maxW, maxH), emit
+    * the rescaled payload via `resizer` (default: the deterministic
+    * truncation stub; pass `new ImageIoResizer()` for a real PNG
+    * re-encode). No shuffle — same mapPartitions shape as
+    * [[extractMeta]]. */
+  def resize(media: DataFrame, decoder: Decoder, maxW: Int, maxH: Int,
+             resizer: Resizer = TruncateResizer): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map { r =>
       val m = decoder.decode(r)
       val (ow, oh) = fitDims(m.width, m.height, maxW, maxH)
-      val nOut = math.min(m.n_bytes, ow.toLong * oh / 8)
-      ResizedMedia(r.doc_id, r.kind, m.width, m.height, ow, oh, nOut,
-        r.media.take(nOut.toInt))
+      val bytes = resizer(r, m, ow, oh)
+      ResizedMedia(r.doc_id, r.kind, m.width, m.height, ow, oh,
+        bytes.length.toLong, bytes)
     })
   }
 

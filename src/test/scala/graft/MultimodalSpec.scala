@@ -114,6 +114,53 @@ class MultimodalSpec extends AnyFunSuite {
     top1.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("ImageIoDecoder decodes a REAL PNG end-to-end (meta + resize), stub fallback for the rest") {
+    import spark.implicits._
+    // build a real 64×48 PNG in memory with the JDK encoder
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff) // deterministic fill
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val png = pngBytes(64, 48)
+    val notAnImage = "just some text bytes".getBytes("UTF-8")
+    val media = Seq((1L, "image", png), (2L, "audio", notAnImage))
+      .toDF("doc_id", "kind", "media")
+    val dec = new Multimodal.ImageIoDecoder()
+
+    // meta: real header dims for the PNG, stub arithmetic for the rest
+    val meta = Multimodal.extractMeta(media, dec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 64 && meta(1L).height == 48)
+    assert(meta(1L).n_frames == 1 && meta(1L).n_bytes == png.length)
+    val stub = Multimodal.StubDecoder.decode(MediaRow(2L, "audio", notAnImage))
+    assert(meta(2L) == stub, "non-image payloads must take the fallback path")
+
+    // resize: real pixel rescale + PNG re-encode for the image row
+    val resized = Multimodal.resize(media, dec, maxW = 32, maxH = 32,
+        resizer = new Multimodal.ImageIoResizer())
+      .collect().map(r => r.doc_id -> r).toMap
+    val r1 = resized(1L)
+    assert((r1.out_w, r1.out_h) == (32, 24)) // 64×48 fit into 32×32
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.media))
+    assert(back != null && back.getWidth == 32 && back.getHeight == 24,
+      "resized payload must be a decodable PNG at the fitted dims")
+    // determinism: same input → byte-identical re-encode
+    val again = Multimodal.resize(media, dec, 32, 32,
+        new Multimodal.ImageIoResizer())
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(java.util.Arrays.equals(again(1L).media, r1.media))
+    // fallback row keeps the truncation-stub behavior
+    val r2 = resized(2L)
+    assert(r2.n_bytes_out == math.min(notAnImage.length.toLong,
+      r2.out_w.toLong * r2.out_h / 8))
+  }
+
   test("decode -> feature vector -> cosine similarity composes") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
