@@ -234,11 +234,29 @@ object Similarity {
     * This helper sizes planes so mean bucket occupancy stays near
     * `targetBucket` regardless of n: r = log2(n/targetBucket), capped at
     * 16 bits/band (64-bit signature / 4 bands), floored at 8. */
+  /** CAP REGIME: a 64-bit signature bounds r at 64/bands bits, so once
+    * n > targetBucket·2^(64/bands) (~2M at the defaults) occupancy grows
+    * LINEARLY with n again — n/2^r per bucket — and candidate pairs
+    * quadratically. [[planesCapped]] detects the regime; past it, shard
+    * the corpus (run LSH per shard / per partition-layout key), tighten
+    * `maxBucketSize` (correct but recall-lossy), or switch to [[ivfTopK]]
+    * whose cell count is not signature-bounded. AnnLshSpec pins the
+    * boundary arithmetic and the capped-corpus behavior. */
   def suggestedPlanes(corpusSize: Long, bands: Int = 4,
                       targetBucket: Int = 32): Int = {
     val r = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucket))
       / math.log(2.0)).toInt
     bands * math.min(64 / bands, math.max(8, r))
+  }
+
+  /** True when [[suggestedPlanes]] hit the 64-bit signature cap for this
+    * corpus size — the regime where per-bucket occupancy (and with it the
+    * bucket self-join) stops being size-independent. */
+  def planesCapped(corpusSize: Long, bands: Int = 4,
+                   targetBucket: Int = 32): Boolean = {
+    val r = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.max(8, r) > 64 / bands
   }
 
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -68,6 +68,38 @@ class AnnLshSpec extends AnyFunSuite {
     assert(uncapped.count() > 0, "raising the cap re-admits the bucket")
   }
 
+  test("suggestedPlanes pins the 64-bit cap boundary; capped-r corpora still work") {
+    import Similarity.{planesCapped, suggestedPlanes}
+    // below the cap: r grows with log2(n/targetBucket), occupancy flat
+    assert(suggestedPlanes(1000) == 4 * 8)      // floor: 8 bits/band
+    assert(suggestedPlanes(32L << 12) == 4 * 12)
+    assert(!planesCapped(32L << 12))
+    // boundary: r = 16 is exactly representable — NOT capped
+    assert(suggestedPlanes(32L << 16) == 64 && !planesCapped(32L << 16))
+    // past it: r would need 17+ bits but the 64-bit signature caps at
+    // 16/band — occupancy now grows linearly with n (the documented
+    // regime where the caller must shard, tighten maxBucketSize, or
+    // switch to IVF)
+    assert(suggestedPlanes(32L << 17) == 64 && planesCapped(32L << 17))
+    assert(suggestedPlanes(10L * 1000 * 1000 * 1000) == 64 &&
+      planesCapped(10L * 1000 * 1000 * 1000))
+    // wider bands cap earlier: 8 bands → 8 bits/band ceiling
+    assert(suggestedPlanes(1L << 40, bands = 8) == 64 &&
+      planesCapped(1L << 40, bands = 8))
+
+    // a capped-width run (r = 16, the boundary geometry) must still be
+    // well-formed and recall the planted near-dups: capping costs bucket
+    // occupancy, never correctness
+    val ann = Similarity.annTopK(planted, "vec_id", "vec",
+        planes = 64, k = 5, bands = 4)
+      .filter(col("rank") === 1 && col("id1") < 50)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = (0L until 50L).count(i => ann.get(i).contains(i + 1000))
+    assert(recalled / 50.0 >= 0.8,
+      s"capped-r recall too low: ${recalled / 50.0}")
+  }
+
   test("banding raises recall over the single full-signature table") {
     // same 32 planes: one 32-bit table vs 4 OR'd 8-bit bands — the banded
     // form must recall at least as many planted pairs (this is the
