@@ -77,7 +77,8 @@ object Bench {
     val preWork: Seq[() => Unit] = Seq(
       () => graft.queries.BacktestQ.prewarm(spark, sfDir),
       () => graft.queries.ReplayQ.prewarm(spark),
-      () => graft.queries.TextQ.prewarm(spark, sfDir))
+      () => graft.queries.TextQ.prewarm(spark, sfDir),
+      () => graft.queries.VectorQ.prewarm(spark, sfDir))
     val preFutures = preWork.map(w => Future {
       // job group is thread-local — set it on each prewarm thread
       spark.sparkContext.setJobGroup("prematerialize", "shared intermediates")

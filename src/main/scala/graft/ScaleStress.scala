@@ -82,6 +82,18 @@ object ScaleStress {
     def docsOf(m: Int): DataFrame = spark.read.parquet(s"$out/m$m/documents.parquet")
     def embsOf(m: Int): DataFrame = spark.read.parquet(s"$out/m$m/embeddings.parquet")
 
+    // prebuilt IVF indices per multiplier (build-once/probe-many split)
+    val ivfIdx = scala.collection.mutable.Map.empty[Int, Similarity.IvfIndex]
+    def builtIvf(m: Int): Similarity.IvfIndex = ivfIdx.getOrElseUpdate(m, {
+      val c = embsOf(m)
+      val cells = math.max(16, math.sqrt(c.count().toDouble).toInt)
+      val idx = Similarity.buildIvfIndex(c.filter(col("vec_id") >= 5),
+        "vec_id", "vec", nCells = cells)
+      val p = idx.postings.persist()
+      p.count()
+      idx.copy(postings = p)
+    })
+
     val ops = Seq(
       Op("x1_exact_dedup", m =>
         Dedup.exactGroups(docsOf(m), "doc_id", "text").count()),
@@ -141,6 +153,21 @@ object ScaleStress {
         Similarity.ivfTopK(c.filter(col("vec_id") < 5),
           c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
           nCells = cells, nProbe = 4, k = 10).count()
+      }),
+      Op("v6_ivf_build", m => {
+        // index BUILD leg of build-once/probe-many: seed + Lloyd refine +
+        // assign + materialize postings. Timed separately from the probe
+        // so SCALING.md records the amortizable cost vs the per-query cost.
+        ivfIdx.remove(m).foreach { i =>
+          i.centroids.unpersist(); i.postings.unpersist()
+        }
+        builtIvf(m).postings.count()
+      }),
+      Op("v6_ivf_probe_5q", m => {
+        // steady-state PROBE leg against the prebuilt index
+        val c = embsOf(m)
+        Similarity.probeIvf(builtIvf(m), c.filter(col("vec_id") < 5),
+          "vec_id", nProbe = 4, k = 10).count()
       }),
       Op("x11_cc_resolve", m => {
         // duplicate-cluster resolution at scale: chain edges within each

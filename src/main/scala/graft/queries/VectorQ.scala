@@ -18,6 +18,32 @@ object VectorQ {
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"),
         col("label"))
 
+  /** Build-once/probe-many: the IVF index (Lloyd-refined centroids +
+    * cell-replicated postings, both persisted-materialized) memoized per
+    * (session, sfDir) — the production lifecycle where the build cost
+    * amortizes over every query batch. v5 times the one-shot build+probe;
+    * v6 times a probe against this prebuilt index, so the bench separates
+    * index-build cost from query cost. */
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Similarity.IvfIndex]
+  private def prebuiltIvf(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfCache.synchronized {
+      ivfCache.getOrElseUpdate((s, d), {
+        val idx = Similarity.buildIvfIndex(
+          corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
+          nCells = 16)
+        val postings = idx.postings.persist()
+        postings.count() // materialize inside the lock (shared await)
+        idx.copy(postings = postings)
+      })
+    }
+
+  /** Bench hook: build the shared IVF index up front (see
+    * BacktestQ.prewarm — same attribution rationale). */
+  private[graft] def prewarm(s: SparkSession, d: String): Unit = {
+    prebuiltIvf(s, d); ()
+  }
+
   val queries: Map[String, Q] = Map(
     // V1 — all-pairs cosine scores of a small broadcast query set vs the
     // corpus (the exact kernel under any top-k).
@@ -74,6 +100,15 @@ object VectorQ {
         .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+
+    // V6 — probe-many against the PREBUILT IVF index ([[prebuiltIvf]]):
+    // the steady-state query cost once the build is amortized. Same output
+    // shape as v5; IvfSpec's round-trip test proves prebuilt ≡ one-shot.
+    "v6_ivf_probe" -> ((s, d) =>
+      Similarity.probeIvf(prebuiltIvf(s, d),
+          corpus(s, d).filter(col("vec_id") < 5), "vec_id", nProbe = 4, k = 10)
+        .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")),
   )
 
   val oracles: Map[String, String] = Map(

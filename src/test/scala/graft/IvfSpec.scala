@@ -43,6 +43,15 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall@10 too low: $recall (nProbe=4 of nCells=16)")
   }
 
+  test("v6 (prebuilt-index probe) returns exactly v5's one-shot top-k") {
+    // build is deterministic (id-hash seeding + fixed Lloyd steps), so the
+    // memoized build-once/probe-many path must be indistinguishable from
+    // the one-shot build+probe
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows("v6_ivf_probe") == rows("v5_ivf_topk"))
+  }
+
   test("assignment never shuffles corpus rows (broadcast-packed centroids)") {
     import spark.implicits._
     // deterministic varied vectors so nearest-cell picks are non-trivial
