@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSim
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSim, LshSignature}
 
 /** Session extensions: expose graft's native expressions to SQL.
   *
@@ -17,6 +17,7 @@ import graft.functions.CosineSim
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    e.injectFunction(GraftExtensions.lshSignatureDescriptor)
   }
 }
 
@@ -27,5 +28,19 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "cosine_sim expects exactly 2 arguments")
       CosineSim(children.head, children(1))
+    })
+
+  val lshSignatureDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_signature"),
+    new ExpressionInfo(classOf[LshSignature].getName, "lsh_signature"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "lsh_signature expects (array<double> vec, int planes)")
+      val planes = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"lsh_signature planes must be an int literal, got $other")
+      }
+      LshSignature(children.head, planes)
     })
 }

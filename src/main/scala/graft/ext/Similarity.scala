@@ -66,8 +66,17 @@ object Similarity {
 
   /** Random-hyperplane signature: `planes` sign-bits, plane components are
     * deterministic ±1 derived from xxhash64(plane, dim) — reproducible
-    * across runs/executors with no stored model. */
-  def lshSignature(vec: Column, planes: Int): Column = {
+    * across runs/executors with no stored model. Backed by the native
+    * [[graft.functions.LshSignature]] Catalyst expression: one fused
+    * codegen pass with precomputed sign masks (the composable per-plane
+    * HOF folds are CodegenFallback — the SimHash lesson, SCALING.md). */
+  def lshSignature(vec: Column, planes: Int): Column =
+    graft.functions.LshSignature.lsh_signature(vec, planes)
+
+  /** The composable-expression form of [[lshSignature]], kept as the
+    * reference implementation (bit-identical signatures — asserted in
+    * AnnLshSpec; NULL input maps to 0 here vs NULL natively). */
+  def lshSignatureComposed(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val s = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -271,6 +280,7 @@ object Similarity {
     val signed = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("sig", lshSignature(col(vecCol), planes))
+      .filter(col("sig").isNotNull) // null vec = no embedding: bucket nowhere
       .persist()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -68,6 +68,34 @@ class AnnLshSpec extends AnyFunSuite {
     assert(uncapped.count() > 0, "raising the cap re-admits the bucket")
   }
 
+  test("native lsh_signature == composable form bit-for-bit (incl. null-element edge)") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    for (planes <- Seq(8, 32, 64)) {
+      val both = vecs.select(col("vec_id"),
+        Similarity.lshSignature(col("vec"), planes).as("native"),
+        Similarity.lshSignatureComposed(col("vec"), planes).as("composed"))
+      val diff = both.filter(col("native") =!= col("composed")).count()
+      assert(diff == 0, s"signature mismatch at planes=$planes")
+    }
+    // a null ELEMENT nulls every plane fold → signature 0 on both paths
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val r = withNull.select(
+      Similarity.lshSignature(col("vec"), 16).as("n"),
+      Similarity.lshSignatureComposed(col("vec"), 16).as("c")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    // a NULL input array: native yields NULL (filtered by annTopK),
+    // composable mapped it to 0 — the documented divergence
+    val nullVec = Seq(Tuple1(2L)).toDF("id")
+      .select(col("id"), lit(null).cast("array<double>").as("vec"))
+    val rn = nullVec.select(
+      Similarity.lshSignature(col("vec"), 16).as("n"),
+      Similarity.lshSignatureComposed(col("vec"), 16).as("c")).head()
+    assert(rn.isNullAt(0) && rn.getLong(1) == 0L)
+  }
+
   test("suggestedPlanes pins the 64-bit cap boundary; capped-r corpora still work") {
     import Similarity.{planesCapped, suggestedPlanes}
     // below the cap: r grows with log2(n/targetBucket), occupancy flat

@@ -26,4 +26,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(1)) < 1e-15)       // orthogonal
     assert(got.isNullAt(2))                          // zero norm
   }
+
+  test("lsh_signature callable from spark.sql; planes must be a literal") {
+    val (ident, info, builder) = GraftExtensions.lshSignatureDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val got = spark.sql(
+      """SELECT lsh_signature(array(1.0d, 2.0d, 3.0d), 16) AS s,
+                lsh_signature(CAST(null AS ARRAY<DOUBLE>), 16) AS n""")
+      .collect().head
+    // signature is deterministic: must equal the library column form
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val expected = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("v")
+      .select(graft.ext.Similarity.lshSignature(col("v"), 16))
+      .head().getLong(0)
+    assert(got.getLong(0) == expected)
+    assert(got.isNullAt(1))
+  }
 }
