@@ -37,6 +37,16 @@ object Dedup {
     * long-hashes)) instead of O(k string-hashes) — the difference is ~10×
     * wall clock on long documents. */
   def withMinHash(docs: DataFrame, shingleCol: String, k: Int): DataFrame =
+    // backed by the native MinHashSig expression: one fused codegen pass
+    // (the composable form below is k interpreted array_min(transform)
+    // walks — CodegenFallback; see the SimHash/LshSignature lesson)
+    docs.withColumn("minhash",
+      graft.functions.MinHashSig.minhash_sig(col(shingleCol), k))
+
+  /** The composable-expression form of [[withMinHash]], kept as the
+    * reference implementation (bit-identical signatures — asserted in
+    * MinHashSpec). */
+  def withMinHashComposed(docs: DataFrame, shingleCol: String, k: Int): DataFrame =
     // materialize the per-shingle string hashes as a real column first —
     // as a shared subexpression inside the k transforms it would be
     // re-evaluated k times (no CSE across higher-order functions)

@@ -58,4 +58,32 @@ class MinHashSpec extends AnyFunSuite {
         s"pair ($id,${id + 1}): est $est vs true $trueJ")
     }
   }
+
+  test("native minhash_sig == composable form bit-for-bit (incl. null/empty edges)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+    for (k <- Seq(8, 32)) {
+      val native = Dedup.withMinHash(docs, "sh", k)
+        .select(col("doc_id"), col("minhash"))
+      val composed = Dedup.withMinHashComposed(docs, "sh", k)
+        .select(col("doc_id"), col("minhash").as("minhash_c"))
+      val diff = native.join(composed, "doc_id")
+        .filter(not(col("minhash") <=> col("minhash_c"))).count()
+      assert(diff == 0, s"minhash signature mismatch at k=$k")
+    }
+    // empty shingle set → NULL signature; null element hashes like
+    // xxhash64(null) = seed — both identical to the composable form
+    val edge = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq[String](null, "abc"))).toDF("doc_id", "sh")
+    val n = Dedup.withMinHash(edge, "sh", 4).select("doc_id", "minhash")
+    val c = Dedup.withMinHashComposed(edge, "sh", 4)
+      .select(col("doc_id"), col("minhash").as("mc"))
+    val rows = n.join(c, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(rows(1L)._1 == null && rows(1L)._2 == null)
+    assert(rows(2L)._1 != null && rows(2L)._1 == rows(2L)._2)
+  }
 }
