@@ -140,12 +140,29 @@ object Dedup {
     * cluster_id) for every node that appears in at least one edge
     * (singletons never enter the pair stream — left-join the corpus if
     * they're needed). */
+  /** Checkpoint-file location of a reliably-checkpointed DataFrame (the
+    * LogicalRDD leaf the checkpoint() call produced), for eager cleanup. */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
+  private def deleteCheckpoint(df: DataFrame, path: Option[String]): Unit =
+    path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
+
   /** `checkpointDir`: when set, each round's labels are RELIABLY
     * checkpointed there (HDFS/object store on a cluster) instead of
     * `localCheckpoint` — local checkpoint blocks live on executors and an
     * executor loss mid-loop kills the job; the reliable variant survives
-    * it at the cost of a per-round write. Old checkpoint files are
-    * reclaimed by `spark.cleaner.referenceTracking.cleanCheckpoints`. */
+    * it at the cost of a per-round write. Round N-1's checkpoint files
+    * are deleted eagerly once round N is materialized (nothing reads them
+    * again), so the dir holds at most two rounds of (id, label) pairs —
+    * only the FINAL labels' files remain at return (DupClusterSpec
+    * asserts this), and those fall to the ContextCleaner. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id1",
                         idB: String = "id2", maxIter: Int = 20,
                         checkpointDir: Option[String] = None): DataFrame = {
@@ -169,6 +186,7 @@ object Dedup {
       else df.localCheckpoint(eager = false)
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
+    var prevCheckpoint = checkpointFileOf(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -196,6 +214,10 @@ object Dedup {
       // answers convergence. NULL sum = empty input = nothing to relabel.
       val changed = next.agg(sum(col("__changed").cast("long"))).first()
       converged = changed.isNullAt(0) || changed.getLong(0) == 0L
+      // round N is materialized; round N-1's reliable-checkpoint files
+      // are unreachable from here on — reclaim them now
+      deleteCheckpoint(next, prevCheckpoint)
+      prevCheckpoint = checkpointFileOf(next)
       labels = next.drop("__changed")
       iter += 1
     }

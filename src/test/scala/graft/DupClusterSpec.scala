@@ -81,9 +81,16 @@ class DupClusterSpec extends AnyFunSuite {
         checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == unionFind(edges))
-    // the reliable path actually wrote checkpoint state
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
-    assert(wrote > 0, "expected reliable checkpoint files under checkpointDir")
+    // the reliable path wrote checkpoint state, and eager cleanup left
+    // ONLY the final round's rdd-* dir (earlier rounds reclaimed)
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toList
+    assert(rddDirs.size == 1,
+      s"expected exactly the final labels' checkpoint dir, got $rddDirs")
+    val files = java.nio.file.Files.walk(rddDirs.head)
+      .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+    assert(files > 0, "final checkpoint dir must hold the labels' files")
   }
 }
