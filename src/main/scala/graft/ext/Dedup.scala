@@ -119,6 +119,55 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Cross-corpus near-dup candidates — the DECONTAMINATION shape: find
+    * training documents (corpusA) that near-duplicate a benchmark/eval
+    * document (corpusB). Same machinery as [[minHashCandidates]] but the
+    * band join is A×B instead of a self-join: each side is signed and
+    * banded independently, candidates come from ONE equi-join on
+    * (band, band_hash), and signature agreement estimates Jaccard. At
+    * 10⁹ training docs × 10⁶ benchmark docs this stays one shuffle of
+    * band keys — never a cross join.
+    *
+    * `maxBucketSize` caps the SUM of a bucket's occupancy across both
+    * sides before the join (a boilerplate bucket shared by both corpora
+    * otherwise emits |A|·|B| pairs). Output: (id_a, id_b, est_jaccard),
+    * one row per candidate pair. */
+  def crossCorpusCandidates(corpusA: DataFrame, corpusB: DataFrame,
+                            idCol: String, shingleCol: String,
+                            k: Int, bands: Int,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must evenly divide signature length k ($k)")
+    val rows = k / bands
+    val signedA = withMinHash(corpusA, shingleCol, k)
+      .select(col(idCol), col("minhash")).persist()
+    val signedB = withMinHash(corpusB, shingleCol, k)
+      .select(col(idCol), col("minhash")).persist()
+    val bA = lshBands(signedA, idCol, bands, rows)
+    val bB = lshBands(signedB, idCol, bands, rows)
+    // combined bucket occupancy cap: count each side per (band, hash),
+    // drop buckets whose summed size exceeds the cap — two tiny aggs on
+    // band keys, no window over the joined expansion
+    val cA = bA.groupBy("band", "band_hash").agg(count(lit(1)).as("na"))
+    val cB = bB.groupBy("band", "band_hash").agg(count(lit(1)).as("nb"))
+    val keep = cA.join(cB, Seq("band", "band_hash"))
+      .filter(col("na") + col("nb") <= maxBucketSize)
+      .select("band", "band_hash")
+    val pairs = bA.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      .join(keep, Seq("band", "band_hash"))
+      .join(bB.select(col(idCol).as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(signedA.select(col(idCol).as("id_a"), col("minhash").as("sig_a")), "id_a")
+      .join(signedB.select(col(idCol).as("id_b"), col("minhash").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Transitive closure of candidate pairs → duplicate clusters: the step
     * every real dedup pipeline needs between pair generation
     * ([[minHashCandidates]], [[exactGroups]]-derived edges) and the final

@@ -122,6 +122,28 @@ object TextOps {
     when(uni === 0, lit(null)).otherwise(inter / uni)
   }
 
+  /** Deterministic stratified sample — the training-data subsampling op
+    * (e.g. downweight a dominant language): keep each row with a
+    * per-stratum fraction, decided by a uniform [0,1) value derived from
+    * md5 of the row id, NOT `rand()`. Reproducible across runs, engines
+    * and partitionings (the DuckDB oracle replicates the assignment
+    * bit-for-bit — the hashedTfIdf md5-prefix trick); sampling is a pure
+    * codegen'd filter, so it pushes into the scan stage and costs zero
+    * shuffles at any corpus size. 24 bits of hash → fraction resolution
+    * ~6e-8. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                       idCol: String, fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / (1 << 24).toDouble
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
   /** Distinct character trigrams — the classic language-ID feature
     * (Cavnar-Trenkle n-gram profiles). Pure codegen'd expression; empty
     * for texts shorter than 3 chars. */

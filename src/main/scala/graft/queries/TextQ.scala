@@ -200,6 +200,58 @@ object TextQ {
         .orderBy("doc_id", "bucket")
     }),
 
+    // X15 — benchmark DECONTAMINATION, exact form: training docs
+    // (doc_id % 7 != 0) that near-duplicate a benchmark doc (% 7 == 0)
+    // by n-gram Jaccard >= 0.5, blocked exactly like x6 (lang, source,
+    // ±1 length bucket) so the cross-corpus join is an equi-join. The
+    // oracle replicates it exactly; x17 is the MinHash scale path.
+    "x15_decontam" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          floor(col("n_chars") / 20).as("bkt"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val a = t.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("train_id"), col("lang"), col("source"),
+          col("bkt"), col("n_chars").as("nc1"), col("toks").as("t1"))
+      val b = t.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_id"), col("lang"), col("source"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+          col("n_chars").as("nc2"), col("toks").as("t2"))
+      a.join(b, Seq("lang", "source", "bkt"))
+        .filter(abs(col("nc1") - col("nc2")) <= 20)
+        .withColumn("j", round(TextOps.jaccard(col("t1"), col("t2")), 6))
+        .filter(col("j") >= 0.5)
+        .select("train_id", "bench_id", "j")
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // X16 — deterministic stratified sampling (md5-uniform per id; the
+    // language-rebalancing op). Exactly replicated by the DuckDB oracle.
+    "x16_stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // X17 — decontamination at scale: MinHash+LSH cross-corpus candidates
+    // (one A×B band equi-join, combined-occupancy bucket cap) — the shape
+    // that holds at 10⁹ train × 10⁶ benchmark docs. Hash-family-specific
+    // → rows-only; CrossCorpusSpec plants contamination and proves recall,
+    // and x15 oracles the exact semantics on the same corpus split.
+    "x17_decontam_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+      Dedup.crossCorpusCandidates(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "sh", k = 32, bands = 16)
+        .filter(col("est_jaccard") >= 0.25)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -323,6 +375,26 @@ object TextQ {
            CAST(coalesce(h.pred, '') = d.lang AS INTEGER) AS correct
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          ORDER BY d.doc_id""",
+    "x15_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents)
+         SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS j
+         FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+         WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+           AND abs(a.n_chars - b.n_chars) <= 20
+           AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
+         ORDER BY train_id, bench_id""",
+    "x16_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0
+               < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+         ORDER BY doc_id""",
     "x6_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang, source, n_chars,
