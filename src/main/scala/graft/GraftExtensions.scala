@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, LshSignature}
+import graft.functions.{CosineSim, LshSignature, MinHashSig}
 
 /** Session extensions: expose graft's native expressions to SQL.
   *
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.lshSignatureDescriptor)
+    e.injectFunction(GraftExtensions.minHashSigDescriptor)
   }
 }
 
@@ -42,5 +43,19 @@ object GraftExtensions {
           s"lsh_signature planes must be an int literal, got $other")
       }
       LshSignature(children.head, planes)
+    })
+
+  val minHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "minhash_sig expects (array<string> shingles, int k)")
+      val k = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be an int literal, got $other")
+      }
+      MinHashSig(children.head, k)
     })
 }

@@ -252,6 +252,18 @@ object TextQ {
         .orderBy("id_a", "id_b")
     }),
 
+    // X18 — sequence packing (training-batch prep): next-fit token-budget
+    // bins per lang, the T3/T4 sorted-group fold shape. Bin boundaries
+    // are a running recurrence → not SQL-expressible → rows-only;
+    // PackSpec pins hand traces + invariants.
+    "x18_pack_sequences" -> ((s, d) =>
+      graft.ext.Pack.packSequences(
+          Tables.documents(s, d).select(col("lang"), col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          "lang", "doc_id", "n_tokens", budget = 500)
+        .toDF()
+        .orderBy("group", "bin", "doc_id")),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's

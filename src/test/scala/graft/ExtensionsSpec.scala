@@ -43,4 +43,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.getLong(0) == expected)
     assert(got.isNullAt(1))
   }
+
+  test("minhash_sig callable from spark.sql") {
+    val (ident, info, builder) = GraftExtensions.minHashSigDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val got = spark.sql(
+      """SELECT minhash_sig(array('ab', 'cd'), 4) AS s,
+                minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS e""")
+      .collect().head
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val expected = Seq(Tuple1(Seq("ab", "cd"))).toDF("sh")
+      .select(graft.functions.MinHashSig.minhash_sig(col("sh"), 4))
+      .head().getSeq[Long](0)
+    assert(got.getSeq[Long](0) == expected)
+    assert(got.isNullAt(1)) // empty shingle set → NULL signature
+  }
 }
