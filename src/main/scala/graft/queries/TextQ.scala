@@ -252,6 +252,28 @@ object TextQ {
         .orderBy("id_a", "id_b")
     }),
 
+    // X19 — edit-distance near-dup pairs (typo-level fuzzy dedup, the
+    // flavor n-gram/MinHash misses): blocked by (lang, source) like x6,
+    // levenshtein over a fixed 48-char prefix (bounds the O(m·n) DP per
+    // pair regardless of document length), oracle-exact vs DuckDB's
+    // levenshtein. At scale the blocking keys bound candidates; the
+    // prefix cap bounds per-pair cost.
+    "x19_fuzzy_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 48).as("pfx"))
+      val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"),
+        col("pfx").as("p1"))
+      val b = t.select(col("doc_id").as("id2"), col("lang"), col("source"),
+        col("pfx").as("p2"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("p1"), col("p2")))
+        .filter(col("dist") <= 28)
+        .select("id1", "id2", "dist")
+        .orderBy("id1", "id2")
+    }),
+
     // X18 — sequence packing (training-batch prep): next-fit token-budget
     // bins per lang, the T3/T4 sorted-group fold shape. Bin boundaries
     // are a running recurrence → not SQL-expressible → rows-only;
@@ -401,6 +423,14 @@ object TextQ {
            AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
          ORDER BY train_id, bench_id""",
+    "x19_fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+             substring(text, 1, 48) AS pfx FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+         FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+         WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= 28
+         ORDER BY id1, id2""",
     "x16_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
