@@ -154,6 +154,22 @@ object ScaleStress {
           c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
           nCells = cells, nProbe = 4, k = 10).count()
       }),
+      Op("x17_decontam", m => {
+        // cross-corpus decontamination at m× the training corpus: the
+        // benchmark side stays a fixed-rate slice (doc_id % 7 == 0 per
+        // copy), shingles salted per copy like x7 so contamination
+        // structure stays linear in m
+        val sh = docsOf(m)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"),
+            transform(TextOps.shingles(col("toks"), 3),
+              x => concat(x, lit("#"), col("copy"))).as("sh"),
+            (col("doc_id") % 7 === 0).as("is_bench"))
+        Dedup.crossCorpusCandidates(
+          sh.filter(!col("is_bench")), sh.filter(col("is_bench")),
+          "doc_id", "sh", k = 32, bands = 16)
+          .filter(col("est_jaccard") >= 0.25).count()
+      }),
       Op("v6_ivf_build", m => {
         // index BUILD leg of build-once/probe-many: seed + Lloyd refine +
         // assign + materialize postings. Timed separately from the probe
