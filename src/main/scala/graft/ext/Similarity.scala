@@ -181,19 +181,15 @@ object Similarity {
     IvfIndex(centroids, postings, cId, vecCol)
   }
 
-  /** Probe a built index: each query ranks the (broadcast) centroids,
-    * visits its `nProbe` nearest cells via one equi-join on `ivf_cell`,
-    * and exact cosine re-ranks inside them. */
+  /** Probe a built index: each query picks its `nProbe` nearest cells
+    * (same broadcast-packed array pick as [[assignTo]] — no ×nCells
+    * expansion or window on the query side either), visits them via one
+    * equi-join on `ivf_cell`, and exact cosine re-ranks inside them. */
   def probeIvf(index: IvfIndex, queries: DataFrame, qId: String,
                nProbe: Int, k: Int): DataFrame = {
-    val probed = queries
-      .select(col(qId).as("q_id"), col(index.vecCol).as("q_vec"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(
-          cosine(col("q_vec"), col("c_vec")).desc, col("ivf_cell"))))
-      .filter(col("__rk") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("ivf_cell"))
+    val probed = assignTo(
+      queries.select(col(qId).as("q_id"), col(index.vecCol).as("q_vec")),
+      index.centroids, "q_id", "q_vec", nAssign = nProbe)
     probed.join(index.postings.select(col(index.idCol).as("c_id"),
         col(index.vecCol).as("c_vec2"), col("ivf_cell")), Seq("ivf_cell"))
       // nAssign replication can surface the same candidate via two probed
