@@ -252,6 +252,20 @@ object TextQ {
         .orderBy("id_a", "id_b")
     }),
 
+    // X20 — the decontamination pipeline's FINAL step: the training
+    // corpus with contaminated docs removed (anti-join on x15's exact
+    // pair set) — pairs are evidence, this is the deliverable. One
+    // left-anti shuffle on doc_id at any scale.
+    "x20_decontam_filter" -> ((s, d) => {
+      val contaminated = queries("x15_decontam")(s, d)
+        .select(col("train_id").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 7 =!= 0) // the training split
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // X19 — edit-distance near-dup pairs (typo-level fuzzy dedup, the
     // flavor n-gram/MinHash misses): blocked by (lang, source) like x6,
     // levenshtein over a fixed 48-char prefix (bounds the O(m·n) DP per
@@ -423,6 +437,20 @@ object TextQ {
            AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
          ORDER BY train_id, bench_id""",
+    "x20_decontam_filter" ->
+      """WITH t AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id % 7 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY d.doc_id""",
     "x19_fuzzy_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
              substring(text, 1, 48) AS pfx FROM documents)
