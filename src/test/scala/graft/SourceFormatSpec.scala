@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-format agnosticism: every operator consumes DataFrames, so the
+  * engine must behave identically when the same facts arrive via CSV or
+  * JSON instead of parquet (the S2 "API scan → stored table" path in
+  * practice lands as JSON; exports commonly round-trip CSV). Parquet
+  * remains the scale format (columnar pruning + pushdown); this spec pins
+  * that the OTHER formats are correct, not that they are fast. */
+class SourceFormatSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-source-format").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CSV and JSON round-trips agree with the parquet scan row-for-row") {
+    // events is the adversarial table (µs timestamps after Tables' nanos
+    // handling, doubles) — if it round-trips, the simpler tables do too
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("events_fmt").toString
+    // the format gotcha this spec exists to pin: CSV/JSON default
+    // timestampFormat carries MILLIS only — events is µs-precision, so
+    // both sides must spell out a 6-digit fraction or sub-ms truncates
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.option("header", "true").option("timestampFormat", tsFmt)
+      .mode("overwrite").csv(s"$dir/csv")
+    ev.write.option("timestampFormat", tsFmt).mode("overwrite")
+      .json(s"$dir/json")
+
+    val fromCsv = spark.read.option("header", "true")
+      .option("timestampFormat", tsFmt).schema(ev.schema)
+      .csv(s"$dir/csv")
+    val fromJson = spark.read.option("timestampFormat", tsFmt)
+      .schema(ev.schema).json(s"$dir/json")
+
+    Seq("csv" -> fromCsv, "json" -> fromJson).foreach { case (fmt, df) =>
+      assert(df.schema == ev.schema, s"$fmt schema drift")
+      assert(df.count() == ev.count(), s"$fmt row count drift")
+      assert(df.exceptAll(ev).isEmpty && ev.exceptAll(df).isEmpty,
+        s"$fmt content drift vs parquet")
+    }
+
+    // and a representative operator (keyed as-of-style window agg) gives
+    // identical results over either source
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 9).as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(agg(fromCsv) == agg(ev))
+    assert(agg(fromJson) == agg(ev))
+  }
+
+  test("filters still push down to non-parquet scans") {
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("events_csv").toString
+    ev.write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    val p = spark.read.option("header", "true").schema(ev.schema)
+      .csv(s"$dir/csv")
+      .filter(col("event_type") === "view")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"expected CSV scan pushdown, plan:\n$p")
+  }
+}
