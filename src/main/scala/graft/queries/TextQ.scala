@@ -252,6 +252,28 @@ object TextQ {
         .orderBy("id_a", "id_b")
     }),
 
+    // X21 — composite quality FILTER (the C4/Gopher-style keep/drop
+    // step): combines the x3 quality score, x12 repetition signals and
+    // a length floor into one verdict per doc and emits the survivors.
+    // All signals are single-pass column expressions + one partial-agg'd
+    // explode — the whole filter is scan-shaped at any corpus size.
+    "x21_quality_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rep = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg((lit(1.0) - count(lit(1)) / sum("n")).as("repeat_ratio"),
+          (max("n") / sum("n")).as("top_share"))
+      docs
+        .join(rep, "doc_id")
+        .withColumn("quality", TextOps.qualityScore(col("text"), stops))
+        .filter(col("quality") >= 0.5 && col("repeat_ratio") <= 0.8 &&
+          col("top_share") <= 0.3 && col("n_chars") >= 50)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // X20 — the decontamination pipeline's FINAL step: the training
     // corpus with contaminated docs removed (anti-join on x15's exact
     // pair set) — pairs are evidence, this is the deliverable. One
@@ -437,6 +459,29 @@ object TextQ {
            AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
          ORDER BY train_id, bench_id""",
+    "x21_quality_filter" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+         WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+           AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+           AND d.n_chars >= 50
+         ORDER BY d.doc_id""",
     "x20_decontam_filter" ->
       """WITH t AS (SELECT doc_id, lang, source, n_chars,
              list_distinct(string_split_regex(text, '\s+')) AS toks
