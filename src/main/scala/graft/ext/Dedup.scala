@@ -112,10 +112,11 @@ object Dedup {
     val s1 = signed.select(col(idCol).as("id1"), col("minhash").as("sig1"))
     val s2 = signed.select(col(idCol).as("id2"), col("minhash").as("sig2"))
     pairs.join(s1, "id1").join(s2, "id2")
+      // native SigAgree: the recheck runs per candidate pair (the hot
+      // path) — fused codegen, not an interpreted zip_with fold
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig1"), col("sig2"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k)
+        graft.functions.SigAgree.sig_agree(col("sig1"), col("sig2"))
+          .cast("double") / k)
       .select("id1", "id2", "est_jaccard")
   }
 
@@ -162,9 +163,8 @@ object Dedup {
       .join(signedA.select(col(idCol).as("id_a"), col("minhash").as("sig_a")), "id_a")
       .join(signedB.select(col(idCol).as("id_b"), col("minhash").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k)
+        graft.functions.SigAgree.sig_agree(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
       .select("id_a", "id_b", "est_jaccard")
   }
 

@@ -59,6 +59,27 @@ class MinHashSpec extends AnyFunSuite {
     }
   }
 
+  test("native sig_agree == composable zip_with fold") {
+    import spark.implicits._
+    import graft.functions.SigAgree.sig_agree
+    val sigs = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), 4),  // identical
+      (Seq(1L, 2L, 3L, 4L), Seq(9L, 2L, 9L, 4L), 2),  // partial
+      (Seq(1L, 2L, 3L, 4L), Seq(9L, 8L, 7L, 6L), 0))  // disjoint
+      .toDF("a", "b", "expected")
+    val got = sigs.select(sig_agree(col("a"), col("b")).as("n"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("c"), col("expected")).collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2) && r.getInt(1) == r.getInt(2))
+    }
+    // length mismatch → NULL (a caller bug surfaced, not agreement 0)
+    val mm = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(sig_agree(col("a"), col("b"))).head()
+    assert(mm.isNullAt(0))
+  }
+
   test("native minhash_sig == composable form bit-for-bit (incl. null/empty edges)") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
