@@ -252,6 +252,26 @@ object TextQ {
         .orderBy("id_a", "id_b")
     }),
 
+    // X22 — the END-TO-END curation pipeline: quality filter (x21) ∘
+    // decontamination (x20) ∘ exact-dedup keep-one (x1's survivor rule) ∘
+    // stratified sampling (x16) → the final training corpus. Each stage
+    // is an id-set semi/inner join onto the scan — the composition stays
+    // oracle-exact and every stage keeps its own scale shape.
+    "x22_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = queries("x21_quality_filter")(s, d).select("doc_id")
+      val decontaminated = queries("x20_decontam_filter")(s, d).select("doc_id")
+      val survivors = docs.groupBy(md5(col("text")).as("digest"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      TextOps.stratifiedSample(
+          docs.join(kept, "doc_id").join(decontaminated, "doc_id")
+            .join(survivors, "doc_id"),
+          "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
+          defaultFraction = 0.8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // X21 — composite quality FILTER (the C4/Gopher-style keep/drop
     // step): combines the x3 quality score, x12 repetition signals and
     // a length floor into one verdict per doc and emits the survivors.
@@ -459,6 +479,49 @@ object TextQ {
            AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5
          ORDER BY train_id, bench_id""",
+    "x22_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id % 7 <> 0
+           AND d.doc_id IN (SELECT doc_id FROM keep_q)
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+           AND d.doc_id IN (SELECT doc_id FROM surv)
+           AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0
+               < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END
+         ORDER BY d.doc_id""",
     "x21_quality_filter" ->
       """WITH t AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
