@@ -279,6 +279,49 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** SimHash near-dup pairs — completes the SimHash pipeline the way
+    * [[minHashCandidates]] completes MinHash: fingerprints sharing any
+    * 16-bit band are candidates (ONE equi-join on (band, band_val)), and
+    * exact Hamming distance (`bit_count(xor)`, codegen) verifies.
+    *
+    * By pigeonhole, two 64-bit fingerprints within Hamming distance 3
+    * differ in at most 3 of the 4 bands, so at least one band matches —
+    * candidate RECALL IS EXACT (100%) for maxHamming ≤ 3 (spec-pinned).
+    * For maxHamming in 4..7 the join is a high-recall heuristic; beyond
+    * that rotate to more/wider bands.
+    *
+    * `maxBucketSize` drops degenerate bands (all-identical boilerplate
+    * fingerprints) before the self-join, like every bucketed join here. */
+  def simHashPairs(docs: DataFrame, idCol: String, tokensCol: String,
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    val fp = simHash(docs, idCol, tokensCol, "fp")
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+    }
+    val banded = fp
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_val"))
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_val")))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val pairs = banded.select(col(idCol).as("id1"), col("band"), col("band_val"))
+      .join(banded.select(col(idCol).as("id2"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    pairs
+      .join(fp.select(col(idCol).as("id1"), col("fp").as("fp1")), "id1")
+      .join(fp.select(col(idCol).as("id2"), col("fp").as("fp2")), "id2")
+      .withColumn("hamming",
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** 64-bit SimHash over a token array: per-token xxhash64, then for each
     * of 64 bits a majority vote (+1 if the bit is set, −1 otherwise; bit
     * set in the fingerprint iff the vote is positive).

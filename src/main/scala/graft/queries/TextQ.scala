@@ -252,6 +252,19 @@ object TextQ {
         .orderBy("id_a", "id_b")
     }),
 
+    // X23 — SimHash near-dup pairs: banded Hamming join over x8's
+    // fingerprints (pigeonhole-exact recall at Hamming ≤ 3; see
+    // Dedup.simHashPairs). The fixture has no exact dups, so the query
+    // uses the heuristic regime (≤ 16) to surface the nearest
+    // fingerprint pairs; hash-family-specific → rows-only, with
+    // SimHashSpec pinning the ≤3 pigeonhole completeness on planted data.
+    "x23_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "doc_id", "toks", maxHamming = 16)
+        .orderBy("id1", "id2")),
+
     // X22 — the END-TO-END curation pipeline: quality filter (x21) ∘
     // decontamination (x20) ∘ exact-dedup keep-one (x1's survivor rule) ∘
     // stratified sampling (x16) → the final training corpus. Each stage

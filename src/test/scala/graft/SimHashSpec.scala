@@ -38,6 +38,39 @@ class SimHashSpec extends AnyFunSuite {
       s"unrelated hamming ${hamming(hashes(0L), hashes(2L))}")
   }
 
+  test("simHashPairs: pigeonhole-complete at Hamming <= 3; brute-force parity") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val vocab = Vector.tabulate(300)(i => s"w$i")
+    def doc() = Seq.fill(100)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // 15 bases, each with a VERY close copy (~1-2% edits → tiny Hamming),
+    // plus 30 unrelated docs
+    val bases = (0 until 15).map(i => (i.toLong * 2, doc()))
+    val dups = bases.map { case (id, t) =>
+      (id + 1, t.split(" ").map(x =>
+        if (rnd.nextDouble() < 0.015) vocab(rnd.nextInt(vocab.size)) else x)
+        .mkString(" "))
+    }
+    val noise = (0 until 30).map(i => (100L + i, doc()))
+    val df = (bases ++ dups ++ noise).toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+
+    // brute-force truth: all pairs at Hamming <= 3
+    val fps = Dedup.simHash(df, "doc_id", "toks", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must plant some <=3-Hamming pairs")
+
+    val got = Dedup.simHashPairs(df, "doc_id", "toks", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: 4 bands over 64 bits → any <=3-bit difference leaves a
+    // clean band → candidate recall is EXACT, so got == expected exactly
+    assert(got == expected)
+  }
+
   test("melt is the inverse of pivotWide") {
     import spark.implicits._
     val long = Seq(("t1", "a", 1.0), ("t1", "b", 2.0), ("t2", "a", 3.0))
