@@ -170,6 +170,29 @@ object ScaleStress {
           "doc_id", "sh", k = 32, bands = 16)
           .filter(col("est_jaccard") >= 0.25).count()
       }),
+      Op("x19_fuzzy_pairs", m => {
+        // banded edit-distance pairs at m×: the x19 shape with `copy`
+        // joined into the block key (the x7 shingle-salt move — the
+        // blow-up's copies are textually near-identical, so without the
+        // salt every doc forms an m-clique with its copies and the test
+        // measures the data, not the engine). Within-copy structure = the
+        // base corpus, so candidates must scale ~linearly with m.
+        val t = docsOf(m)
+          .select(col("doc_id"), col("copy"), col("lang"), col("source"),
+            col("n_chars"), floor(col("n_chars") / 20).as("bkt"),
+            substring(col("text"), 1, 48).as("pfx"))
+        val a = t.select(col("doc_id").as("id1"), col("copy"), col("lang"),
+          col("source"), col("bkt"), col("n_chars").as("nc1"),
+          col("pfx").as("p1"))
+        val b = t.select(col("doc_id").as("id2"), col("copy"), col("lang"),
+          col("source"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+          col("n_chars").as("nc2"), col("pfx").as("p2"))
+        a.join(b, Seq("copy", "lang", "source", "bkt"))
+          .filter(col("id1") < col("id2") && abs(col("nc1") - col("nc2")) <= 20)
+          .filter(levenshtein(col("p1"), col("p2")) <= 28)
+          .count()
+      }),
       Op("v6_ivf_build", m => {
         // index BUILD leg of build-once/probe-many: seed + Lloyd refine +
         // assign + materialize postings. Timed separately from the probe
