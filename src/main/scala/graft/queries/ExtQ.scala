@@ -15,10 +15,16 @@ object ExtQ {
 
   val queries: Map[String, Q] = Map(
     // M1 — multimodal metadata extraction: opaque binary payload →
-    // mapPartitions batch decode (stubbed codec, real plumbing).
+    // mapPartitions batch decode. Default codec is the REAL
+    // javax.imageio decoder: decodable payloads get true header
+    // dimensions; the fixture's synthetic (non-image) payloads take its
+    // deterministic fallback, so the DuckDB oracle is unchanged by
+    // construction (fallback parity — MultimodalSpec decodes a real PNG
+    // through the same default).
     "m1_media_meta" -> ((s, d) =>
       Multimodal.extractMeta(
-          Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.StubDecoder)
+          Multimodal.mediaTable(Tables.documents(s, d)),
+          new Multimodal.ImageIoDecoder())
         .toDF()
         .orderBy("doc_id")),
 
@@ -37,12 +43,17 @@ object ExtQ {
           round(col("v") * 65535.0, 0).cast("int").as("q"))
         .orderBy("doc_id", "dim")),
 
-    // M3 — multimodal resize: aspect-preserving integer fit into 512×384,
-    // stub re-encode, metadata out (the batch image-transform stage).
+    // M3 — multimodal resize: aspect-preserving integer fit into 512×384
+    // (the batch image-transform stage). Real codecs by default: imageio
+    // header decode + bilinear PNG re-encode for decodable payloads,
+    // deterministic fallbacks (incl. the truncation re-encode the oracle
+    // replicates) for everything else — fixture payloads are synthetic,
+    // so m3's oracle hashes are unchanged by construction.
     "m3_media_resize" -> ((s, d) =>
       Multimodal.resize(
-          Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.StubDecoder,
-          maxW = 512, maxH = 384)
+          Multimodal.mediaTable(Tables.documents(s, d)),
+          new Multimodal.ImageIoDecoder(),
+          maxW = 512, maxH = 384, resizer = new Multimodal.ImageIoResizer())
         .toDF()
         .select("doc_id", "kind", "width", "height", "out_w", "out_h", "n_bytes_out")
         .orderBy("doc_id")),
@@ -53,7 +64,7 @@ object ExtQ {
       Multimodal.sampleFrames(
           Multimodal.mediaTable(Tables.documents(s, d))
             .filter(col("kind") === "video"),
-          Multimodal.StubDecoder, stride = 2)
+          new Multimodal.ImageIoDecoder(), stride = 2)
         .toDF()
         .select("doc_id", "frame_idx", "offset", "frame_len")
         .orderBy("doc_id", "frame_idx")),
