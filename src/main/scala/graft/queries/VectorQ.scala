@@ -44,6 +44,15 @@ object VectorQ {
     prebuiltIvf(s, d); ()
   }
 
+  /** Release the memoized IVF index (see Graft.clearCaches): unpersist
+    * both index frames and drop the reference; the next probe rebuilds. */
+  private[graft] def clearCache(): Unit = ivfCache.synchronized {
+    ivfCache.values.foreach { idx =>
+      idx.centroids.unpersist(); idx.postings.unpersist()
+    }
+    ivfCache.clear()
+  }
+
   val queries: Map[String, Q] = Map(
     // V1 — all-pairs cosine scores of a small broadcast query set vs the
     // corpus (the exact kernel under any top-k).
@@ -109,6 +118,30 @@ object VectorQ {
           corpus(s, d).filter(col("vec_id") < 5), "vec_id", nProbe = 4, k = 10)
         .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")),
+
+    // V7 — ANN QUALITY as a driver-visible number: recall@10 of the
+    // prebuilt-IVF probe (v6) against the exact brute-force top-k (v2),
+    // per query. Left-join exact neighbors to approximate ones and count
+    // hits — the regression guard that makes index quality a bench-tracked
+    // output instead of a spec-buried assertion (IvfSpec asserts the same
+    // floor; SCALING.md records it at 1×/8×/64×). Hash-family/centroid-
+    // specific → rows-only.
+    "v7_ann_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val exact = Similarity.bruteForceTopK(
+          c.filter(col("vec_id") < 5), c.filter(col("vec_id") >= 5),
+          "vec_id", "vec_id", "vec", k = 10)
+        .select(col("q_id"), col("c_id"))
+      val approx = Similarity.probeIvf(prebuiltIvf(s, d),
+          c.filter(col("vec_id") < 5), "vec_id", nProbe = 4, k = 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+            .as("recall_at_k"))
+        .orderBy("q_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(

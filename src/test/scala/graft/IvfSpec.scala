@@ -52,6 +52,22 @@ class IvfSpec extends AnyFunSuite {
     assert(rows("v6_ivf_probe") == rows("v5_ivf_topk"))
   }
 
+  test("v7_ann_recall reports exactly the v2-vs-v6 per-query recall") {
+    val exact = SparkEntry.queries("v2_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val approx = SparkEntry.queries("v6_ivf_probe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = exact.groupBy(_._1).view.mapValues { hits =>
+      math.round(hits.count(approx.contains).toDouble / hits.length * 1e6) / 1e6
+    }.toMap
+    val got = SparkEntry.queries("v7_ann_recall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expected, s"v7 recall mismatch: got=$got expected=$expected")
+    // same quality floor the engine promises for v5/v6 (nProbe=4 of 16)
+    assert(got.values.sum / got.size >= 0.7,
+      s"mean recall@10 too low: ${got.values.sum / got.size}")
+  }
+
   test("assignment never shuffles corpus rows (broadcast-packed centroids)") {
     import spark.implicits._
     // deterministic varied vectors so nearest-cell picks are non-trivial
