@@ -147,6 +147,12 @@ object BacktestQ {
     intradayEvents(s, d); ()
   }
 
+  /** Release the memoized intraday fold (see Graft.clearCaches). */
+  private[graft] def clearCache(): Unit = cache.synchronized {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+
   val queries: Map[String, Q] = Map(
     // T3 — pair state machine → trade log
     "t3_pair_trades" -> ((s, d) =>

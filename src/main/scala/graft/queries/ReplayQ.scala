@@ -133,6 +133,12 @@ object ReplayQ {
     * BacktestQ.prewarm — same attribution rationale for r3/r4). */
   private[graft] def prewarm(s: SparkSession): Unit = { intradayEvents(s); () }
 
+  /** Release the memoized replay fold (see Graft.clearCaches). */
+  private[graft] def clearCache(): Unit = cache.synchronized {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+
   /** Per-tick balance history of the replay (spec surface). */
   private[graft] def balanceHistory(s: SparkSession): DataFrame =
     intradayEvents(s).toDF()
