@@ -281,24 +281,40 @@ object Dedup {
 
   /** SimHash near-dup pairs — completes the SimHash pipeline the way
     * [[minHashCandidates]] completes MinHash: fingerprints sharing any
-    * 16-bit band are candidates (ONE equi-join on (band, band_val)), and
-    * exact Hamming distance (`bit_count(xor)`, codegen) verifies.
+    * (64/bands)-bit band are candidates (ONE equi-join on
+    * (band, band_val)), and exact Hamming distance (`bit_count(xor)`,
+    * codegen) verifies.
     *
-    * By pigeonhole, two 64-bit fingerprints within Hamming distance 3
-    * differ in at most 3 of the 4 bands, so at least one band matches —
-    * candidate RECALL IS EXACT (100%) for maxHamming ≤ 3 (spec-pinned).
-    * For maxHamming in 4..7 the join is a high-recall heuristic; beyond
-    * that rotate to more/wider bands.
+    * By pigeonhole, two 64-bit fingerprints within Hamming distance
+    * `bands - 1` differ in fewer bands than exist, so at least one band
+    * matches — candidate RECALL IS EXACT (100%) for
+    * maxHamming ≤ bands − 1 (spec-pinned at the default bands = 4 /
+    * maxHamming ≤ 3). Raising `bands` is the exactness upgrade path:
+    * 8 bands of 8 bits are pigeonhole-exact to Hamming 7 (spec-pinned
+    * too) — at the cost of 2^(64/bands)-ary buckets, whose occupancy
+    * (and with it the self-join) grows with corpus size exactly as in
+    * [[Similarity.suggestedPlanes]]'s cap analysis; past that, recall
+    * beyond the pigeonhole bound needs multi-probe/rotation schemes.
+    *
+    * MEASURED heuristic-regime recall (driver fixture, sf0.01, 500 docs,
+    * default bands = 4, maxHamming = 16 — SimHashSpec pins the shape):
+    * Hamming 0-3 → 1.000 (pigeonhole), 4-8 → 0.388, 9-12 → 0.106,
+    * 13-16 → 0.024; overall 0.052. The banded join is a CANDIDATE
+    * generator tuned for near-duplicates — treat distances past
+    * ~2·(bands−1) as "surfaces the closest pairs", not "finds all pairs".
     *
     * `maxBucketSize` drops degenerate bands (all-identical boilerplate
     * fingerprints) before the self-join, like every bucketed join here. */
   def simHashPairs(docs: DataFrame, idCol: String, tokensCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands ($bands) must be >= 2 and divide 64")
+    val w = 64 / bands
     val fp = simHash(docs, idCol, tokensCol, "fp")
-    val bandCols = (0 until 4).map { b =>
+    val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+        shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1)).as("band_val"))
     }
     val banded = fp
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))

@@ -71,6 +71,67 @@ class SimHashSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("simHashPairs: 8 bands are pigeonhole-complete at Hamming <= 7") {
+    import spark.implicits._
+    val rnd = new Random(41)
+    val vocab = Vector.tabulate(300)(i => s"w$i")
+    def doc() = Seq.fill(100)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 15).map(i => (i.toLong * 2, doc()))
+    val dups = bases.map { case (id, t) =>
+      (id + 1, t.split(" ").map(x =>
+        if (rnd.nextDouble() < 0.03) vocab(rnd.nextInt(vocab.size)) else x)
+        .mkString(" "))
+    }
+    val noise = (0 until 30).map(i => (100L + i, doc()))
+    val df = (bases ++ dups ++ noise).toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val fps = Dedup.simHash(df, "doc_id", "toks", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 7
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must plant some <=7-Hamming pairs")
+    val got = Dedup.simHashPairs(df, "doc_id", "toks", maxHamming = 7,
+        bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands of 8 bits: <=7 differing bits leave a clean band → exact
+    assert(got == expected)
+  }
+
+  test("x23's heuristic regime (maxHamming=16, 4 bands): measured recall shape") {
+    // The driver query runs past the pigeonhole bound to surface the
+    // closest fingerprint pairs on a dup-free fixture. Quantify what that
+    // regime actually recalls vs brute-force bit_count(xor) on the same
+    // corpus, and pin the shape: exact to 3, decaying past it (the
+    // numbers for sf0.01 are in Dedup.simHashPairs' scaladoc).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val fps = Dedup.simHash(docs, "doc_id", "toks", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 16
+    } yield (a, b) -> h).toMap
+    val got = Dedup.simHashPairs(docs, "doc_id", "toks", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded output is a subset of brute force (the verify step is exact)
+    assert(got.subsetOf(brute.keySet))
+    def recall(lo: Int, hi: Int): (Int, Double) = {
+      val in = brute.collect { case (p, h) if h >= lo && h <= hi => p }
+      (in.size, if (in.isEmpty) 1.0 else in.count(got).toDouble / in.size)
+    }
+    val (n03, r03) = recall(0, 3)
+    val (n48, r48) = recall(4, 8)
+    val (n916, r916) = recall(9, 16)
+    assert(r03 == 1.0, s"pigeonhole bucket must be complete ($n03 pairs)")
+    assert(n48 + n916 > 0, "fixture must have heuristic-regime pairs")
+    // decaying, partial recall past the bound — the honest regime shape
+    assert(r48 >= r916, s"recall must decay with distance: $r48 < $r916")
+    assert(got.nonEmpty && got.size < brute.size,
+      s"heuristic regime is partial by design: ${got.size}/${brute.size}")
+  }
+
   test("melt is the inverse of pivotWide") {
     import spark.implicits._
     val long = Seq(("t1", "a", 1.0), ("t1", "b", 2.0), ("t2", "a", 3.0))
