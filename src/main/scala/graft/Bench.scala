@@ -89,40 +89,67 @@ object Bench {
     prePool.shutdown()
     val preSec = (System.nanoTime() - pre0) / 1e9
 
+    // Median-of-3 SWEEPS: scheduler/attribution jitter under the
+    // concurrent pool is ±20% on small queries (NOTES r3 — s5/st2 read as
+    // regressions that weren't), which drowns real round-over-round
+    // deltas. The whole suite runs 3 times sequentially — each sweep has
+    // EXACTLY the single-run concurrency profile (so per-sweep numbers
+    // stay comparable with earlier rounds' single-run numbers), queries
+    // run under per-sweep job groups ("name@r"), and the reported wall
+    // AND task_sec are the per-sweep MEDIAN, so one unlucky co-schedule
+    // can't move a query's number.
+    val Runs = 3
     val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 4))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      Future {
-        spark.sparkContext.setJobGroup(name, name)
-        val s = System.nanoTime()
-        // toRdd.count(), NOT count(): df.count() plans an Aggregate on top
-        // and the optimizer then prunes every computed column the count
-        // doesn't need — a pure-projection query (x8 simhash, x2 token
-        // stats, m2 embeddings…) would be "timed" as a parquet row count.
-        // toRdd executes the query's own plan, materializing every output
-        // column, which is what a real consumer pays.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        finally spark.sparkContext.clearJobGroup()
-        name -> (System.nanoTime() - s) / 1e9
+    val sweeps: Seq[Map[String, Double]] = (0 until Runs).map { r =>
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          spark.sparkContext.setJobGroup(s"$name@$r", name)
+          val s = System.nanoTime()
+          // toRdd.count(), NOT count(): df.count() plans an Aggregate on
+          // top and the optimizer then prunes every computed column the
+          // count doesn't need — a pure-projection query (x8 simhash, x2
+          // token stats, m2 embeddings…) would be "timed" as a parquet row
+          // count. toRdd executes the query's own plan, materializing
+          // every output column, which is what a real consumer pays.
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case _: Throwable => -1L }
+          finally spark.sparkContext.clearJobGroup()
+          name -> (System.nanoTime() - s) / 1e9
+        }
       }
+      Await.result(Future.sequence(futures), Duration.Inf).toMap
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    val results: Map[String, Double] = sweeps.head.keys.map { name =>
+      name -> sweeps.map(_(name)).sorted.apply(Runs / 2)
+    }.toMap
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
+    def medianTaskMs(name: String): Long = {
+      val runs = (0 until Runs)
+        .map(r => Option(groupTaskMs.get(s"$name@$r")).map(_.sum).getOrElse(0L))
+        .sorted
+      runs(Runs / 2)
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // task_sec covers the queries PLUS the "prematerialize" phase key, so
     // the shared-intermediate cost is visible, attributed, and excluded
     // from every per-query number.
-    val ts = (results.keys.toSeq :+ "prematerialize").sorted.map { k =>
-      val ms = Option(groupTaskMs.get(k)).map(_.sum).getOrElse(0L)
-      "\"" + k + "\":" + ms / 1e3
-    }.mkString("{", ",", "}")
+    val ts = (results.keys.toSeq.map(k => k -> medianTaskMs(k)) :+
+        ("prematerialize" ->
+          Option(groupTaskMs.get("prematerialize")).map(_.sum).getOrElse(0L)))
+      .sortBy(_._1)
+      .map { case (k, ms) => "\"" + k + "\":" + ms / 1e3 }
+      .mkString("{", ",", "}")
+    // task_sum: sum of per-query MEDIANS + the prematerialize phase (a raw
+    // sum over groupTaskMs would triple-count the 3 runs).
+    val taskSum = (results.keys.toSeq.map(medianTaskMs).sum +
+      Option(groupTaskMs.get("prematerialize")).map(_.sum).getOrElse(0L)) / 1e3
     // Detail first, short summary LAST (driver tail-capture safety).
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":${groupTaskMs.values.toArray.map(_.asInstanceOf[LongAdder].sum).sum / 1e3},"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"runs_per_query":$Runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
