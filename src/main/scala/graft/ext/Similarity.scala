@@ -181,6 +181,19 @@ object Similarity {
     IvfIndex(centroids, postings, cId, vecCol)
   }
 
+  /** nProbe for a target probed FRACTION of the index. Holding the
+    * fraction (rather than a fixed nProbe) is what holds recall as the
+    * corpus grows: with nCells ~ √n, a fixed nProbe's probed share
+    * shrinks and recall decays (measured 0.38 → 0.18 across a 64×
+    * blow-up at nProbe=4), while a ~10% fraction held 0.38 → 0.88 at
+    * still-sub-linear probe cost (graft.RecallAtScale; SCALING.md r4).
+    * Tune the fraction per recall SLO; cost ∝ fraction · n. */
+  def nProbeFor(nCells: Int, probedFraction: Double): Int = {
+    require(probedFraction > 0 && probedFraction <= 1,
+      s"probedFraction must be in (0, 1], got $probedFraction")
+    math.max(1, math.ceil(nCells * probedFraction).toInt)
+  }
+
   /** Probe a built index: each query picks its `nProbe` nearest cells
     * (same broadcast-packed array pick as [[assignTo]] — no ×nCells
     * expansion or window on the query side either), visits them via one

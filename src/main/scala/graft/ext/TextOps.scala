@@ -71,11 +71,17 @@ object TextOps {
     * every lambda that mentions it (no CSE inside higher-order functions),
     * turning shingling into O(tokens²) regex splits. */
   def shingles(toks: Column, k: Int): Column =
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
+    array_distinct(ngrams(toks, k))
+
+  /** ALL word n-grams, occurrence-preserving (no distinct) — the unit for
+    * corpus frequency statistics (n-gram count tables, heavy hitters),
+    * where every occurrence counts; [[shingles]] is the distinct-set form
+    * for MinHash/Jaccard. Same materialized-`toks` caveat as shingles. */
+  def ngrams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Hashing-trick TF-IDF components: one row per (doc, bucket) with
     * weight = Σ_tokens-in-bucket tf · ln(N/df). The feature-hashing step

@@ -412,6 +412,49 @@ object TextQ {
         .toDF()
         .orderBy("group", "bin", "doc_id")),
 
+    // X24 — PII scrubbing (the redaction stage every public-corpus
+    // pipeline runs before training): emails → <EMAIL>, URLs → <URL>,
+    // long digit runs (≥4, the id/phone/card shape) → <NUM>, plus
+    // per-category hit counts. Pure scan-shaped regexp expressions —
+    // codegen, shuffle-free, oracle-exact vs DuckDB's RE2 (patterns kept
+    // to the Java∩RE2 dialect). The fixture's text is PII-free word-salad
+    // — a pass-through there (asserted) — so TextScrubSpec plants real
+    // emails/URLs/digit runs and pins the redactions.
+    "x24_pii_scrub" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val url = "https?://[^ ]+"
+      val num = "[0-9]{4,}"
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(t, lit(email)).cast("int").as("n_email"),
+          regexp_count(t, lit(url)).cast("int").as("n_url"),
+          regexp_count(t, lit(num)).cast("int").as("n_num"),
+          regexp_replace(regexp_replace(regexp_replace(t,
+            email, "<EMAIL>"), url, "<URL>"), num, "<NUM>").as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // X25 — corpus n-gram frequency table (heavy hitters): top-20
+    // bigrams per lang by occurrence count. The classic corpus-statistics
+    // job: one occurrence-preserving explode (TextOps.ngrams, NOT the
+    // distinct shingle set), one partial-aggregated groupBy on
+    // (lang, bigram), and a keyed window for the per-lang top-k — the
+    // shape that holds when the bigram table is billions of rows, since
+    // the window partitions by lang over the already-aggregated counts.
+    "x25_ngram_counts" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("lang"),
+          explode(TextOps.ngrams(col("toks"), 2)).as("bigram"))
+      bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("bigram"))))
+        .filter(col("rk") <= 20)
+        .select("lang", "rk", "bigram", "n")
+        .orderBy("lang", "rk")
+    }),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -638,6 +681,29 @@ object TextQ {
          WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
            AND levenshtein(a.pfx, b.pfx) <= 28
          ORDER BY id1, id2""",
+    "x24_pii_scrub" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_url,
+           CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_num,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
+    "x25_ngram_counts" ->
+      """WITH t AS (SELECT lang, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT lang, unnest([toks[i] || ' ' || toks[i+1]
+                                    FOR i IN range(1, len(toks))]) AS bigram
+               FROM t WHERE len(toks) >= 2),
+         c AS (SELECT lang, bigram, count(*) AS n FROM g GROUP BY 1, 2),
+         r AS (SELECT lang, bigram, n,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY n DESC, bigram) AS INTEGER) AS rk
+               FROM c)
+         SELECT lang, rk, bigram, n FROM r WHERE rk <= 20
+         ORDER BY lang, rk""",
     "x16_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)

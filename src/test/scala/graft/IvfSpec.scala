@@ -68,6 +68,15 @@ class IvfSpec extends AnyFunSuite {
       s"mean recall@10 too low: ${got.values.sum / got.size}")
   }
 
+  test("nProbeFor sizes the probe to a target fraction of the index") {
+    assert(Similarity.nProbeFor(16, 0.25) == 4) // the driver v5/v6 regime
+    assert(Similarity.nProbeFor(357, 0.1) == 36)
+    assert(Similarity.nProbeFor(44, 0.1) == 5)
+    assert(Similarity.nProbeFor(4096, 1.0) == 4096)
+    assert(Similarity.nProbeFor(3, 0.01) == 1) // floor at 1
+    assertThrows[IllegalArgumentException](Similarity.nProbeFor(16, 0.0))
+  }
+
   test("assignment never shuffles corpus rows (broadcast-packed centroids)") {
     import spark.implicits._
     // deterministic varied vectors so nearest-cell picks are non-trivial

@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x19 fuzzy pairs is a banded equi-join (bkt in the join key)") {
+    // the r3 regression: (lang, source)-only key + post-join levenshtein
+    // = all-pairs within a block. The length bucket must be part of the
+    // physical equi key so candidates are pruned AT the join.
+    val p = plan("x19_fuzzy_pairs")
+    assert(p.contains("Join") && !p.contains("CartesianProduct"))
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("lang")).getOrElse("")
+    assert(joinLine.contains("bkt"),
+      s"x19's join key must include the length bucket, got: $joinLine")
+  }
+
   test("multimodal batch stages are shuffle-free scan stages (m1-m4)") {
     // decode / feature-extract / resize / frame-sample are mapPartitions
     // over the scan: at 100 TB they scale with input splits and nothing
