@@ -93,6 +93,19 @@ object ExtQ {
       graft.streaming.StreamDedup.batchKeepFirst(
           graft.streaming.StreamDedup.digested(Tables.documents(s, d)))
         .orderBy("doc_id")),
+
+    // ST4 — the streaming CURATION pipeline (x21 quality verdict ∘
+    // first-seen dedup), batch-executed through the SAME code path the
+    // firehose runs (StreamCurate.curate: row-shaped signals +
+    // flatMapGroupsWithState, which degenerates to one stateless group
+    // pass on a batch input). Oracle: x21's predicate + keep-min per
+    // digest — StreamCurationSpec proves batch ≡ micro-batched stream.
+    "st4_curate" -> ((s, d) =>
+      graft.streaming.StreamCurate.curate(
+          Tables.documents(s, d).select("doc_id", "text", "n_chars"),
+          TextQ.stops)
+        .toDF()
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +162,31 @@ object ExtQ {
     "st3_dedup_keep_first" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS digest
          FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "st4_curate" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         kept AS (
+           SELECT d.doc_id, md5(d.text) AS digest
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50)
+         SELECT min(doc_id) AS doc_id, digest FROM kept
+         GROUP BY digest ORDER BY doc_id""",
     "st1_tumbling_window" ->
       """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS wstart,
            make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000 + 21600000000) AS wend,

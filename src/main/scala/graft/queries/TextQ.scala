@@ -12,8 +12,9 @@ import graft.ext.{Dedup, TextOps}
 object TextQ {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Stopword-ish markers drawn from the fixture vocabulary (deterministic). */
-  private val stops = Seq("the", "a", "data", "row", "value")
+  /** Stopword-ish markers drawn from the fixture vocabulary (deterministic).
+    * Shared with ExtQ's streaming-curation query (same x21 predicate). */
+  private[queries] val stops = Seq("the", "a", "data", "row", "value")
 
   /** Chain edges through each (lang, source) block (consecutive ids):
     * components are ~100-doc-deep paths that only close after multi-hop
