@@ -168,6 +168,78 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Graded n-gram contamination — the GPT-3/PaLM-style decontamination
+    * METRIC (vs [[crossCorpusCandidates]]'s binary near-dup verdict): for
+    * each training document, the fraction of its DISTINCT word `k`-grams
+    * that occur anywhere in the benchmark corpus. Pipelines threshold
+    * this (drop > 0.x) or bucket it for audit reports.
+    *
+    * Scale shape: the benchmark n-gram set is ALWAYS small relative to
+    * the training corpus (benchmarks are MBs; corpora are TBs) —
+    * broadcast it, so the training side is one scan + explode + one
+    * partial-aggregated groupBy on doc id. No shuffle ever carries
+    * document bodies, and no pairwise doc×doc comparison exists at any
+    * corpus size. Documents shorter than `k` tokens have no n-grams and
+    * emit no row (mirrored by the oracle). */
+  def ngramContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    // `toks` MUST be a materialized column, not an inline expression:
+    // higher-order functions are CodegenFallback, so an inline split
+    // re-evaluates once per element_at inside the n-gram lambda —
+    // O(k·|grams|) regex splits per row (measured 40 task-sec vs 1.5 at
+    // sf0.1). The Project under the Generate keeps it evaluated once.
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol),
+        explode(TextOps.shingles(col("toks"), k)).as("ng"))
+    val benchSet = grams(bench).select("ng").distinct()
+      .withColumn("hit", lit(1L))
+    grams(train)
+      .join(broadcast(benchSet), Seq("ng"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contam"),
+        round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+          .as("contam_frac"))
+  }
+
+  /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" shape
+    * adapted to untokenized text: chop each document into non-overlapping
+    * `segTokens`-token segments, keep only the globally FIRST occurrence
+    * of each distinct segment (ordered by doc id, then position), and
+    * reassemble the survivors in document order. Kills boilerplate that
+    * repeats across documents (headers, footers, license blocks) without
+    * dropping whole docs; a document whose every segment was seen earlier
+    * disappears entirely (mirrored by the oracle).
+    *
+    * Scale shape: one explode, one shuffle keyed by segment text (the
+    * first-occurrence window — segments hash-partition evenly; the
+    * celebrity-segment skew AQE handles), one groupBy on doc id to
+    * reassemble. No pairwise comparisons; cost is linear in corpus token
+    * count. Output: (idCol, text_dedup, n_kept). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    // materialized `toks` column for the same CodegenFallback reason as
+    // [[ngramContamination]] — the slice lambda would re-split per segment
+    val toks = col("toks")
+    val segs = transform(
+      sequence(lit(0), floor((size(toks) - 1) / segTokens).cast("int")),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(idCol, "pos")
+    docs.withColumn("toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          p => p.getField("seg")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Transitive closure of candidate pairs → duplicate clusters: the step
     * every real dedup pipeline needs between pair generation
     * ([[minHashCandidates]], [[exactGroups]]-derived edges) and the final

@@ -150,6 +150,35 @@ object TextOps {
     df.filter(u < frac)
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/domain
+    * re-weighting step (the (n_s/N)^τ scheme): per-stratum keep rates are
+    * computed FROM the corpus counts, rate_s = min(1, M·n_s^τ / Σ_t n_t^τ
+    * / n_s), then applied with the same deterministic md5-uniform as
+    * [[stratifiedSample]]. τ < 1 flattens the mixture toward uniform
+    * (dominant strata down-weighted, the standard fix for head-language
+    * dominance); τ = 1 is proportional sampling. M = `targetCount` is the
+    * expected sample size when no stratum saturates at rate 1.
+    *
+    * Unlike [[stratifiedSample]] the rates are data-dependent — but the
+    * rate table is one tiny aggregate broadcast back onto the scan, so
+    * the corpus-side filter stays shuffle-free at any size. */
+  def temperatureMixSample(df: org.apache.spark.sql.DataFrame,
+                           strataCol: String, idCol: String,
+                           tau: Double, targetCount: Long): org.apache.spark.sql.DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .withColumn("pn", pow(col("n").cast("double"), tau))
+    val z = counts.agg(sum("pn").as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(strataCol),
+        least(lit(1.0),
+          lit(targetCount.toDouble) * col("pn") / col("z") / col("n"))
+          .as("rate"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / (1 << 24).toDouble
+    df.join(broadcast(rates), strataCol).filter(u < col("rate"))
+  }
+
   /** Distinct character trigrams — the classic language-ID feature
     * (Cavnar-Trenkle n-gram profiles). Pure codegen'd expression; empty
     * for texts shorter than 3 chars. */

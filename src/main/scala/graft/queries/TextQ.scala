@@ -456,6 +456,45 @@ object TextQ {
         .orderBy("lang", "rk")
     }),
 
+    // X26 — graded n-gram contamination (GPT-3/PaLM-style decontamination
+    // METRIC): per train doc, the fraction of its distinct trigrams that
+    // occur anywhere in the benchmark split (doc_id % 7 == 0, the x15/x20
+    // convention). Benchmark trigram set broadcasts (benchmarks are MBs at
+    // any corpus scale); train side is scan + explode + one partial-agg
+    // groupBy. Complements x15/x17's binary verdict with the audit number
+    // pipelines actually threshold on.
+    "x26_contam_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramContamination(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // X27 — temperature-scaled mixture sampling (the multilingual
+    // re-weighting step): per-lang keep rates computed FROM corpus counts
+    // with τ=0.5 — en (44% of the fixture) flattens to ~35% of the
+    // sample — then the same deterministic md5-uniform filter as x16.
+    // Data-dependent rates = one tiny aggregate broadcast onto the scan;
+    // the corpus-side filter stays shuffle-free.
+    "x27_temperature_mix" -> ((s, d) =>
+      TextOps.temperatureMixSample(Tables.documents(s, d), "lang", "doc_id",
+          tau = 0.5, targetCount = 200)
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")),
+
+    // X28 — segment-level exact dedup (C4/RefinedWeb line-dedup): chop
+    // docs into 10-token segments, keep each distinct segment's globally
+    // first occurrence (by doc_id, pos), reassemble survivors in order.
+    // One shuffle keyed by segment text + one groupBy on doc_id — no
+    // pairwise comparisons at any scale.
+    "x28_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
+          segTokens = 10)
+        .orderBy("doc_id")),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -711,6 +750,44 @@ object TextQ {
                / 16777216.0
                < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
          ORDER BY doc_id""",
+    "x26_contam_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, len(toks) - 1)])) AS ng
+               FROM t WHERE len(toks) >= 3),
+         b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 7 = 0)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(b.ng) AS BIGINT) AS n_contam,
+           round(count(b.ng) / CAST(count(*) AS DOUBLE), 6) AS contam_frac
+         FROM g LEFT JOIN b USING (ng) WHERE g.doc_id % 7 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    "x27_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS pn FROM c),
+         tot AS (SELECT sum(pn) AS z FROM w),
+         r AS (SELECT lang, least(1.0, 200.0 * pn / z / n) AS rate
+               FROM w CROSS JOIN tot)
+         SELECT d.doc_id, d.lang, d.source, round(r.rate, 6) AS rate
+         FROM documents d JOIN r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0 < r.rate
+         ORDER BY d.doc_id""",
+    "x28_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         seg AS (SELECT doc_id,
+                  unnest([i FOR i IN range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))]) AS pos,
+                  unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                          FOR i IN range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))]) AS seg
+                 FROM t),
+         k AS (SELECT doc_id, pos, seg,
+                row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+               FROM seg)
+         SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "x6_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang, source, n_chars,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.Similarity
@@ -142,9 +142,72 @@ object VectorQ {
             .as("recall_at_k"))
         .orderBy("q_id")
     }),
+    // V8 — int8 scalar quantization (the embedding-compression step a
+    // 100 TB vector index runs before storage: 4× smaller postings, and
+    // the dequant error bounds re-rank loss): per-vector symmetric scale
+    // = max|x|/127, codes = round(x/scale), plus the RMS reconstruction
+    // error. Pure codegen'd higher-order array expressions over the scan
+    // — zero shuffles; oracle-exact vs DuckDB list functions (both sides
+    // fold the array sequentially, so the sums are bit-identical).
+    "v8_quantize" -> ((s, d) => {
+      val v = col("vec")
+      val q = (x: Column) => round(x / col("s")).cast("int")
+      corpus(s, d)
+        .withColumn("s",
+          greatest(aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))),
+            lit(1e-12)) / 127)
+        .select(col("vec_id"),
+          round(col("s"), 6).as("scale"),
+          md5(array_join(transform(v, x => q(x).cast("string")), ","))
+            .as("qsig"),
+          round(sqrt(
+            aggregate(transform(v, x => (x - q(x) * col("s")) * (x - q(x) * col("s"))),
+              lit(0.0), (a, x) => a + x) / size(v)), 6).as("rmse"))
+        .orderBy("vec_id")
+    }),
+
+    // V9 — recall-SLO-sized probe: nProbe derived from a target probed
+    // FRACTION via Similarity.nProbeFor (the knob that HOLDS recall as
+    // the corpus grows — a fixed nProbe's recall decays 0.38→0.18 across
+    // a 64× blow-up while a ~10% fraction held it; SCALING.md r4).
+    // Output = per-query recall@10 vs the exact top-k, with the chosen
+    // n_probe — v7's regression guard productized as "ask for a fraction,
+    // not a cell count". Hash/centroid-specific → rows-only.
+    "v9_ivf_sla" -> ((s, d) => {
+      val c = corpus(s, d)
+      val nP = Similarity.nProbeFor(nCells = 16, probedFraction = 0.5)
+      val exact = Similarity.bruteForceTopK(
+          c.filter(col("vec_id") < 5), c.filter(col("vec_id") >= 5),
+          "vec_id", "vec_id", "vec", k = 10)
+        .select(col("q_id"), col("c_id"))
+      val approx = Similarity.probeIvf(prebuiltIvf(s, d),
+          c.filter(col("vec_id") < 5), "vec_id", nProbe = nP, k = 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+            .as("recall_at_k"))
+        .withColumn("n_probe", lit(nP))
+        .orderBy("q_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "v8_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'),
+                          1e-12) / 127 AS s
+               FROM v)
+         SELECT vec_id, round(s, 6) AS scale,
+           md5(array_to_string(list_transform(v,
+             x -> CAST(round(x / s) AS INTEGER)), ',')) AS qsig,
+           round(sqrt(list_aggregate(list_transform(v,
+               x -> (x - CAST(round(x / s) AS INTEGER) * s)
+                    * (x - CAST(round(x / s) AS INTEGER) * s)),
+             'sum') / len(v)), 6) AS rmse
+         FROM s ORDER BY vec_id""",
     "v1_cosine_scores" ->
       """SELECT q.vec_id AS q_id, c.vec_id AS c_id,
            round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

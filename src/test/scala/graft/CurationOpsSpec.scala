@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, TextOps}
+
+/** Round-4 curation operators: graded n-gram contamination, segment-level
+  * dedup, and temperature-scaled mixture sampling — planted-data semantics
+  * the fixture oracles can't isolate (the word-salad corpus has no
+  * engineered boilerplate or contamination). */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-curation-ops").getOrCreate()
+
+  test("ngramContamination: planted benchmark overlap yields exact fractions") {
+    import spark.implicits._
+    // bench doc = "a b c d"; train doc 1 copies it verbatim (all trigrams
+    // contaminated), train doc 2 shares exactly one trigram window, train
+    // doc 3 shares none, train doc 4 is too short for any trigram.
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d"),          // trigrams {a b c, b c d} — both in bench
+      (2L, "x a b c y"),        // {x a b, a b c, b c y} — 1 of 3
+      (3L, "p q r s"),          // none
+      (4L, "a b")               // no trigrams → no output row
+    ).toDF("doc_id", "text")
+
+    val out = Dedup.ngramContamination(train, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((3L, 1L, 0.333333)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
+
+  test("segmentDedup: first occurrence survives, later copies drop, " +
+       "fully-duplicate docs vanish") {
+    import spark.implicits._
+    // 2-token segments. doc 0 defines segments "a b" and "c d"; doc 1
+    // repeats "a b" then adds fresh "e f"; doc 2 is entirely made of
+    // already-seen segments → vanishes; doc 3 repeats a segment WITHIN
+    // itself (second copy drops too).
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b e f"),
+      (2L, "c d a b"),
+      (3L, "g h g h")
+    ).toDF("doc_id", "text")
+
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+
+    assert(out(0L) === (("a b c d", 2L)))
+    assert(out(1L) === (("e f", 1L)))        // "a b" seen in doc 0
+    assert(!out.contains(2L))                // every segment seen earlier
+    assert(out(3L) === (("g h", 1L)))        // within-doc repeat dropped
+  }
+
+  test("segmentDedup: reassembly preserves document order and partial " +
+       "tail segments") {
+    import spark.implicits._
+    // 7 tokens at segTokens=3 → segments of 3+3+1; all distinct → doc
+    // reassembles to itself.
+    val docs = Seq((5L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 3)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "t1 t2 t3 t4 t5 t6 t7")
+    assert(out(0).getLong(2) === 3L)
+  }
+
+  test("temperatureMixSample: rates follow n^tau/Z scaling and tau<1 " +
+       "flattens the dominant stratum") {
+    import spark.implicits._
+    // 80/20 two-stratum corpus. tau=0.5: w_a = sqrt(80)/(sqrt(80)+sqrt(20))
+    // = 2/3, w_b = 1/3 → with M=50, rate_a = 50*(2/3)/80 ≈ 0.4167,
+    // rate_b = 50*(1/3)/20 ≈ 0.8333 — the minority stratum keeps a ~2×
+    // higher rate.
+    val rows = (0 until 80).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b"))
+    val df = rows.toDF("id", "stratum")
+
+    val out = TextOps.temperatureMixSample(df, "stratum", "id",
+      tau = 0.5, targetCount = 50)
+    val rates = out.select("stratum", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val za = math.sqrt(80.0); val zb = math.sqrt(20.0)
+    assert(math.abs(rates("a") - 50.0 * za / (za + zb) / 80.0) < 1e-12)
+    assert(math.abs(rates("b") - 50.0 * zb / (za + zb) / 20.0) < 1e-12)
+
+    // flattening: stratum a is 80% of the corpus but must be a smaller
+    // share of the sample (rate_a < rate_b pulls toward uniform)
+    val kept = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shareA = kept("a").toDouble / (kept("a") + kept("b"))
+    assert(shareA < 0.8)
+    // determinism: same call → identical kept set
+    val again = TextOps.temperatureMixSample(df, "stratum", "id",
+      tau = 0.5, targetCount = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperatureMixSample: tau=1 is proportional (uniform rate)") {
+    import spark.implicits._
+    val rows = (0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 140).map(i => (i.toLong, "b"))
+    val df = rows.toDF("id", "stratum")
+    val rates = TextOps.temperatureMixSample(df, "stratum", "id",
+        tau = 1.0, targetCount = 50)
+      .select("stratum", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // n^1/Z = n/N → rate = M/N for every stratum
+    assert(math.abs(rates("a") - 0.5) < 1e-12)
+    assert(math.abs(rates("b") - 0.5) < 1e-12)
+  }
+
+  test("int8 quantization bound: every reconstruction error ≤ scale/2, " +
+       "codes within [-127, 127]") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.5, -1.0, 0.25, 0.75)),
+      (1L, Array(1e-9, -1e-9, 0.0, 0.0)),   // near-zero: scale floor guards /0
+      (2L, Array(100.0, -50.0, 25.0, -12.5))
+    ).toDF("vec_id", "vec")
+    val s = greatest(aggregate(col("vec"), lit(0.0),
+      (a, x) => greatest(a, abs(x))), lit(1e-12)) / 127
+    val out = vecs.withColumn("s", s)
+      .select(col("vec_id"), col("s"),
+        transform(col("vec"), x => round(x / col("s")).cast("int")).as("q"),
+        aggregate(transform(col("vec"),
+            x => abs(x - round(x / col("s")).cast("int") * col("s"))),
+          lit(0.0), (a, x) => greatest(a, x)).as("max_err"))
+      .collect()
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"codes out of int8 range: $codes")
+      assert(r.getDouble(3) <= scale / 2 + 1e-15,
+        s"reconstruction error ${r.getDouble(3)} exceeds scale/2 ${scale / 2}")
+    }
+  }
+}
