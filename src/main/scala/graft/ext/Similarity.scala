@@ -319,4 +319,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("id1", "id2", "cos", "rank")
   }
+
+  /** SEMANTIC dedup — the SemDeDup curation step (Abbas et al. 2023:
+    * embedding-space near-dup removal, the dedup flavor that catches
+    * paraphrases MinHash/SimHash miss): drop every vector that has an
+    * EARLIER (smaller-id) in-block neighbor with
+    * `round(cos, 6) >= threshold`; survivors are the corpus minus the
+    * dominated set. "Dominated by any earlier doc" (not greedy chaining)
+    * is the policy real near-dup pipelines ship: it is order-independent,
+    * one-pass, and never keeps two similar docs — at the price of
+    * occasionally dropping a doc whose only dominator was itself dropped
+    * (SemDedupSpec pins both properties).
+    *
+    * Scale shape: ONE equi-join on `blockCol` + one left_anti on the id —
+    * no all-pairs term beyond the block. The block key bounds the
+    * quadratic: pass a bounded-cardinality metadata key (label, shard) on
+    * small corpora, or an IVF cell id from [[ivfAssign]] at 100 TB
+    * ([[semanticDedupIvf]]), where cell occupancy ~ n/nCells is held
+    * near-constant by sizing nCells ~ √n — the SemDeDup paper's k-means
+    * blocking exactly. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(blockCol).as("__blk"), col(idCol).as("__id1"),
+      col(vecCol).as("__v1"))
+    val b = corpus.select(col(blockCol).as("__blk"), col(idCol).as("__id2"),
+      col(vecCol).as("__v2"))
+    val dominated = a.join(b, "__blk")
+      .filter(col("__id1") < col("__id2") &&
+        round(cosine(col("__v1"), col("__v2")), 6) >= threshold)
+      .select(col("__id2").as(idCol)).distinct()
+    corpus.join(dominated, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]] blocked by IVF cell — the production form once no
+    * metadata key bounds block size: nearest-centroid assignment
+    * (broadcast-packed, shuffle-free) supplies the block key, so the
+    * pair join is per-cell and cell occupancy is a sizing knob
+    * (nCells ~ √n). Blocking can only MISS cross-cell pairs, so its
+    * drops are a subset of an exact all-pairs dedup's drops — every drop
+    * is still justified by a real in-cell dominator (SemDedupSpec). */
+  def semanticDedupIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, nCells)
+    semanticDedup(assigned, idCol, vecCol, "ivf_cell", threshold)
+      .drop("ivf_cell")
+  }
 }

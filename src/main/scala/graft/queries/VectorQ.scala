@@ -191,6 +191,18 @@ object VectorQ {
         .withColumn("n_probe", lit(nP))
         .orderBy("q_id")
     }),
+
+    // V10 — SEMANTIC dedup (SemDeDup): survivors after dropping every
+    // vector with an earlier in-block neighbor at cosine >= 0.3. Blocked
+    // by `label` here (bounded metadata key → DuckDB-oracled exactly);
+    // the 100 TB form swaps the blocker for an IVF cell id
+    // (Similarity.semanticDedupIvf — same operator, k-means blocking,
+    // SemDedupSpec proves every cell-blocked drop is justified).
+    "v10_semdedup" -> ((s, d) =>
+      Similarity.semanticDedup(corpus(s, d), "vec_id", "vec", "label",
+          threshold = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,6 +238,15 @@ object VectorQ {
            FROM (SELECT * FROM embeddings WHERE vec_id >= 5) c
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
          WHERE rank <= 10 ORDER BY q_id, rank""",
+    "v10_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         dom AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+                 ON a.label = b.label AND a.vec_id < b.vec_id
+                 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+         SELECT vec_id, label FROM e
+         WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+         ORDER BY vec_id""",
     "v3_neardup_cosine" ->
       """WITH c AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0)
          SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
