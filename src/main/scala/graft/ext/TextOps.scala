@@ -128,27 +128,40 @@ object TextOps {
     when(uni === 0, lit(null)).otherwise(inter / uni)
   }
 
+  /** Deterministic uniform [0,1) from a row id — md5-prefix, NOT
+    * `rand()`: reproducible across runs, engines and partitionings (the
+    * DuckDB oracles replicate it bit-for-bit — the hashedTfIdf
+    * md5-prefix trick). 24 bits of hash → resolution ~6e-8. Shared by
+    * every sampling op below. */
+  def md5Uniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10)
+      .cast("double") / (1 << 24).toDouble
+
   /** Deterministic stratified sample — the training-data subsampling op
     * (e.g. downweight a dominant language): keep each row with a
-    * per-stratum fraction, decided by a uniform [0,1) value derived from
-    * md5 of the row id, NOT `rand()`. Reproducible across runs, engines
-    * and partitionings (the DuckDB oracle replicates the assignment
-    * bit-for-bit — the hashedTfIdf md5-prefix trick); sampling is a pure
+    * per-stratum fraction, decided by [[md5Uniform]]; sampling is a pure
     * codegen'd filter, so it pushes into the scan stage and costs zero
-    * shuffles at any corpus size. 24 bits of hash → fraction resolution
-    * ~6e-8. */
+    * shuffles at any corpus size. */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
                        idCol: String, fractions: Map[String, Double],
                        defaultFraction: Double = 0.0): org.apache.spark.sql.DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
-      .cast("double") / (1 << 24).toDouble
     val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (s, f)) =>
       when(col(strataCol) === s, lit(f)).otherwise(acc)
     }
-    df.filter(u < frac)
+    df.filter(md5Uniform(col(idCol)) < frac)
   }
+
+  /** IMPORTANCE sampling with a per-row weight column in [0, 1]: keep
+    * each row with probability = its weight, decided by [[md5Uniform]]
+    * — the soft alternative to a hard keep/drop threshold (quality-
+    * proportional subsampling, DCLM-style reweighting). The weight can
+    * be any column expression (a quality score, a model score read from
+    * a table); the filter itself stays scan-shaped and shuffle-free. */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     weight: Column): org.apache.spark.sql.DataFrame =
+    df.filter(md5Uniform(col(idCol)) < weight)
 
   /** Temperature-scaled mixture sampling — the multilingual/domain
     * re-weighting step (the (n_s/N)^τ scheme): per-stratum keep rates are
@@ -174,9 +187,8 @@ object TextOps {
         least(lit(1.0),
           lit(targetCount.toDouble) * col("pn") / col("z") / col("n"))
           .as("rate"))
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
-      .cast("double") / (1 << 24).toDouble
-    df.join(broadcast(rates), strataCol).filter(u < col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(md5Uniform(col(idCol)) < col("rate"))
   }
 
   /** Distinct character trigrams — the classic language-ID feature

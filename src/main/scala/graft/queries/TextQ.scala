@@ -90,12 +90,29 @@ object TextQ {
       })
     }
 
-  /** Bench hook: run the iterative CC loop + the shared signal table up
-    * front (both execute jobs at construction time) so their cost lands
-    * in the bench's "prematerialize" phase, not on whichever consumer
-    * runs first. */
+  /** Benchmark-segment Bloom filter for x29 — the packed bit array is a
+    * query-construction-time collect (the [[bloomBuild]] job), so memoize
+    * it per (session, sfDir) like the IVF index: built once, every
+    * subsequent x29 construction reuses the broadcast-sized array. */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Long]]
+  private def benchSegBloom(s: SparkSession, d: String): Array[Long] =
+    bloomCache.synchronized {
+      bloomCache.getOrElseUpdate((s, d), {
+        val bench = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        Dedup.bloomBuild(
+          Dedup.segmentsOf(bench, "doc_id", "text", 10)
+            .select("__seg").distinct(),
+          col("__seg"), numBits = 1 << 18, numHashes = 5)
+      })
+    }
+
+  /** Bench hook: run the iterative CC loop + the shared signal table +
+    * the x29 benchmark bloom up front (all execute jobs at construction
+    * time) so their cost lands in the bench's "prematerialize" phase,
+    * not on whichever consumer runs first. */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    chainClusters(s, d); docSignals(s, d); ()
+    chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d); ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -106,6 +123,7 @@ object TextQ {
     ccCache.clear()
     sigCache.values.foreach(_.unpersist())
     sigCache.clear()
+    bloomCache.clear() // plain driver arrays — no executor state to release
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -495,6 +513,40 @@ object TextQ {
           segTokens = 10)
         .orderBy("doc_id")),
 
+    // X29 — segment-overlap decontamination via a broadcast BLOOM
+    // prefilter: train docs (doc_id % 7 != 0) sharing ANY 10-token
+    // segment with the benchmark split are removed. The benchmark
+    // segment set lives in a 32 KB bit array ([[benchSegBloom]],
+    // memoized); train segments that fail the bloom skip the
+    // exact-confirm semi-join entirely, so the join input is ~|overlap|
+    // + the fp residue instead of every segment in the corpus — the
+    // broadcast runtime-filter plan for "filter 100 TB by a seen-set".
+    // No false negatives ⇒ hash-identical to the plain semi-join
+    // (BloomSpec), so the plain form IS the oracle.
+    "x29_bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.segmentDecontam(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", segTokens = 10,
+          prebuilt = Some(benchSegBloom(s, d)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // X30 — quality-WEIGHTED importance sampling: keep each doc with
+    // probability equal to its composite quality score (the x3/x21
+    // signal), decided by the same deterministic md5-uniform as
+    // x16/x27 — high-quality docs survive at ~their score, junk is
+    // down-sampled smoothly instead of cliff-dropped (the soft
+    // alternative to x21's hard threshold; DCLM-style reweighting).
+    // Signals come precomputed from [[docSignals]]; the filter itself
+    // is scan-shaped and shuffle-free at any corpus size.
+    "x30_weighted_sample" -> ((s, d) =>
+      TextOps.weightedSample(docSignals(s, d), "doc_id", col("quality"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -788,6 +840,37 @@ object TextQ {
          SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
            CAST(count(*) AS BIGINT) AS n_kept
          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "x29_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+                      string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         seg AS (SELECT doc_id,
+                  unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                          FOR i IN range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))]) AS seg
+                 FROM t),
+         bench AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 7 = 0),
+         contam AS (SELECT DISTINCT doc_id FROM seg
+                    WHERE doc_id % 7 <> 0 AND seg IN (SELECT seg FROM bench))
+         SELECT doc_id, lang, source FROM t
+         WHERE doc_id % 7 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contam)
+         ORDER BY doc_id""",
+    "x30_weighted_sample" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, source FROM t
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0
+               < least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                 + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
+         ORDER BY doc_id""",
     "x6_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang, source, n_chars,

@@ -148,4 +148,29 @@ class CurationOpsSpec extends AnyFunSuite {
         s"reconstruction error ${r.getDouble(3)} exceeds scale/2 ${scale / 2}")
     }
   }
+
+  test("weightedSample: weight 0 keeps nothing, weight 1 keeps everything, " +
+       "keep rate tracks the weight, and the decision is deterministic") {
+    import spark.implicits._
+    val n = 4000
+    val df = (0 until n).map(_.toLong).toDF("id")
+    assert(TextOps.weightedSample(df, "id", lit(0.0)).count() == 0)
+    assert(TextOps.weightedSample(df, "id", lit(1.0)).count() == n)
+    // empirical keep rate within a few points of the weight (md5-uniform)
+    Seq(0.2, 0.7).foreach { w =>
+      val kept = TextOps.weightedSample(df, "id", lit(w)).count().toDouble / n
+      assert(math.abs(kept - w) < 0.05, s"keep rate $kept for weight $w")
+    }
+    // per-row weights: a row's fate depends only on (id, its own weight)
+    val weighted = df.withColumn("w", when(col("id") % 2 === 0, 0.9).otherwise(0.1))
+    val kept = TextOps.weightedSample(weighted, "id", col("w"))
+      .groupBy(col("id") % 2).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(0L) > kept.getOrElse(1L, 0L) * 3,
+      s"high-weight stratum should dominate survivors: $kept")
+    // deterministic across runs
+    val a = TextOps.weightedSample(weighted, "id", col("w")).collect().map(_.getLong(0)).toSet
+    val b = TextOps.weightedSample(weighted, "id", col("w")).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
