@@ -221,6 +221,51 @@ object ScaleStress {
           .select(col("prev").as("id1"), col("doc_id").as("id2"))
         Dedup.duplicateClusters(edges).count()
       }),
+      Op("v10_semdedup_ivf", m => {
+        // semantic dedup, production (IVF-cell-blocked) form. nCells ~
+        // sqrt(n) balances the two n^1.5 terms (assignment n·nCells vs
+        // in-cell pairs n²/nCells): total Θ(n^1.5) — the standard
+        // single-level IVF tradeoff, expect exponent ~1.2-1.5 (sub-
+        // quadratic; a two-level centroid tree is the upgrade path past
+        // 10⁹ vectors). Cross-copy cosines ~0, so true dup structure
+        // stays linear in m and survivors must track corpus size.
+        val c = embsOf(m)
+        val cells = math.max(16, math.sqrt(c.count().toDouble).toInt)
+        Similarity.semanticDedupIvf(c, "vec_id", "vec", nCells = cells,
+          threshold = 0.3).count()
+      }),
+      Op("x29_seg_decontam", m => {
+        // segment-overlap decontamination at m×: segments salted per copy
+        // (the x7 shingle-salt move — the copy prefix shifts every window
+        // by one token, so unsalted segments collide across copies and
+        // the doc_id%7 split rotation would cross-contaminate copies).
+        // Bloom sized to the benchmark segment count (~16 bits/member —
+        // the array grows linearly with the BENCHMARK, ~1.8 MB at 64×,
+        // while the train side it prefilters grows with the CORPUS).
+        val segs = docsOf(m)
+          .withColumn("__toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"), col("copy"),
+            explode(transform(
+              sequence(lit(0),
+                floor((size(col("__toks")) - 1) / 10).cast("int")),
+              i => array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " ")))
+              .as("seg0"))
+          .select(col("doc_id"),
+            concat(col("seg0"), lit("#"), col("copy")).as("__seg"))
+        val bench = segs.filter(col("doc_id") % 7 === 0)
+          .select("__seg").distinct().persist()
+        val nb = bench.count()
+        val bits = (((16 * nb + 63) / 64) * 64).toInt
+        val bloom = Dedup.bloomBuild(bench, col("__seg"), bits, 5)
+        val contaminated = segs.filter(col("doc_id") % 7 =!= 0)
+          .filter(Dedup.bloomMightContain(bloom, 5, col("__seg")))
+          .join(bench, Seq("__seg"), "left_semi")
+          .select("doc_id").distinct()
+        val n = docsOf(m).filter(col("doc_id") % 7 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti").count()
+        bench.unpersist()
+        n
+      }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
         // align → block-local normalize → ffill → session filter →

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -189,6 +190,59 @@ object TextOps {
           .as("rate"))
     df.join(broadcast(rates), strataCol)
       .filter(md5Uniform(col(idCol)) < col("rate"))
+  }
+
+  /** BUDGET-constrained corpus selection — the "best docs until the
+    * token budget runs out" curation step: order docs by (weight desc,
+    * id asc) and keep the greedy prefix whose cumulative `cost` stays
+    * within `budget` (a doc is kept only if it fits entirely).
+    *
+    * Scale shape — NO global window: a running sum over a global order
+    * would put the whole corpus in one window partition (single task).
+    * Instead: (1) bucket the weight (monotone, `nBuckets` levels,
+    * weight assumed in [0, 1]); (2) one tiny groupBy gives per-bucket
+    * cost totals, collected and prefix-summed on the driver (≤ nBuckets
+    * rows — the broadcast-scalar lifecycle); (3) buckets strictly above
+    * the crossing bucket pass with a pure scan filter, and ONLY the
+    * crossing bucket (~1/nBuckets of the corpus) pays a keyed window
+    * for the exact within-bucket prefix. Ties inside a bucket resolve
+    * by exact (weight desc, id), so the result is IDENTICAL to the
+    * global-window form at any nBuckets ≥ 1 — the oracle runs the
+    * global form. */
+  def tokenBudgetSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        weight: Column, cost: Column, budget: Long,
+                        nBuckets: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val bktExpr = least(floor(weight * nBuckets), lit(nBuckets - 1))
+      .cast("int")
+    val totals = df.groupBy(bktExpr.as("__bkt"))
+      .agg(sum(cost).as("__c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    // walk buckets best-first on the driver: full buckets fit until one
+    // crosses the budget; that bucket's share is the remainder
+    var remaining = budget
+    var cutoff = Int.MinValue // every bucket fits → no boundary window
+    var boundaryBudget = 0L
+    val it = totals.iterator
+    while (it.hasNext && cutoff == Int.MinValue) {
+      val (bkt, c) = it.next()
+      if (c <= remaining) remaining -= c
+      else { cutoff = bkt; boundaryBudget = remaining }
+    }
+    val enriched = df.withColumn("__bkt", bktExpr)
+    if (cutoff == Int.MinValue) enriched.drop("__bkt") // all within budget
+    else {
+      val w = Window.partitionBy("__bkt")
+        .orderBy(weight.desc, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val above = enriched.filter(col("__bkt") > cutoff).drop("__bkt")
+      val boundary = enriched.filter(col("__bkt") === cutoff)
+        .withColumn("__cum", sum(cost).over(w))
+        .filter(col("__cum") <= boundaryBudget)
+        .drop("__bkt", "__cum")
+      above.union(boundary)
+    }
   }
 
   /** Distinct character trigrams — the classic language-ID feature

@@ -547,6 +547,21 @@ object TextQ {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // X31 — token-BUDGET corpus selection: the "best docs until the
+    // budget runs out" step (fixed training-token budget → keep the
+    // greedy (quality desc, doc_id) prefix whose cumulative token count
+    // fits). NOT a global running-sum window (single partition at any
+    // scale): [[TextOps.tokenBudgetSelect]] buckets the weight, spends
+    // whole buckets via one tiny driver-collected aggregate, and pays a
+    // keyed window only inside the one crossing bucket (~1/1000 of the
+    // corpus). Identical to the global-window form by construction —
+    // which is exactly what the oracle runs.
+    "x31_token_budget" -> ((s, d) =>
+      TextOps.tokenBudgetSelect(docSignals(s, d), "doc_id",
+          col("quality"), col("total"), budget = 15000L)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -871,6 +886,26 @@ object TextQ {
                < least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
                  + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.3
          ORDER BY doc_id""",
+    "x31_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         q AS (SELECT doc_id, lang, source, n_tokens,
+                 least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                   + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.3 AS quality
+               FROM t),
+         o AS (SELECT doc_id, lang, source,
+                 sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM q)
+         SELECT doc_id, lang, source FROM o
+         WHERE cum <= 15000 ORDER BY doc_id""",
     "x6_jaccard_pairs" ->
       """WITH t AS (
            SELECT doc_id, lang, source, n_chars,

@@ -173,4 +173,36 @@ class CurationOpsSpec extends AnyFunSuite {
     val b = TextOps.weightedSample(weighted, "id", col("w")).collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("tokenBudgetSelect: greedy (weight desc, id) prefix under the budget, " +
+       "bucketed two-pass ≡ brute force at any nBuckets") {
+    import spark.implicits._
+    // weights engineered so the budget crossing lands INSIDE a bucket
+    // (ids 3,4 share bucket 700 at nBuckets=1000; id 3 fits, id 4 doesn't)
+    val docs = Seq(
+      (1L, 0.95, 40L), (2L, 0.80, 30L), (3L, 0.7005, 20L),
+      (4L, 0.7001, 25L), (5L, 0.50, 10L), (6L, 0.20, 5L)
+    ).toDF("id", "w", "c")
+    def selected(nBuckets: Int, budget: Long): Set[Long] =
+      TextOps.tokenBudgetSelect(docs, "id", col("w"), col("c"), budget, nBuckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // brute force: sort desc by (w, -id is NOT the order — id asc), prefix sum
+    def brute(budget: Long): Set[Long] = {
+      var cum = 0L
+      docs.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy { case (id, w, _) => (-w, id) }
+        .flatMap { case (id, _, c) =>
+          cum += c; if (cum <= budget) Some(id) else None
+        }.toSet
+    }
+    for (budget <- Seq(0L, 39L, 40L, 90L, 95L, 114L, 115L, 1000L);
+         nBuckets <- Seq(1, 10, 1000)) {
+      assert(selected(nBuckets, budget) == brute(budget),
+        s"mismatch at budget=$budget nBuckets=$nBuckets")
+    }
+    // the interesting boundary: budget 90 keeps {1,2,3} (40+30+20), and
+    // id 4 (same bucket as 3 at nBuckets=1000) must NOT slip in
+    assert(selected(1000, 90L) == Set(1L, 2L, 3L))
+    assert(selected(1000, 115L) == Set(1L, 2L, 3L, 4L))
+  }
 }
