@@ -140,4 +140,37 @@ class PlanSpec extends AnyFunSuite {
         s"$name must not shuffle — it is a per-partition batch stage")
     }
   }
+
+  test("x29's bloom prefilter runs scan-side, BELOW the confirm join") {
+    // the broadcast runtime-filter plan: a Filter containing the xxhash64
+    // bit probes must sit under the (semi-)join, not above it — otherwise
+    // every train segment is shuffled into the join and the bloom bought
+    // nothing
+    val p = plan("x29_bloom_decontam")
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("LeftSemi"))
+    val bloomIdx = lines.indexWhere(l => l.contains("xxhash64"))
+    assert(joinIdx >= 0, "x29 must contain the exact-confirm semi-join")
+    assert(bloomIdx > joinIdx, // deeper in the tree = printed after
+      "the bloom bit-probe filter must be below the confirm join")
+    // and the probes stay codegen'd built-ins (no UDF nodes)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("x31 pays no global window: every Window is keyed, boundary-bucket only") {
+    val p = plan("x31_token_budget")
+    assert(!p.contains("SinglePartition"),
+      "token-budget selection must not run a corpus-wide running sum")
+    // the one allowed window partitions by the crossing bucket
+    val winLine = p.linesIterator.find(_.trim.startsWith("Window")).getOrElse("")
+    assert(winLine.isEmpty || winLine.contains("__bkt"),
+      s"x31's window must be keyed by the weight bucket, got: $winLine")
+  }
+
+  test("v10 semantic dedup is a blocked equi-join + anti-join (no cartesian)") {
+    val p = plan("v10_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "semantic dedup must pair only within blocks")
+    assert(p.contains("LeftAnti"), "survivors come from one left_anti")
+  }
 }

@@ -78,6 +78,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark DROPS late data: a closed window never re-emits, and the " +
+       "stream equals the batch aggregate over the on-time subset") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"window.start".as("wstart"), $"user_id", $"n", $"total")
+    val q = agg.writeStream.format("memory").queryName("lateagg")
+      .outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, ts(5), 1.0))     // window [0, 30)
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(120), 0.5))   // watermark → 110
+      q.processAllAvailable()                          // closes [0, 30)
+      input.addData(SessionEvent(1L, ts(7), 99.0))    // LATE: 7 << 110
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(240), 0.25))  // flush [120, 150)
+      q.processAllAvailable()
+      val got = spark.table("lateagg")
+        .select(((col("wstart").cast("long") * 1000 - base) / 60000).cast("long").as("wmin"),
+          $"user_id", $"n", $"total")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // the closed [0, 30) window emitted ONCE, without the late 99.0
+      assert(got.count(_._1 == 0L) == 1)
+      assert(got.contains((0L, 1L, 1L, 1.0)))
+      // and the emitted rows equal a batch aggregate over on-time events
+      val onTime = Seq((1L, ts(5), 1.0), (1L, ts(120), 0.5))
+        .toDF("user_id", "ts", "value")
+        .groupBy(window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .select(((col("window.start").cast("long") * 1000 - base) / 60000).cast("long").as("wmin"),
+          $"user_id", $"n", $"total")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // (the t=240 event's own window never closes, so it isn't emitted)
+      assert(got == onTime,
+        s"stream output $got must equal the on-time batch aggregate $onTime")
+    } finally q.stop()
+  }
+
   test("batch and streaming forms agree on session boundaries") {
     import spark.implicits._
     val events = Seq(
