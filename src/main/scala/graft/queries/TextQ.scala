@@ -562,6 +562,37 @@ object TextQ {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // X32 — curation FUNNEL report: the stage-by-stage survivor counts
+    // every real curation run publishes next to its output corpus (raw →
+    // train split → quality → decontam → exact-dedup → sample), in
+    // exactly x22's composition order. Six 1-row aggregates unioned —
+    // each stage is an id-set semi/anti-join over the same building
+    // blocks x20/x21/x22 already run, so the funnel costs one pass per
+    // stage and shuffles only doc ids. The audit table for "where did
+    // my corpus go?".
+    "x32_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      val kept = queries("x21_quality_filter")(s, d).select("doc_id")
+      val decontam = queries("x20_decontam_filter")(s, d).select("doc_id")
+      val survivors = docSignals(s, d).groupBy("digest")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val s3 = train.join(kept, "doc_id")
+      val s4 = s3.join(decontam, "doc_id")
+      val s5 = s4.join(survivors, "doc_id")
+      val s6 = queries("x22_curation_pipeline")(s, d)
+      def cnt(i: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage"), lit(name).as("name"), col("n_docs"))
+      cnt(1, "raw", docs)
+        .union(cnt(2, "train_split", train))
+        .union(cnt(3, "quality", s3))
+        .union(cnt(4, "decontam", s4))
+        .union(cnt(5, "dedup", s5))
+        .union(cnt(6, "sampled", s6))
+        .orderBy("stage")
+    }),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -742,6 +773,59 @@ object TextQ {
                / 16777216.0
                < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END
          ORDER BY d.doc_id""",
+    "x32_curation_funnel" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0),
+         s3 AS (SELECT doc_id, lang FROM train
+                WHERE doc_id IN (SELECT doc_id FROM keep_q)),
+         s4 AS (SELECT doc_id, lang FROM s3
+                WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         s5 AS (SELECT doc_id, lang FROM s4
+                WHERE doc_id IN (SELECT doc_id FROM surv)),
+         s6 AS (SELECT doc_id FROM s5
+                WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+                      / 16777216.0
+                      < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END)
+         SELECT 1 AS stage, 'raw' AS name,
+                (SELECT count(*) FROM documents) AS n_docs
+         UNION ALL SELECT 2, 'train_split', (SELECT count(*) FROM train)
+         UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s3)
+         UNION ALL SELECT 4, 'decontam', (SELECT count(*) FROM s4)
+         UNION ALL SELECT 5, 'dedup', (SELECT count(*) FROM s5)
+         UNION ALL SELECT 6, 'sampled', (SELECT count(*) FROM s6)
+         ORDER BY stage""",
     "x21_quality_filter" ->
       """WITH t AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
