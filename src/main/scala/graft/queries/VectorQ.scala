@@ -192,6 +192,54 @@ object VectorQ {
         .orderBy("q_id")
     }),
 
+    // V11 — PRODUCT quantization (IVF-PQ's compression half): train
+    // per-subspace codebooks (8 subspaces × 16 L2 centroids over the
+    // 64-dim embeddings = 8 nibbles/vector, 64× smaller than float64
+    // postings), PQ-encode the corpus, ADC-shortlist 50 candidates per
+    // query from the nibbles alone, exact-re-rank just the shortlist,
+    // and report per-query recall@10 against the exact L2 top-k — the
+    // driver-visible compression-quality number (v7's recall pattern
+    // applied to PQ; PqSpec pins determinism, the recall floor, and the
+    // k-monotone reconstruction error). Codebook-specific → rows-only.
+    "v11_pq_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val base = c.filter(col("vec_id") >= 5)
+      val qs = c.filter(col("vec_id") < 5)
+      val cb = graft.ext.Pq.trainCodebooks(base, "vec_id", "vec",
+        m = 8, k = 16, subDim = 8)
+      val codes = graft.ext.Pq.encode(base, "vec_id", "vec", cb)
+      // the production read path: ADC shortlists from nibbles alone, then
+      // ONLY the ~50 shortlisted candidates per query fetch their floats
+      // for the exact re-rank — the scan never decompresses the corpus
+      val shortlist = graft.ext.Pq.adcTopK(qs, codes, "vec_id", "vec_id",
+        "vec", cb, topK = 50)
+      val approx = shortlist
+        .join(base.select(col("vec_id").as("c_id"), col("vec").as("cv")), "c_id")
+        .join(broadcast(qs.select(col("vec_id").as("q_id"), col("vec").as("qv"))),
+          "q_id")
+        .withColumn("d", graft.ext.Pq.l2sq(col("qv"), col("cv")))
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("d"), col("c_id"))))
+        .filter(col("rr") <= 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val exact = base.select(col("vec_id").as("c_id"), col("vec").as("cv"))
+        .crossJoin(broadcast(qs.select(col("vec_id").as("q_id"),
+          col("vec").as("qv"))))
+        .withColumn("d", graft.ext.Pq.l2sq(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("d"), col("c_id"))))
+        .filter(col("rank") <= 10)
+        .select("q_id", "c_id")
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+            .as("recall_at_k"))
+        .orderBy("q_id")
+    }),
+
     // V10 — SEMANTIC dedup (SemDeDup): survivors after dropping every
     // vector with an earlier in-block neighbor at cosine >= 0.3. Blocked
     // by `label` here (bounded metadata key → DuckDB-oracled exactly);

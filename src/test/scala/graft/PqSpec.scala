@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Pq, Similarity}
+
+/** Product quantization: codebook training, encoding, ADC ranking.
+  * Pins determinism (hash-seeded Lloyd), code well-formedness, the
+  * k-monotone reconstruction error, and the ADC recall floor vs exact
+  * L2 on the fixture. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-pq").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus: DataFrame =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+
+  test("codes are well-formed: length m, every code in [0, k)") {
+    val base = corpus.filter(col("vec_id") >= 5)
+    val cb = Pq.trainCodebooks(base, "vec_id", "vec", m = 8, k = 16, subDim = 8)
+    val codes = Pq.encode(base, "vec_id", "vec", cb).collect()
+    assert(codes.length == base.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8, s"vec ${r.getLong(0)}: ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < 16), s"vec ${r.getLong(0)}: $cs")
+    }
+  }
+
+  test("training and encoding are deterministic run-over-run") {
+    val base = corpus.filter(col("vec_id") >= 5)
+    def codesOf(): Map[Long, Seq[Int]] = {
+      val cb = Pq.trainCodebooks(base, "vec_id", "vec", m = 8, k = 16, subDim = 8)
+      Pq.encode(base, "vec_id", "vec", cb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    }
+    assert(codesOf() == codesOf())
+  }
+
+  test("reconstruction error falls as the codebook grows (k=4 -> k=16)") {
+    val base = corpus.filter(col("vec_id") >= 5)
+    val e4 = Pq.reconstructionError(base, "vec_id", "vec",
+      Pq.trainCodebooks(base, "vec_id", "vec", m = 8, k = 4, subDim = 8))
+    val e16 = Pq.reconstructionError(base, "vec_id", "vec",
+      Pq.trainCodebooks(base, "vec_id", "vec", m = 8, k = 16, subDim = 8))
+    assert(e4 > 0 && e16 > 0)
+    assert(e16 < e4, s"k=16 error $e16 should beat k=4 error $e4")
+  }
+
+  test("ADC recall@10 vs exact L2 clears the floor; v11 reports exactly it") {
+    val rows = SparkEntry.queries("v11_pq_recall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.size == 5)
+    val mean = rows.values.sum / rows.size
+    assert(mean >= 0.3, s"mean ADC recall@10 $mean below floor (per-query $rows)")
+    rows.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+  }
+}
