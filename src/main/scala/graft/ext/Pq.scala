@@ -133,6 +133,41 @@ object Pq {
               e.getField("c_vec")))).as("lut"))
   }
 
+  /** IVF-PQ candidate shortlist — the composed read path of a production
+    * vector index: each query probes its `nProbe` nearest IVF cells
+    * ([[Similarity.assignTo]], broadcast-packed), candidates are the
+    * cell-replicated postings of those cells joined BY CELL (never the
+    * whole corpus), and the candidates are scored from their PQ codes
+    * via the query's ADC lookup table — the scan touches nibbles, not
+    * floats. Callers exact-re-rank the returned shortlist against raw
+    * vectors (only `shortlist` rows per query fetch floats).
+    *
+    * `codes` is [[encode]]'s output joined with the index postings'
+    * cell column: (cId, ivf_cell, codes). */
+  def ivfPqShortlist(index: Similarity.IvfIndex, cb: Codebook,
+                     codes: DataFrame, queries: DataFrame, qId: String,
+                     cId: String, vecCol: String, nProbe: Int,
+                     shortlist: Int): DataFrame = {
+    val probed = Similarity.assignTo(
+      queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec")),
+      index.centroids, "q_id", "q_vec", nAssign = nProbe)
+    val lut = assignLut(
+      queries.select(col(qId).as("q_id"), col(vecCol)), "q_id", vecCol, cb)
+    probed.select("q_id", "ivf_cell")
+      .join(codes.select(col(cId).as("c_id"), col("ivf_cell"), col("codes")),
+        Seq("ivf_cell"))
+      .dropDuplicates("q_id", "c_id") // nAssign replication across cells
+      .join(broadcast(lut), Seq("q_id"))
+      .withColumn("adist",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (code, row) => element_at(row, code + 1)), lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adist"), col("c_id"))))
+      .filter(col("rank") <= shortlist)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** Mean squared reconstruction error of the codebook over the corpus —
     * the compression-quality number (falls as k grows; PqSpec pins it). */
   def reconstructionError(corpus: DataFrame, idCol: String, vecCol: String,

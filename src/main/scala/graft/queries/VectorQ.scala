@@ -38,19 +38,49 @@ object VectorQ {
       })
     }
 
-  /** Bench hook: build the shared IVF index up front (see
+  /** Prebuilt PQ artifacts for v12 — codebook (persisted centroids) and
+    * the cell-tagged codes table (PQ codes joined onto the prebuilt IVF
+    * postings' cell assignment), memoized per (session, sfDir) like the
+    * IVF index: at scale both are written once next to the index and
+    * read per query batch. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (graft.ext.Pq.Codebook, DataFrame)]
+  private def prebuiltPq(s: SparkSession, d: String): (graft.ext.Pq.Codebook, DataFrame) =
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate((s, d), {
+        val idx = prebuiltIvf(s, d)
+        val base = corpus(s, d).filter(col("vec_id") >= 5)
+        val cb0 = graft.ext.Pq.trainCodebooks(base, "vec_id", "vec",
+          m = 8, k = 16, subDim = 8)
+        val cents = cb0.centroids.persist()
+        cents.count() // materialize inside the lock (shared await)
+        val cb = cb0.copy(centroids = cents)
+        val codes = graft.ext.Pq.encode(base, "vec_id", "vec", cb)
+          .join(idx.postings.select(col("vec_id"), col("ivf_cell")), "vec_id")
+          .persist()
+        codes.count()
+        (cb, codes)
+      })
+    }
+
+  /** Bench hook: build the shared IVF index + PQ artifacts up front (see
     * BacktestQ.prewarm — same attribution rationale). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    prebuiltIvf(s, d); ()
+    prebuiltIvf(s, d); prebuiltPq(s, d); ()
   }
 
-  /** Release the memoized IVF index (see Graft.clearCaches): unpersist
-    * both index frames and drop the reference; the next probe rebuilds. */
+  /** Release the memoized IVF index + PQ artifacts (see
+    * Graft.clearCaches): unpersist and drop the references; the next
+    * probe rebuilds. */
   private[graft] def clearCache(): Unit = ivfCache.synchronized {
     ivfCache.values.foreach { idx =>
       idx.centroids.unpersist(); idx.postings.unpersist()
     }
     ivfCache.clear()
+    pqCache.values.foreach { case (cb, codes) =>
+      cb.centroids.unpersist(); codes.unpersist()
+    }
+    pqCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -214,6 +244,49 @@ object VectorQ {
       val shortlist = graft.ext.Pq.adcTopK(qs, codes, "vec_id", "vec_id",
         "vec", cb, topK = 50)
       val approx = shortlist
+        .join(base.select(col("vec_id").as("c_id"), col("vec").as("cv")), "c_id")
+        .join(broadcast(qs.select(col("vec_id").as("q_id"), col("vec").as("qv"))),
+          "q_id")
+        .withColumn("d", graft.ext.Pq.l2sq(col("qv"), col("cv")))
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("d"), col("c_id"))))
+        .filter(col("rr") <= 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val exact = base.select(col("vec_id").as("c_id"), col("vec").as("cv"))
+        .crossJoin(broadcast(qs.select(col("vec_id").as("q_id"),
+          col("vec").as("qv"))))
+        .withColumn("d", graft.ext.Pq.l2sq(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("d"), col("c_id"))))
+        .filter(col("rank") <= 10)
+        .select("q_id", "c_id")
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+            .as("recall_at_k"))
+        .orderBy("q_id")
+    }),
+
+    // V12 — the COMPOSED IVF-PQ read path (what a production 100 TB
+    // vector index actually executes per query): probe nProbe cells of
+    // the prebuilt IVF index, score ONLY those cells' postings from
+    // their PQ nibbles via the ADC LUT, exact-re-rank the 50-candidate
+    // shortlist, report recall@10 vs the exact full-corpus L2 top-k.
+    // The number composes both loss sources — cell misses (isolated by
+    // v7) and quantization (isolated by v11) — so it is the end-to-end
+    // quality a user of the index sees. Codebook-specific → rows-only;
+    // PqSpec pins the floor.
+    "v12_ivfpq_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val qs = c.filter(col("vec_id") < 5)
+      val base = c.filter(col("vec_id") >= 5)
+      val (cb, codes) = prebuiltPq(s, d)
+      val sl = graft.ext.Pq.ivfPqShortlist(prebuiltIvf(s, d), cb, codes,
+        qs, "vec_id", "vec_id", "vec", nProbe = 4, shortlist = 50)
+      val approx = sl
         .join(base.select(col("vec_id").as("c_id"), col("vec").as("cv")), "c_id")
         .join(broadcast(qs.select(col("vec_id").as("q_id"), col("vec").as("qv"))),
           "q_id")

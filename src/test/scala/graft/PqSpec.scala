@@ -62,4 +62,22 @@ class PqSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean ADC recall@10 $mean below floor (per-query $rows)")
     rows.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
   }
+
+  test("composed IVF-PQ (v12): well-formed recall rows; shortlist is cell-bounded") {
+    val rows = SparkEntry.queries("v12_ivfpq_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, k, rec) =>
+      assert(k == 10)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // composed recall can't beat the PQ-only recall pattern by much, but
+    // must stay usable on the fixture
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean >= 0.2, s"mean composed IVF-PQ recall $mean below floor")
+    // determinism of the whole composed path
+    val again = SparkEntry.queries("v12_ivfpq_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sameElements(again))
+  }
 }
