@@ -205,6 +205,29 @@ object TextQ {
         .orderBy("id1", "id2")
     }),
 
+    // X33 — the PRODUCTION near-dup dedup chain, composed end-to-end:
+    // x7's MinHash+LSH candidate pairs (est_jaccard >= 0.25) → x11's
+    // transitive-closure clustering → x13's keep-min-per-cluster, as ONE
+    // query over the real candidate stream (x11/x13 run the same chain
+    // on oracle-able synthetic edges; this is the hash-family-real
+    // composition, so rows-only). Scale shape: band equi-join →
+    // O(log diameter) CC rounds → one left join on the cluster table.
+    "x33_neardup_keep_one" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+      val pairs = Dedup.minHashCandidates(sh, "doc_id", "sh", k = 32,
+          bands = 16)
+        .filter(col("est_jaccard") >= 0.25)
+        .select("id1", "id2")
+      val clusters = Dedup.duplicateClusters(pairs)
+      docs.join(clusters, docs("doc_id") === col("id"), "left")
+        .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // X8 — SimHash fingerprints (64-bit, majority-vote bits, UDF-free)
     "x8_simhash" -> ((s, d) =>
       Dedup.simHash(

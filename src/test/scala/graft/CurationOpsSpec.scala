@@ -174,6 +174,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("composed near-dup chain (x33 shape): transitive candidates collapse " +
+       "to the min-id survivor; unrelated docs pass through") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val w = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, w),                                                // head
+      (11L, w.replace("tok29 tok30", "alpha beta")),           // ~ 10
+      (12L, w.replace("tok27 tok28 tok29 tok30", "alpha beta gamma delta")), // ~ 11
+      (50L, (100 to 130).map(i => s"other$i").mkString(" "))   // unrelated
+    ).toDF("doc_id", "text")
+    val sh = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+    val pairs = Dedup.minHashCandidates(sh, "doc_id", "sh", k = 32, bands = 16)
+      .filter(col("est_jaccard") >= 0.25)
+      .select("id1", "id2")
+    // the planted chain must produce 10~11 and 11~12 at least
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps.exists(p => p == (10L, 11L) || p == (11L, 10L)))
+    assert(ps.exists(p => p == (11L, 12L) || p == (12L, 11L)))
+    val clusters = Dedup.duplicateClusters(pairs)
+    val survivors = docs.join(clusters, docs("doc_id") === col("id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(10L, 50L),
+      s"expected the chain head + the unrelated doc, got $survivors")
+  }
+
   test("tokenBudgetSelect: greedy (weight desc, id) prefix under the budget, " +
        "bucketed two-pass ≡ brute force at any nBuckets") {
     import spark.implicits._
