@@ -61,17 +61,31 @@ object Dedup {
 
   /** LSH banding: split the k-length signature into `bands` bands and hash
     * each; docs sharing any (band, hash) are candidate pairs.
-    * Returns (id, band, band_hash) — one row per band per doc. */
-  def lshBands(docs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    * Returns (id, [carry...,] band, band_hash) — one row per band per doc.
+    * `carry` names extra columns to keep through the explode (e.g. the
+    * signature itself for streaming consumers that verify per-bucket).
+    *
+    * `sigNonNull`: set true when the caller guarantees no null signatures
+    * (e.g. it already dropped docs with empty shingle sets). The default
+    * null filter is CORRECT but hostile to unmaterialized pipelines:
+    * pushed below the signature projection, Catalyst rewrites
+    * `isnotnull(minhash)` into a scan-stage re-computation of the whole
+    * minhash_sig(shingles(...)) expression with `toks` inlined as
+    * split(text) — the O(tokens²) HOF-inlining trap (SCALING.md). Callers
+    * that persist the signed table first (minHashCandidates) are immune;
+    * streaming callers can't persist and must pre-filter instead. */
+  def lshBands(docs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+               carry: Seq[String] = Nil, sigNonNull: Boolean = false): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((col("minhash").getItem(b * rowsPerBand) +:
           (1 until rowsPerBand).map(r => col("minhash").getItem(b * rowsPerBand + r))) :+
           lit(b): _*).as("band_hash"))
     }
-    docs.filter(col("minhash").isNotNull)
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+    val kept = col(idCol) +: carry.map(col)
+    (if (sigNonNull) docs else docs.filter(col("minhash").isNotNull))
+      .select(kept :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(kept ++ Seq(col("bb.band"), col("bb.band_hash")): _*)
   }
 
   /** Candidate pairs from LSH buckets + estimated Jaccard = fraction of

@@ -106,6 +106,21 @@ object ExtQ {
           TextQ.stops)
         .toDF()
         .orderBy("doc_id")),
+
+    // ST5 — ONLINE near-dup candidate detection (the streaming form of
+    // x7's MinHash+LSH pairing), batch-executed through the SAME code
+    // path the firehose runs (StreamNearDup.candidates: stateless banded
+    // signatures + flatMapGroupsWithState per bucket). Distinct pairs at
+    // x7's parameters; rows-only like x7 (hash-family-specific) —
+    // StreamNearDupSpec proves stream ≡ batch candidates cross-batch.
+    "st5_neardup_stream" -> ((s, d) =>
+      graft.streaming.StreamNearDup.candidates(
+          Tables.documents(s, d).select("doc_id", "text"), k = 32, bands = 16)
+        .toDF()
+        .filter(col("est_jaccard") >= 0.25)
+        .dropDuplicates("id1", "id2")
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id1", "id2")),
   )
 
   val oracles: Map[String, String] = Map(
