@@ -215,6 +215,34 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
+  /** CLUSTER-BALANCED sampling — the embedding-space diversity step of a
+    * curation pipeline (cap each semantic cluster so head topics can't
+    * dominate the training mix, the cluster-based counterpart of
+    * [[graft.ext.TextOps.temperatureMixSample]]'s per-language flattening):
+    * assign every vector to its nearest index cell, then keep at most
+    * `cap` per cell, chosen by the deterministic md5-uniform order (so the
+    * within-cell sample is unbiased, reproducible across runs/engines, and
+    * stable under corpus repartitioning — NOT "first cap by id", which
+    * would bias toward old documents under monotone ids).
+    *
+    * Scale shape: the assignment is the broadcast-packed [[assignTo]]
+    * (zero corpus shuffles); the cap is ONE keyed window on `ivf_cell` —
+    * with nCells ~ √n cells of ~√n rows each, no window partition is
+    * pathological at any corpus size. Returns (idCol, ivf_cell, picked
+    * rank). */
+  def clusterBalancedSample(index: IvfIndex, corpus: DataFrame,
+                            idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val assigned = assignTo(corpus.select(col(idCol), col(index.vecCol)),
+      index.centroids, idCol, index.vecCol, nAssign = 1)
+    assigned
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("ivf_cell")
+          .orderBy(TextOps.md5Uniform(col(idCol)), col(idCol))))
+      .filter(col("__rk") <= cap)
+      .select(col(idCol), col("ivf_cell"), col("__rk").as("pick_rank"))
+  }
+
   /** IVF top-k in one call (build + probe). For repeated query batches
     * over one corpus, use [[buildIvfIndex]]/[[probeIvf]] so the index is
     * built once. */

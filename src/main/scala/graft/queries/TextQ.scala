@@ -616,6 +616,25 @@ object TextQ {
         .orderBy("stage")
     }),
 
+    // X34 — corpus composition audit ("what's in my corpus"): per-language
+    // doc/source/token counts, exact-dup rate (distinct digests), mean
+    // quality and length — the first report anyone runs on a new 100 TB
+    // crawl. One groupBy over the SHARED persisted signal table
+    // ([[docSignals]]): zero additional scans of the corpus.
+    "x34_corpus_stats" -> ((s, d) =>
+      docSignals(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("digest").as("n_distinct"),
+          round(lit(1.0) - countDistinct("digest").cast("double") / count(lit(1)), 6)
+            .as("dup_rate"),
+          sum("total").as("n_tokens"),
+          round(avg("quality"), 4).as("avg_quality"),
+          round(avg(col("n_chars").cast("double")), 2).as("avg_chars"))
+        .orderBy("lang")),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's
@@ -664,6 +683,26 @@ object TextQ {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN g ON d.doc_id = g.keep
          ORDER BY d.doc_id""",
+    "x34_corpus_stats" ->
+      """WITH q AS (
+           SELECT doc_id, lang, source, n_chars, md5(text) AS digest,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio
+           FROM documents)
+         SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT digest) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6) AS dup_rate,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                 + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.3), 4) AS avg_quality,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+         FROM q GROUP BY lang ORDER BY lang""",
     "x1_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY digest""",

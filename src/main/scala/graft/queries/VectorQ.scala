@@ -324,6 +324,16 @@ object VectorQ {
           threshold = 0.3)
         .select("vec_id", "label")
         .orderBy("vec_id")),
+
+    // V13 — cluster-balanced sampling: cap each semantic cluster (the
+    // prebuilt IVF's cells) at `cap` vectors, picked by the deterministic
+    // md5-uniform order — the embedding-space diversity step of a
+    // curation mix (head topics can't dominate). Centroid-specific →
+    // rows-only; ClusterSampleSpec proves cap/coverage/determinism.
+    "v13_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(prebuiltIvf(s, d),
+          corpus(s, d).filter(col("vec_id") >= 5), "vec_id", cap = 8)
+        .orderBy("vec_id")),
   )
 
   val oracles: Map[String, String] = Map(
