@@ -266,6 +266,34 @@ object ScaleStress {
         bench.unpersist()
         n
       }),
+      Op("st5_stream_neardup", m => {
+        // the STREAMING near-dup code path (batch-degenerate), same
+        // per-copy shingle salt as x7 so candidate structure stays linear
+        // in m. Cost = stateless signature scan + ONE keyed shuffle into
+        // the stateful pairing — must track x7_minhash_lsh's shape (same
+        // work, object-typed pairing instead of the band self-join).
+        val sh = docsOf(m)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            transform(TextOps.shingles(col("toks"), 3),
+              x => concat(x, lit("#"), col("copy"))).as("sh"))
+        val spark2 = spark
+        import spark2.implicits._
+        graft.streaming.StreamNearDup.streamCandidates(
+            graft.streaming.StreamNearDup.bandedFromShingles(sh, 32, 16)
+              .as[graft.streaming.BandedDoc], k = 32)
+          .filter(col("est_jaccard") >= 0.25)
+          .dropDuplicates("id1", "id2").count()
+      }),
+      Op("v13_cluster_sample", m => {
+        // cluster-balanced sampling against the prebuilt index: broadcast
+        // assignment (linear) + one keyed window over ~sqrt(n)-sized
+        // cells; cap fixed, output ~ cap * nCells ~ sqrt(n)
+        val c = embsOf(m)
+        Similarity.clusterBalancedSample(builtIvf(m),
+          c.filter(col("vec_id") >= 5), "vec_id", cap = 8).count()
+      }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
         // align → block-local normalize → ffill → session filter →

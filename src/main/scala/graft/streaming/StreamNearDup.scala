@@ -69,6 +69,15 @@ object StreamNearDup {
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+    bandedFromShingles(shingled, k, bands)
+  }
+
+  /** [[banded]] over a pre-shingled (doc_id, sh) frame, for callers with
+    * their own shingle scheme. `sh` must be non-empty on every row (the
+    * signature-non-null precondition banded's token filter establishes). */
+  def bandedFromShingles(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must evenly divide signature length k ($k)")
     Dedup.lshBands(Dedup.withMinHash(shingled, "sh", k),
         "doc_id", bands, k / bands, carry = Seq("minhash"), sigNonNull = true)
       .select("doc_id", "minhash", "band", "band_hash")
