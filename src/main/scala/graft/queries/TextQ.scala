@@ -635,6 +635,26 @@ object TextQ {
           round(avg(col("n_chars").cast("double")), 2).as("avg_chars"))
         .orderBy("lang")),
 
+    // X35 — TRAINING BATCHES: the pipeline's last mile. The curated
+    // corpus (x22's full quality ∘ decontam ∘ dedup ∘ sample chain)
+    // packed into 2048-token next-fit bins per language (x18's fold),
+    // reported as per-bin manifests (docs, tokens used, fill ratio) —
+    // what a data loader actually consumes. Fold-derived → rows-only;
+    // PackSpec pins the fold, CurationOpsSpec pins conservation here.
+    "x35_training_batches" -> ((s, d) => {
+      val curated = queries("x22_curation_pipeline")(s, d).select("doc_id")
+      val docs = Tables.documents(s, d).join(curated, "doc_id")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.ext.Pack.packSequences(docs, "lang", "doc_id", "n_tokens",
+          budget = 2048)
+        .toDF()
+        .groupBy("group", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_used"),
+          round(sum("n_tokens") / lit(2048.0), 6).as("fill_ratio"))
+        .orderBy("group", "bin")
+    }),
+
     // X13 — keep-one-per-cluster: the dedup pipeline's final step
     // (pairs → clusters → canonical survivor). Survivors are docs that
     // either never appeared in a candidate edge or are their cluster's

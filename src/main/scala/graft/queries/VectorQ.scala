@@ -334,6 +334,19 @@ object VectorQ {
       Similarity.clusterBalancedSample(prebuiltIvf(s, d),
           corpus(s, d).filter(col("vec_id") >= 5), "vec_id", cap = 8)
         .orderBy("vec_id")),
+
+    // V14 — semantic dedup, PRODUCTION form: the IVF-cell-blocked
+    // SemDeDup that runs at 100 TB (k-means cells as blocks, nCells ~
+    // sqrt(n) holds cell occupancy flat — Θ(n^1.5) total, ScaleStress
+    // exponent 0.69-0.76). v10 is the label-blocked DuckDB-oracled twin;
+    // this makes the scale path a driver-visible, bench-tracked query.
+    // Centroid-specific → rows-only; SemDedupSpec proves every
+    // cell-blocked drop is justified by a real in-cell dominator.
+    "v14_semdedup_ivf" -> ((s, d) =>
+      Similarity.semanticDedupIvf(corpus(s, d), "vec_id", "vec",
+          nCells = 16, threshold = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
   )
 
   val oracles: Map[String, String] = Map(

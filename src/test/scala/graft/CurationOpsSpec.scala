@@ -202,6 +202,35 @@ class CurationOpsSpec extends AnyFunSuite {
       s"expected the chain head + the unrelated doc, got $survivors")
   }
 
+  test("x35 training batches: token conservation, doc conservation, " +
+    "fill bounds, dense bins") {
+    val sf = "/root/testdata/sf0.001"
+    val batches = SparkEntry.queries("x35_training_batches")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(batches.nonEmpty)
+    // conservation against the curated corpus the bins were packed from
+    val curated = SparkEntry.queries("x22_curation_pipeline")(spark, sf)
+      .select("doc_id")
+    val expected = Tables.documents(spark, sf).join(curated, "doc_id")
+      .select(graft.ext.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .collect().head
+    assert(batches.map(_._4).sum == expected.getLong(0), "token leak")
+    assert(batches.map(_._3).sum == expected.getLong(1), "doc leak")
+    // fill ≤ budget unless the bin is an oversized singleton
+    batches.foreach { case (g, bin, nDocs, toks, fill) =>
+      assert(toks <= 2048 || nDocs == 1, s"overfull multi-doc bin $g/$bin")
+      assert(math.abs(fill - toks / 2048.0) < 1e-6)
+    }
+    // bins dense per group (0..max with no gaps)
+    batches.groupBy(_._1).foreach { case (g, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins.toSeq == (0 to bins.max).toSeq, s"gap in $g bins")
+    }
+  }
+
   test("tokenBudgetSelect: greedy (weight desc, id) prefix under the budget, " +
        "bucketed two-pass ≡ brute force at any nBuckets") {
     import spark.implicits._

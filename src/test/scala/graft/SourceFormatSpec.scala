@@ -57,6 +57,23 @@ class SourceFormatSpec extends AnyFunSuite {
     assert(agg(fromJson) == agg(ev))
   }
 
+  test("ORC round-trips agree with the parquet scan row-for-row") {
+    // ORC is the other columnar warehouse format Spark ships natively —
+    // no timestampFormat gotcha (binary µs timestamps round-trip as-is)
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("events_orc").toString
+    ev.write.mode("overwrite").orc(s"$dir/orc")
+    val fromOrc = spark.read.schema(ev.schema).orc(s"$dir/orc")
+    assert(fromOrc.schema == ev.schema, "orc schema drift")
+    assert(fromOrc.exceptAll(ev).isEmpty && ev.exceptAll(fromOrc).isEmpty,
+      "orc content drift vs parquet")
+    // pushdown reaches the ORC scan too (columnar, same contract)
+    val plan = fromOrc.filter(col("user_id") === 7)
+      .select("event_id").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]")
+      || plan.contains("EqualTo(user_id,7)"), s"no ORC pushdown in:\n$plan")
+  }
+
   test("filters still push down to non-parquet scans") {
     val ev = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("events_csv").toString
