@@ -173,4 +173,41 @@ class PlanSpec extends AnyFunSuite {
       "semantic dedup must pair only within blocks")
     assert(p.contains("LeftAnti"), "survivors come from one left_anti")
   }
+
+  test("st5's stateless stream stage is scan-shaped — zero exchanges") {
+    // the banded-signature stage runs inside the micro-batch scan: any
+    // Exchange here would shuffle every arriving document before the
+    // stateful pairing's ONE keyed grouping
+    val p = graft.streaming.StreamNearDup.banded(
+        Tables.documents(spark, sf).select("doc_id", "text"), 32, 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"banded stage shuffles:\n$p")
+    // and the signature is computed ONCE: no minhash_sig inside a Filter
+    // (the pushed-down isnotnull recomputation this stage's pre-filter
+    // exists to prevent)
+    assert(!p.split("\n").exists(l =>
+        l.contains("Filter") && l.contains("minhash_sig")),
+      "signature recomputed inside a pushed-down filter")
+  }
+
+  test("v13 cluster sample: broadcast assignment + one keyed window only") {
+    import org.apache.spark.sql.functions.col
+    // snap inputs (the IvfSpec idiom) so the plan under inspection is the
+    // OPERATOR's — the index-build subtree is not what this gate is about
+    def c = Tables.embeddings(spark, sf).select(col("vec_id"),
+      graft.ext.Similarity.toDouble(col("embedding")).as("vec"))
+    val idx0 = graft.ext.Similarity.buildIvfIndex(c, "vec_id", "vec", nCells = 8)
+    val idx = idx0.copy(centroids = idx0.centroids.localCheckpoint())
+    val p = graft.ext.Similarity.clusterBalancedSample(
+        idx, c.localCheckpoint(), "vec_id", cap = 4)
+      .queryExecution.executedPlan.toString
+    // corpus rows hash-shuffle exactly once: the window's keyed exchange
+    // on ivf_cell ("(?<!Broadcast)Exchange" per the NOTES gating gotcha;
+    // the other allowed exchange is the 1-row centroid packing)
+    val parts = "hashpartitioning\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(parts == Seq("hashpartitioning(ivf_cell"),
+      s"only the cell window may hash-shuffle, got $parts:\n$p")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2,
+      s"cell window + centroid packing only:\n$p")
+  }
 }
