@@ -294,6 +294,22 @@ object ScaleStress {
         Similarity.clusterBalancedSample(builtIvf(m),
           c.filter(col("vec_id") >= 5), "vec_id", cap = 8).count()
       }),
+      Op("ivf_assign_flat", m => {
+        // the FLAT broadcast-packed assignment against the prebuilt
+        // centroids: per-row cost ∝ nCells ~ √n → Θ(n^1.5) total. This is
+        // the baseline the two-level form exists to beat.
+        val c = embsOf(m)
+        Similarity.assignTo(c, builtIvf(m).centroids, "vec_id", "vec").count()
+      }),
+      Op("ivf_assign_hier", m => {
+        // TWO-LEVEL assignment against the same centroids: rank ~√nCells
+        // coarse cells, then only the fine cells inside the best 4 —
+        // Θ(n^1.25) total (includes the per-call coarse-tree build over
+        // the centroid-sized table; amortizable, honest to include).
+        val c = embsOf(m)
+        Similarity.assignToHier(c, builtIvf(m).centroids, "vec_id", "vec",
+          nProbeCoarse = 4).count()
+      }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
         // align → block-local normalize → ffill → session filter →

@@ -157,6 +157,61 @@ object Similarity {
     assignTo(corpus, ivfCentroids(corpus, idCol, vecCol, nCells),
       idCol, vecCol)
 
+  /** TWO-LEVEL (hierarchical) assignment — the scale path past the flat
+    * [[assignTo]]: with nCells ~ √n, the flat broadcast pick ranks every
+    * centroid per corpus row (O(√n) cosines/row → Θ(n^1.5) total, the
+    * same wall the single-level IVF's in-cell pairing hits). Here the
+    * fine centroids are themselves k-means'd into ~√nCells COARSE cells
+    * (one extra distributed pass over a CENTROID-sized table — trivial),
+    * the broadcast packs fine centroids grouped under their coarse cell,
+    * and each corpus row ranks nCoarse coarse centroids then only the
+    * fine centroids inside its `nProbeCoarse` best coarse cells:
+    * O(n^0.25 · (1 + nProbeCoarse)) cosines/row, Θ(n^1.25) total.
+    *
+    * Semantics: with `nProbeCoarse` ≥ nCoarse this is EXACTLY [[assignTo]]
+    * (identical sort key (−cos, cell), NULL→−2.0 handling, tie order —
+    * Ivf2Spec asserts bit-equality); pruning trades assignment recall the
+    * standard coarse-quantizer way (a row near a coarse boundary can miss
+    * its true nearest fine cell — measured agreement on the fixture in
+    * Ivf2Spec, wall-clock crossover in SCALING.md). Still ZERO corpus-row
+    * exchanges: the tree rides one 1-row broadcast. */
+  private[graft] def assignToHier(corpus: DataFrame, centroids: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  nAssign: Int = 1,
+                                  nProbeCoarse: Int = 4): DataFrame = {
+    val nFine = centroids.count()
+    val nCoarse = math.max(2, math.round(math.sqrt(nFine.toDouble)).toInt)
+    val fineAsCorpus = centroids
+      .select(col("ivf_cell").as("fid"), col("c_vec").as("fvec"))
+    val coarse = ivfCentroids(fineAsCorpus, "fid", "fvec", nCoarse,
+      refineIters = 1)
+    val tagged = assignTo(fineAsCorpus, coarse, "fid", "fvec")
+    // pack the whole 2-level tree into ONE row: coarse cell + its vector
+    // + its fine (cell, vec) children — broadcast-nested-loop like the
+    // flat pack; ~√n coarse entries of ~√(nCells) children each
+    val packed = tagged
+      .groupBy(col("ivf_cell").as("cc"))
+      .agg(collect_list(struct(col("fid"), col("fvec"))).as("fines"))
+      .join(coarse.select(col("ivf_cell").as("cc"), col("c_vec").as("cvec")), "cc")
+      .agg(collect_list(struct(col("cc"), col("cvec"), col("fines"))).as("__tree"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("__cands", flatten(transform(
+        slice(array_sort(transform(col("__tree"), t =>
+          struct((-coalesce(cosine(col(vecCol), t.getField("cvec")), lit(-2.0)))
+              .as("nsim"),
+            t.getField("cc").as("cc"), t.getField("fines").as("fines")))),
+          1, nProbeCoarse),
+        p => p.getField("fines"))))
+      .withColumn("__picks",
+        slice(array_sort(transform(col("__cands"), c =>
+          struct((-coalesce(cosine(col(vecCol), c.getField("fvec")), lit(-2.0)))
+              .as("nsim"),
+            c.getField("fid").as("cell")))), 1, nAssign))
+      .select(corpus.columns.map(col) :+ explode(col("__picks")).as("__p"): _*)
+      .withColumn("ivf_cell", col("__p.cell"))
+      .drop("__p", "__cands")
+  }
+
   /** A built IVF index: refined centroids + cell-replicated postings,
     * both plain DataFrames. Build once, probe many — at scale the real
     * index lifecycle is `buildIvfIndex` → write both frames as (bucketed)
