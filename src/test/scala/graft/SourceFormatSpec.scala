@@ -74,6 +74,30 @@ class SourceFormatSpec extends AnyFunSuite {
       || plan.contains("EqualTo(user_id,7)"), s"no ORC pushdown in:\n$plan")
   }
 
+  test("parquet schema evolution: mergeSchema unions batches, old rows backfill null") {
+    // the 100 TB reality: a landed table grows a column mid-history; the
+    // scan must union the schemas and backfill, not fail or drop data
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", round(lit(0.5) + col("n_chars") / 1000.0, 6))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("doc_id", "lang", "n_chars", "quality", "batch"))
+    assert(merged.count() == docs.count(), "no rows lost across schemas")
+    // old rows backfill null; new rows keep their values
+    assert(merged.filter(col("batch") === 0 && col("quality").isNotNull).count() == 0)
+    assert(merged.filter(col("batch") === 1 && col("quality").isNull).count() == 0)
+    // and filters on the NEW column still push down to the merged scan
+    val p = merged.filter(col("quality") > 0.6).queryExecution
+      .executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(quality"),
+      s"no pushdown on evolved column:\n$p")
+  }
+
   test("filters still push down to non-parquet scans") {
     val ev = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("events_csv").toString
