@@ -347,6 +347,59 @@ object VectorQ {
           nCells = 16, threshold = 0.3)
         .select("vec_id", "label")
         .orderBy("vec_id")),
+
+    // V15 — hierarchical (two-level) centroid assignment made driver-
+    // visible: the flat broadcast pick ranks every centroid per row
+    // (Θ(n^1.5) with nCells ~ √n); assignToHier ranks ~n^0.25 coarse
+    // cells then only the probed cells' fine centroids (Θ(n^1.25);
+    // measured crossover at m=64 in SCALING.md). Output: per-mode
+    // agreement with the flat assignment — unpruned MUST be 1.0
+    // (bit-equal pick, Ivf2Spec), pruned trades agreement the standard
+    // coarse-quantizer way. Centroid-specific → rows-only.
+    "v15_hier_assign" -> ((s, d) => {
+      val base = corpus(s, d).filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("vec"))
+      val cents = prebuiltIvf(s, d).centroids
+      val flat = Similarity.assignTo(base, cents, "vec_id", "vec")
+        .select(col("vec_id"), col("ivf_cell").as("flat_cell"))
+      def agreement(nProbeCoarse: Int, mode: String): DataFrame =
+        Similarity.assignToHier(base, cents, "vec_id", "vec",
+            nProbeCoarse = nProbeCoarse)
+          .select(col("vec_id"), col("ivf_cell").as("hier_cell"))
+          .join(flat, "vec_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("hier_cell") === col("flat_cell"), 1L)
+              .otherwise(0L)).as("n_agree"))
+          .select(lit(mode).as("mode"), col("n_vecs"), col("n_agree"),
+            round(col("n_agree") / col("n_vecs"), 6).as("agree_rate"))
+      agreement(2, "pruned_2of4").union(agreement(4, "unpruned"))
+        .orderBy("mode")
+    }),
+
+    // V16 — binary (1-bit sign) quantization + Hamming-rescore funnel:
+    // the 32× compression rung under int8 (v8) and PQ (v11). Shortlist
+    // by popcount(xor) over the packed sign bits (8 bytes/vector
+    // scanned, integer ops only), exact-cosine re-rank the shortlist,
+    // report recall@10 vs the exact top-k. Sign-bit/tie specifics →
+    // rows-only; BinaryQuantSpec pins pack width, Hamming symmetry and
+    // the recall floor.
+    "v16_binary_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val qs = c.filter(col("vec_id") < 5)
+      val base = c.filter(col("vec_id") >= 5)
+      val approx = Similarity.binaryTopK(qs, base, "vec_id", "vec_id",
+          "vec", k = 10, shortlist = 50)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val exact = Similarity.bruteForceTopK(qs, base, "vec_id", "vec_id",
+          "vec", k = 10)
+        .select("q_id", "c_id")
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+            .as("recall_at_k"))
+        .orderBy("q_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
