@@ -667,9 +667,36 @@ object TextQ {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+
+    // X36 — INCREMENTAL exact dedup (the daily-crawl increment): docs
+    // with doc_id % 4 == 0 arrive as the new batch against the rest as
+    // the already-deduped corpus; survivors are the batch's first-seen
+    // digests absent from the corpus digest index. Only digests shuffle
+    // — increment N+1 never rescans increment N's bodies
+    // ([[graft.ext.Dedup.incrementalDedup]]; IncrementalDedupSpec pins
+    // planted-dup drops and run-to-run idempotence).
+    "x36_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("digest"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "x36_incremental_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS digest
+                         FROM documents WHERE doc_id % 4 <> 0),
+         b AS (SELECT doc_id, lang, md5(text) AS digest,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rk
+               FROM documents WHERE doc_id % 4 = 0)
+         SELECT doc_id, lang, digest FROM b
+         WHERE rk = 1 AND digest NOT IN (SELECT digest FROM corpus)
+         ORDER BY doc_id""",
     "x11_dup_clusters" ->
       """WITH g AS (SELECT lang, source FROM documents
                     GROUP BY lang, source HAVING count(*) > 1)
