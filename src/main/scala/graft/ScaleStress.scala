@@ -94,7 +94,7 @@ object ScaleStress {
       idx.copy(postings = p)
     })
 
-    val ops = Seq(
+    val ops: Seq[Op] = Seq(
       Op("x1_exact_dedup", m =>
         Dedup.exactGroups(docsOf(m), "doc_id", "text").count()),
       Op("x7_minhash_lsh", m => {
@@ -294,6 +294,26 @@ object ScaleStress {
         Similarity.clusterBalancedSample(builtIvf(m),
           c.filter(col("vec_id") >= 5), "vec_id", cap = 8).count()
       }),
+      Op("x36_incremental", m => {
+        // incremental exact dedup at m×: batch = doc_id % 4 == 0 per
+        // copy, corpus = the rest. Copy prefixes make digests distinct
+        // across copies, so survivor structure stays linear in m; the
+        // op is two digest-keyed shuffles (window + left_anti) → expect
+        // ~linear wall.
+        val d = docsOf(m)
+        Dedup.incrementalDedup(d.filter(col("doc_id") % 4 =!= 0),
+          d.filter(col("doc_id") % 4 === 0), "doc_id", "text").count()
+      }),
+      Op("v16_binary_5q", m => {
+        // binary-rescore funnel, same 5-query shape as v2_brute_topk_5q:
+        // the Hamming scan is O(n·q) like brute force (expect exponent
+        // ~1.0) but integer-popcount-per-row; the float re-rank touches
+        // only the 50-candidate shortlist per query at ANY corpus size.
+        val c = embsOf(m)
+        Similarity.binaryTopK(c.filter(col("vec_id") < 5),
+          c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
+          k = 10, shortlist = 50).count()
+      }),
       Op("ivf_assign_flat", m => {
         // the FLAT broadcast-packed assignment against the prebuilt
         // centroids: per-row cost ∝ nCells ~ √n → Θ(n^1.5) total. This is
@@ -324,12 +344,19 @@ object ScaleStress {
       }),
     )
 
+    // optional op filter for ad-hoc runs of a subset:
+    //   SPARK_GRAFT_OPS=x36_incremental,v16_binary_5q sbt "runMain ..."
+    val ops0 = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(keep => ops.filter(o => keep(o.name)))
+      .getOrElse(ops)
+
     // warmup: run every op once at the smallest multiplier so codegen/JIT
     // cost doesn't land in the first timed cell
-    ops.foreach(_.run(mults.min))
+    ops0.foreach(_.run(mults.min))
 
     println(f"${"op"}%-18s ${mults.map(m => f"m=$m%-3d sec (rows)").mkString("  ")}")
-    val results = ops.map { op =>
+    val results = ops0.map { op =>
       val runs = mults.map { m =>
         val (sec, n) = time(op.run(m))
         (m, sec, n)
