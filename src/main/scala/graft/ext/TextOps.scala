@@ -164,6 +164,63 @@ object TextOps {
                      weight: Column): org.apache.spark.sql.DataFrame =
     df.filter(md5Uniform(col(idCol)) < weight)
 
+  /** Deterministic TRAINING-SHARD assignment — the loader-facing "global
+    * shuffle" of a curated corpus: `shard` = ⌊md5U(id)·nShards⌋ spreads
+    * documents pseudo-randomly but REPRODUCIBLY (re-runs, backfills and
+    * the DuckDB oracle agree bit-for-bit), and `pos` is a second
+    * independent md5 draw (id salted with "#pos") giving the within-shard
+    * training order — so consecutive ids never ride the same shard in
+    * their insertion order (the autocorrelation a loader must not see).
+    *
+    * Scale shape: both columns are scan-side codegen'd expressions —
+    * ZERO shuffles until the physical write, which is
+    * `repartition(nShards, shard) + sortWithinPartitions(pos)`
+    * ([[writeShards]]): one shuffle, per-shard local sorts, no global
+    * sort at any corpus size. */
+  def trainingShards(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shard",
+        floor(md5Uniform(col(idCol)) * nShards).cast("int"))
+      .withColumn("pos",
+        md5Uniform(concat(col(idCol).cast("string"), lit("#pos"))))
+  }
+
+  /** Materialize [[trainingShards]] as a sharded parquet layout
+    * (`shard=K/` directories, rows pre-sorted in training order): the
+    * artifact a data loader streams sequentially. One shuffle total. */
+  def writeShards(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  nShards: Int, path: String): Unit =
+    trainingShards(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Per-stratum EPOCH upsampling — the data-mixing move for scarce
+    * high-value sources (repeat small strata up to `maxEpochs` times
+    * rather than drowning them in the head stratum): epochs_s =
+    * clamp(round(n_max / n_s), 1, maxEpochs), each row emitted once per
+    * epoch with its epoch index (the loader de-correlates repeats via
+    * [[trainingShards]]' salted order downstream).
+    *
+    * Scale shape: the epoch table is one tiny aggregate broadcast back
+    * onto the scan (the [[temperatureMixSample]] lifecycle); the explode
+    * multiplies rows by a bounded factor ≤ maxEpochs — output size is
+    * explicit and capped, never quadratic. */
+  def epochUpsample(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                    maxEpochs: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
+    val nMax = counts.agg(max("n_s").as("n_max"))
+    val epochs = counts.crossJoin(broadcast(nMax))
+      .select(col(strataCol),
+        least(lit(maxEpochs.toLong),
+          greatest(lit(1L), round(col("n_max") / col("n_s")).cast("long")))
+          .as("epochs"))
+    df.join(broadcast(epochs), strataCol)
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+  }
+
   /** Temperature-scaled mixture sampling — the multilingual/domain
     * re-weighting step (the (n_s/N)^τ scheme): per-stratum keep rates are
     * computed FROM the corpus counts, rate_s = min(1, M·n_s^τ / Σ_t n_t^τ

@@ -684,9 +684,54 @@ object TextQ {
         .select(col("doc_id"), col("lang"), col("digest"))
         .orderBy("doc_id")
     }),
+
+    // X37 — training-shard manifests: the deterministic "global shuffle"
+    // a data loader consumes ([[TextOps.trainingShards]] — md5-derived
+    // shard + salted within-shard order, both scan-side; the physical
+    // write is writeShards' repartition+sortWithinPartitions). Manifest
+    // = per-shard docs / tokens / languages. Oracle-exact (md5 parity,
+    // the x16 pattern).
+    "x37_training_shards" -> ((s, d) =>
+      TextOps.trainingShards(Tables.documents(s, d), "doc_id", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("shard")),
+
+    // X38 — per-language epoch upsampling ([[TextOps.epochUpsample]]):
+    // the data-mixing move for scarce high-value strata — repeat stratum
+    // s clamp(round(n_max/n_s), 1, 4) times, one row per (doc, epoch).
+    // lang is the stratum (en dominates the fixture ~44%, so tail
+    // languages genuinely repeat). Bounded blow-up (≤ maxEpochs×),
+    // broadcast epoch table, oracle-exact.
+    "x38_epoch_upsample" -> ((s, d) =>
+      TextOps.epochUpsample(Tables.documents(s, d), "lang", maxEpochs = 4)
+        .select(col("doc_id"), col("lang"), col("epochs"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
   )
 
   val oracles: Map[String, String] = Map(
+    "x37_training_shards" ->
+      """WITH t AS (SELECT doc_id, lang,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+           CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                           AS INTEGER) / 16777216.0 * 8) AS INTEGER) AS shard
+         FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs
+         FROM t GROUP BY shard ORDER BY shard""",
+    "x38_epoch_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+         m AS (SELECT max(n_s) AS n_max FROM c),
+         e AS (SELECT lang,
+                 least(4, greatest(1, CAST(round(n_max / n_s) AS BIGINT))) AS epochs
+               FROM c, m)
+         SELECT doc_id, lang, epochs,
+           unnest(generate_series(1, epochs)) AS epoch
+         FROM documents JOIN e USING (lang)
+         ORDER BY doc_id, epoch""",
     "x36_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS digest
                          FROM documents WHERE doc_id % 4 <> 0),

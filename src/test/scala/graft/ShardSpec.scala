@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+
+/** Training-shard assignment / sharded write (TextOps.trainingShards,
+  * writeShards; query x37_training_shards) and per-source epoch
+  * upsampling (TextOps.epochUpsample; query x38_epoch_upsample). */
+class ShardSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-shard").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  test("trainingShards: bounded, deterministic, every shard populated") {
+    val sh = TextOps.trainingShards(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+    assert(sh.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    assert(sh.filter(col("pos") < 0 || col("pos") >= 1).count() == 0)
+    // deterministic: recompute and compare row-for-row
+    val again = TextOps.trainingShards(docs, "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard").as("s2"), col("pos").as("p2"))
+    assert(sh.join(again, "doc_id")
+      .filter(col("shard") =!= col("s2") || col("pos") =!= col("p2"))
+      .count() == 0)
+    // 500 docs over 8 shards: all shards hit, none grossly skewed
+    val sizes = sh.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.min > 20, s"skewed shards: $sizes")
+  }
+
+  test("within-shard order is decorrelated from insertion order") {
+    // pos must not be monotone in doc_id inside a shard (else the loader
+    // replays insertion order); count inversions in shard 0
+    val rows = TextOps.trainingShards(docs, "doc_id", nShards = 8)
+      .filter(col("shard") === 0)
+      .orderBy("doc_id").select("pos").collect().map(_.getDouble(0))
+    val inversions = rows.sliding(2).count {
+      case Array(a, b) => a > b
+      case _           => false
+    }
+    assert(inversions > rows.length / 5, // random order ⇒ ~half inverted
+      s"pos looks correlated with doc_id: $inversions/${rows.length}")
+  }
+
+  test("writeShards lands shard=K dirs, training-sorted, lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    TextOps.writeShards(docs.select("doc_id", "lang", "text"), "doc_id",
+      nShards = 8, path = dir)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs == (0 until 8).map(k => s"shard=$k").toSet)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // per-shard files hold rows in training order (pos ascending);
+    // verify via the recomputed pos against file row order in shard 0
+    val expected = TextOps.trainingShards(
+        docs.select("doc_id", "lang", "text"), "doc_id", 8)
+      .filter(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val stored = spark.read.parquet(s"$dir/shard=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(stored == expected, "shard 0 not stored in training order")
+  }
+
+  test("epochUpsample: clamped multiplicity, conservation, epoch indexing") {
+    val up = TextOps.epochUpsample(docs, "lang", maxEpochs = 4)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMax = counts.values.max
+    val expectedEpochs = counts.map { case (s, n) =>
+      s -> math.min(4L, math.max(1L, math.round(nMax.toDouble / n)))
+    }
+    // the fixture's lang skew must make this non-trivial (some stratum
+    // actually repeats) — otherwise the test exercises nothing
+    assert(expectedEpochs.values.exists(_ > 1L), s"balanced fixture: $counts")
+    // every row's epochs matches the formula; epoch runs 1..epochs
+    val bySource = up.groupBy("lang", "epochs")
+      .agg(countDistinct("epoch").as("n_e"), max("epoch").as("max_e"),
+        min("epoch").as("min_e"))
+      .collect()
+    bySource.foreach { r =>
+      val (src, epochs) = (r.getString(0), r.getLong(1))
+      assert(epochs == expectedEpochs(src), s"epochs mismatch for $src")
+      assert(r.getLong(2) == epochs && r.getLong(4) == 1L &&
+        r.getLong(3) == epochs)
+    }
+    // conservation: distinct docs unchanged; total rows = Σ n_s · epochs
+    assert(up.select("doc_id").distinct().count() == docs.count())
+    val expectedTotal = counts.map { case (s, n) => n * expectedEpochs(s) }.sum
+    assert(up.count() == expectedTotal)
+  }
+}
