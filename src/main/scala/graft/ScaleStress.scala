@@ -330,6 +330,49 @@ object ScaleStress {
         Similarity.assignToHier(c, builtIvf(m).centroids, "vec_id", "vec",
           nProbeCoarse = 4).count()
       }),
+      Op("x37_train_shards", m => {
+        // shard + pos are scan-side md5 columns; the manifest groupBy
+        // shuffles (shard, partial-agg) rows only. The pos filter keeps
+        // column pruning from skipping the second md5 draw.
+        TextOps.trainingShards(docsOf(m), "doc_id", nShards = 64)
+          .filter(col("pos") >= 0)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("n_toks"))
+          .count()
+      }),
+      Op("x39_perplexity", m => {
+        // train (one token-count groupBy over the m× corpus) + score
+        // (shuffle-free broadcast-model scan): both legs linear. The
+        // ppl filter forces the HOF fold past count()'s pruning.
+        val d = docsOf(m)
+        TextOps.perplexity(d, "doc_id", "text",
+            TextOps.unigramLm(d, "text", vocabSize = 24))
+          .filter(col("ppl") > 0).count()
+      }),
+      Op("x40_chunking", m =>
+        // pure scan-side posexplode; length() forces the chunk text
+        // (count alone would prune the array_join)
+        TextOps.chunkSliding(docsOf(m), "doc_id", "text", w = 12, s = 8)
+          .filter(length(col("chunk")) >= 0).count()),
+      Op("x41_boilerplate", m =>
+        // doc-frequency boilerplate removal at m×. The copies SHARE
+        // segments (the 1-token copy prefix shifts only the first
+        // window), so per-segment df grows with m — the realistic
+        // direction: boilerplate is boilerplate because it repeats.
+        // Cost stays linear (explode + df groupBy + broadcast anti +
+        // reassembly; no doc pairing anywhere); output = every doc,
+        // exactly linear by construction.
+        Dedup.boilerplateRemove(docsOf(m), "doc_id", "text",
+          segTokens = 10, minDf = 2).count()),
+      Op("x42_source_cap", m =>
+        // per-(copy, source) quota: keys grow m× (the realistic
+        // direction — more domains, same cap), rows per key constant;
+        // one keyed shuffle + rank window, output = m × 20 × cap.
+        TextOps.capPerKey(docsOf(m)
+            .withColumn("src_key",
+              concat(col("source"), lit("#"), col("copy"))),
+          "src_key", "doc_id", n = 10).count()),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
         // align → block-local normalize → ffill → session filter →

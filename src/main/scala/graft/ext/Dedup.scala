@@ -281,6 +281,52 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** BOILERPLATE removal by document frequency — the CCNet/RefinedWeb
+    * complement to [[segmentDedup]]: instead of keeping each segment's
+    * first occurrence, segments that appear in ≥ `minDf` DISTINCT
+    * documents are boilerplate (nav bars, cookie banners, license
+    * blocks) and are removed from EVERY document, including the first.
+    * Singleton content is untouched; every input doc survives (possibly
+    * with empty text), so downstream row accounting is stable.
+    *
+    * Scale shape: one segment explode + one distinct-doc-count groupBy
+    * (shuffles (segment, id) pairs — bodies never shuffle whole), then
+    * the boilerplate SET — heavy hitters only, small by construction —
+    * broadcasts into a left-anti prune at the scan, and one groupBy on
+    * doc id reassembles. If a pathological corpus made the df ≥ minDf
+    * set huge, drop the `broadcast` hint and the same plan runs as a
+    * shuffle anti-join. Output: (idCol, text_clean, n_kept, n_removed). */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int, minDf: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    require(minDf >= 2, s"minDf < 2 would remove everything, got $minDf")
+    val toks = col("toks")
+    val nSegs = (floor((size(toks) - 1) / segTokens) + 1).cast("long")
+    val segs = transform(
+      sequence(lit(0), floor((size(toks) - 1) / segTokens).cast("int")),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val exploded = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+    val bp = exploded.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("seg")
+    val kept = exploded.join(broadcast(bp), Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          p => p.getField("seg")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    docs.withColumn("toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol), nSegs.as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ---- Bloom filter: broadcast seen-set membership without a shuffle ----
 
   /** 2^i masks as a literal lookup array — the Scala `shiftleft`/

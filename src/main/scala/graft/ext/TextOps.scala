@@ -221,6 +221,108 @@ object TextOps {
       .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
   }
 
+  /** Train an add-one-smoothed UNIGRAM language model over the corpus —
+    * the CCNet/Wikipedia-LM idea (perplexity under an in-domain LM as a
+    * quality signal), shrunk to the n-gram order that stays exact and
+    * oracle-able. Returns a ONE-ROW model: `vmap` = token → ln P(token)
+    * over the top-`vocabSize` tokens (ties broken by token — fully
+    * deterministic), `oov_lp` = ln P(unseen) = −ln(N + |V| + 1) with
+    * P(tok) = (c + 1)/(N + |V| + 1).
+    *
+    * Scale shape: training is ONE token-count groupBy (shuffles (token,
+    * count) pairs, never documents) + a top-V TakeOrdered; the model
+    * collapses to a single row — the collapse-and-broadcast lifecycle of
+    * the IVF centroid pack. A 100 TB corpus trains in one pass and the
+    * model is a few hundred KB. */
+  def unigramLm(df: org.apache.spark.sql.DataFrame, textCol: String,
+                vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val counts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").cast("double").as("n"))
+    val vocab = counts.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+    vocab
+      .agg(collect_list(struct(col("tok"), col("c"))).as("vc"),
+        count(lit(1)).cast("double").as("vsize"))
+      .crossJoin(broadcast(tot))
+      .select(
+        map_from_entries(transform(col("vc"), e =>
+          struct(e.getField("tok"),
+            log((e.getField("c") + lit(1)).cast("double")
+              / (col("n") + col("vsize") + 1))))).as("vmap"),
+        (-log(col("n") + col("vsize") + 1)).as("oov_lp"))
+  }
+
+  /** Score every document's cross-entropy / perplexity under a
+    * [[unigramLm]] model — the CCNet quality-filter signal (low ppl =
+    * looks like the corpus; high ppl = noise/outlier).
+    *
+    * Scale shape: the SCORING pass is shuffle-free — the one-row model
+    * rides a broadcast, each doc folds its own token array with an
+    * `aggregate` HOF over `element_at(vmap, tok)` lookups; per-doc
+    * output is produced at the scan. Train once, score any number of
+    * corpora (the build-once/probe-many IVF lifecycle). */
+  def perplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String,
+                 model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nToks = size(col("toks"))
+    df.crossJoin(broadcast(model))
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("lp", aggregate(col("toks"), lit(0.0d), (acc, t) =>
+        acc + coalesce(element_at(col("vmap"), t), col("oov_lp"))))
+      .select(col(idCol), nToks.as("n_toks"),
+        round(-col("lp") / nToks, 6).as("cross_entropy"),
+        round(exp(-col("lp") / nToks), 6).as("ppl"))
+  }
+
+  /** Sliding-window token CHUNKING — the embedding-pipeline splitter
+    * (RAG / retrieval indexing): windows of `w` tokens every `s` tokens
+    * (overlap w−s), last window truncated, every token covered, no
+    * redundant all-inside-previous tail window:
+    * nChunks = max(1, ⌈(n−w)/s⌉ + 1).
+    *
+    * Scale shape: pure scan-side transform+posexplode — ZERO shuffles;
+    * output size is explicit (≈ n/s windows per doc). Chunk ids are
+    * per-doc ordinals, so downstream embedding jobs can repartition by
+    * (doc, chunk) range without a global sort. */
+  def chunkSliding(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, w: Int, s: Int): org.apache.spark.sql.DataFrame = {
+    require(w > 0 && s > 0 && s <= w,
+      s"need 0 < stride <= window, got w=$w s=$s")
+    val toks = col("toks")
+    val nChunks = greatest(lit(1),
+      (ceil((size(toks) - w).cast("double") / s) + 1).cast("int"))
+    df.withColumn("toks", tokens(col(textCol)))
+      .select(col(idCol), size(toks).as("n_doc_toks"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * s + 1, lit(w)), " ")))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * s).as("chunk_start"),
+        least(lit(w), col("n_doc_toks") - col("chunk_id") * s)
+          .as("n_chunk_toks"),
+        col("chunk"))
+  }
+
+  /** Deterministic per-key CAP — the per-domain/per-source quota move
+    * (a handful of mega-domains must not dominate the corpus): keep at
+    * most `n` rows per key, picked in [[md5Uniform]] order (a reproducible
+    * uniform sample of each key's rows, not head-of-file order).
+    *
+    * Scale shape: ONE shuffle keyed by `keyCol` + a rank window inside
+    * each key — no global sort; skew-safe because the window only
+    * needs each key's rows sorted, and AQE splits oversized keys'
+    * sort spills. */
+  def capPerKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    df.withColumn("u", md5Uniform(col(idCol)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col("u"), col(idCol))))
+      .filter(col("rk") <= n)
+      .drop("u")
+  }
+
   /** Temperature-scaled mixture sampling — the multilingual/domain
     * re-weighting step (the (n_s/N)^τ scheme): per-stratum keep rates are
     * computed FROM the corpus counts, rate_s = min(1, M·n_s^τ / Σ_t n_t^τ

@@ -709,9 +709,111 @@ object TextQ {
       TextOps.epochUpsample(Tables.documents(s, d), "lang", maxEpochs = 4)
         .select(col("doc_id"), col("lang"), col("epochs"), col("epoch"))
         .orderBy("doc_id", "epoch")),
+
+    // X39 — LM-perplexity quality scoring (the CCNet signal shrunk to
+    // the exactly-oracle-able unigram order): train an add-one-smoothed
+    // top-24 LM over the corpus (one token-count groupBy; the fixture
+    // has 31 distinct tokens, so 7 genuinely score through the OOV
+    // path), then score every doc SHUFFLE-FREE — the one-row model
+    // broadcasts and each doc folds its token array with an `aggregate`
+    // HOF. Oracle-exact at 6 dp.
+    "x39_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.perplexity(docs, "doc_id", "text",
+          TextOps.unigramLm(docs, "text", vocabSize = 24))
+        .orderBy("doc_id")
+    }),
+
+    // X40 — sliding-window token chunking (the RAG/embedding splitter):
+    // w=12 tokens every s=8 (overlap 4), nChunks = max(1, ⌈(n−w)/s⌉+1)
+    // — every token covered, no redundant tail window. Pure scan-side
+    // posexplode, zero shuffles. Oracle-exact.
+    "x40_chunk_sliding" -> ((s, d) =>
+      TextOps.chunkSliding(Tables.documents(s, d), "doc_id", "text",
+          w = 12, s = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // X41 — boilerplate removal by DOCUMENT FREQUENCY
+    // ([[Dedup.boilerplateRemove]]): 10-token segments appearing in ≥ 2
+    // distinct docs (135 of 2854 on the fixture) are cut from EVERY doc
+    // — the complement of x28's keep-first. Broadcast heavy-hitter set,
+    // one reassembly groupBy. Oracle-exact.
+    "x41_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateRemove(Tables.documents(s, d), "doc_id", "text",
+          segTokens = 10, minDf = 2)
+        .orderBy("doc_id")),
+
+    // X42 — per-source quota cap ([[TextOps.capPerKey]]): at most 10
+    // docs per source, picked in deterministic md5-uniform order (a
+    // reproducible uniform sample per source, not head-of-file). One
+    // keyed shuffle + rank window. Oracle-exact (md5 parity).
+    "x42_source_cap" -> ((s, d) =>
+      TextOps.capPerKey(Tables.documents(s, d), "source", "doc_id", n = 10)
+        .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
+    "x39_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                       FROM documents),
+         c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+         v AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT 24),
+         vn AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM v),
+         s AS (SELECT t.doc_id,
+                 CASE WHEN v.tok IS NULL THEN -ln(tot.n + vn.vsize + 1)
+                      ELSE ln((v.c + 1) / (tot.n + vn.vsize + 1)) END AS lp
+               FROM toks t LEFT JOIN v ON t.tok = v.tok
+               CROSS JOIN tot CROSS JOIN vn)
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_toks,
+           round(-avg(lp), 6) AS cross_entropy,
+           round(exp(-avg(lp)), 6) AS ppl
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "x40_chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         b AS (SELECT doc_id, toks, len(toks) AS n,
+                 greatest(1, CAST(ceil((len(toks) - 12) / 8.0) AS BIGINT) + 1) AS nc
+               FROM t),
+         ch AS (SELECT doc_id, n,
+                 unnest(range(0, nc)) AS chunk_id,
+                 unnest([array_to_string(toks[(i*8+1):(i*8+12)], ' ')
+                         FOR i IN range(0, nc)]) AS chunk
+                FROM b)
+         SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 8 AS INTEGER) AS chunk_start,
+           CAST(least(12, n - chunk_id * 8) AS INTEGER) AS n_chunk_toks,
+           chunk
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "x41_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         seg AS (SELECT doc_id,
+                  unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos,
+                  unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                          FOR i IN range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))]) AS seg
+                 FROM t),
+         bp AS (SELECT seg FROM seg GROUP BY seg
+                HAVING count(DISTINCT doc_id) >= 2),
+         k AS (SELECT doc_id, pos, seg FROM seg
+               WHERE seg NOT IN (SELECT seg FROM bp)),
+         agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+                  count(*) AS n_kept FROM k GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(ceil(len(toks)/10.0) AS BIGINT) AS n_segs
+                 FROM t)
+         SELECT tot.doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           tot.n_segs - COALESCE(agg.n_kept, 0) AS n_removed
+         FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""",
+    "x42_source_cap" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                              AS INTEGER) / 16777216.0, doc_id) AS INTEGER) AS rk
+               FROM documents)
+         SELECT doc_id, lang, source, rk FROM r WHERE rk <= 10
+         ORDER BY doc_id""",
     "x37_training_shards" ->
       """WITH t AS (SELECT doc_id, lang,
            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,

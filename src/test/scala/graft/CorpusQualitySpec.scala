@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, TextOps}
+
+/** Corpus-quality operators added in round 4: unigram-LM perplexity
+  * scoring (TextOps.unigramLm/perplexity; x39), sliding-window chunking
+  * (TextOps.chunkSliding; x40), doc-frequency boilerplate removal
+  * (Dedup.boilerplateRemove; x41) and the per-key quota cap
+  * (TextOps.capPerKey; x42). */
+class CorpusQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-corpusquality").getOrCreate()
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  // ---- unigram LM / perplexity ----
+
+  test("unigramLm: exact add-one probabilities and OOV mass on a hand corpus") {
+    // corpus: a a a b | b c a  →  a:4 b:2 c:1, N=7; vocab top-2 = {a, b}
+    val df = Seq((1L, "a a a b"), (2L, "b c a")).toDF("id", "text")
+    val m = TextOps.unigramLm(df, "text", vocabSize = 2).collect()(0)
+    val vmap = m.getMap[String, Double](0)
+    val denom = 7.0 + 2 + 1 // N + V + 1
+    assert(math.abs(vmap("a") - math.log(5 / denom)) < 1e-12) // c=4
+    assert(math.abs(vmap("b") - math.log(3 / denom)) < 1e-12) // c=2
+    assert(!vmap.contains("c"), "c must fall out of the top-2 vocab")
+    assert(math.abs(m.getDouble(1) - math.log(1 / denom)) < 1e-12, "oov_lp")
+  }
+
+  test("unigramLm: vocab tie-break is deterministic (count desc, token asc)") {
+    // b and c tie at 2; top-2 after a(3) is b (token order)
+    val df = Seq((1L, "a a a b b c c")).toDF("id", "text")
+    val vmap = TextOps.unigramLm(df, "text", vocabSize = 2)
+      .collect()(0).getMap[String, Double](0)
+    assert(vmap.keySet == Set("a", "b"))
+  }
+
+  test("perplexity: in-distribution docs score below OOV-heavy docs") {
+    val m = TextOps.unigramLm(docs, "text", vocabSize = 24)
+    val scored = TextOps.perplexity(docs, "doc_id", "text", m)
+    assert(scored.count() == docs.count())
+    // a doc made of the single most frequent token must beat (lower ppl)
+    // a doc of pure OOV garbage — score synthetic probes through the
+    // same corpus-trained model
+    val top = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(1).collect()(0).getString(0)
+    val probes = Seq((1L, Seq.fill(8)(top).mkString(" ")),
+      (2L, "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7 zzq8")).toDF("doc_id", "text")
+    val p = TextOps.perplexity(probes, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p(1L) < p(2L), s"common-token ppl ${p(1L)} !< OOV ppl ${p(2L)}")
+    // OOV doc's cross-entropy IS -oov_lp exactly
+    val oovLp = m.collect()(0).getDouble(1)
+    val ce2 = TextOps.perplexity(probes.filter($"doc_id" === 2L),
+      "doc_id", "text", m).collect()(0).getDouble(2)
+    assert(math.abs(ce2 - (-oovLp)) < 1e-6)
+  }
+
+  test("perplexity scoring pass is shuffle-free once the model is built") {
+    val m = TextOps.unigramLm(docs, "text", vocabSize = 24)
+      .persist()
+    m.count() // materialize: the scoring plan below reads the cache
+    // the string form still prints the cached model's build lineage;
+    // walk the TREE instead — InMemoryTableScan is a leaf there, so any
+    // ShuffleExchange found belongs to the scoring pass itself
+    val shuffles = TextOps.perplexity(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(shuffles.isEmpty, s"scoring shuffles: $shuffles")
+    m.unpersist()
+  }
+
+  // ---- sliding-window chunking ----
+
+  test("chunkSliding: window arithmetic at the edges") {
+    def chunksOf(n: Int): Array[(Int, Int, Int)] = {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      TextOps.chunkSliding(Seq((1L, text)).toDF("id", "text"),
+          "id", "text", w = 12, s = 8)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    assert(chunksOf(5).toSeq == Seq((0, 0, 5)))     // n < w: one short chunk
+    assert(chunksOf(12).toSeq == Seq((0, 0, 12)))   // n = w: exactly one
+    assert(chunksOf(13).toSeq == Seq((0, 0, 12), (1, 8, 5))) // first overflow
+    val c20 = chunksOf(20).toSeq                    // covered by 2, not 3
+    assert(c20 == Seq((0, 0, 12), (1, 8, 12)), s"redundant tail: $c20")
+  }
+
+  test("chunkSliding: every token covered, chunk text matches slices") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val ch = TextOps.chunkSliding(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", w = 12, s = 8)
+      .orderBy("chunk_id").collect()
+    val toks = text.split(" ")
+    ch.foreach { r =>
+      val (start, nt, chunk) = (r.getInt(2), r.getInt(3), r.getString(4))
+      assert(chunk == toks.slice(start, start + 12).mkString(" "))
+      assert(nt == math.min(12, 30 - start))
+    }
+    // coverage: union of [start, start+w) spans all 30 positions
+    val covered = ch.flatMap(r => r.getInt(2) until (r.getInt(2) + 12)).toSet
+    assert((0 until 30).forall(covered))
+  }
+
+  test("chunkSliding on the fixture: zero-shuffle plan, conservation") {
+    val q = SparkEntry.queries("x40_chunk_sliding")(spark, sf)
+    // orderBy adds the final sort exchange; gate the unsorted op itself
+    val p = TextOps.chunkSliding(docs, "doc_id", "text", 12, 8)
+      .queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).isEmpty,
+      s"chunking shuffles:\n$p")
+    // distinct docs preserved
+    assert(q.select("doc_id").distinct().count() == docs.count())
+  }
+
+  // ---- boilerplate removal ----
+
+  test("boilerplateRemove: planted boilerplate cut everywhere, content kept") {
+    val bp = (1 to 10).map(i => s"b$i").mkString(" ") // one 10-token segment
+    def uniq(d: Int) = (1 to 10).map(i => s"u${d}_$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$bp ${uniq(1)}"), // boilerplate + unique
+      (2L, s"${uniq(2)} $bp"), // unique + boilerplate
+      (3L, bp),                // all boilerplate → survives empty
+      (4L, uniq(4))            // untouched
+    ).toDF("id", "text")
+    val out = Dedup.boilerplateRemove(df, "id", "text", segTokens = 10,
+        minDf = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, uniq(1), 1L, 1L)))
+    assert(out(1) == ((2L, uniq(2), 1L, 1L)))
+    assert(out(2) == ((3L, "", 0L, 1L)), "all-boilerplate doc must survive")
+    assert(out(3) == ((4L, uniq(4), 1L, 0L)))
+  }
+
+  test("boilerplateRemove: segment accounting conserved on the fixture") {
+    val out = Dedup.boilerplateRemove(docs, "doc_id", "text", 10, 2)
+    assert(out.count() == docs.count(), "every doc must survive")
+    // n_kept + n_removed = total segments of the doc
+    val bad = out.join(
+        docs.select(col("doc_id"),
+          (floor((size(TextOps.tokens(col("text"))) - 1) / 10) + 1)
+            .cast("long").as("n_segs")), "doc_id")
+      .filter(col("n_kept") + col("n_removed") =!= col("n_segs"))
+    assert(bad.count() == 0)
+    // removal must actually fire on the fixture (135 df>=2 segments)
+    assert(out.filter(col("n_removed") > 0).count() > 0)
+  }
+
+  // ---- per-key cap ----
+
+  test("capPerKey: cap respected, deterministic, rows are a subset") {
+    val capped = TextOps.capPerKey(docs, "source", "doc_id", n = 10)
+    val sizes = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 10) && sizes.forall(_ == 10),
+      "every fixture source has 25 docs; all must cap at exactly 10")
+    assert(capped.count() == 200) // 20 sources × 10
+    val again = TextOps.capPerKey(docs, "source", "doc_id", n = 10)
+      .select("doc_id")
+    assert(capped.select("doc_id").except(again).count() == 0)
+    // a capped pick is NOT the head of the file: doc_ids 0..9 of a
+    // source would be the naive head; md5 order must differ for at
+    // least one source
+    val heads = docs.withColumn("rk0", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id"))).filter(col("rk0") <= 10).select("doc_id")
+    assert(capped.select("doc_id").except(heads).count() > 0)
+  }
+}
