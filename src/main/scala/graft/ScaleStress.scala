@@ -362,9 +362,14 @@ object ScaleStress {
         // direction: boilerplate is boilerplate because it repeats.
         // Cost stays linear (explode + df groupBy + broadcast anti +
         // reassembly; no doc pairing anywhere); output = every doc,
-        // exactly linear by construction.
+        // exactly linear by construction. The filters reference BOTH
+        // join sides — a bare count() lets Catalyst eliminate the
+        // outer join entirely (right side is unique-keyed) and times
+        // nothing but the scan.
         Dedup.boilerplateRemove(docsOf(m), "doc_id", "text",
-          segTokens = 10, minDf = 2).count()),
+          segTokens = 10, minDf = 2)
+          .filter(length(col("text_clean")) >= 0 && col("n_kept") >= 0)
+          .count()),
       Op("x42_source_cap", m =>
         // per-(copy, source) quota: keys grow m× (the realistic
         // direction — more domains, same cap), rows per key constant;
