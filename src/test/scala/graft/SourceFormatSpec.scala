@@ -98,6 +98,45 @@ class SourceFormatSpec extends AnyFunSuite {
       s"no pushdown on evolved column:\n$p")
   }
 
+  test("dynamic partition overwrite: re-landing one day touches only that day") {
+    // the incremental-landing contract at 100 TB: a backfill of day K
+    // must replace ONLY dt=K — static overwrite mode would wipe the
+    // whole table; dynamic replaces exactly the partitions written
+    val dir = java.nio.file.Files.createTempDirectory("dynpart").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("dt", to_date(col("ts")))
+    ev.write.partitionBy("dt").mode("overwrite").parquet(dir)
+    val days = spark.read.parquet(dir).select("dt").distinct()
+      .orderBy("dt").collect().map(_.getDate(0))
+    assert(days.length >= 2, "fixture must span multiple days")
+    val (d0, d1) = (days(0), days(1))
+    val before = spark.read.parquet(dir)
+    val beforeD1 = before.filter(col("dt") === d1).count()
+    val beforeTotal = before.count()
+    val beforeD0 = before.filter(col("dt") === d0).count()
+    // re-land day 0 with amounts doubled, HALF the rows (a correction)
+    val fixed = ev.filter(col("dt") === d0 && col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fixed.write.partitionBy("dt").mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+    val afterD0 = after.filter(col("dt") === d0).count()
+    assert(afterD0 < beforeD0 && afterD0 == fixed.count(),
+      "day 0 must hold exactly the re-landed rows")
+    assert(after.filter(col("dt") === d1).count() == beforeD1,
+      "day 1 must be untouched")
+    assert(after.count() == beforeTotal - beforeD0 + afterD0)
+    // the corrected values actually landed
+    assert(after.filter(col("dt") === d0 && col("value") < 0).count() ==
+      ev.filter(col("dt") === d0 && col("event_id") % 2 === 0 &&
+        col("value") < 0).count())
+  }
+
   test("filters still push down to non-parquet scans") {
     val ev = Tables.events(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("events_csv").toString
