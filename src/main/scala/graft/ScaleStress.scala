@@ -370,6 +370,11 @@ object ScaleStress {
           segTokens = 10, minDf = 2)
           .filter(length(col("text_clean")) >= 0 && col("n_kept") >= 0)
           .count()),
+      Op("x43_intradoc", m =>
+        // zero-shuffle per-row fold; length() forces the fold result
+        // past count()'s column pruning
+        Dedup.intraDocDedup(docsOf(m), "doc_id", "text", segTokens = 10)
+          .filter(length(col("text_clean")) >= 0).count()),
       Op("x42_source_cap", m =>
         // per-(copy, source) quota: keys grow m× (the realistic
         // direction — more domains, same cap), rows per key constant;

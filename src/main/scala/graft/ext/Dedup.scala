@@ -281,6 +281,44 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** WITHIN-document repeated-segment removal — the crawl-artifact
+    * cleanup (pagination echoes, duplicated paragraphs from template
+    * rendering): inside each doc, keep only the FIRST occurrence of each
+    * distinct `segTokens`-token segment. Complements [[segmentDedup]]
+    * (cross-doc keep-first) and [[boilerplateRemove]] (cross-doc
+    * doc-frequency cut) — this one never looks across documents at all.
+    *
+    * Scale shape: ZERO shuffles — the whole op is one per-row
+    * `aggregate` HOF fold (append segment iff not already seen; the
+    * fold's accumulator IS the in-order first-occurrence list); a
+    * 100 TB corpus cleans itself in one scan. Per-doc cost is
+    * O(segments · distinct) with segments = tokens/segTokens — ~200
+    * for a 2048-token doc, trivial against the I/O. The fold form is
+    * deliberate: a `filter(segs, (s, i) => array_position(segs, s) ==
+    * i+1)` would reference `segs` INSIDE the lambda and re-evaluate
+    * the whole segment transform per element (the Catalyst HOF
+    * re-evaluation trap — NOTES.md); the fold references each derived
+    * column exactly once. Output: (idCol, text_clean, n_kept,
+    * n_removed) — every doc survives. */
+  def intraDocDedup(docs: DataFrame, idCol: String, textCol: String,
+                    segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val toks = col("toks")
+    val segs = transform(
+      sequence(lit(0), floor((size(toks) - 1) / segTokens).cast("int")),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    docs.withColumn("toks", TextOps.tokens(col(textCol)))
+      .withColumn("segs", segs)
+      .withColumn("kept", aggregate(col("segs"),
+        typedLit(Seq.empty[String]),
+        (acc, s) => when(array_contains(acc, s), acc)
+          .otherwise(concat(acc, array(s)))))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("text_clean"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** BOILERPLATE removal by document frequency — the CCNet/RefinedWeb
     * complement to [[segmentDedup]]: instead of keeping each segment's
     * first occurrence, segments that appear in ≥ `minDf` DISTINCT

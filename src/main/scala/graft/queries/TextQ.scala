@@ -751,9 +751,38 @@ object TextQ {
       TextOps.capPerKey(Tables.documents(s, d), "source", "doc_id", n = 10)
         .select(col("doc_id"), col("lang"), col("source"), col("rk"))
         .orderBy("doc_id")),
+
+    // X43 — WITHIN-doc repeated-segment removal
+    // ([[Dedup.intraDocDedup]]): crawl-artifact cleanup — inside each
+    // doc, keep each distinct 10-token segment's first occurrence.
+    // ZERO shuffles: one per-row `aggregate` fold (the filter+
+    // array_position form would hit the HOF re-evaluation trap).
+    // Oracle-exact.
+    "x43_intradoc_dedup" -> ((s, d) =>
+      Dedup.intraDocDedup(Tables.documents(s, d), "doc_id", "text",
+          segTokens = 10)
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
+    "x43_intradoc_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         seg AS (SELECT doc_id,
+                  unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos,
+                  unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+                          FOR i IN range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))]) AS seg
+                 FROM t),
+         k AS (SELECT doc_id, pos, seg,
+                row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+               FROM seg),
+         agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+                  count(*) AS n_kept FROM k WHERE rn = 1 GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(ceil(len(toks)/10.0) AS BIGINT) AS n_segs
+                 FROM t)
+         SELECT tot.doc_id, agg.text_clean, agg.n_kept,
+           tot.n_segs - agg.n_kept AS n_removed
+         FROM tot JOIN agg USING (doc_id) ORDER BY tot.doc_id""",
     "x39_lm_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
                        FROM documents),

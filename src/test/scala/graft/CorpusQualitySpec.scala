@@ -159,6 +159,39 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(out.filter(col("n_removed") > 0).count() > 0)
   }
 
+  // ---- within-doc repeated-segment removal ----
+
+  test("intraDocDedup: planted intra-doc repeats removed, order kept") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a $b $a"),     // echo of segment a → dropped, order a b
+      (2L, s"$a $a $a $b"),  // triple echo
+      (3L, s"$a $b")         // clean doc untouched
+    ).toDF("id", "text")
+    val out = Dedup.intraDocDedup(df, "id", "text", segTokens = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, s"$a $b", 2L, 1L)))
+    assert(out(1) == ((2L, s"$a $b", 2L, 2L)))
+    assert(out(2) == ((3L, s"$a $b", 2L, 0L)))
+    // cross-doc repeats must NOT be touched (docs 1 and 3 share a, b)
+  }
+
+  test("intraDocDedup: zero-shuffle plan, every doc survives, idempotent") {
+    val op = Dedup.intraDocDedup(docs, "doc_id", "text", 10)
+    val shuffles = op.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"intra-doc dedup shuffles: $shuffles")
+    assert(op.count() == docs.count())
+    // applying the op to its own output removes nothing further
+    val again = Dedup.intraDocDedup(
+      op.select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text", 10)
+    assert(again.filter(col("n_removed") > 0).count() == 0)
+  }
+
   // ---- per-key cap ----
 
   test("capPerKey: cap respected, deterministic, rows are a subset") {
