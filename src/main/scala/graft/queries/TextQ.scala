@@ -752,6 +752,29 @@ object TextQ {
         .select(col("doc_id"), col("lang"), col("source"), col("rk"))
         .orderBy("doc_id")),
 
+    // X44 — TRAINING-MIX capstone: the full data-mixing last mile as
+    // one deterministic chain — temperature-rebalance languages (x27,
+    // τ=0.5) → epoch-upsample the scarce survivors (x38, computed on
+    // the MIXED counts — balance what survived, ≤4×) → assign
+    // reproducible shards over (doc, epoch) replicas (x37, salted
+    // rep_id so a doc's epochs land on independent shards) → per-shard
+    // manifest. Three broadcast-scalar aggregates + one manifest
+    // groupBy; everything else is scan-side. Oracle-exact end to end.
+    "x44_training_mix" -> ((s, d) => {
+      val mixed = TextOps.temperatureMixSample(Tables.documents(s, d),
+          "lang", "doc_id", tau = 0.5, targetCount = 200)
+        .select("doc_id", "lang", "text")
+      val up = TextOps.epochUpsample(mixed, "lang", maxEpochs = 4)
+        .withColumn("rep_id", concat(col("doc_id"), lit("#"), col("epoch")))
+      TextOps.trainingShards(up, "rep_id", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("shard")
+    }),
+
     // X43 — WITHIN-doc repeated-segment removal
     // ([[Dedup.intraDocDedup]]): crawl-artifact cleanup — inside each
     // doc, keep each distinct 10-token segment's first occurrence.
@@ -765,6 +788,34 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "x44_training_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS pn FROM c),
+         tot AS (SELECT sum(pn) AS z FROM w),
+         r AS (SELECT lang, least(1.0, 200.0 * pn / z / n) AS rate
+               FROM w CROSS JOIN tot),
+         mixed AS (SELECT d.doc_id, d.lang, d.text
+                   FROM documents d JOIN r USING (lang)
+                   WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+                              AS INTEGER) / 16777216.0 < r.rate),
+         mc AS (SELECT lang, count(*) AS n_s FROM mixed GROUP BY lang),
+         mm AS (SELECT max(n_s) AS n_max FROM mc),
+         e AS (SELECT lang,
+                 least(4, greatest(1, CAST(round(n_max / n_s) AS BIGINT))) AS epochs
+               FROM mc, mm),
+         up AS (SELECT m.doc_id, m.lang, m.text,
+                 unnest(generate_series(1, e.epochs)) AS epoch
+                FROM mixed m JOIN e USING (lang)),
+         sh AS (SELECT doc_id, lang, text,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                     || CAST(epoch AS VARCHAR)), 1, 6)) AS INTEGER)
+                   / 16777216.0 * 8) AS INTEGER) AS shard
+                FROM up)
+         SELECT shard, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+                AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs
+         FROM sh GROUP BY shard ORDER BY shard""",
     "x43_intradoc_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

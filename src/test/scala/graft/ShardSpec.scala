@@ -97,4 +97,28 @@ class ShardSpec extends AnyFunSuite {
     val expectedTotal = counts.map { case (s, n) => n * expectedEpochs(s) }.sum
     assert(up.count() == expectedTotal)
   }
+
+  test("x44 capstone: epoch replicas spread over shards; totals conserved") {
+    // rebuild the chain's intermediate to cross-check the manifest
+    val mixed = TextOps.temperatureMixSample(docs, "lang", "doc_id",
+        tau = 0.5, targetCount = 200)
+      .select("doc_id", "lang", "text")
+    val up = TextOps.epochUpsample(mixed, "lang", maxEpochs = 4)
+      .withColumn("rep_id", concat(col("doc_id"), lit("#"), col("epoch")))
+    // the mix must be non-trivial: some stratum genuinely upsampled
+    assert(up.filter(col("epochs") > 1).count() > 0)
+    val sharded = TextOps.trainingShards(up, "rep_id", nShards = 8)
+    // a doc's epoch replicas must NOT ride one shard (rep_id salt):
+    // across all docs with epochs=4, the mean distinct-shard count of
+    // the 4 replicas must be > 2 (i.i.d. uniform expectation ~2.7)
+    val spread = sharded.filter(col("epochs") === 4)
+      .groupBy("doc_id").agg(countDistinct(col("shard")).as("k"))
+    if (spread.count() > 0) {
+      val meanK = spread.agg(avg("k")).collect()(0).getDouble(0)
+      assert(meanK > 2.0, s"epoch replicas clumping: mean distinct shards $meanK")
+    }
+    // manifest totals == chain totals
+    val manifest = SparkEntry.queries("x44_training_mix")(spark, sf)
+    assert(manifest.agg(sum("n_rows")).collect()(0).getLong(0) == up.count())
+  }
 }
