@@ -314,6 +314,18 @@ object ScaleStress {
           c.filter(col("vec_id") >= 5), "vec_id", "vec_id", "vec",
           k = 10, shortlist = 50).count()
       }),
+      Op("v17_filtered_5q", m => {
+        // attribute-filtered exact search: the label equi-join shrinks
+        // candidates ~10× before any cosine — same O(n·q) family as
+        // v2_brute_topk_5q but the constant is the category fraction.
+        // (The blow-up keeps labels uniform, so the fraction is scale-
+        // invariant and the exponent must match v2's ~linear shape.)
+        val c = embsOf(m).withColumn("label",
+          pmod(col("vec_id"), lit(10)).cast("int"))
+        Similarity.filteredTopK(c.filter(col("vec_id") < 5),
+          c.filter(col("vec_id") >= 5), "vec_id", "vec_id",
+          "vec", "label", k = 10).count()
+      }),
       Op("ivf_assign_flat", m => {
         // the FLAT broadcast-packed assignment against the prebuilt
         // centroids: per-row cost ∝ nCells ~ √n → Θ(n^1.5) total. This is

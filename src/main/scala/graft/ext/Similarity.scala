@@ -64,6 +64,35 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
 
+  /** Attribute-FILTERED exact top-k — the vector-DB "filtered search"
+    * primitive (same-category / same-tenant / same-language nearest
+    * neighbours): each query sees only corpus vectors sharing its
+    * `filterCol` value, enforced as a PRE-filter. Post-filtering a
+    * global top-k is the wrong plan — it returns < k (often 0) rows
+    * when the wanted category is rare in the unfiltered neighbourhood;
+    * FilteredSearchSpec demonstrates exactly that failure.
+    *
+    * Scale shape: the constraint turns the brute-force crossJoin into a
+    * BROADCAST EQUI-JOIN on `filterCol` — the candidate set shrinks from
+    * n to n/|categories| BEFORE any cosine is computed (the relational
+    * analogue of partition pruning inside an index). Ranking stays
+    * per-query, so the window never sees more than one category. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                   cId: String, vecCol: String, filterCol: String,
+                   k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"),
+      col(filterCol))
+    val c = corpus.select(col(cId).as("c_id"), col(vecCol).as("c_vec"),
+      col(filterCol))
+    c.join(broadcast(q), Seq(filterCol))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(filterCol), col("rank"), col("c_id"),
+        col("cos"))
+  }
+
   /** Random-hyperplane signature: `planes` sign-bits, plane components are
     * deterministic ±1 derived from xxhash64(plane, dim) — reproducible
     * across runs/executors with no stored model. Backed by the native

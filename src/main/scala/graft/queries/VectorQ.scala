@@ -400,9 +400,38 @@ object VectorQ {
             .as("recall_at_k"))
         .orderBy("q_id")
     }),
+
+    // V17 — attribute-FILTERED exact top-k ([[Similarity.filteredTopK]]):
+    // each query retrieves only corpus vectors sharing its label (the
+    // vector-DB "filtered search" primitive). The constraint is a PRE-
+    // filter: the crossJoin becomes a broadcast equi-join on label, so
+    // candidates shrink ~10× before any cosine runs. Oracle-exact incl.
+    // rank parity (the v2 pattern + join predicate).
+    "v17_filtered_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.filteredTopK(
+          c.filter(col("vec_id") < 5), c.filter(col("vec_id") >= 5),
+          "vec_id", "vec_id", "vec", "label", k = 10)
+        .select(col("q_id"), col("label"), col("rank"), col("c_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "v17_filtered_topk" ->
+      """SELECT q_id, label, rank, c_id, round(cos, 6) AS cos FROM (
+           SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS c_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+           FROM (SELECT * FROM embeddings WHERE vec_id >= 5) c
+           JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             ON c.label = q.label)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
     "v8_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT vec_id, v,
