@@ -253,16 +253,23 @@ object Similarity {
 
   /** Build the IVF index: deterministic seeded + Lloyd-refined centroids
     * (materialized — the build pays the refinement scans exactly once),
-    * then each corpus vector posted to its `nAssign` nearest cells. */
+    * then each corpus vector posted to its `nAssign` nearest cells.
+    * `keepCols` rides metadata columns (tenant, language, label) INTO the
+    * postings — the production filtered-search design: the predicate
+    * column lives in the index, so [[probeIvfFiltered]] prunes candidates
+    * with join keys instead of a post-hoc lookup join. */
   def buildIvfIndex(corpus: DataFrame, cId: String, vecCol: String,
                     nCells: Int, nAssign: Int = 2,
-                    refineIters: Int = 2): IvfIndex = {
+                    refineIters: Int = 2,
+                    keepCols: Seq[String] = Nil): IvfIndex = {
     val centroids = ivfCentroids(corpus, cId, vecCol, nCells, refineIters)
       .persist()
     centroids.count()
-    val postings = assignTo(corpus.select(col(cId), col(vecCol)), centroids,
+    val postings = assignTo(
+      corpus.select((Seq(cId, vecCol) ++ keepCols).map(col): _*), centroids,
       cId, vecCol, nAssign)
-    IvfIndex(centroids, postings, cId, vecCol)
+    IvfIndex(postings = postings, centroids = centroids,
+      idCol = cId, vecCol = vecCol)
   }
 
   /** nProbe for a target probed FRACTION of the index. Holding the
@@ -297,6 +304,35 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** FILTERED probe — [[probeIvf]] under a per-query metadata constraint
+    * (the approximate leg of [[filteredTopK]]): the filter column is part
+    * of the postings (built with `keepCols`) and joins as a SECOND equi
+    * key next to `ivf_cell`, so candidates are pruned to the query's
+    * category inside the probed cells BEFORE any cosine or ranking —
+    * never a post-filter over ranked results. At nProbe = nCells this is
+    * bit-identical to [[filteredTopK]] (FilteredSearchSpec pins it);
+    * at production nProbe the recall/cost trade follows [[nProbeFor]]'s
+    * probed-fraction rule unchanged, because the category fraction
+    * multiplies BOTH sides of the trade. */
+  def probeIvfFiltered(index: IvfIndex, queries: DataFrame, qId: String,
+                       filterCol: String, nProbe: Int, k: Int): DataFrame = {
+    require(index.postings.columns.contains(filterCol),
+      s"postings lack '$filterCol' — build the index with keepCols")
+    val probed = assignTo(
+      queries.select(col(qId).as("q_id"), col(index.vecCol).as("q_vec"),
+        col(filterCol)),
+      index.centroids, "q_id", "q_vec", nAssign = nProbe)
+    probed.join(index.postings.select(col(index.idCol).as("c_id"),
+        col(index.vecCol).as("c_vec2"), col("ivf_cell"), col(filterCol)),
+        Seq("ivf_cell", filterCol))
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", filterCol, "rank", "c_id", "cos")
   }
 
   /** CLUSTER-BALANCED sampling — the embedding-space diversity step of a

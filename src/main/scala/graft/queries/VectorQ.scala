@@ -416,6 +416,32 @@ object VectorQ {
           round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+    // V18 — FILTERED ANN recall ([[Similarity.probeIvfFiltered]] vs v17's
+    // exact filtered top-k): the approximate leg of filtered search. The
+    // label rides IN the postings (keepCols) and prunes as a second equi
+    // key next to ivf_cell — candidates shrink to the query's category
+    // inside the probed cells before any cosine. Rows-only (centroid-
+    // specific); the driver-visible number is per-query recall@10, the
+    // v7/v16 pattern. FilteredSearchSpec pins ≡ v17 at nProbe = nCells.
+    "v18_filtered_ivf" -> ((s, d) => {
+      val c = corpus(s, d)
+      val qs = c.filter(col("vec_id") < 5)
+      val base = c.filter(col("vec_id") >= 5)
+      val idx = Similarity.buildIvfIndex(base, "vec_id", "vec",
+        nCells = 24, nAssign = 2, keepCols = Seq("label"))
+      val approx = Similarity.probeIvfFiltered(idx, qs, "vec_id", "label",
+          nProbe = 6, k = 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val exact = Similarity.filteredTopK(qs, base, "vec_id", "vec_id",
+          "vec", "label", k = 10)
+        .select("q_id", "c_id")
+      exact.join(approx, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k"),
+          round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+            .as("recall_at_k"))
+        .orderBy("q_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(

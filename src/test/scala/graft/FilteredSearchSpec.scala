@@ -66,6 +66,44 @@ class FilteredSearchSpec extends AnyFunSuite {
     // the recall hole post-filtering opens
   }
 
+  test("filtered IVF probe: label purity, exactness at nProbe = nCells") {
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "vec", nCells = 8,
+      nAssign = 1, keepCols = Seq("label"))
+    assert(idx.postings.columns.contains("label"),
+      "keepCols must ride metadata into the postings")
+    // probing EVERY cell makes the filtered probe bit-identical to the
+    // exact filtered top-k (same rank, same ids)
+    val full = Similarity.probeIvfFiltered(idx, queries, "vec_id", "label",
+        nProbe = 8, k = 10)
+      .select("q_id", "rank", "c_id").orderBy("q_id", "rank").collect().toSeq
+    val exact = Similarity.filteredTopK(queries, base, "vec_id", "vec_id",
+        "vec", "label", k = 10)
+      .select("q_id", "rank", "c_id").orderBy("q_id", "rank").collect().toSeq
+    assert(full == exact, "filtered probe at nProbe=nCells must equal exact")
+    // pruned probe: every hit still shares the query's label and recall
+    // is non-trivial
+    val pruned = Similarity.probeIvfFiltered(idx, queries, "vec_id",
+      "label", nProbe = 3, k = 10)
+    val wrong = pruned.join(
+        base.select(col("vec_id").as("c_id"), col("label").as("cl")), "c_id")
+      .filter(col("label") =!= col("cl")).count()
+    assert(wrong == 0)
+    val recall = pruned.select("q_id", "c_id")
+      .join(Similarity.filteredTopK(queries, base, "vec_id", "vec_id",
+        "vec", "label", k = 10).select("q_id", "c_id"), Seq("q_id", "c_id"))
+      .count().toDouble / exact.size
+    assert(recall >= 0.3, s"filtered-probe recall too low: $recall")
+    idx.centroids.unpersist()
+  }
+
+  test("filtered probe without keepCols fails fast") {
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "vec", nCells = 8)
+    intercept[IllegalArgumentException] {
+      Similarity.probeIvfFiltered(idx, queries, "vec_id", "label", 2, 10)
+    }
+    idx.centroids.unpersist()
+  }
+
   test("candidate generation is an equi-join on label, not a cross join") {
     val p = Similarity.filteredTopK(queries, base, "vec_id", "vec_id",
       "vec", "label", k = 10).queryExecution.executedPlan.toString
