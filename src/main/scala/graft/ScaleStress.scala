@@ -342,6 +342,23 @@ object ScaleStress {
         Similarity.assignToHier(c, builtIvf(m).centroids, "vec_id", "vec",
           nProbeCoarse = 4).count()
       }),
+      Op("x45_incr_neardup", m => {
+        // incremental near-dup at m×: per-copy shingle salt (the x7
+        // move) keeps near-dup structure linear; the corpus side is
+        // ONLY its signature index — cost = sign the batch + two
+        // banded joins, both bucket-capped.
+        val sh = docsOf(m)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"),
+            transform(TextOps.shingles(col("toks"), 3),
+              x => concat(x, lit("#"), col("copy"))).as("sh"))
+        val corpusSigs = Dedup.withMinHash(
+            sh.filter(col("doc_id") % 4 =!= 0), "sh", k = 32)
+          .select(col("doc_id"), col("minhash"))
+        Dedup.incrementalNearDup(corpusSigs,
+          sh.filter(col("doc_id") % 4 === 0), "doc_id", "sh",
+          k = 32, bands = 16, threshold = 0.25).count()
+      }),
       Op("x37_train_shards", m => {
         // shard + pos are scan-side md5 columns; the manifest groupBy
         // shuffles (shard, partial-agg) rows only. The pos filter keeps

@@ -180,11 +180,24 @@ object Dedup {
                             maxBucketSize: Int = 10000): DataFrame = {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"bands ($bands) must evenly divide signature length k ($k)")
-    val rows = k / bands
     val signedA = withMinHash(corpusA, shingleCol, k)
       .select(col(idCol), col("minhash")).persist()
     val signedB = withMinHash(corpusB, shingleCol, k)
       .select(col(idCol), col("minhash")).persist()
+    bandedPairs(signedA, signedB, idCol, k, bands, maxBucketSize)
+  }
+
+  /** Banded A×B candidate pairs between two PREBUILT `(id, minhash)`
+    * signature tables — the kernel under [[crossCorpusCandidates]] and
+    * [[incrementalNearDup]], split out so a maintained signature INDEX
+    * can be probed without re-signing the corpus. Same combined-occupancy
+    * bucket cap and SigAgree recheck as always. */
+  private[graft] def bandedPairs(signedA: DataFrame, signedB: DataFrame,
+                                 idCol: String, k: Int, bands: Int,
+                                 maxBucketSize: Int): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must evenly divide signature length k ($k)")
+    val rows = k / bands
     val bA = lshBands(signedA, idCol, bands, rows)
     val bB = lshBands(signedB, idCol, bands, rows)
     // combined bucket occupancy cap: count each side per (band, hash),
@@ -207,6 +220,42 @@ object Dedup {
         graft.functions.SigAgree.sig_agree(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** INCREMENTAL near-dup dedup — the MinHash complement of
+    * [[incrementalDedup]]'s exact digests (the production "daily crawl vs
+    * 100 TB corpus" loop): the corpus is represented ONLY by its
+    * maintained `(id, minhash)` SIGNATURE INDEX (k longs per doc — bodies
+    * of past increments are never rescanned); the new batch signs itself
+    * once, then drops (a) members near-dup (est ≥ `threshold`) of any
+    * index doc and (b) later twins within the batch (first-seen by id —
+    * greedy pairwise, the x36/st3 batch semantic; the thorough
+    * transitive-closure path stays [[duplicateClusters]]/x33).
+    *
+    * Returns the SURVIVING `(id, minhash)` rows — exactly the rows to
+    * append to the index, so increment N+1's cost again never touches
+    * increment N's bodies. Scale shape: one signature scan of the batch
+    * + two banded equi-joins (batch×index, batch×batch), all candidate
+    * generation bucket-capped — the x7/x17 linear-candidate machinery
+    * end to end. */
+  def incrementalNearDup(corpusSigs: DataFrame, batch: DataFrame,
+                         idCol: String, shingleCol: String,
+                         k: Int, bands: Int, threshold: Double,
+                         maxBucketSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val batchSigs = withMinHash(batch, shingleCol, k)
+      .select(col(idCol), col("minhash")).persist()
+    val vsCorpus = bandedPairs(batchSigs, corpusSigs, idCol, k, bands,
+        maxBucketSize)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+    val laterTwins = bandedPairs(batchSigs, batchSigs, idCol, k, bands,
+        maxBucketSize)
+      .filter(col("id_a") < col("id_b") && col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol))
+    batchSigs.join(vsCorpus.union(laterTwins).distinct(), Seq(idCol),
+      "left_anti")
   }
 
   /** Graded n-gram contamination — the GPT-3/PaLM-style decontamination

@@ -685,6 +685,28 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X45 — INCREMENTAL near-dup dedup ([[Dedup.incrementalNearDup]]):
+    // the MinHash complement of x36 — the corpus side is ONLY its
+    // maintained (id, minhash) signature index (built here from the
+    // doc_id % 4 != 0 slice; in production it is the carried artifact),
+    // the % 4 == 0 batch signs itself once and survives iff near-dup
+    // (est ≥ 0.25) of neither an index doc nor an earlier batch doc.
+    // Output = the rows appended to the index. Rows-only (hash-family-
+    // specific); IncrementalNearDupSpec plants drops + pins idempotence.
+    "x45_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+      val corpusSigs = Dedup.withMinHash(
+          docs.filter(col("doc_id") % 4 =!= 0), "sh", k = 32)
+        .select(col("doc_id"), col("minhash"))
+      Dedup.incrementalNearDup(corpusSigs,
+          docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "sh", k = 32, bands = 16, threshold = 0.25)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // X37 — training-shard manifests: the deterministic "global shuffle"
     // a data loader consumes ([[TextOps.trainingShards]] — md5-derived
     // shard + salted within-shard order, both scan-side; the physical
