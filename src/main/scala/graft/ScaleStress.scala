@@ -342,6 +342,12 @@ object ScaleStress {
         Similarity.assignToHier(c, builtIvf(m).centroids, "vec_id", "vec",
           nProbeCoarse = 4).count()
       }),
+      Op("x46_assign_ids", m =>
+        // two-phase id assignment: bucket window + broadcast offsets;
+        // countDistinct forces every id AND re-proves bijection at m×
+        // (emitted count must equal the doc count exactly)
+        TextOps.assignGlobalIds(docsOf(m), "doc_id", nBuckets = 1024)
+          .agg(countDistinct("new_id")).collect()(0).getLong(0)),
       Op("x45_incr_neardup", m => {
         // incremental near-dup at m×: per-copy shingle salt (the x7
         // move) keeps near-dup structure linear; the corpus side is

@@ -304,6 +304,38 @@ object TextOps {
         col("chunk"))
   }
 
+  /** Contiguous GLOBAL-ID assignment without a global sort — the corpus-
+    * engineering primitive behind increment appends (x36/x45 batches need
+    * fresh dense ids) and loader-facing row numbering. A naive
+    * `row_number() OVER (ORDER BY …)` puts 100 TB in ONE window
+    * partition; this is the two-phase form: (1) md5-uniform bucketing
+    * (deterministic, partitioning-independent); (2) per-bucket counts —
+    * ≤ `nBuckets` rows — prefix-summed into bucket offsets (the window
+    * over THAT table is tiny by construction); (3) one keyed window
+    * ranks inside each bucket; id = start + offset + local rank.
+    *
+    * Ids depend only on the ROWS, not their arrival order or partition
+    * layout (the spec proves repartition-invariance) — so re-runs and
+    * backfills agree, like every md5-derived op here. One corpus shuffle
+    * (the bucket window) + one broadcast. */
+  def assignGlobalIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      nBuckets: Int = 1024,
+                      start: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucketed = df.withColumn("__u", md5Uniform(col(idCol)))
+      .withColumn("__bkt", floor(col("__u") * nBuckets).cast("int"))
+    val offsets = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__bkt").orderBy(col("__u"), col(idCol))))
+      .withColumn("new_id", lit(start) + col("__off") + col("__rk") - 1)
+      .drop("__u", "__rk", "__off", "__bkt")
+  }
+
   /** Deterministic per-key CAP — the per-domain/per-source quota move
     * (a handful of mega-domains must not dominate the corpus): keep at
     * most `n` rows per key, picked in [[md5Uniform]] order (a reproducible

@@ -685,6 +685,18 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X46 — contiguous global-ID assignment ([[TextOps.assignGlobalIds]]):
+    // dense ids for 100 TB without a global sort — md5 bucketing, tiny
+    // prefix-summed offset table broadcast back, one keyed window. Ids
+    // are partitioning-independent (AssignIdsSpec proves repartition
+    // invariance). Oracle-exact (md5 parity).
+    "x46_assign_ids" -> ((s, d) =>
+      TextOps.assignGlobalIds(Tables.documents(s, d)
+          .select("doc_id", "lang", "source"),
+          "doc_id", nBuckets = 32, start = 1000000L)
+        .select(col("doc_id"), col("lang"), col("new_id"))
+        .orderBy("doc_id")),
+
     // X45 — INCREMENTAL near-dup dedup ([[Dedup.incrementalNearDup]]):
     // the MinHash complement of x36 — the corpus side is ONLY its
     // maintained (id, minhash) signature index (built here from the
@@ -810,6 +822,22 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "x46_assign_ids" ->
+      """WITH b AS (SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+             / 16777216.0 AS u
+         FROM documents),
+         bb AS (SELECT *, CAST(floor(u * 32) AS INTEGER) AS bkt FROM b),
+         c AS (SELECT bkt, count(*) AS n FROM bb GROUP BY bkt),
+         o AS (SELECT bkt, COALESCE(sum(n) OVER (ORDER BY bkt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               FROM c),
+         r AS (SELECT bb.doc_id, bb.lang,
+                 o.off + row_number() OVER (PARTITION BY bb.bkt
+                   ORDER BY bb.u, bb.doc_id) - 1 AS rel
+               FROM bb JOIN o USING (bkt))
+         SELECT doc_id, lang, CAST(1000000 + rel AS BIGINT) AS new_id
+         FROM r ORDER BY doc_id""",
     "x44_training_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS pn FROM c),
