@@ -385,6 +385,15 @@ object ScaleStress {
             TextOps.unigramLm(d, "text", vocabSize = 24))
           .filter(col("ppl") > 0).count()
       }),
+      Op("x47_bigram_ppl", m => {
+        // bigram train (token + bigram count groupBys) + shuffle-free
+        // broadcast-model scoring — the x39 shape one n-gram order up
+        val d = docsOf(m)
+        TextOps.perplexityBigram(d, "doc_id", "text",
+            TextOps.bigramLm(d, "text", vocabSize = 24, nBigrams = 256),
+            lambda = 0.7)
+          .filter(col("ppl") > 0).count()
+      }),
       Op("x40_chunking", m =>
         // pure scan-side posexplode; length() forces the chunk text
         // (count alone would prune the array_join)

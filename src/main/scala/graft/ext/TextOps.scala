@@ -275,6 +275,83 @@ object TextOps {
         round(exp(-col("lp") / nToks), 6).as("ppl"))
   }
 
+  /** Interpolated BIGRAM LM — the depth rung above [[unigramLm]] (the
+    * actual CCNet setup is a 5-gram KenLM; the bigram keeps the mechanism
+    * exactly oracle-able while exercising every structural piece: context
+    * counts, top-M model truncation, interpolation with the unigram
+    * floor). One-row model: `bmap` = top-`nBigrams` "w1 w2" →
+    * P(w2|w1) = c(bigram)/c(w1 as history) (MLE), `umap` = top-
+    * `vocabSize` token → add-one P(token), `oov_p` = add-one unseen mass.
+    * Interpolation (λ·P_bi + (1−λ)·P_uni in [[perplexityBigram]]) keeps
+    * every position strictly positive without backoff normalization.
+    *
+    * Scale shape: two count groupBys (tokens; bigrams — pairs shuffle as
+    * strings, bodies never) + two deterministic top-M truncations; the
+    * model is again ONE broadcastable row. */
+  def bigramLm(df: org.apache.spark.sql.DataFrame, textCol: String,
+               vocabSize: Int, nBigrams: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0 && nBigrams > 0,
+      s"sizes must be positive, got vocab=$vocabSize bigrams=$nBigrams")
+    val toksCol = tokens(col(textCol))
+    // unigram leg (raw probabilities — the interpolation needs P, not ln P)
+    val uc = df.select(explode(toksCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uc.agg(sum("c").cast("double").as("n"))
+    val uni = uc.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .agg(collect_list(struct(col("tok"), col("c"))).as("vc"),
+        count(lit(1)).cast("double").as("vsize"))
+      .crossJoin(broadcast(tot))
+      .select(
+        map_from_entries(transform(col("vc"), e =>
+          struct(e.getField("tok"),
+            (e.getField("c") + lit(1)).cast("double")
+              / (col("n") + col("vsize") + 1)))).as("umap"),
+        (lit(1.0) / (col("n") + col("vsize") + 1)).as("oov_p"))
+    // bigram leg: history = the first token's occurrences AS a history
+    val bi = df.select(explode(transform(sequence(lit(1), size(toksCol) - 1),
+        i => struct(element_at(toksCol, i).as("w1"),
+          concat(element_at(toksCol, i), lit(" "),
+            element_at(toksCol, i + 1)).as("bg")))).as("e"))
+      .select(col("e.w1").as("w1"), col("e.bg").as("bg"))
+    val chist = bi.groupBy("w1").agg(count(lit(1)).as("ch"))
+    val bmodel = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("bg")).limit(nBigrams)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(chist, "w1")
+      .agg(collect_list(struct(col("bg"),
+        (col("cb").cast("double") / col("ch")).as("p"))).as("bl"))
+      .select(map_from_entries(col("bl")).as("bmap"))
+    bmodel.crossJoin(broadcast(uni))
+  }
+
+  /** Per-doc cross-entropy / perplexity under a [[bigramLm]] model:
+    * position 1 scores on the unigram alone; every later position on
+    * λ·P_bi(wᵢ|wᵢ₋₁) + (1−λ)·P_uni(wᵢ). Scoring is shuffle-free —
+    * broadcast one-row model, per-doc `aggregate` fold over the
+    * positions (the [[perplexity]] shape; CaseWhen keeps the i−1 lookup
+    * lazily guarded at i=1). */
+  def perplexityBigram(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       model: org.apache.spark.sql.DataFrame,
+                       lambda: Double): org.apache.spark.sql.DataFrame = {
+    require(lambda >= 0 && lambda < 1, s"lambda must be in [0,1), got $lambda")
+    val nToks = size(col("toks"))
+    df.crossJoin(broadcast(model))
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("lp", aggregate(sequence(lit(1), nToks), lit(0.0d),
+        (acc, i) => {
+          val w = element_at(col("toks"), i)
+          val puni = coalesce(element_at(col("umap"), w), col("oov_p"))
+          val pbi = coalesce(element_at(col("bmap"),
+            concat(element_at(col("toks"), i - 1), lit(" "), w)), lit(0.0d))
+          acc + log(when(i === 1, puni)
+            .otherwise(lit(lambda) * pbi + lit(1 - lambda) * puni))
+        }))
+      .select(col(idCol), nToks.as("n_toks"),
+        round(-col("lp") / nToks, 6).as("cross_entropy"),
+        round(exp(-col("lp") / nToks), 6).as("ppl"))
+  }
+
   /** Sliding-window token CHUNKING — the embedding-pipeline splitter
     * (RAG / retrieval indexing): windows of `w` tokens every `s` tokens
     * (overlap w−s), last window truncated, every token covered, no

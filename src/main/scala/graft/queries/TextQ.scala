@@ -685,6 +685,19 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X47 — interpolated-bigram perplexity ([[TextOps.bigramLm]] +
+    // [[TextOps.perplexityBigram]]): the depth rung above x39 — top-256
+    // bigram MLE interpolated (λ=0.7) with the x39 unigram floor;
+    // position 1 unigram-only. Same broadcast-model shuffle-free
+    // scoring. Oracle-exact at 6 dp.
+    "x47_bigram_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.perplexityBigram(docs, "doc_id", "text",
+          TextOps.bigramLm(docs, "text", vocabSize = 24, nBigrams = 256),
+          lambda = 0.7)
+        .orderBy("doc_id")
+    }),
+
     // X46 — contiguous global-ID assignment ([[TextOps.assignGlobalIds]]):
     // dense ids for 100 TB without a global sort — md5 bucketing, tiny
     // prefix-summed offset table broadcast back, one keyed window. Ids
@@ -822,6 +835,43 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "x47_bigram_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         uc AS (SELECT tok, count(*) AS c
+                FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+         v AS (SELECT tok, c FROM uc ORDER BY c DESC, tok LIMIT 24),
+         vn AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM v),
+         bi AS (SELECT unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+                 unnest([toks[i] || ' ' || toks[i+1]
+                         FOR i IN range(1, len(toks))]) AS bg
+                FROM t),
+         chist AS (SELECT w1, count(*) AS ch FROM bi GROUP BY w1),
+         topbi AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg
+                   ORDER BY cb DESC, bg LIMIT 256),
+         bm AS (SELECT tb.bg, CAST(tb.cb AS DOUBLE) / c.ch AS pbi
+                FROM topbi tb JOIN chist c
+                  ON string_split(tb.bg, ' ')[1] = c.w1),
+         pos AS (SELECT doc_id, toks,
+                  unnest(range(1, len(toks) + 1)) AS i FROM t),
+         sc AS (SELECT p.doc_id, p.i,
+                  CASE WHEN v.tok IS NULL THEN 1.0 / (tot.n + vn.vsize + 1)
+                       ELSE (v.c + 1) / (tot.n + vn.vsize + 1) END AS puni,
+                  b.pbi
+                FROM pos p
+                LEFT JOIN v ON p.toks[p.i] = v.tok
+                LEFT JOIN bm b ON p.i > 1
+                  AND (p.toks[p.i-1] || ' ' || p.toks[p.i]) = b.bg
+                CROSS JOIN tot CROSS JOIN vn),
+         lp AS (SELECT doc_id,
+                  CASE WHEN i = 1 THEN ln(puni)
+                       ELSE ln(0.7 * COALESCE(pbi, 0) + 0.3 * puni) END AS l
+                FROM sc)
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_toks,
+           round(-avg(l), 6) AS cross_entropy,
+           round(exp(-avg(l)), 6) AS ppl
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "x46_assign_ids" ->
       """WITH b AS (SELECT doc_id, lang,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)

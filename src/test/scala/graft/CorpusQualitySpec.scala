@@ -80,6 +80,50 @@ class CorpusQualitySpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  // ---- bigram LM ----
+
+  test("bigramLm: exact MLE ratios and top-M truncation on a hand corpus") {
+    // "a b a b a c": bigrams = ab, ba, ab, ba, ac → histories a:3 b:2
+    val df = Seq((1L, "a b a b a c")).toDF("id", "text")
+    val m = TextOps.bigramLm(df, "text", vocabSize = 8, nBigrams = 2)
+      .collect()(0)
+    val bmap = m.getMap[String, Double](0)
+    // top-2 by (count desc, bg asc): "a b"(2), "b a"(2); "a c"(1) cut
+    assert(bmap.keySet == Set("a b", "b a"))
+    assert(math.abs(bmap("a b") - 2.0 / 3) < 1e-12) // c(a b)=2, hist a=3
+    assert(math.abs(bmap("b a") - 2.0 / 2) < 1e-12) // c(b a)=2, hist b=2
+  }
+
+  test("bigram ppl separates token ORDER where the unigram cannot") {
+    // two probes, identical bag of tokens → identical unigram ce; the
+    // coherent one follows corpus bigrams, the shuffled one breaks them
+    val train = Seq((1L, "a b a b a b a b"), (2L, "a b a b")).toDF("id", "text")
+    val m2 = TextOps.bigramLm(train, "text", vocabSize = 8, nBigrams = 8)
+    val m1 = TextOps.unigramLm(train, "text", vocabSize = 8)
+    val probes = Seq((10L, "a b a b a b"), (11L, "b b b a a a"))
+      .toDF("doc_id", "text")
+    val bi = TextOps.perplexityBigram(probes, "doc_id", "text", m2, 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val uni = TextOps.perplexity(probes, "doc_id", "text", m1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(uni(10L) - uni(11L)) < 1e-9,
+      "unigram must tie on a permuted bag")
+    assert(bi(10L) < bi(11L),
+      s"bigram must prefer coherent order: ${bi(10L)} !< ${bi(11L)}")
+  }
+
+  test("bigram scoring pass is shuffle-free once the model is built") {
+    val m = TextOps.bigramLm(docs, "text", vocabSize = 24, nBigrams = 256)
+      .persist()
+    m.count()
+    val shuffles = TextOps.perplexityBigram(docs, "doc_id", "text", m, 0.7)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(shuffles.isEmpty, s"scoring shuffles: $shuffles")
+    m.unpersist()
+  }
+
   // ---- sliding-window chunking ----
 
   test("chunkSliding: window arithmetic at the edges") {
