@@ -307,20 +307,26 @@ object TextOps {
             (e.getField("c") + lit(1)).cast("double")
               / (col("n") + col("vsize") + 1)))).as("umap"),
         (lit(1.0) / (col("n") + col("vsize") + 1)).as("oov_p"))
-    // bigram leg: history = the first token's occurrences AS a history
+    // bigram leg: history = the first token's occurrences AS a history.
+    // The model is a NESTED map w1 → (w2 → p), not a flat "w1 w2" → p:
+    // interpreted element_at is a LINEAR key scan, so a flat top-256 map
+    // costs ~256 UTF8 compares per position — nesting bounds the scan by
+    // |vocab| + the history's fanout and drops the per-position string
+    // concat (measured ~3× on the scoring pass; results identical — the
+    // (cb desc, w1, w2) cut order equals the (cb desc, "w1 w2") order
+    // because tokens cannot contain the ' ' separator).
     val bi = df.select(explode(transform(sequence(lit(1), size(toksCol) - 1),
         i => struct(element_at(toksCol, i).as("w1"),
-          concat(element_at(toksCol, i), lit(" "),
-            element_at(toksCol, i + 1)).as("bg")))).as("e"))
-      .select(col("e.w1").as("w1"), col("e.bg").as("bg"))
+          element_at(toksCol, i + 1).as("w2")))).as("e"))
+      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
     val chist = bi.groupBy("w1").agg(count(lit(1)).as("ch"))
-    val bmodel = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
-      .orderBy(col("cb").desc, col("bg")).limit(nBigrams)
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bmodel = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(nBigrams)
       .join(chist, "w1")
-      .agg(collect_list(struct(col("bg"),
-        (col("cb").cast("double") / col("ch")).as("p"))).as("bl"))
-      .select(map_from_entries(col("bl")).as("bmap"))
+      .groupBy("w1").agg(map_from_entries(collect_list(struct(col("w2"),
+        (col("cb").cast("double") / col("ch")).as("p")))).as("m"))
+      .agg(map_from_entries(collect_list(struct(col("w1"), col("m"))))
+        .as("bmap"))
     bmodel.crossJoin(broadcast(uni))
   }
 
@@ -342,8 +348,11 @@ object TextOps {
         (acc, i) => {
           val w = element_at(col("toks"), i)
           val puni = coalesce(element_at(col("umap"), w), col("oov_p"))
-          val pbi = coalesce(element_at(col("bmap"),
-            concat(element_at(col("toks"), i - 1), lit(" "), w)), lit(0.0d))
+          // nested lookup: missing history → outer null, inner
+          // element_at propagates it → coalesce floors at 0
+          val pbi = coalesce(element_at(
+            element_at(col("bmap"), element_at(col("toks"), i - 1)), w),
+            lit(0.0d))
           acc + log(when(i === 1, puni)
             .otherwise(lit(lambda) * pbi + lit(1 - lambda) * puni))
         }))

@@ -87,11 +87,12 @@ class CorpusQualitySpec extends AnyFunSuite {
     val df = Seq((1L, "a b a b a c")).toDF("id", "text")
     val m = TextOps.bigramLm(df, "text", vocabSize = 8, nBigrams = 2)
       .collect()(0)
-    val bmap = m.getMap[String, Double](0)
-    // top-2 by (count desc, bg asc): "a b"(2), "b a"(2); "a c"(1) cut
-    assert(bmap.keySet == Set("a b", "b a"))
-    assert(math.abs(bmap("a b") - 2.0 / 3) < 1e-12) // c(a b)=2, hist a=3
-    assert(math.abs(bmap("b a") - 2.0 / 2) < 1e-12) // c(b a)=2, hist b=2
+    val bmap = m.getMap[String, scala.collection.Map[String, Double]](0)
+    // top-2 by (count desc, pair asc): (a,b)×2, (b,a)×2; (a,c)×1 cut
+    assert(bmap.keySet == Set("a", "b"))
+    assert(bmap("a").keySet == Set("b") && bmap("b").keySet == Set("a"))
+    assert(math.abs(bmap("a")("b") - 2.0 / 3) < 1e-12) // c(a b)=2, hist a=3
+    assert(math.abs(bmap("b")("a") - 2.0 / 2) < 1e-12) // c(b a)=2, hist b=2
   }
 
   test("bigram ppl separates token ORDER where the unigram cannot") {
