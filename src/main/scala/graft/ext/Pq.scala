@@ -46,7 +46,18 @@ object Pq {
   /** Train per-subspace codebooks: hash-seeded (id-distribution
     * independent) + `iters` Lloyd steps, every subspace in the same
     * distributed pass — the subspace id `m` is just another grouping
-    * column, so 8 codebooks cost the same number of jobs as one. */
+    * column, so 8 codebooks cost the same number of jobs as one.
+    *
+    * Cell ids are RE-DENSIFIED to 0..kEff-1 per subspace before the
+    * codebook is returned: a cell that is never hash-seeded, or that
+    * empties during a Lloyd step, simply vanishes from the centroid
+    * table, and [[adcTopK]]/[[ivfPqShortlist]] index the per-subspace
+    * LUT row positionally (`element_at(row, code + 1)`) — a gap would
+    * misalign every higher code's distance and an out-of-range probe
+    * yields NULL, which sorts FIRST under the ascending rank window.
+    * Dense ids make position == id by construction; on a corpus where
+    * all k cells survive the renumbering is the identity, so results
+    * are unchanged. PqSpec's dead-cell case pins the gap scenario. */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, subDim: Int, iters: Int = 2): Codebook = {
     val subs = subvectors(corpus, idCol, vecCol, m, subDim)
@@ -66,7 +77,12 @@ object Pq {
         .select(col("m"), col("cell"),
           transform(col("pm"), s => s.getField("mu")).as("c_vec"))
     }
-    Codebook(cents, m, k, subDim)
+    // Re-densify: surviving cells renumber to 0..kEff-1 per subspace so
+    // positional LUT indexing is exact even when cells die (see scaladoc).
+    val wDense = Window.partitionBy("m").orderBy("cell")
+    val dense = cents
+      .withColumn("cell", (row_number().over(wDense) - 1).cast("int"))
+    Codebook(dense, m, k, subDim)
   }
 
   /** Nearest-centroid (L2) cell per (id, m) row: the whole codebook packs

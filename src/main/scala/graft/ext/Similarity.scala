@@ -207,9 +207,31 @@ object Similarity {
   private[graft] def assignToHier(corpus: DataFrame, centroids: DataFrame,
                                   idCol: String, vecCol: String,
                                   nAssign: Int = 1,
-                                  nProbeCoarse: Int = 4): DataFrame = {
-    val nFine = centroids.count()
-    val nCoarse = math.max(2, math.round(math.sqrt(nFine.toDouble)).toInt)
+                                  nProbeCoarse: Int = 4): DataFrame =
+    assignWithTree(corpus, buildHierTree(centroids), idCol, vecCol,
+      nAssign, nProbeCoarse)
+
+  /** The packed two-level centroid tree: ONE row whose `__tree` column is
+    * an array of (coarse cell, coarse vector, fine children) entries —
+    * the broadcast side of [[assignWithTree]]. Build once per centroid
+    * set (the tree is a pure function of the centroids), persist the
+    * packed frame, and run every assignment pass off it: rebuilding per
+    * call re-runs the coarse k-means + two aggregations for no new
+    * information (VectorQ memoizes it per (session, sfDir) exactly like
+    * its IVF index). */
+  case class HierTree(packed: DataFrame)
+
+  /** Cluster the fine centroids into ~√nCells coarse cells and pack the
+    * whole 2-level tree into one broadcastable row.
+    *
+    * NOTE: sizing the coarse level needs the fine-centroid COUNT, so this
+    * runs a `count()` ACTION at build time unless `nFine` is supplied —
+    * fine for centroid-sized inputs (the only intended ones), but callers
+    * composing lazy plans should pass `nFine` explicitly. */
+  def buildHierTree(centroids: DataFrame,
+                    nFine: Option[Long] = None): HierTree = {
+    val n = nFine.getOrElse(centroids.count())
+    val nCoarse = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
     val fineAsCorpus = centroids
       .select(col("ivf_cell").as("fid"), col("c_vec").as("fvec"))
     val coarse = ivfCentroids(fineAsCorpus, "fid", "fvec", nCoarse,
@@ -223,7 +245,18 @@ object Similarity {
       .agg(collect_list(struct(col("fid"), col("fvec"))).as("fines"))
       .join(coarse.select(col("ivf_cell").as("cc"), col("c_vec").as("cvec")), "cc")
       .agg(collect_list(struct(col("cc"), col("cvec"), col("fines"))).as("__tree"))
-    corpus.crossJoin(broadcast(packed))
+    HierTree(packed)
+  }
+
+  /** Assign each corpus row through a prebuilt [[HierTree]]: rank the
+    * coarse entries, then only the `nProbeCoarse` best coarse cells'
+    * fine children — the probe half of [[assignToHier]] with the build
+    * cost amortized away. */
+  private[graft] def assignWithTree(corpus: DataFrame, tree: HierTree,
+                                    idCol: String, vecCol: String,
+                                    nAssign: Int = 1,
+                                    nProbeCoarse: Int = 4): DataFrame = {
+    corpus.crossJoin(broadcast(tree.packed))
       .withColumn("__cands", flatten(transform(
         slice(array_sort(transform(col("__tree"), t =>
           struct((-coalesce(cosine(col(vecCol), t.getField("cvec")), lit(-2.0)))

@@ -63,10 +63,51 @@ object VectorQ {
       })
     }
 
-  /** Bench hook: build the shared IVF index + PQ artifacts up front (see
-    * BacktestQ.prewarm — same attribution rationale). */
+  /** Prebuilt two-level centroid tree for v15 — the packed coarse+fine
+    * broadcast row ([[Similarity.buildHierTree]]) memoized per (session,
+    * sfDir) beside the IVF index it derives from: the tree is a pure
+    * function of the index centroids, so every assignment pass (each
+    * agreement mode, every bench sweep) probes the one cached tree
+    * instead of re-running the coarse k-means + packing aggregations. */
+  private val hierCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Similarity.HierTree]
+  private def prebuiltHier(s: SparkSession, d: String): Similarity.HierTree =
+    hierCache.synchronized {
+      hierCache.getOrElseUpdate((s, d), {
+        val packed = Similarity
+          .buildHierTree(prebuiltIvf(s, d).centroids).packed.persist()
+        packed.count() // materialize inside the lock (shared await)
+        Similarity.HierTree(packed)
+      })
+    }
+
+  /** Prebuilt label-carrying IVF index for v18 (filtered search) — the
+    * same build-once/probe-many lifecycle as [[prebuiltIvf]], but with
+    * the filter column riding in the postings (`keepCols`): a production
+    * filtered-search index is written once with its predicate columns and
+    * probed per query batch, so the bench should time the probe, not a
+    * per-run rebuild. Kept separate from [[prebuiltIvf]] because the
+    * filtered index intentionally uses a different geometry (nCells=24)
+    * to exercise the second equi-key path at a non-trivial cell count. */
+  private val filteredIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Similarity.IvfIndex]
+  private def prebuiltFilteredIvf(s: SparkSession, d: String): Similarity.IvfIndex =
+    filteredIvfCache.synchronized {
+      filteredIvfCache.getOrElseUpdate((s, d), {
+        val idx = Similarity.buildIvfIndex(
+          corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
+          nCells = 24, nAssign = 2, keepCols = Seq("label"))
+        val postings = idx.postings.persist()
+        postings.count() // materialize inside the lock (shared await)
+        idx.copy(postings = postings)
+      })
+    }
+
+  /** Bench hook: build the shared IVF indexes + PQ artifacts + hier tree
+    * up front (see BacktestQ.prewarm — same attribution rationale). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    prebuiltIvf(s, d); prebuiltPq(s, d); ()
+    prebuiltIvf(s, d); prebuiltPq(s, d); prebuiltHier(s, d)
+    prebuiltFilteredIvf(s, d); ()
   }
 
   /** Release the memoized IVF index + PQ artifacts (see
@@ -81,6 +122,12 @@ object VectorQ {
       cb.centroids.unpersist(); codes.unpersist()
     }
     pqCache.clear()
+    hierCache.values.foreach(_.packed.unpersist())
+    hierCache.clear()
+    filteredIvfCache.values.foreach { idx =>
+      idx.centroids.unpersist(); idx.postings.unpersist()
+    }
+    filteredIvfCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -360,10 +407,11 @@ object VectorQ {
       val base = corpus(s, d).filter(col("vec_id") >= 5)
         .select(col("vec_id"), col("vec"))
       val cents = prebuiltIvf(s, d).centroids
+      val tree = prebuiltHier(s, d) // one cached tree feeds every mode
       val flat = Similarity.assignTo(base, cents, "vec_id", "vec")
         .select(col("vec_id"), col("ivf_cell").as("flat_cell"))
       def agreement(nProbeCoarse: Int, mode: String): DataFrame =
-        Similarity.assignToHier(base, cents, "vec_id", "vec",
+        Similarity.assignWithTree(base, tree, "vec_id", "vec",
             nProbeCoarse = nProbeCoarse)
           .select(col("vec_id"), col("ivf_cell").as("hier_cell"))
           .join(flat, "vec_id")
@@ -420,15 +468,16 @@ object VectorQ {
     // exact filtered top-k): the approximate leg of filtered search. The
     // label rides IN the postings (keepCols) and prunes as a second equi
     // key next to ivf_cell — candidates shrink to the query's category
-    // inside the probed cells before any cosine. Rows-only (centroid-
-    // specific); the driver-visible number is per-query recall@10, the
-    // v7/v16 pattern. FilteredSearchSpec pins ≡ v17 at nProbe = nCells.
+    // inside the probed cells before any cosine. Probes the PREBUILT
+    // label-carrying index ([[prebuiltFilteredIvf]]) — build-once/probe-
+    // many, the v6 lifecycle. Rows-only (centroid-specific); the driver-
+    // visible number is per-query recall@10, the v7/v16 pattern.
+    // FilteredSearchSpec pins ≡ v17 at nProbe = nCells.
     "v18_filtered_ivf" -> ((s, d) => {
       val c = corpus(s, d)
       val qs = c.filter(col("vec_id") < 5)
       val base = c.filter(col("vec_id") >= 5)
-      val idx = Similarity.buildIvfIndex(base, "vec_id", "vec",
-        nCells = 24, nAssign = 2, keepCols = Seq("label"))
+      val idx = prebuiltFilteredIvf(s, d)
       val approx = Similarity.probeIvfFiltered(idx, qs, "vec_id", "label",
           nProbe = 6, k = 10)
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))

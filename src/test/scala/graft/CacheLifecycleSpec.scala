@@ -32,7 +32,8 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "x12_repetition" -> rows("x12_repetition"),
       "x21_quality_filter" -> rows("x21_quality_filter"),
       "v6_ivf_probe" -> rows("v6_ivf_probe"),
-      "v7_ann_recall" -> rows("v7_ann_recall"))
+      "v7_ann_recall" -> rows("v7_ann_recall"),
+      "v15_hier_assign" -> rows("v15_hier_assign"))
     Graft.clearCaches()
     // every consumer must rebuild from the source tables and agree
     before.foreach { case (q, exp) =>

@@ -54,6 +54,44 @@ class PqSpec extends AnyFunSuite {
     assert(e16 < e4, s"k=16 error $e16 should beat k=4 error $e4")
   }
 
+  test("dead codebook cells: LUT indexing stays exact (dense ids, no NULL adist)") {
+    // 6 vectors, k=16: each subspace has at most 6 seeded cells, so 10+
+    // cells are dead by construction. Before re-densification this left
+    // id gaps that misaligned the positional LUT lookup (and NULL adist
+    // for codes past the surviving-cell count).
+    val base = corpus.filter(col("vec_id") < 6)
+    val cb = Pq.trainCodebooks(base, "vec_id", "vec", m = 4, k = 16, subDim = 16)
+    val cents = cb.centroids.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val kEff = cents.keys.groupBy(_._1).map { case (m, ks) => m -> ks.size }
+    assert(kEff.values.forall(_ <= 6), s"expected dead cells, got $kEff")
+    assert(kEff.values.exists(_ < 16), "fixture failed to kill any cell")
+    // dense contract: per subspace, ids are exactly 0..kEff-1
+    kEff.foreach { case (m, n) =>
+      val ids = cents.keys.filter(_._1 == m).map(_._2).toSeq.sorted
+      assert(ids == (0 until n), s"subspace $m ids not dense: $ids")
+    }
+    val codes = Pq.encode(base, "vec_id", "vec", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = base.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qs = base.filter(col("vec_id") < 2)
+    val got = Pq.adcTopK(qs, Pq.encode(base, "vec_id", "vec", cb),
+        "vec_id", "vec_id", "vec", cb, topK = 6).collect()
+    assert(got.length == 2 * 6)
+    got.foreach { r =>
+      assert(!r.isNullAt(3), s"NULL adist for ${r.getLong(0)} -> ${r.getLong(2)}")
+      val (q, c) = (r.getLong(0), r.getLong(2))
+      // independent driver-side ADC: sum over subspaces of L2^2(q_sub, centroid[code])
+      val expect = (0 until 4).map { m =>
+        val qsub = vecs(q).slice(m * 16, m * 16 + 16)
+        val cent = cents((m, codes(c)(m)))
+        qsub.zip(cent).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      assert(math.abs(r.getDouble(3) - expect) < 1e-5,
+        s"q=$q c=$c adist ${r.getDouble(3)} != $expect")
+    }
+  }
+
   test("ADC recall@10 vs exact L2 clears the floor; v11 reports exactly it") {
     val rows = SparkEntry.queries("v11_pq_recall")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
