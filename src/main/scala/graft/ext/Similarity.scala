@@ -339,6 +339,33 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
+  /** Probe with a RECALL TARGET instead of a cell count — the SLO form of
+    * [[probeIvf]] a 100 TB caller actually wants: state "recall ≥ 0.5",
+    * not "probe 8 cells". nProbe is sized by [[nProbeFor]] with
+    * probedFraction = recallTarget, which is CONSERVATIVE: under the
+    * uniform-cell null model, probing a fraction f of cells catches f of
+    * the true neighbors in expectation, and nearest-cells-first probing
+    * dominates that baseline at every measured design point (fixture:
+    * fraction 0.25 → recall 0.64, 0.5 → 0.94; RecallAtScale at 64×:
+    * 0.10 → 0.88 — SCALING.md r4). Holding the FRACTION rather than a
+    * fixed nProbe is also exactly what holds recall as nCells grows with
+    * the corpus (the decay a fixed nProbe suffers is measured there).
+    * IvfSpec asserts the sized probe meets the target on the fixture.
+    *
+    * The centroid count is read from the index — one centroid-sized
+    * `count()` action per call (memoize the index, as VectorQ does, and
+    * it is a cached-table count). Output = [[probeIvf]]'s plus a
+    * constant `n_probe` column so callers can log what the SLO chose. */
+  def probeIvf(index: IvfIndex, queries: DataFrame, qId: String,
+               k: Int, recallTarget: Double): DataFrame = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recallTarget must be in (0, 1], got $recallTarget")
+    val nCells = index.centroids.count().toInt
+    val nP = nProbeFor(nCells, probedFraction = recallTarget)
+    probeIvf(index, queries, qId, nProbe = nP, k = k)
+      .withColumn("n_probe", lit(nP))
+  }
+
   /** FILTERED probe — [[probeIvf]] under a per-query metadata constraint
     * (the approximate leg of [[filteredTopK]]): the filter column is part
     * of the postings (built with `keepCols`) and joins as a SECOND equi

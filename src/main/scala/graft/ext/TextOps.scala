@@ -315,9 +315,13 @@ object TextOps {
     // concat (measured ~3× on the scoring pass; results identical — the
     // (cb desc, w1, w2) cut order equals the (cb desc, "w1 w2") order
     // because tokens cannot contain the ' ' separator).
-    val bi = df.select(explode(transform(sequence(lit(1), size(toksCol) - 1),
-        i => struct(element_at(toksCol, i).as("w1"),
-          element_at(toksCol, i + 1).as("w2")))).as("e"))
+    // `toks` materialized as a column under the Generate — an inline
+    // split re-evaluates once per element_at inside the pair lambda
+    // (the x26 HOF trap: ~n_toks regex splits per doc)
+    val bi = df.withColumn("toks", toksCol)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("e"))
       .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
     val chist = bi.groupBy("w1").agg(count(lit(1)).as("ch"))
     val bmodel = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
@@ -356,6 +360,34 @@ object TextOps {
           acc + log(when(i === 1, puni)
             .otherwise(lit(lambda) * pbi + lit(1 - lambda) * puni))
         }))
+      .select(col(idCol), nToks.as("n_toks"),
+        round(-col("lp") / nToks, 6).as("cross_entropy"),
+        round(exp(-col("lp") / nToks), 6).as("ppl"))
+  }
+
+  /** [[perplexityBigram]] with the scoring pass NATIVE: the one-row
+    * [[bigramLm]] model is collected driver-side (vocab + top-M bigrams
+    * — KBs at any corpus scale; the bloom-bits/PQ-codebook broadcast-
+    * scalar lifecycle, and how a production run ships a KenLM-style
+    * scoring model anyway) and embedded in ONE fused codegen expression
+    * ([[graft.functions.BigramScore]]) that probes executor-local hash
+    * maps, replacing the per-position interpreted `element_at` scans.
+    * Results are bit-identical to the composable form (same fold order,
+    * same constants, `StrictMath.log` — CorpusQualitySpec parity). */
+  def perplexityBigramNative(df: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String,
+                             model: org.apache.spark.sql.DataFrame,
+                             lambda: Double): org.apache.spark.sql.DataFrame = {
+    require(lambda >= 0 && lambda < 1, s"lambda must be in [0,1), got $lambda")
+    val r = model.head() // one-row model — bounded broadcast-scalar collect
+    val bm = graft.functions.BigramModel(
+      uni = r.getAs[Map[String, Double]]("umap"),
+      oovP = r.getAs[Double]("oov_p"),
+      bi = r.getAs[Map[String, Map[String, Double]]]("bmap"))
+    val nToks = size(col("toks"))
+    df.withColumn("toks", tokens(col(textCol)))
+      .withColumn("lp",
+        graft.functions.BigramScore.bigram_lp(col("toks"), bm, lambda))
       .select(col(idCol), nToks.as("n_toks"),
         round(-col("lp") / nToks, 6).as("cross_entropy"),
         round(exp(-col("lp") / nToks), 6).as("ppl"))

@@ -252,20 +252,25 @@ object VectorQ {
     // not a cell count". Hash/centroid-specific → rows-only.
     "v9_ivf_sla" -> ((s, d) => {
       val c = corpus(s, d)
-      val nP = Similarity.nProbeFor(nCells = 16, probedFraction = 0.5)
       val exact = Similarity.bruteForceTopK(
           c.filter(col("vec_id") < 5), c.filter(col("vec_id") >= 5),
           "vec_id", "vec_id", "vec", k = 10)
         .select(col("q_id"), col("c_id"))
+      // the SLO overload: "recall >= 0.5", nProbe chosen internally and
+      // reported back in the n_probe column
       val approx = Similarity.probeIvf(prebuiltIvf(s, d),
-          c.filter(col("vec_id") < 5), "vec_id", nProbe = nP, k = 10)
+          c.filter(col("vec_id") < 5), "vec_id", k = 10, recallTarget = 0.5)
+      val hits = approx
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      exact.join(approx, Seq("q_id", "c_id"), "left")
+      // n_probe per query from the probe output itself (not via the hit
+      // join, which would drop it for a zero-recall query)
+      val nps = approx.groupBy("q_id").agg(max("n_probe").as("n_probe"))
+      exact.join(hits, Seq("q_id", "c_id"), "left")
         .groupBy("q_id")
         .agg(count(lit(1)).as("k"),
           round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
             .as("recall_at_k"))
-        .withColumn("n_probe", lit(nP))
+        .join(nps, "q_id")
         .orderBy("q_id")
     }),
 

@@ -125,6 +125,53 @@ class CorpusQualitySpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("native bigram scoring == composable perplexityBigram, bit-for-bit") {
+    // full fixture parity: the fused BigramScore expression (driver-held
+    // model, hash-map probes) must reproduce the interpreted aggregate
+    // fold EXACTLY — same fold order, same constants, StrictMath.log
+    val m = TextOps.bigramLm(docs, "text", vocabSize = 24, nBigrams = 256)
+      .persist()
+    m.count()
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val composable = collect(
+      TextOps.perplexityBigram(docs, "doc_id", "text", m, 0.7))
+    val native = collect(
+      TextOps.perplexityBigramNative(docs, "doc_id", "text", m, 0.7))
+    assert(native.keySet == composable.keySet)
+    native.foreach { case (id, v) =>
+      assert(v == composable(id), s"doc $id: native $v != ${composable(id)}")
+    }
+    m.unpersist()
+    // and on a hand corpus with OOV + unseen-history positions
+    val train = Seq((1L, "a b a b a b a b"), (2L, "a b c")).toDF("id", "text")
+    val m2 = TextOps.bigramLm(train, "text", vocabSize = 2, nBigrams = 4)
+    val probes = Seq((10L, "a b z a"), (11L, "z z z")).toDF("doc_id", "text")
+    val c2 = collect(TextOps.perplexityBigram(probes, "doc_id", "text", m2, 0.7))
+    val n2 = collect(TextOps.perplexityBigramNative(probes, "doc_id", "text", m2, 0.7))
+    assert(n2 == c2)
+  }
+
+  test("native bigram scoring pass is shuffle-free and model-join-free") {
+    val m = TextOps.bigramLm(docs, "text", vocabSize = 24, nBigrams = 256)
+      .persist()
+    m.count()
+    val plan = TextOps.perplexityBigramNative(docs, "doc_id", "text", m, 0.7)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"scoring shuffles: $shuffles")
+    // the model rides inside the expression — no join of any kind remains
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(joins.isEmpty, s"model join in the native scoring plan: $joins")
+    m.unpersist()
+  }
+
   // ---- sliding-window chunking ----
 
   test("chunkSliding: window arithmetic at the edges") {

@@ -77,6 +77,32 @@ class IvfSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Similarity.nProbeFor(16, 0.0))
   }
 
+  test("probeIvf(recallTarget): sized nProbe meets the target on the fixture") {
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    val corpus = c.filter(col("vec_id") >= 5)
+    val queries = c.filter(col("vec_id") < 5)
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "vec", nCells = 16)
+    val target = 0.5
+    val sized = Similarity.probeIvf(idx, queries, "vec_id", k = 10,
+      recallTarget = target)
+    // the SLO sizing is nProbeFor(nCells, target), reported per row
+    val nps = sized.select("n_probe").distinct().collect().map(_.getInt(0))
+    assert(nps.toSeq == Seq(Similarity.nProbeFor(16, target)))
+    // and the chosen nProbe actually meets the recall target (mean@10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec_id",
+        "vec", k = 10)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = sized.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = exact.groupBy(_._1).map { case (q, pairs) =>
+      pairs.count(got.contains).toDouble / pairs.size
+    }
+    val mean = byQ.sum / byQ.size
+    assert(mean >= target, s"mean recall $mean misses the $target SLO")
+  }
+
   test("assignment never shuffles corpus rows (broadcast-packed centroids)") {
     import spark.implicits._
     // deterministic varied vectors so nearest-cell picks are non-trivial
