@@ -173,7 +173,13 @@ object Dedup {
     * `maxBucketSize` caps the SUM of a bucket's occupancy across both
     * sides before the join (a boilerplate bucket shared by both corpora
     * otherwise emits |A|·|B| pairs). Output: (id_a, id_b, est_jaccard),
-    * one row per candidate pair. */
+    * one row per candidate pair.
+    *
+    * Cache lifecycle: both signature tables are cached only for the
+    * duration of the call (candidates are eagerly checkpoint-
+    * materialized, then the signatures unpersist — the
+    * [[incrementalNearDup]] discipline, so repeated decontamination
+    * passes don't accumulate cached signature tables). */
   def crossCorpusCandidates(corpusA: DataFrame, corpusB: DataFrame,
                             idCol: String, shingleCol: String,
                             k: Int, bands: Int,
@@ -184,7 +190,10 @@ object Dedup {
       .select(col(idCol), col("minhash")).persist()
     val signedB = withMinHash(corpusB, shingleCol, k)
       .select(col(idCol), col("minhash")).persist()
-    bandedPairs(signedA, signedB, idCol, k, bands, maxBucketSize)
+    val pairs = bandedPairs(signedA, signedB, idCol, k, bands, maxBucketSize)
+      .localCheckpoint() // eager: materialized while the signatures cache
+    signedA.unpersist(); signedB.unpersist()
+    pairs
   }
 
   /** Banded A×B candidate pairs between two PREBUILT `(id, minhash)`
@@ -237,7 +246,15 @@ object Dedup {
     * increment N's bodies. Scale shape: one signature scan of the batch
     * + two banded equi-joins (batch×index, batch×batch), all candidate
     * generation bucket-capped — the x7/x17 linear-candidate machinery
-    * end to end. */
+    * end to end.
+    *
+    * Cache lifecycle: the batch signature table is cached only for the
+    * DURATION of this call — the survivors (batch-sized, the increment
+    * not the corpus) are eagerly localCheckpoint-materialized off it,
+    * then it is unpersisted, so repeated invocations (every bench sweep,
+    * every daily increment) do not accumulate executor-memory state.
+    * The returned frame's checkpoint blocks are ContextCleaner-managed:
+    * they release when the caller drops the reference. */
   def incrementalNearDup(corpusSigs: DataFrame, batch: DataFrame,
                          idCol: String, shingleCol: String,
                          k: Int, bands: Int, threshold: Double,
@@ -254,8 +271,11 @@ object Dedup {
         maxBucketSize)
       .filter(col("id_a") < col("id_b") && col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol))
-    batchSigs.join(vsCorpus.union(laterTwins).distinct(), Seq(idCol),
-      "left_anti")
+    val survivors = batchSigs
+      .join(vsCorpus.union(laterTwins).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint() // eager: materialized while batchSigs is cached
+    batchSigs.unpersist()
+    survivors
   }
 
   /** Graded n-gram contamination — the GPT-3/PaLM-style decontamination

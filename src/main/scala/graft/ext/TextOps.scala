@@ -462,15 +462,21 @@ object TextOps {
     * Scale shape: ONE shuffle keyed by `keyCol` + a rank window inside
     * each key — no global sort; skew-safe because the window only
     * needs each key's rows sorted, and AQE splits oversized keys'
-    * sort spills. */
+    * sort spills.
+    *
+    * Output carries `rk` (1-based within-key sample rank) as an
+    * INTENTIONAL column — callers use it for quota audits (x42) and
+    * further sub-capping; a pre-existing `rk` column is replaced. The
+    * working uniform draw uses a `__`-prefixed temporary like every
+    * other op here, so no caller column is silently clobbered. */
   def capPerKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
                 idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
-    df.withColumn("u", md5Uniform(col(idCol)))
+    df.withColumn("__u", md5Uniform(col(idCol)))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(keyCol).orderBy(col("u"), col(idCol))))
+        Window.partitionBy(keyCol).orderBy(col("__u"), col(idCol))))
       .filter(col("rk") <= n)
-      .drop("u")
+      .drop("__u")
   }
 
   /** Temperature-scaled mixture sampling — the multilingual/domain

@@ -44,15 +44,22 @@ object Compaction {
     spark.read.parquet(dir)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
-    // swap: remove old data files, move compacted ones in
+    // swap, NEW FILES FIRST: the compacted part files carry fresh UUID
+    // names, so renaming them in cannot collide with the originals —
+    // and a crash mid-swap leaves the partition with originals plus
+    // some/all new files (duplicated rows a re-run resolves by
+    // re-compacting), never with data missing. Deleting the originals
+    // first would maximize the torn window: any rename failure after
+    // the delete loses rows with no rollback path.
     val target = new java.io.File(dir)
-    dataFiles(dir).foreach(f => new java.io.File(f).delete())
+    val originals = dataFiles(dir)
     new java.io.File(tmp).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .foreach { f =>
         val ok = f.renameTo(new java.io.File(target, f.getName))
         require(ok, s"rename failed for ${f.getName}")
       }
+    originals.foreach(f => new java.io.File(f).delete())
     deleteRecursively(new java.io.File(tmp))
     (before, dataFiles(dir).size)
   }

@@ -86,22 +86,37 @@ object StreamNearDup {
   /** Per-bucket state transition: pair each arrival against the stored
     * representatives (and earlier arrivals in this micro-batch, in doc_id
     * order — the deterministic stand-in for arrival order, matching
-    * StreamDedup), then absorb it into state up to `maxBucketReps`. */
+    * StreamDedup), then absorb it into state up to `maxBucketReps`.
+    *
+    * At-least-once safe: an arrival whose doc_id is already a stored
+    * representative (source redelivery) is SKIPPED outright — its pairs
+    * were emitted on first delivery, and re-appending would both waste
+    * a `maxBucketReps` slot and duplicate every future pair it joins.
+    * The membership probe is a per-batch hash set (built once from
+    * state), and the rep count is tracked in a counter — no per-event
+    * `List.size`/linear scans, so a hot bucket's batch stays linear. */
   def pairFn(k: Int, maxBucketReps: Int)(
       key: (Int, Long), events: Iterator[BandedDoc],
       state: GroupState[List[BandRep]]): Iterator[CandPair] = {
     var reps = state.getOption.getOrElse(Nil)
+    var nReps = reps.size // once per (bucket, batch), then counter-tracked
+    val seen = new scala.collection.mutable.HashSet[Long]
+    reps.foreach(r => seen += r.doc_id)
     val out = Seq.newBuilder[CandPair]
     events.toSeq.sortBy(_.doc_id).foreach { e =>
-      reps.foreach { r =>
-        if (r.doc_id != e.doc_id) {
+      if (!seen.contains(e.doc_id)) {
+        reps.foreach { r =>
           val agree = r.sig.iterator.zip(e.minhash.iterator)
             .count { case (a, b) => a == b }
           out += CandPair(math.min(r.doc_id, e.doc_id),
             math.max(r.doc_id, e.doc_id), agree.toDouble / k)
         }
+        if (nReps < maxBucketReps) {
+          reps = BandRep(e.doc_id, e.minhash) :: reps
+          nReps += 1
+        }
+        seen += e.doc_id // also dedups same-batch redeliveries at the cap
       }
-      if (reps.size < maxBucketReps) reps = BandRep(e.doc_id, e.minhash) :: reps
     }
     state.update(reps)
     out.result().iterator

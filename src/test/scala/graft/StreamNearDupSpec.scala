@@ -81,6 +81,32 @@ class StreamNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("at-least-once redelivery: no duplicate pairs, no wasted rep slots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = NdDoc(1L, "alpha beta gamma delta epsilon zeta eta theta")
+    val b = NdDoc(2L, "alpha beta gamma delta epsilon zeta eta iota")
+    val input = MemoryStream[NdDoc]
+    val q = StreamNearDup.candidates(input.toDF(), K, B)
+      .writeStream.format("memory").queryName("nd_redeliver")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(a, b))
+      q.processAllAvailable()
+      val firstDelivery = spark.table("nd_redeliver").count()
+      assert(firstDelivery > 0, "fixture docs failed to pair at all")
+      input.addData(Seq(a)) // the source re-delivers doc 1
+      q.processAllAvailable()
+      input.addData(Seq(b)) // and doc 2
+      q.processAllAvailable()
+      // redeliveries emit NOTHING: the docs are already stored reps, so
+      // re-pairing (and re-appending a duplicate state entry) is skipped
+      val after = spark.table("nd_redeliver").count()
+      assert(after == firstDelivery,
+        s"redelivery emitted ${after - firstDelivery} duplicate pairs")
+    } finally q.stop()
+  }
+
   test("bucket cap freezes representatives but keeps detecting") {
     import spark.implicits._
     // 6 identical docs, cap = 1: everyone pairs against the frozen first
