@@ -97,16 +97,52 @@ object TextOps {
     * bucket both engines compute identically). */
   def hashedTfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, dim: Int,
-                  bucketOf: Column => Column = null): org.apache.spark.sql.DataFrame = {
+                  bucketOf: Column => Column = null): org.apache.spark.sql.DataFrame =
+    applyTfIdf(docs, idCol, textCol,
+      tfIdfModel(docs, idCol, textCol, dim, bucketOf))
+
+  /** A FITTED hashed-TF-IDF vectorizer — the corpus statistics (per-token
+    * document frequency + corpus size) split out as a serve-time model.
+    * [[hashedTfIdf]] is fit∘apply on the same corpus; the split exists
+    * for the RETRIEVAL read path: queries arriving at serve time are NOT
+    * in the corpus, so they must be embedded with the CORPUS's idf
+    * weights ([[applyTfIdf]]), exactly like an LM scoring model or an
+    * IVF centroid set — fit once at index build, apply per query batch.
+    * Both frames are plain DataFrames (write/read like the IVF index). */
+  case class TfIdfModel(dfTab: org.apache.spark.sql.DataFrame,
+                        corpusN: org.apache.spark.sql.DataFrame,
+                        dim: Int, bucketFn: Column => Column)
+
+  /** Fit the vectorizer: one explode + two partial-aggregated groupBys
+    * over the corpus (df = docs containing each token; n = corpus size). */
+  def tfIdfModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, dim: Int,
+                 bucketOf: Column => Column = null): TfIdfModel = {
     val bucketFn: Column => Column =
       if (bucketOf != null) bucketOf else t => pmod(xxhash64(t), lit(dim))
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("corpus_n"))
-    tf.join(dfTab, "tok")
-      .crossJoin(broadcast(n))
-      .withColumn("bucket", bucketFn(col("tok")).cast("int"))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    TfIdfModel(
+      dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df")),
+      corpusN = docs.agg(count(lit(1)).as("corpus_n")),
+      dim = dim, bucketFn = bucketFn)
+  }
+
+  /** Embed texts in a fitted model's space: (id, bucket, weight)
+    * components with weight = Σ tf · ln(N/df) under the MODEL's df/N.
+    * Tokens unseen in the model corpus carry no df and DROP (standard
+    * vectorizer OOV semantics — they would need smoothing to score).
+    * Scale shape: the token join shuffles (tok, tf) rows only; at serve
+    * time the text side is a query batch — tiny against the model — so
+    * the join cost is the model-side token table scan, never a corpus
+    * rescan. */
+  def applyTfIdf(texts: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, model: TfIdfModel): org.apache.spark.sql.DataFrame = {
+    val tf = texts.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(model.dfTab, "tok")
+      .crossJoin(broadcast(model.corpusN))
+      .withColumn("bucket", model.bucketFn(col("tok")).cast("int"))
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("tf") * log(col("corpus_n") / col("df"))).as("weight"))
   }
