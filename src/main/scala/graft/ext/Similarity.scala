@@ -605,6 +605,50 @@ object Similarity {
     * rows per query, never in the scan. Same funnel shape as PQ's ADC
     * ([[graft.ext.Pq.adcTopK]]) with a 32× (vs 4×) compressed first
     * pass. Returns (q_id, rank, c_id, cos). */
+  /** k-nearest-neighbour GRAPH within blocks — every vector's top-k
+    * most-similar peers, the substrate of graph-based curation
+    * (connected-component topic clusters, density/outlier scoring,
+    * diversity-aware selection: a doc whose k-NN edges are all ≥0.9 is
+    * redundant; one whose edges are weak is novel). The block key bounds
+    * the pair join exactly as in [[semanticDedup]]: a metadata column
+    * (label/tenant/language) when one bounds block size, an IVF cell id
+    * ([[knnGraphIvf]]) at 100 TB. Requires a single-valued block key per
+    * row (no nAssign replication — a pair would rank twice).
+    *
+    * Scale shape: one equi-join on the block key (never all-pairs), the
+    * rank window partitions by source id so no partition exceeds the
+    * block size, and with nCells ~ √n occupancy the IVF form does
+    * Θ(n^1.5) in-block cosines — the [[semanticDedupIvf]] geometry.
+    * Returns (idCol, blockCol, rank, nbr_id, cos). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               blockCol: String, k: Int): DataFrame = {
+    val a = corpus.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+      col(vecCol).as("__v"))
+    val b = corpus.select(col(blockCol).as("__blk"), col(idCol).as("__nbr"),
+      col(vecCol).as("__nv"))
+    a.join(b, "__blk")
+      .filter(col("__id") =!= col("__nbr"))
+      .withColumn("cos", cosine(col("__v"), col("__nv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__id").orderBy(col("cos").desc, col("__nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("__blk").as(blockCol),
+        col("rank"), col("__nbr").as("nbr_id"), col("cos"))
+  }
+
+  /** [[knnGraph]] blocked by IVF cell — the production form when no
+    * metadata key bounds block size (the [[semanticDedupIvf]] move):
+    * nearest-centroid assignment (broadcast-packed, shuffle-free)
+    * supplies the block, nCells ~ √n holds occupancy flat. Edges can
+    * only be MISSED across cell boundaries, never invented: every edge
+    * returned carries its exact cosine, and in-block edges are a subset
+    * of the exact graph's candidate set (KnnGraphSpec verifies edge
+    * exactness vs brute force). */
+  def knnGraphIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int, k: Int): DataFrame =
+    knnGraph(ivfAssign(corpus, idCol, vecCol, nCells),
+      idCol, vecCol, "ivf_cell", k)
+
   def binaryTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                  cId: String, vecCol: String, k: Int,
                  shortlist: Int = 50): DataFrame = {

@@ -110,9 +110,10 @@ object VectorQ {
     * times the serve path, not a per-call corpus re-chunk + re-fit +
     * re-index (the v5/v6 split applied to retrieval). */
   private val ragCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (graft.ext.TextOps.TfIdfModel, Similarity.IvfIndex)]
+    .empty[(SparkSession, String),
+           (graft.ext.TextOps.TfIdfModel, Similarity.IvfIndex, DataFrame)]
   private def prebuiltRag(s: SparkSession, d: String)
-      : (graft.ext.TextOps.TfIdfModel, Similarity.IvfIndex) =
+      : (graft.ext.TextOps.TfIdfModel, Similarity.IvfIndex, DataFrame) =
     ragCache.synchronized {
       ragCache.getOrElseUpdate((s, d), {
         val chunks = graft.ext.TextOps.chunkSliding(
@@ -125,6 +126,9 @@ object VectorQ {
         val dfTab = m0.dfTab.persist(); dfTab.count()
         val corpusN = m0.corpusN.persist(); corpusN.count()
         val model = m0.copy(dfTab = dfTab, corpusN = corpusN)
+        // kept persisted: the exact leg of the retrieval-recall audit
+        // (v20) brute-forces against these same chunk vectors — they are
+        // the ground-truth side of the index, not a build temporary
         val chunkVecs = graft.ext.TextOps.assembleVector(
           graft.ext.TextOps.applyTfIdf(chunks, "chunk_key", "chunk", model),
           "chunk_key", 32).persist()
@@ -137,8 +141,7 @@ object VectorQ {
           nCells = nCells, nAssign = 2)
         val postings = idx.postings.persist()
         postings.count() // materialize inside the lock (shared await)
-        chunkVecs.unpersist() // count + Lloyd + assignment all done with it
-        (model, idx.copy(postings = postings))
+        (model, idx.copy(postings = postings), chunkVecs)
       })
     }
 
@@ -168,9 +171,10 @@ object VectorQ {
       idx.centroids.unpersist(); idx.postings.unpersist()
     }
     filteredIvfCache.clear()
-    ragCache.values.foreach { case (model, idx) =>
+    ragCache.values.foreach { case (model, idx, chunkVecs) =>
       model.dfTab.unpersist(); model.corpusN.unpersist()
       idx.centroids.unpersist(); idx.postings.unpersist()
+      chunkVecs.unpersist()
     }
     ragCache.clear()
   }
@@ -531,7 +535,7 @@ object VectorQ {
     // rank-1 retrieval + OOV semantics.
     "v19_rag_retrieval" -> ((s, d) => {
       val queries = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
-      val (model, idx) = prebuiltRag(s, d)
+      val (model, idx, _) = prebuiltRag(s, d)
       val queryVecs = graft.ext.TextOps.assembleVector(
         graft.ext.TextOps.applyTfIdf(queries, "doc_id", "text", model),
         "doc_id", 32)
@@ -570,9 +574,84 @@ object VectorQ {
             .as("recall_at_k"))
         .orderBy("q_id")
     }),
+
+    // V20 — RETRIEVAL recall, driver-visible (the v7 audit applied to the
+    // RAG serve path): recall@5 of the SLO-sized chunk-index probe (v19's
+    // read path via probeIvf(recallTarget=0.25)) against the EXACT
+    // brute-force chunk top-5 per held-out query, both legs embedding the
+    // query with the same fitted vectorizer. This is the number a RAG
+    // operator watches — "how much does my index lose vs exact search" —
+    // reported per query with the nProbe the SLO chose, so index-sizing
+    // regressions (the nCells=16 trap caught in-round) surface in the
+    // bench, not in an incident. Aggregated to bounded per-band rows so
+    // the output stays driver-sized at any corpus scale.
+    // Hash/centroid-specific → rows-only; RagRetrievalSpec pins the
+    // recall floor and the exact-leg ground truth.
+    "v20_rag_recall" -> ((s, d) => {
+      val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
+      val (model, idx, chunkVecs) = prebuiltRag(s, d)
+      // the query batch is tiny (~n/97 docs); embedding it once per leg
+      // beats persisting a per-call temp
+      def queryVecs = graft.ext.TextOps.assembleVector(
+        graft.ext.TextOps.applyTfIdf(qs, "doc_id", "text", model),
+        "doc_id", 32)
+      val exact = Similarity.bruteForceTopK(queryVecs, chunkVecs,
+          "doc_id", "chunk_key", "vec", k = 5)
+        .select(col("q_id"), col("c_id"))
+      val approx = Similarity.probeIvf(idx, queryVecs, "doc_id",
+        k = 5, recallTarget = 0.25)
+      val hits = approx.select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(hits, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 6)
+          .as("recall"))
+        .groupBy(floor(col("recall") * 4).as("recall_band"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 6).as("mean_recall"))
+        .orderBy("recall_band")
+    }),
+
+    // V21 — k-NN GRAPH within metadata blocks ([[Similarity.knnGraph]]):
+    // every corpus vector's top-3 most-similar same-label peers with
+    // exact cosines — the substrate of graph curation (density scoring,
+    // topic components, diversity selection). Label-blocked here →
+    // bounded blocks, DuckDB-oracled exactly (rank parity incl. ties);
+    // v22 is the IVF-blocked production twin.
+    "v21_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(corpus(s, d), "vec_id", "vec", "label", k = 3)
+        .select(col("vec_id"), col("label"), col("rank"),
+          col("nbr_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id", "rank")),
+
+    // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
+    // k-means cells as blocks (nCells ~ √n holds occupancy flat — the
+    // v14 geometry), so the graph build does Θ(n^1.5) in-block cosines
+    // instead of n² — the kNN-graph shape that runs at 100 TB. Edges are
+    // exact cosines; cross-cell edges can be missed, never invented
+    // (KnnGraphSpec verifies edge exactness vs brute force). Centroid-
+    // specific → rows-only.
+    "v22_knn_graph_ivf" -> ((s, d) =>
+      Similarity.knnGraphIvf(
+          corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
+          nCells = 16, k = 3)
+        .select(col("vec_id"), col("ivf_cell"), col("rank"),
+          col("nbr_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id", "rank")),
   )
 
   val oracles: Map[String, String] = Map(
+    "v21_knn_graph" ->
+      """SELECT vec_id, label, rank, nbr_id, round(cos, 6) AS cos FROM (
+           SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nbr_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rank
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id)
+         WHERE rank <= 3 ORDER BY vec_id, rank""",
     "v17_filtered_topk" ->
       """SELECT q_id, label, rank, c_id, round(cos, 6) AS cos FROM (
            SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS c_id,
