@@ -53,6 +53,55 @@ object RecallAtScale {
             f"mean recall@10 = $mean%.3f  ($sec%.2f s build+probe)")
       }
     }
+
+    // ---- the CHUNK index (v19/v20's RAG serve path): nProbe/recall trade
+    // at each multiplier, same fit-once artifacts as ScaleStress.builtRag —
+    // the retrieval-quality column SCALING.md pairs with the cost exponents.
+    import graft.ext.TextOps
+    mults.foreach { m =>
+      val docs = spark.read.parquet(s"/tmp/graft_scale/m$m/documents.parquet")
+      val chunks = TextOps.chunkSliding(
+          docs.filter(col("doc_id") % 97 =!= 3), "doc_id", "text", w = 12, s = 8)
+        .select((col("doc_id") * 100000 + col("chunk_id")).as("chunk_key"),
+          col("chunk"))
+      val m0 = TextOps.tfIdfModel(chunks, "chunk_key", "chunk", dim = 32)
+      val dfTab = m0.dfTab.persist(); dfTab.count()
+      val corpusN = m0.corpusN.persist(); corpusN.count()
+      val model = m0.copy(dfTab = dfTab, corpusN = corpusN)
+      val chunkVecs = TextOps.assembleVector(
+        TextOps.applyTfIdf(chunks, "chunk_key", "chunk", model),
+        "chunk_key", 32).persist()
+      val cells = math.max(16, math.sqrt(chunkVecs.count().toDouble).toInt)
+      val idx = Similarity.buildIvfIndex(chunkVecs, "chunk_key", "vec",
+        nCells = cells, nAssign = 2)
+      val postings = idx.postings.persist(); postings.count()
+      val pIdx = idx.copy(postings = postings)
+      val qv = TextOps.assembleVector(
+          TextOps.applyTfIdf(docs.filter(col("doc_id") % 97 === 3),
+            "doc_id", "text", model), "doc_id", 32)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(64).persist()
+      qv.count()
+      val exact = Similarity.bruteForceTopK(qv, chunkVecs, "doc_id",
+          "chunk_key", "vec", k = 5)
+        .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      Seq(2, 4, 8, math.max(4, cells / 10)).distinct.foreach { nProbe =>
+        val t0 = System.nanoTime()
+        val approx = Similarity.probeIvf(pIdx, qv, "doc_id",
+            nProbe = nProbe, k = 5)
+          .select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val perQ = exact.groupBy(_._1).view
+          .mapValues(hits => hits.count(approx.contains).toDouble / hits.length)
+        val mean = perQ.values.sum / perQ.size
+        println(f"[rag-recall] m=$m%-3d nCells=$cells%-5d nProbe=$nProbe%-4d " +
+          f"(${100.0 * nProbe / cells}%.1f%% probed) mean recall@5 = $mean%.3f " +
+          f"($sec%.2f s probe, 64 queries)")
+      }
+      dfTab.unpersist(); corpusN.unpersist(); chunkVecs.unpersist()
+      pIdx.centroids.unpersist(); postings.unpersist(); qv.unpersist()
+    }
     spark.stop()
   }
 }

@@ -20,16 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) on disk, which Spark's parquet
-    * reader rejects. Read nanos as long and truncate to microseconds with
-    * exact integer division (DIV — a long/1000 double division would lose
-    * precision at 1e18 nanos). DuckDB truncates ns→µs the same way, so the
-    * oracle sees identical instants.
+  /** `events.ts` has shipped as two physical parquet types across fixture
+    * generations, so the loader adapts to the *read* schema instead of
+    * assuming one:
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects nanos, so read them
+    *    as long (`nanosAsLong`) and truncate to microseconds with exact
+    *    integer division (DIV — a double division would lose precision at
+    *    1e18 nanos). DuckDB truncates ns→µs the same way.
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=false → Spark reads
+    *    TIMESTAMP_NTZ: cast to session-TZ timestamp. The session TZ is
+    *    pinned to UTC everywhere (Verify/Bench/specs), so NTZ micros ≡ the
+    *    oracle's naive micros and downstream instants are unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case _ => // TIMESTAMP_NTZ (or future variants castable to timestamp)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -605,6 +605,30 @@ object Similarity {
     * rows per query, never in the scan. Same funnel shape as PQ's ADC
     * ([[graft.ext.Pq.adcTopK]]) with a 32× (vs 4×) compressed first
     * pass. Returns (q_id, rank, c_id, cos). */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                 cId: String, vecCol: String, k: Int,
+                 shortlist: Int = 50): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"),
+      signBits(col(vecCol)).as("q_sig"))
+    val c = corpus.select(col(cId).as("c_id"), col(vecCol).as("c_vec"),
+      signBits(col(vecCol)).as("c_sig"))
+    val short = c.select(col("c_id"), col("c_sig"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("q_sig"))))
+      .withColumn("ham", hammingDist(col("q_sig"), col("c_sig")))
+      .withColumn("hr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))))
+      .filter(col("hr") <= shortlist)
+      .select("q_id", "c_id")
+    short
+      .join(c.select(col("c_id"), col("c_vec")), "c_id")
+      .join(broadcast(q.select(col("q_id"), col("q_vec"))), "q_id")
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** k-nearest-neighbour GRAPH within blocks — every vector's top-k
     * most-similar peers, the substrate of graph-based curation
     * (connected-component topic clusters, density/outlier scoring,
@@ -648,28 +672,4 @@ object Similarity {
                   nCells: Int, k: Int): DataFrame =
     knnGraph(ivfAssign(corpus, idCol, vecCol, nCells),
       idCol, vecCol, "ivf_cell", k)
-
-  def binaryTopK(queries: DataFrame, corpus: DataFrame, qId: String,
-                 cId: String, vecCol: String, k: Int,
-                 shortlist: Int = 50): DataFrame = {
-    val q = queries.select(col(qId).as("q_id"), col(vecCol).as("q_vec"),
-      signBits(col(vecCol)).as("q_sig"))
-    val c = corpus.select(col(cId).as("c_id"), col(vecCol).as("c_vec"),
-      signBits(col(vecCol)).as("c_sig"))
-    val short = c.select(col("c_id"), col("c_sig"))
-      .crossJoin(broadcast(q.select(col("q_id"), col("q_sig"))))
-      .withColumn("ham", hammingDist(col("q_sig"), col("c_sig")))
-      .withColumn("hr", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))))
-      .filter(col("hr") <= shortlist)
-      .select("q_id", "c_id")
-    short
-      .join(c.select(col("c_id"), col("c_vec")), "c_id")
-      .join(broadcast(q.select(col("q_id"), col("q_vec"))), "q_id")
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "c_id", "cos")
-  }
 }

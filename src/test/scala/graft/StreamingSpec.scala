@@ -133,4 +133,55 @@ class StreamingSpec extends AnyFunSuite {
       .select("n_events", "total_value").as[(Long, Double)].collect().toList
     assert(sessions == List((2L, 3.0), (2L, 7.0)))
   }
+
+  test("st1 on the FIXTURE: streamed event-time windows == batch windows " +
+       "(event-time semantics survive the events.ts physical type)") {
+    // Round-5 regression class: the driver flipped events.ts from
+    // TIMESTAMP(NANOS) to TIMESTAMP_MICROS/NTZ and every consumer broke.
+    // This pins the other half of the contract the canary can't: the
+    // loader's timestamps must behave identically as STREAMING event time
+    // (watermark + window) and as batch group keys — a unit or zone slip
+    // in the adaptive branch would shift window boundaries here.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+    val fixture = Tables.events(spark, sf)
+      .select("ts", "event_type", "value")
+      .as[(Timestamp, String, Double)].collect()
+    val batch = windowed(Tables.events(spark, sf)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = windowed(input.toDS().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour"))
+    val q = agg.writeStream.format("memory").queryName("fixturewin")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel far past the data: advances the watermark so every real
+      // window closes and emits (its own window never closes → excluded)
+      val flushTs = new Timestamp(fixture.map(_._1.getTime).max + 30L * 86400000)
+      input.addData((flushTs, "___flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("fixturewin")
+        .filter(col("event_type") =!= "___flush").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"window/key sets differ: onlyStream=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"onlyBatch=${(batch.keySet -- streamed.keySet).take(3)}")
+      streamed.foreach { case (k, (n, total)) =>
+        val (bn, btotal) = batch(k)
+        assert(n == bn, s"count mismatch at $k: stream $n batch $bn")
+        assert(math.abs(total - btotal) < 1e-6,
+          s"sum mismatch at $k: stream $total batch $btotal")
+      }
+    } finally q.stop()
+  }
 }
