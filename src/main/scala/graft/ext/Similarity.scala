@@ -672,4 +672,58 @@ object Similarity {
                   nCells: Int, k: Int): DataFrame =
     knnGraph(ivfAssign(corpus, idCol, vecCol, nCells),
       idCol, vecCol, "ivf_cell", k)
+
+  /** Maximal Marginal Relevance re-rank (Carbonell/Goldstein): greedily
+    * pick, per query, the candidate maximizing λ·rel − (1−λ)·max cos to
+    * the already-picked set — the standard diversity step between
+    * retrieval and the generator (near-duplicate passages crowd out
+    * coverage at λ=1). Input: (q_id, c_id, cos, vec) candidate lists —
+    * each query's retrieval top-k with the candidates' vectors riding
+    * along; `cos` is the query relevance from the retrieval leg.
+    *
+    * Scale shape: ONE groupByKey(q_id) over top-k-BOUNDED lists — the
+    * greedy loop and its pairwise cosines run per group over ≤ k
+    * candidates (k ~ tens), so per-group work is O(k²·dim) CONSTANT in
+    * corpus size and queries parallelize across partitions. The fold is
+    * the documented mapGroups exception (bounded group, inherently
+    * sequential greedy), not a row UDF. Ties and float equality break by
+    * c_id; selection is deterministic for a given candidate list.
+    * Returns (q_id, rank, c_id, mmr) — rank in pick order. */
+  def mmrRerank(candidates: DataFrame, k: Int,
+                lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        col("cos").cast("double"), col("vec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, id
+        def cosv(a: Seq[Double], b: Seq[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cand.toSeq: _*)
+        while (out.length < k && remaining.nonEmpty) {
+          val scored = remaining.map { c =>
+            val maxSim =
+              if (pickedVecs.isEmpty) 0.0
+              else pickedVecs.map(pv => cosv(c._4, pv)).max
+            (lambda * c._3 - (1 - lambda) * maxSim, c)
+          }
+          val (bestScore, best) = scored.minBy { case (s, c) => (-s, c._2) }
+          out += ((q, out.length + 1, best._2, bestScore))
+          pickedVecs += best._4
+          remaining -= best
+        }
+        out.iterator
+      }
+      .toDF("q_id", "rank", "c_id", "mmr")
+  }
 }

@@ -157,6 +157,82 @@ object TextOps {
         coalesce(sum(when(col("bucket") === i, col("weight"))), lit(0.0))
       }: _*).as("vec"))
 
+  /** BM25 inverted index: postings carry everything a query probe needs
+    * per (key, tok) — term frequency, the doc's length, and the token's
+    * document frequency (df denormalized into the postings at BUILD time
+    * so serve-time scoring is ONE equi-join + a broadcast stats row,
+    * the production sparse-retrieval read path). `stats` is the 1-row
+    * (corpus_n, avgdl) table.
+    *
+    * Scale shape: postings ~ total corpus tokens, partitioned by token —
+    * a query probes only its own terms' posting lists (the inverted-index
+    * contract), so serve cost ∝ Σ df(query terms), never corpus size.
+    * Stopword-grade tokens are the skew risk (a posting list ~ corpus):
+    * at 100 TB either drop model-side stopwords (df/N threshold filter on
+    * the postings — one scan predicate) or cap lists; AQE skew-join
+    * handles the residue. */
+  case class Bm25Index(postings: org.apache.spark.sql.DataFrame,
+                       stats: org.apache.spark.sql.DataFrame)
+
+  def bm25Index(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).as("key"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("key", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("key").agg(sum("tf").as("dl"))
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    Bm25Index(
+      postings = tf.join(dl, "key").join(dfTab, "tok")
+        .select("key", "tok", "tf", "dl", "df"),
+      stats = dl.agg(count(lit(1)).as("corpus_n"), avg("dl").as("avgdl")))
+  }
+
+  /** Okapi BM25 top-k: score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with the +1-smoothed idf
+    * ln(1 + (N − df + ½)/(df + ½)) (Robertson/Spärck Jones; the Lucene
+    * form — query-term repeats collapse, Lucene-style). One equi-join of
+    * the query terms against the posting lists, a partial-aggregated
+    * per-(query, key) sum, and a bounded top-k window per query.
+    * Returns (q_id, rank, key, score). */
+  def bm25Search(idx: Bm25Index, queries: org.apache.spark.sql.DataFrame,
+                 qId: String, textCol: String, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val qToks = queries
+      .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    qToks.join(idx.postings, "tok")
+      .crossJoin(broadcast(idx.stats))
+      .groupBy("q_id", "key")
+      .agg(sum(
+        log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("key"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "key", "score")
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher): fused(q, d) =
+    * Σ_legs 1/(c + rank_leg(q, d)) over however many ranked lists mention
+    * d. Inputs are (q_id, rank, key) tables; the fusion is two bounded
+    * scans + one grouped sum — rank lists are top-k-bounded, so the op is
+    * O(q·k) at any corpus size. Returns (q_id, rank, key, rrf) with the
+    * fused ranking. */
+  def rrfFuse(legs: Seq[org.apache.spark.sql.DataFrame], k: Int,
+              c: Int = 60): org.apache.spark.sql.DataFrame =
+    legs.map(_.select(col("q_id"), col("key"),
+        (lit(1.0) / (lit(c) + col("rank"))).as("contrib")))
+      .reduce(_ unionAll _)
+      .groupBy("q_id", "key").agg(sum("contrib").as("rrf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("key"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "key", "rrf")
+
   /** Jaccard similarity of two string sets (inputs must be distinct
     * arrays): |A ∩ B| / |A ∪ B|. NULL-safe for empty unions. */
   def jaccard(a: Column, b: Column): Column = {

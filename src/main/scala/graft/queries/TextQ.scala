@@ -750,6 +750,25 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X48 — Okapi BM25 retrieval ([[TextOps.bm25Index]]/[[TextOps
+    // .bm25Search]]): the SPARSE leg of modern retrieval, next to the
+    // dense TF-IDF/IVF path (v19). Held-out queries (doc_id % 97 == 3 —
+    // the v19 serve-time split) probe an inverted index built over the
+    // rest: serve cost = one equi-join of query terms against their
+    // posting lists (Σ df(q terms), never corpus size) + a bounded
+    // per-query top-k window. Oracle-exact: tf/df/dl/avgdl and the
+    // Robertson +1-smoothed idf replicate in DuckDB term by term.
+    "x48_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = TextOps.bm25Index(docs.filter(col("doc_id") % 97 =!= 3),
+        "doc_id", "text")
+      TextOps.bm25Search(idx, docs.filter(col("doc_id") % 97 === 3),
+          "doc_id", "text", k = 10)
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")
+    }),
+
     // X46 — contiguous global-ID assignment ([[TextOps.assignGlobalIds]]):
     // dense ids for 100 TB without a global sort — md5 bucketing, tiny
     // prefix-summed offset table broadcast back, one keyed window. Ids
@@ -884,6 +903,31 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "x48_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, key) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
     "x47_bigram_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

@@ -664,6 +664,75 @@ object VectorQ {
           col("nbr_id"), round(col("cos"), 6).as("cos"))
         .orderBy("vec_id", "rank")),
 
+    // V24 — MMR diversity re-rank ([[Similarity.mmrRerank]]): the greedy
+    // λ·relevance − (1−λ)·max-cos-to-picked selection between retrieval
+    // and the generator — v19's top-20 candidate chunks (prebuilt index
+    // probe, candidate vectors joined from the persisted chunkVecs)
+    // diversified down to 5. Sliding-window chunks overlap by
+    // construction (w=12, s=8), so adjacent chunks of one doc are
+    // near-duplicates — exactly the redundancy MMR exists to trim. The
+    // greedy loop runs per query over a ≤20-row group (the documented
+    // bounded-group mapGroups exception); O(k²·dim) per query, constant
+    // in corpus size. Centroid/hash-specific → rows-only; MmrSpec pins
+    // the selection semantics on hand-built geometry.
+    "v24_mmr_rerank" -> ((s, d) => {
+      val queries = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
+      val (model, idx, chunkVecs, _, _) = prebuiltRag(s, d)
+      val queryVecs = graft.ext.TextOps.assembleVector(
+        graft.ext.TextOps.applyTfIdf(queries, "doc_id", "text", model),
+        "doc_id", 32)
+      val cands = Similarity.probeIvf(idx, queryVecs, "doc_id",
+          nProbe = 4, k = 20)
+        .select(col("q_id"), col("c_id"), col("cos"))
+        .join(chunkVecs.select(col("chunk_key").as("c_id"), col("vec")),
+          "c_id")
+      Similarity.mmrRerank(cands, k = 5, lambda = 0.7)
+        .select(col("q_id"), col("rank"),
+          (col("c_id") / 100000).cast("long").as("src_doc"),
+          pmod(col("c_id"), lit(100000)).cast("int").as("chunk_id"),
+          round(col("mmr"), 6).as("mmr"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // V23 — HYBRID retrieval with reciprocal-rank fusion ([[graft.ext
+    // .TextOps.rrfFuse]]): the standard two-leg read path — a DENSE leg
+    // (md5-bucketed TF-IDF cosine top-20, the x14 vectorizer feeding the
+    // v2 kernel) and a SPARSE leg (Okapi BM25 top-20 over the inverted
+    // index, x48) — fused per (query, doc) as Σ 1/(60 + rank) and
+    // re-ranked. RRF is rank-only (no score calibration across legs),
+    // which is exactly why it is the production default for hybrid
+    // search. Both legs bound their lists (top-20), so fusion is O(q·k)
+    // at any corpus size; at 100 TB the dense leg swaps brute force for
+    // the prebuilt IVF probe (v19's path) with identical fusion algebra.
+    // Oracle-exact end-to-end: both legs and the fusion replicate in
+    // DuckDB (md5 buckets, shared tf/df CTEs, rank arithmetic).
+    "v23_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusD = docs.filter(col("doc_id") % 97 =!= 3)
+      val qs = docs.filter(col("doc_id") % 97 === 3)
+      val md5Bucket: Column => Column =
+        t => conv(substring(md5(t), 1, 4), 16, 10).cast("int") % 32
+      val model = graft.ext.TextOps.tfIdfModel(corpusD, "doc_id", "text",
+        dim = 32, bucketOf = md5Bucket)
+      val cVecs = graft.ext.TextOps.assembleVector(
+        graft.ext.TextOps.applyTfIdf(corpusD, "doc_id", "text", model),
+        "doc_id", 32)
+      val qVecs = graft.ext.TextOps.assembleVector(
+        graft.ext.TextOps.applyTfIdf(qs, "doc_id", "text", model),
+        "doc_id", 32)
+      val dense = Similarity.bruteForceTopK(qVecs, cVecs, "doc_id",
+          "doc_id", "vec", k = 20)
+        .select(col("q_id"), col("rank"), col("c_id").as("key"))
+      val sparse = graft.ext.TextOps.bm25Search(
+          graft.ext.TextOps.bm25Index(corpusD, "doc_id", "text"),
+          qs, "doc_id", "text", k = 20)
+        .select("q_id", "rank", "key")
+      graft.ext.TextOps.rrfFuse(Seq(dense, sparse), k = 10)
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("q_id", "rank")
+    }),
+
     // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
     // k-means cells as blocks, nCells derived from the corpus count as
     // max(16, √n) — the prebuiltRag sizing — so occupancy stays flat and
@@ -683,6 +752,59 @@ object VectorQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "v23_hybrid_rrf" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         ct AS (SELECT doc_id AS key,
+                  unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         ctf AS (SELECT key, tok, count(*) AS tf FROM ct GROUP BY 1, 2),
+         dfx AS (SELECT tok, count(*) AS df FROM ctf GROUP BY 1),
+         dl AS (SELECT key, sum(tf) AS dl FROM ctf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         cv AS (SELECT key,
+                  CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 32
+                    AS INTEGER) AS bucket,
+                  sum(tf * ln(st.corpus_n / CAST(df AS DOUBLE))) AS w
+                FROM ctf JOIN dfx USING (tok) CROSS JOIN st GROUP BY 1, 2),
+         qtf AS (SELECT q_id, tok, count(*) AS tf FROM
+                  (SELECT doc_id AS q_id,
+                     unnest(string_split_regex(text, '\s+')) AS tok FROM qs)
+                 GROUP BY 1, 2),
+         qv AS (SELECT q_id,
+                  CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 32
+                    AS INTEGER) AS bucket,
+                  sum(tf * ln(st.corpus_n / CAST(df AS DOUBLE))) AS w
+                FROM qtf JOIN dfx USING (tok) CROSS JOIN st GROUP BY 1, 2),
+         cn AS (SELECT key, sqrt(sum(w * w)) AS nrm FROM cv GROUP BY 1),
+         qn AS (SELECT q_id, sqrt(sum(w * w)) AS nrm FROM qv GROUP BY 1),
+         dt AS (SELECT qv.q_id, cv.key, sum(qv.w * cv.w) AS dot
+                FROM qv JOIN cv USING (bucket) GROUP BY 1, 2),
+         dcos AS (SELECT dt.q_id, dt.key, dt.dot / (qn.nrm * cn.nrm) AS cos
+                  FROM dt JOIN qn USING (q_id) JOIN cn ON dt.key = cn.key),
+         dense AS (SELECT q_id, key, rank FROM
+                    (SELECT q_id, key, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, key) AS rank FROM dcos)
+                   WHERE rank <= 20),
+         qdt AS (SELECT DISTINCT q_id, tok FROM qtf),
+         sc AS (SELECT qdt.q_id, ctf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (ctf.tf * (1.2 + 1))
+                 / (ctf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qdt JOIN ctf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON ctf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         sparse AS (SELECT q_id, key, rank FROM
+                     (SELECT q_id, key, row_number() OVER (PARTITION BY q_id
+                        ORDER BY score DESC, key) AS rank FROM sc)
+                    WHERE rank <= 20),
+         fused AS (SELECT q_id, key, sum(1.0 / (60 + rank)) AS rrf
+                   FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+                   GROUP BY 1, 2)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(rrf, 6) AS rrf
+         FROM (SELECT q_id, key, rrf, row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, key) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
     "v21_knn_graph" ->
       """SELECT vec_id, label, rank, nbr_id, round(cos, 6) AS cos FROM (
            SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nbr_id,

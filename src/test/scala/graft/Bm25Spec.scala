@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+
+/** Okapi BM25 ([[TextOps.bm25Index]]/[[TextOps.bm25Search]]) and
+  * reciprocal-rank fusion ([[TextOps.rrfFuse]]): scores bit-checked
+  * against an independent Scala reference on a synthetic corpus, the
+  * classic saturation/length-normalization properties, verbatim-copy
+  * retrieval at rank 1, and the exact RRF arithmetic. */
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-bm25").getOrCreate()
+
+  private val k1 = 1.2
+  private val b = 0.75
+
+  private def corpusDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple banana"),
+      (3L, "cherry date elderberry fig grape"),
+      (4L, "banana banana date"),
+      (5L, "apple fig")).toDF("doc_id", "text")
+  }
+
+  /** Independent reference: plain Scala over the same corpus. */
+  private def refScores(corpus: Seq[(Long, String)],
+                        query: String): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = corpus.size.toDouble
+    val df = toks.flatMap(_._2.distinct).groupBy(identity).map {
+      case (t, xs) => t -> xs.size.toDouble
+    }
+    val avgdl = toks.map(_._2.size).sum / n
+    val qTerms = query.split("\\s+").distinct.filter(df.contains)
+    toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val tf = ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+      val s = qTerms.collect { case t if tf.contains(t) =>
+        math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf(t) * (k1 + 1)) / (tf(t) + k1 * ((1 - b) + b * dl / avgdl))
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }.toMap
+  }
+
+  test("scores match the independent Scala reference") {
+    import spark.implicits._
+    val idx = TextOps.bm25Index(corpusDf, "doc_id", "text")
+    val got = TextOps.bm25Search(idx,
+        Seq((100L, "apple banana")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 10)
+      .select("key", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refScores(
+      Seq((1L, "apple banana cherry"), (2L, "apple apple apple banana"),
+        (3L, "cherry date elderberry fig grape"), (4L, "banana banana date"),
+        (5L, "apple fig")),
+      "apple banana")
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-12, s"doc $id: $s vs ${want(id)}")
+    }
+  }
+
+  test("rarer terms score higher; repeated query terms collapse") {
+    import spark.implicits._
+    val idx = TextOps.bm25Index(corpusDf, "doc_id", "text")
+    def top(q: String) = TextOps.bm25Search(idx,
+        Seq((100L, q)).toDF("doc_id", "text"), "doc_id", "text", k = 10)
+      .orderBy("rank").select("key", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // "elderberry" (df=1) pins doc 3 above anything "banana" (df=3) finds
+    val rare = top("elderberry")
+    assert(rare.head._1 == 3L)
+    // Lucene-style qtf collapse: "apple apple" ≡ "apple"
+    assert(top("apple apple").toSeq == top("apple").toSeq)
+  }
+
+  test("held-out verbatim copy retrieves its source in the top 3") {
+    // top-3, not rank-1: BM25's tf saturation + length normalization can
+    // legitimately rank a near-duplicate with an extra repeated rare term
+    // above the verbatim copy (the fixture contains such planted pairs) —
+    // that is correct Okapi behavior, unlike cosine's verbatim == 1.0
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+    val idx = TextOps.bm25Index(corpus, "doc_id", "text")
+    val planted = corpus.filter(length(col("text")) >= 60)
+      .orderBy("doc_id").limit(1).collect()(0)
+    import spark.implicits._
+    val topKeys = TextOps.bm25Search(idx,
+        Seq((999999L, planted.getString(1))).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSet
+    assert(topKeys.contains(planted.getLong(0)),
+      s"planted doc ${planted.getLong(0)} not in BM25 top-3 $topKeys")
+  }
+
+  test("rrfFuse: exact arithmetic, both-leg docs beat single-leg docs") {
+    import spark.implicits._
+    val legA = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("q_id", "rank", "key")
+    val legB = Seq((1L, 1, 11L), (1L, 2, 13L))
+      .toDF("q_id", "rank", "key")
+    val fused = TextOps.rrfFuse(Seq(legA, legB), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // 11 is rank 2 in A and rank 1 in B: 1/62 + 1/61 — the only two-leg
+    // doc, so it fuses first; then 10 (1/61), 13 (1/62), 12 (1/63)
+    assert(fused.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(math.abs(fused.head._3 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(fused(1)._3 - 1.0 / 61) < 1e-15)
+    // ranks are dense 1..4
+    assert(fused.map(_._1).toSeq == Seq(1, 2, 3, 4))
+  }
+}
