@@ -182,6 +182,39 @@ object VectorQ {
       })
     }
 
+  /** Prebuilt HYBRID-retrieval artifacts for v23 — the doc-level TF-IDF
+    * model (md5 buckets, the x14/oracle-replicable geometry), the
+    * assembled corpus vectors, and the BM25 inverted index (postings +
+    * 1-row stats), memoized per (session, sfDir): the hybrid serve
+    * lifecycle is fit/index ONCE, then per query batch embed + two leg
+    * probes + rank fusion. x48 deliberately keeps the one-shot
+    * build+search form (it documents the build leg, the v5/v6 split). */
+  private val hybridCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+           (graft.ext.TextOps.TfIdfModel, DataFrame, graft.ext.TextOps.Bm25Index)]
+  private def prebuiltHybrid(s: SparkSession, d: String)
+      : (graft.ext.TextOps.TfIdfModel, DataFrame, graft.ext.TextOps.Bm25Index) =
+    hybridCache.synchronized {
+      hybridCache.getOrElseUpdate((s, d), {
+        val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
+        val md5Bucket: Column => Column =
+          t => conv(substring(md5(t), 1, 4), 16, 10).cast("int") % 32
+        val m0 = graft.ext.TextOps.tfIdfModel(corpusD, "doc_id", "text",
+          dim = 32, bucketOf = md5Bucket)
+        val dfTab = m0.dfTab.persist(); dfTab.count()
+        val corpusN = m0.corpusN.persist(); corpusN.count()
+        val model = m0.copy(dfTab = dfTab, corpusN = corpusN)
+        val cVecs = graft.ext.TextOps.assembleVector(
+          graft.ext.TextOps.applyTfIdf(corpusD, "doc_id", "text", model),
+          "doc_id", 32).persist()
+        cVecs.count()
+        val b0 = graft.ext.TextOps.bm25Index(corpusD, "doc_id", "text")
+        val postings = b0.postings.persist(); postings.count()
+        val stats = b0.stats.persist(); stats.count()
+        (model, cVecs, graft.ext.TextOps.Bm25Index(postings, stats))
+      })
+    }
+
   /** Test hook (RagRetrievalSpec): the memoized RAG artifacts — model,
     * chunk index, chunk vectors, audit query sample, exact top-5 — so the
     * audit's ground-truth leg can be verified against an independent
@@ -195,7 +228,7 @@ object VectorQ {
     * attribution rationale). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     prebuiltIvf(s, d); prebuiltPq(s, d); prebuiltHier(s, d)
-    prebuiltFilteredIvf(s, d); prebuiltRag(s, d); ()
+    prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d); ()
   }
 
   /** Release the memoized IVF index + PQ artifacts (see
@@ -222,6 +255,11 @@ object VectorQ {
       chunkVecs.unpersist(); qv.unpersist(); exact.unpersist()
     }
     ragCache.clear()
+    hybridCache.values.foreach { case (model, cVecs, bm25) =>
+      model.dfTab.unpersist(); model.corpusN.unpersist()
+      cVecs.unpersist(); bm25.postings.unpersist(); bm25.stats.unpersist()
+    }
+    hybridCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -704,28 +742,23 @@ object VectorQ {
     // search. Both legs bound their lists (top-20), so fusion is O(q·k)
     // at any corpus size; at 100 TB the dense leg swaps brute force for
     // the prebuilt IVF probe (v19's path) with identical fusion algebra.
-    // Oracle-exact end-to-end: both legs and the fusion replicate in
-    // DuckDB (md5 buckets, shared tf/df CTEs, rank arithmetic).
+    // Model + corpus vectors + BM25 index are PREBUILT ([[prebuiltHybrid]]
+    // — fit/index once, the v6 lifecycle; x48 keeps the one-shot form),
+    // so the query times the serve path: embed the query batch, probe
+    // both legs, fuse. Oracle-exact end-to-end: both legs and the fusion
+    // replicate in DuckDB (md5 buckets, shared tf/df CTEs, rank
+    // arithmetic).
     "v23_hybrid_rrf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpusD = docs.filter(col("doc_id") % 97 =!= 3)
-      val qs = docs.filter(col("doc_id") % 97 === 3)
-      val md5Bucket: Column => Column =
-        t => conv(substring(md5(t), 1, 4), 16, 10).cast("int") % 32
-      val model = graft.ext.TextOps.tfIdfModel(corpusD, "doc_id", "text",
-        dim = 32, bucketOf = md5Bucket)
-      val cVecs = graft.ext.TextOps.assembleVector(
-        graft.ext.TextOps.applyTfIdf(corpusD, "doc_id", "text", model),
-        "doc_id", 32)
+      val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
+      val (model, cVecs, bm25) = prebuiltHybrid(s, d)
       val qVecs = graft.ext.TextOps.assembleVector(
         graft.ext.TextOps.applyTfIdf(qs, "doc_id", "text", model),
         "doc_id", 32)
       val dense = Similarity.bruteForceTopK(qVecs, cVecs, "doc_id",
           "doc_id", "vec", k = 20)
         .select(col("q_id"), col("rank"), col("c_id").as("key"))
-      val sparse = graft.ext.TextOps.bm25Search(
-          graft.ext.TextOps.bm25Index(corpusD, "doc_id", "text"),
-          qs, "doc_id", "text", k = 20)
+      val sparse = graft.ext.TextOps.bm25Search(bm25, qs, "doc_id", "text",
+          k = 20)
         .select("q_id", "rank", "key")
       graft.ext.TextOps.rrfFuse(Seq(dense, sparse), k = 10)
         .select(col("q_id"), col("rank"), col("key"),
