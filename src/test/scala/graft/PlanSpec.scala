@@ -210,4 +210,37 @@ class PlanSpec extends AnyFunSuite {
     assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2,
       s"cell window + centroid packing only:\n$p")
   }
+
+  test("x48 BM25 serve: no cartesian over data, bounded top-k windows") {
+    val p = plan("x48_bm25_topk")
+    // the only cross join is the broadcast 1-row stats combine (the
+    // documented scalar pattern); candidate generation is the tok
+    // equi-join, never a corpus cross product
+    val crosses = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size
+    assert("CartesianProduct".r.findAllIn(p).isEmpty, s"cartesian:\n$p")
+    assert(crosses <= 1, s"only the 1-row stats combine may cross:\n$p")
+    // the per-query top-k runs as a rank-limit window (partial+final
+    // WindowGroupLimit), not a global sort of all candidates
+    assert(p.contains("WindowGroupLimit"), s"top-k not group-limited:\n$p")
+  }
+
+  test("v24 MMR: ONE keyed exchange feeds the bounded mapGroups fold") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // snap the candidate list (the operator's input contract: a bounded
+    // per-query top-k with vectors) so the gate inspects mmrRerank alone
+    val cands = Seq(
+      (1L, 10L, 0.9, Seq(1.0, 0.0)), (1L, 11L, 0.8, Seq(0.9, 0.1)),
+      (2L, 10L, 0.7, Seq(0.5, 0.5)))
+      .toDF("q_id", "c_id", "cos", "vec").localCheckpoint()
+    val p = graft.ext.Similarity.mmrRerank(cands, k = 2)
+      .queryExecution.executedPlan.toString
+    // groupByKey names its extracted key column `value`
+    val parts = "hashpartitioning\\(\\w+".r.findAllIn(p).toSeq.distinct
+    assert(parts == Seq("hashpartitioning(value"),
+      s"greedy fold must group by the extracted q_id key only, got $parts:\n$p")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
+      s"one keyed exchange into the fold:\n$p")
+    assert(p.contains("MapGroups"), s"fold missing:\n$p")
+  }
 }
