@@ -187,6 +187,37 @@ object TextOps {
       stats = dl.agg(count(lit(1)).as("corpus_n"), avg("dl").as("avgdl")))
   }
 
+  /** INCREMENTAL index maintenance (the x36/x45 pattern for the sparse
+    * index): tokenize ONLY the new batch, union its (key, tok, tf, dl)
+    * postings with the maintained index's, recompute df/stats over the
+    * merged postings. The invariant — and Bm25Spec's gate — is
+    * `bm25Merge(bm25Index(A), B) ≡ bm25Index(A ∪ B)` exactly: BM25's df
+    * is a global count, so every affected token's postings must see the
+    * new df (a pure append would serve stale idf).
+    *
+    * Scale shape: the expensive leg of a rebuild — re-tokenizing the
+    * corpus BODIES (explode + two groupBys over every document) — never
+    * runs; the merge re-shuffles only the postings table (16-byte-ish
+    * rows) for the df recount. At 100 TB the standard upgrade is
+    * Lucene-style segments: per-segment postings with df merged at query
+    * time, turning the merge into a metadata append — the serve-side
+    * join shape is unchanged, so that swap is storage-layer only. */
+  def bm25Merge(idx: Bm25Index, docs: org.apache.spark.sql.DataFrame,
+                idCol: String, textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).as("key"),
+      explode(tokens(col(textCol))).as("tok"))
+    val btf = toks.groupBy("key", "tok").agg(count(lit(1)).as("tf"))
+    val bdl = btf.groupBy("key").agg(sum("tf").as("dl"))
+    val merged = idx.postings.select("key", "tok", "tf", "dl")
+      .unionByName(btf.join(bdl, "key").select("key", "tok", "tf", "dl"))
+    val dfTab = merged.groupBy("tok").agg(count(lit(1)).as("df"))
+    Bm25Index(
+      postings = merged.join(dfTab, "tok")
+        .select("key", "tok", "tf", "dl", "df"),
+      stats = merged.select("key", "dl").distinct()
+        .agg(count(lit(1)).as("corpus_n"), avg("dl").as("avgdl")))
+  }
+
   /** Okapi BM25 top-k: score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) /
     * (tf + k1·(1 − b + b·dl/avgdl)) with the +1-smoothed idf
     * ln(1 + (N − df + ½)/(df + ½)) (Robertson/Spärck Jones; the Lucene

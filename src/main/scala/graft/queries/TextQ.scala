@@ -750,6 +750,29 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X49 — INCREMENTAL BM25 index maintenance ([[TextOps.bm25Merge]] —
+    // the x36/x45 daily-increment pattern for the sparse index): the
+    // index is built from the doc_id % 4 != 0 slice, the % 4 == 0 batch
+    // merges WITHOUT re-tokenizing the corpus bodies (postings-only df
+    // recount), and the held-out queries search the merged result. The
+    // oracle builds the SAME index from scratch over the full corpus —
+    // so the DuckDB compare IS the merge≡scratch proof on real data
+    // (Bm25Spec pins it on synthetic corpora too). Output intentionally
+    // equals x48's: same corpus, different construction path.
+    "x49_bm25_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      val idx = TextOps.bm25Merge(
+        TextOps.bm25Index(corpus.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text"),
+        corpus.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+      TextOps.bm25Search(idx, docs.filter(col("doc_id") % 97 === 3),
+          "doc_id", "text", k = 10)
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")
+    }),
+
     // X48 — Okapi BM25 retrieval ([[TextOps.bm25Index]]/[[TextOps
     // .bm25Search]]): the SPARSE leg of modern retrieval, next to the
     // dense TF-IDF/IVF path (v19). Held-out queries (doc_id % 97 == 3 —
@@ -904,6 +927,31 @@ object TextQ {
 
   val oracles: Map[String, String] = Map(
     "x48_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, key) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
+    "x49_bm25_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
          qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
          t AS (SELECT doc_id AS key,

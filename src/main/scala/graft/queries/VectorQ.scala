@@ -702,6 +702,55 @@ object VectorQ {
           col("nbr_id"), round(col("cos"), 6).as("cos"))
         .orderBy("vec_id", "rank")),
 
+    // V25 — RETRIEVAL EVAL: self-retrieval MRR@10 of the three read
+    // paths (dense TF-IDF cosine, sparse BM25, hybrid RRF) as ONE
+    // driver-visible table — the number a retrieval operator watches
+    // when tuning the mix. Protocol: md5-sampled corpus docs' FIRST
+    // sliding chunk (w=12) is asked as a query; the source doc is the
+    // known-relevant answer; MRR = mean(1/rank of source) with misses
+    // scoring 0 — the standard planted self-retrieval sanity eval, fully
+    // deterministic (md5 sample, md5 buckets, exact legs). Uses the
+    // PREBUILT hybrid artifacts; each leg is top-10-bounded so the eval
+    // is O(q·k) beyond the leg costs. Bounded 3-row output at any scale.
+    // Rows-only (the 3-method pipeline is not worth 150 lines of oracle
+    // SQL; every component is individually oracle-exact — x48, v23 —
+    // and Bm25Spec pins this query's shape, bounds and determinism).
+    "v25_retrieval_eval" -> ((s, d) => {
+      val (model, cVecs, bm25) = prebuiltHybrid(s, d)
+      val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
+      val qdocs = corpusD
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(32)
+      val queries = graft.ext.TextOps.chunkSliding(qdocs, "doc_id", "text",
+          w = 12, s = 8)
+        .filter(col("chunk_id") === 0)
+        .select(col("doc_id"), col("chunk").as("text"))
+      val qVecs = graft.ext.TextOps.assembleVector(
+        graft.ext.TextOps.applyTfIdf(queries, "doc_id", "text", model),
+        "doc_id", 32)
+      val dense = Similarity.bruteForceTopK(qVecs, cVecs, "doc_id",
+          "doc_id", "vec", k = 10)
+        .select(col("q_id"), col("rank"), col("c_id").as("key"))
+      val sparse = graft.ext.TextOps.bm25Search(bm25, queries, "doc_id",
+          "text", k = 10)
+        .select("q_id", "rank", "key")
+      val hybrid = graft.ext.TextOps.rrfFuse(Seq(dense, sparse), k = 10)
+        .select("q_id", "rank", "key")
+      val nQ = broadcast(queries.agg(count(lit(1)).as("n_queries")))
+      def mrrOf(leg: DataFrame, m: String): DataFrame =
+        leg.filter(col("key") === col("q_id"))
+          .groupBy("q_id").agg(min("rank").as("hit_rank"))
+          .agg(count(lit(1)).as("n_hits"),
+            sum(lit(1.0) / col("hit_rank")).as("rr_sum"))
+          .crossJoin(nQ)
+          .select(lit(m).as("method"), col("n_queries"), col("n_hits"),
+            round(coalesce(col("rr_sum"), lit(0.0)) / col("n_queries"), 6)
+              .as("mrr"))
+      mrrOf(dense, "dense").union(mrrOf(sparse, "bm25"))
+        .union(mrrOf(hybrid, "hybrid_rrf"))
+        .orderBy("method")
+    }),
+
     // V24 — MMR diversity re-rank ([[Similarity.mmrRerank]]): the greedy
     // λ·relevance − (1−λ)·max-cos-to-picked selection between retrieval
     // and the generator — v19's top-20 candidate chunks (prebuilt index

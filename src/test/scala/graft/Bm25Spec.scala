@@ -103,6 +103,47 @@ class Bm25Spec extends AnyFunSuite {
       s"planted doc ${planted.getLong(0)} not in BM25 top-3 $topKeys")
   }
 
+  test("bm25Merge: merged index == index built from scratch, exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "apple banana cherry"), (2L, "apple apple banana"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "banana date"), (4L, "apple elderberry date fig"))
+      .toDF("doc_id", "text")
+    val merged = TextOps.bm25Merge(TextOps.bm25Index(a, "doc_id", "text"),
+      b, "doc_id", "text")
+    val scratch = TextOps.bm25Index(a.unionByName(b), "doc_id", "text")
+    def post(i: TextOps.Bm25Index) = i.postings
+      .select("key", "tok", "tf", "dl", "df").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(post(merged) == post(scratch))
+    def st(i: TextOps.Bm25Index) = i.stats.collect()(0)
+    assert(st(merged).getLong(0) == st(scratch).getLong(0))
+    assert(math.abs(st(merged).getDouble(1) - st(scratch).getDouble(1)) < 1e-12)
+    // and the df update is visible: "banana" df went 2 -> 3, "apple" 2 -> 3
+    val dfs = merged.postings.select("tok", "df").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("banana") == 3L && dfs("apple") == 3L && dfs("elderberry") == 1L)
+  }
+
+  test("v25 retrieval eval: 3 methods, sane MRR, dense finds its source") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("v25_retrieval_eval")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val rows = run()
+    assert(rows.map(_._1).toSeq == Seq("bm25", "dense", "hybrid_rrf"))
+    rows.foreach { case (m, nq, hits, mrr) =>
+      assert(nq > 0 && hits <= nq, s"$m: hits $hits of $nq")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$m: mrr $mrr")
+    }
+    // a 12-token verbatim chunk of the source doc must find it most of
+    // the time on the dense leg (RagRetrievalSpec pins the rank-1 case)
+    val dense = rows.find(_._1 == "dense").get
+    assert(dense._4 >= 0.3, s"dense MRR ${dense._4} implausibly low")
+    assert(rows.sameElements(run()), "v25 not deterministic")
+  }
+
   test("rrfFuse: exact arithmetic, both-leg docs beat single-leg docs") {
     import spark.implicits._
     val legA = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
