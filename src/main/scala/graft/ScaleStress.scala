@@ -128,6 +128,27 @@ object ScaleStress {
         (model, idx.copy(postings = p), chunkVecs, qv)
       })
 
+    // prebuilt BM25 index per multiplier over the ¾ corpus slice
+    // (doc_id % 4 != 0), so x49's merge of the remaining quarter is a
+    // semantically complete increment (merged = full corpus); the fixed
+    // 64-query batch reuses the RAG audit sample protocol.
+    val bm25Idx = scala.collection.mutable.Map.empty[Int, TextOps.Bm25Index]
+    def builtBm25(m: Int): TextOps.Bm25Index = bm25Idx.getOrElseUpdate(m, {
+      val i0 = TextOps.bm25Index(
+        docsOf(m).filter(col("doc_id") % 97 =!= 3 && col("doc_id") % 4 =!= 0),
+        "doc_id", "text")
+      val p = i0.postings.persist(); p.count()
+      val st = i0.stats.persist(); st.count()
+      TextOps.Bm25Index(p, st)
+    })
+    val q64 = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def queries64(m: Int): DataFrame = q64.getOrElseUpdate(m, {
+      val q = docsOf(m).filter(col("doc_id") % 97 === 3)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(64).persist()
+      q.count(); q
+    })
+
     val ops: Seq[Op] = Seq(
       Op("x1_exact_dedup", m =>
         Dedup.exactGroups(docsOf(m), "doc_id", "text").count()),
@@ -519,6 +540,36 @@ object ScaleStress {
         val (_, _, chunkVecs, qv) = builtRag(m)
         Similarity.bruteForceTopK(qv, chunkVecs, "doc_id", "chunk_key",
           "vec", k = 5).count()
+      }),
+      Op("x48_bm25_build", m => {
+        // sparse-index build: explode + two groupBys over every body +
+        // the df join — expect ~linear (token count ∝ corpus).
+        bm25Idx.remove(m).foreach { i =>
+          i.postings.unpersist(); i.stats.unpersist()
+        }
+        builtBm25(m).postings.count()
+      }),
+      Op("x48_bm25_probe64", m => {
+        // EXACT sparse serve against the prebuilt index: cost ∝
+        // Σ df(query terms) — LINEAR in the corpus for a fixed query
+        // batch (posting lists grow with n), unlike the IVF probe's ~√n.
+        // This measured row is the honest contrast between exact BM25
+        // and ANN serve shapes; the production mitigation (impact-sorted
+        // lists + WAND early exit) prunes the constant, not the
+        // exponent, and is a storage-layer upgrade.
+        val idx = builtBm25(m)
+        TextOps.bm25Search(idx, queries64(m), "doc_id", "text", k = 10)
+          .count()
+      }),
+      Op("x49_bm25_merge", m => {
+        // incremental maintenance: merge a ~1/4 batch into the prebuilt
+        // index — postings-only shuffle (df recount + stats), never a
+        // body re-tokenize of the corpus side. Must track the build's
+        // linear shape with a smaller constant.
+        val d = docsOf(m).filter(col("doc_id") % 97 =!= 3)
+        TextOps.bm25Merge(builtBm25(m),
+          d.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+          .postings.count()
       }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
