@@ -225,13 +225,26 @@ object TextOps {
     * the query terms against the posting lists, a partial-aggregated
     * per-(query, key) sum, and a bounded top-k window per query.
     * Returns (q_id, rank, key, score). */
+  /** `maxDfFrac` is the serve-side SKEW guard (SCALING.md sparse rows):
+    * terms with df/N above the fraction are skipped entirely — their
+    * posting lists are the ~corpus-sized mega-lists that dominate the
+    * Σ df(query terms) serve cost while contributing near-zero idf.
+    * The prune is a scan-side predicate on the postings (below the
+    * query join), so the mega-lists never enter the shuffle. 1.0 (the
+    * default) disables it — x48/x49/v23 keep exact Okapi semantics. */
   def bm25Search(idx: Bm25Index, queries: org.apache.spark.sql.DataFrame,
                  qId: String, textCol: String, k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxDfFrac: Double = 1.0): org.apache.spark.sql.DataFrame = {
     val qToks = queries
       .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
       .distinct()
-    qToks.join(idx.postings, "tok")
+    val posts =
+      if (maxDfFrac >= 1.0) idx.postings
+      else idx.postings.crossJoin(broadcast(idx.stats.select("corpus_n")))
+        .filter(col("df") <= lit(maxDfFrac) * col("corpus_n"))
+        .drop("corpus_n")
+    qToks.join(posts, "tok")
       .crossJoin(broadcast(idx.stats))
       .groupBy("q_id", "key")
       .agg(sum(

@@ -103,6 +103,30 @@ class Bm25Spec extends AnyFunSuite {
       s"planted doc ${planted.getLong(0)} not in BM25 top-3 $topKeys")
   }
 
+  test("maxDfFrac prunes stopword-grade terms; default keeps exact Okapi") {
+    import spark.implicits._
+    // "the" appears in every doc (df/N = 1) — stopword-grade
+    val corpus = Seq(
+      (1L, "the apple banana"), (2L, "the apple cherry"),
+      (3L, "the date elderberry"), (4L, "the banana date"))
+      .toDF("doc_id", "text")
+    val idx = TextOps.bm25Index(corpus, "doc_id", "text")
+    val q = Seq((100L, "the apple")).toDF("doc_id", "text")
+    def res(frac: Double) = TextOps.bm25Search(idx, q, "doc_id", "text",
+        k = 10, maxDfFrac = frac)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // pruned serve == querying without the stopword at all
+    val pruned = res(0.9)
+    val withoutStop = TextOps.bm25Search(idx,
+        Seq((100L, "apple")).toDF("doc_id", "text"), "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(pruned == withoutStop,
+      s"pruned $pruned != stopword-free $withoutStop")
+    // default (1.0) still scores every doc: "the" matches all four
+    assert(res(1.0).keySet == Set(1L, 2L, 3L, 4L))
+    assert(pruned.keySet == Set(1L, 2L), "only apple docs after pruning")
+  }
+
   test("bm25Merge: merged index == index built from scratch, exactly") {
     import spark.implicits._
     val a = Seq((1L, "apple banana cherry"), (2L, "apple apple banana"))
