@@ -191,9 +191,11 @@ object TextOps {
     * index): tokenize ONLY the new batch, union its (key, tok, tf, dl)
     * postings with the maintained index's, recompute df/stats over the
     * merged postings. The invariant — and Bm25Spec's gate — is
-    * `bm25Merge(bm25Index(A), B) ≡ bm25Index(A ∪ B)` exactly: BM25's df
-    * is a global count, so every affected token's postings must see the
-    * new df (a pure append would serve stale idf).
+    * `bm25Merge(bm25Index(A), B) ≡ bm25Index(A ∪ B)` exactly for new
+    * doc ids: BM25's df is a global count, so every affected token's
+    * postings must see the new df (a pure append would serve stale
+    * idf). Re-delivered ids (already indexed) are ignored first-seen
+    * style, so the merge is idempotent under at-least-once delivery.
     *
     * Scale shape: the expensive leg of a rebuild — re-tokenizing the
     * corpus BODIES (explode + two groupBys over every document) — never
@@ -204,7 +206,15 @@ object TextOps {
     * join shape is unchanged, so that swap is storage-layer only. */
   def bm25Merge(idx: Bm25Index, docs: org.apache.spark.sql.DataFrame,
                 idCol: String, textCol: String): Bm25Index = {
-    val toks = docs.select(col(idCol).as("key"),
+    // first-seen redelivery guard (the x36/x45/StreamNearDup semantic):
+    // a doc id already in the index is IGNORED — without this, an
+    // at-least-once upstream would union duplicate (key, tok) postings
+    // and inflate every shared token's df. The anti-join probes the
+    // index's key set with the (small) batch side only.
+    val fresh = docs.join(
+      idx.postings.select(col("key").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val toks = fresh.select(col(idCol).as("key"),
       explode(tokens(col(textCol))).as("tok"))
     val btf = toks.groupBy("key", "tok").agg(count(lit(1)).as("tf"))
     val bdl = btf.groupBy("key").agg(sum("tf").as("dl"))
@@ -269,7 +279,7 @@ object TextOps {
               c: Int = 60): org.apache.spark.sql.DataFrame =
     legs.map(_.select(col("q_id"), col("key"),
         (lit(1.0) / (lit(c) + col("rank"))).as("contrib")))
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
       .groupBy("q_id", "key").agg(sum("contrib").as("rrf"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")

@@ -148,6 +148,12 @@ class Bm25Spec extends AnyFunSuite {
     val dfs = merged.postings.select("tok", "df").distinct().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dfs("banana") == 3L && dfs("apple") == 3L && dfs("elderberry") == 1L)
+    // redelivery guard: merging the SAME batch again changes nothing —
+    // already-indexed ids are ignored first-seen style, so df never
+    // inflates under at-least-once delivery
+    val again = TextOps.bm25Merge(merged, b, "doc_id", "text")
+    assert(post(again) == post(scratch), "re-merge must be a no-op")
+    assert(st(again).getLong(0) == st(scratch).getLong(0))
   }
 
   test("v25 retrieval eval: 3 methods, sane MRR, dense finds its source") {
