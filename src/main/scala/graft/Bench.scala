@@ -35,8 +35,9 @@ object Bench {
 
     // Warm-up: touch every table (codegen + file-footer caches + JIT) so
     // per-query timings measure the query, not session cold start. Use the
-    // Tables loaders, not raw reads — `events` needs the nanos-timestamp
-    // handling and would otherwise silently fail to warm.
+    // Tables loaders, not raw reads — `events` needs the schema-adaptive
+    // ts handling and would otherwise silently fail to warm on the
+    // nanos-encoded fixture generations.
     Seq(Tables.region _, Tables.nation _, Tables.customer _, Tables.supplier _,
       Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
       Tables.documents _, Tables.embeddings _)
