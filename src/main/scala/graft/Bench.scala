@@ -156,16 +156,25 @@ object Bench {
     // regression signal) within the tail budget.
     val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"runs_per_query":$Runs,"sf":"$sfDir"}"""
     println(detail)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case _: Throwable => () }
+    // wrote_detail rides in the summary so a failed/misplaced write is a
+    // visible signal, not a stale detail_file pointer (ADVICE r6)
+    val wroteDetail =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+        true
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] BENCH_DETAIL.json write failed: $t")
+          false
+      }
     val taskTop = (results.keys.toSeq.map(k => k -> medianTaskMs(k)) :+
         ("prematerialize" ->
           Option(groupTaskMs.get("prematerialize")).map(_.sum).getOrElse(0L)))
       .sortBy(-_._2).take(30)
       .map { case (k, ms) => "\"" + k + "\":" + (ms / 100).toDouble / 10 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"task_top_sec":$taskTop,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"task_top_sec":$taskTop,"detail_file":"BENCH_DETAIL.json","wrote_detail":$wroteDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

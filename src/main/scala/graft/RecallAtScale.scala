@@ -85,6 +85,11 @@ object RecallAtScale {
       val exact = Similarity.bruteForceTopK(qv, chunkVecs, "doc_id",
           "chunk_key", "vec", k = 5)
         .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // empty held-out slice → 0/0 NaN in the mean; say so and move on
+      if (exact.isEmpty) {
+        println(s"[rag-recall] m=$m: exact ground truth EMPTY " +
+          "(no held-out queries at this multiplier) — skipping sweeps")
+      } else
       Seq(2, 4, 8, math.max(4, cells / 10)).distinct.foreach { nProbe =>
         val t0 = System.nanoTime()
         val approx = Similarity.probeIvf(pIdx, qv, "doc_id",

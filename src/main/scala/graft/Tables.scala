@@ -40,8 +40,18 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType =>
         raw
-      case _ => // TIMESTAMP_NTZ (or future variants castable to timestamp)
+      case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail LOUDLY on an unrecognized physical encoding: a blind cast
+        // (e.g. of INT64 epoch-millis, or a string column) would coerce to
+        // wrong-but-plausible instants that only a downstream oracle
+        // mismatch could catch. A new fixture generation should fail here
+        // with a named cause and get an explicit branch above.
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — add an explicit " +
+            "decode branch in Tables.events (known: INT64 TIMESTAMP(NANOS) " +
+            "via nanosAsLong, TIMESTAMP_MICROS, TIMESTAMP_NTZ)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

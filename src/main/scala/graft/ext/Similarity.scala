@@ -688,9 +688,19 @@ object Similarity {
     * the documented mapGroups exception (bounded group, inherently
     * sequential greedy), not a row UDF. Ties and float equality break by
     * c_id; selection is deterministic for a given candidate list.
-    * Returns (q_id, rank, c_id, mmr) — rank in pick order. */
+    * Returns (q_id, rank, c_id, mmr) — rank in pick order.
+    *
+    * `maxCandidates` enforces the bounded-group contract instead of
+    * trusting it: each group keeps only its top `maxCandidates` rows by
+    * (rel desc, c_id) — the same order the greedy scan consumes — so an
+    * unbounded candidate DataFrame degrades to a documented truncation,
+    * not silent quadratic work / a single-executor OOM. At the default
+    * 4096 the truncation is unreachable from any top-k retrieval leg. */
   def mmrRerank(candidates: DataFrame, k: Int,
-                lambda: Double = 0.7): DataFrame = {
+                lambda: Double = 0.7,
+                maxCandidates: Int = 4096): DataFrame = {
+    require(maxCandidates >= k,
+      s"maxCandidates ($maxCandidates) must be >= k ($k)")
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
@@ -699,7 +709,18 @@ object Similarity {
       .as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (q, it) =>
-        val cand = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, id
+        // bounded top-maxCandidates by (rel desc, id) via a capped heap —
+        // never materializes an over-large group, so the cap bounds memory
+        // as well as the greedy loop's quadratic work
+        val worstFirst = Ordering
+          .by[(Long, Long, Double, Seq[Double]), (Double, Long)](c => (-c._3, c._2))
+        val heap =
+          scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        it.foreach { c =>
+          heap.enqueue(c)
+          if (heap.size > maxCandidates) heap.dequeue()
+        }
+        val cand = heap.dequeueAll.reverse.toArray // rel desc, id
         def cosv(a: Seq[Double], b: Seq[Double]): Double = {
           var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) {

@@ -718,9 +718,17 @@ object VectorQ {
     "v25_retrieval_eval" -> ((s, d) => {
       val (model, cVecs, bm25) = prebuiltHybrid(s, d)
       val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
-      val qdocs = corpusD
+      // the md5-ordered sample is deterministic but LAZY — left as a plan
+      // it would be re-derived (corpus scan + TakeOrdered) once per leg.
+      // Collect the bounded 32 rows ONCE and fan the legs out over a local
+      // relation (the auditQVecs materialize-once pattern; a ≤32-row
+      // driver collect is the documented bounded-sample lifecycle).
+      val sampled = corpusD
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         .limit(32)
+        .select("doc_id", "text")
+      val qdocs = s.createDataFrame(
+        java.util.Arrays.asList(sampled.collect(): _*), sampled.schema)
       val queries = graft.ext.TextOps.chunkSliding(qdocs, "doc_id", "text",
           w = 12, s = 8)
         .filter(col("chunk_id") === 0)
