@@ -162,7 +162,8 @@ object Similarity {
     * → reassign. One or two steps make the centroids representative of the
     * actual geometry, which is what probe recall depends on. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   nCells: Int, refineIters: Int = 2): DataFrame = {
+                   nCells: Int, refineIters: Int = 2,
+                   hierAssignFrom: Int = 512): DataFrame = {
     val w = Window.partitionBy("ivf_cell")
       .orderBy(xxhash64(col(idCol), lit(7)), col(idCol))
     val seeds = corpus.select(col(idCol), col(vecCol))
@@ -170,8 +171,22 @@ object Similarity {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("ivf_cell"), col(vecCol).as("c_vec"))
+    // Lloyd's assignment step goes two-level past the measured flat/hier
+    // crossover (SCALING.md r4: flat wins to ~126 cells, hier wins
+    // outright by ~566 — 512 splits the band conservatively): with
+    // nCells ~ √n each flat refine pass is itself Θ(n^1.5), so a build
+    // whose FINAL assignment went hier would otherwise still pay the 1.5
+    // exponent twice in refinement. Approximate assignment inside Lloyd
+    // is standard hierarchical k-means; below the threshold the flat
+    // path is bit-identical to always.
+    def assignStep(cents: DataFrame): DataFrame =
+      if (nCells >= hierAssignFrom)
+        assignToHier(corpus.select(col(idCol), col(vecCol)), cents,
+          idCol, vecCol)
+      else
+        assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
     (0 until refineIters).foldLeft(seeds) { (cents, _) =>
-      assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+      assignStep(cents)
         .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("ivf_cell", "pos").agg(avg("x").as("m"))
         .groupBy("ivf_cell")
@@ -291,16 +306,31 @@ object Similarity {
     * postings — the production filtered-search design: the predicate
     * column lives in the index, so [[probeIvfFiltered]] prunes candidates
     * with join keys instead of a post-hoc lookup join. */
+  /** `hierAssignFrom`: past this cell count, BOTH the Lloyd refinement
+    * passes and the final postings assignment run through the two-level
+    * tree ([[assignToHier]] — Θ(n^1.25) vs the flat pick's Θ(n^1.5) with
+    * nCells ~ √n; measured crossover SCALING.md r4, plumbed round 7).
+    * The tree is rebuilt per pass from that pass's centroids — a
+    * centroid-sized cost. Below the threshold nothing changes, so
+    * fixture-scale builds (and every pinned spec) stay bit-identical;
+    * above it assignment is approximate in the standard coarse-quantizer
+    * way — a posting can land in a near-best cell — which probe-side
+    * recall measurement already prices (RecallAtScale sweeps run the
+    * built index end-to-end). */
   def buildIvfIndex(corpus: DataFrame, cId: String, vecCol: String,
                     nCells: Int, nAssign: Int = 2,
                     refineIters: Int = 2,
-                    keepCols: Seq[String] = Nil): IvfIndex = {
-    val centroids = ivfCentroids(corpus, cId, vecCol, nCells, refineIters)
+                    keepCols: Seq[String] = Nil,
+                    hierAssignFrom: Int = 512): IvfIndex = {
+    val centroids = ivfCentroids(corpus, cId, vecCol, nCells, refineIters,
+        hierAssignFrom)
       .persist()
     centroids.count()
-    val postings = assignTo(
-      corpus.select((Seq(cId, vecCol) ++ keepCols).map(col): _*), centroids,
-      cId, vecCol, nAssign)
+    val toAssign = corpus.select((Seq(cId, vecCol) ++ keepCols).map(col): _*)
+    val postings =
+      if (nCells >= hierAssignFrom)
+        assignToHier(toAssign, centroids, cId, vecCol, nAssign)
+      else assignTo(toAssign, centroids, cId, vecCol, nAssign)
     IvfIndex(postings = postings, centroids = centroids,
       idCol = cId, vecCol = vecCol)
   }
@@ -316,6 +346,38 @@ object Similarity {
     require(probedFraction > 0 && probedFraction <= 1,
       s"probedFraction must be in (0, 1], got $probedFraction")
     math.max(1, math.ceil(nCells * probedFraction).toInt)
+  }
+
+  /** CALIBRATED recall→fraction mapping (round-7: the measured curves in
+    * SCALING.md replace the identity rule where they are trustworthy).
+    *
+    * The identity rule (fraction = recallTarget) is the uniform-cell null
+    * bound — always safe, but measured-conservative by 2-10×: nearest-
+    * cells-first probing concentrates true neighbors in the first cells
+    * probed. The measured envelope, taken over the WORST of the two
+    * instrumented indexes at every scale (the weak-similarity embeddings
+    * index — the chunk index needs 5-20× less at every design point;
+    * RecallAtScale sweeps, SCALING.md r4 + r6 tables):
+    *
+    *   emb  8× (126 cells): fraction 0.032 → recall 0.40, 0.095 → 0.68
+    *   emb 64× (357 cells): fraction 0.011 → 0.18,  0.098 → 0.88
+    *   chunk 1×-64× (183-1469 cells): 0.02 → ≥0.85, 0.05 → ≥0.95
+    *
+    * Mapping = min(identity, measured envelope with headroom), stepped on
+    * the target; targets above the measured range (> 0.8) fall back to
+    * identity (never extrapolate an SLO). Small indexes (nCells < 64 —
+    * the fixture regime, where one cell is already >1.5% of the index and
+    * the sweeps don't resolve the curve) keep the identity rule, so
+    * fixture-pinned spec floors are unaffected. */
+  def calibratedFraction(recallTarget: Double, nCells: Int): Double = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recallTarget must be in (0, 1], got $recallTarget")
+    val envelope =
+      if (recallTarget <= 0.35) 0.05
+      else if (recallTarget <= 0.60) 0.10
+      else if (recallTarget <= 0.80) 0.12
+      else recallTarget
+    if (nCells < 64) recallTarget else math.min(recallTarget, envelope)
   }
 
   /** Probe a built index: each query picks its `nProbe` nearest cells
@@ -341,15 +403,16 @@ object Similarity {
 
   /** Probe with a RECALL TARGET instead of a cell count — the SLO form of
     * [[probeIvf]] a 100 TB caller actually wants: state "recall ≥ 0.5",
-    * not "probe 8 cells". nProbe is sized by [[nProbeFor]] with
-    * probedFraction = recallTarget, which is CONSERVATIVE: under the
-    * uniform-cell null model, probing a fraction f of cells catches f of
-    * the true neighbors in expectation, and nearest-cells-first probing
-    * dominates that baseline at every measured design point (fixture:
-    * fraction 0.25 → recall 0.64, 0.5 → 0.94; RecallAtScale at 64×:
-    * 0.10 → 0.88 — SCALING.md r4). Holding the FRACTION rather than a
-    * fixed nProbe is also exactly what holds recall as nCells grows with
-    * the corpus (the decay a fixed nProbe suffers is measured there).
+    * not "probe 8 cells". nProbe is sized by [[nProbeFor]] with the
+    * probed fraction from [[calibratedFraction]]: the measured-envelope
+    * mapping where the RecallAtScale sweeps resolve the curve, the
+    * identity fraction (= recallTarget, the uniform-cell null bound —
+    * always safe: probing a fraction f of cells catches f of the true
+    * neighbors in expectation, and nearest-cells-first probing dominates
+    * that baseline at every measured design point) on small indexes and
+    * above the measured range. Holding a FRACTION rather than a fixed
+    * nProbe is also exactly what holds recall as nCells grows with the
+    * corpus (the decay a fixed nProbe suffers is measured in SCALING.md).
     * IvfSpec asserts the sized probe meets the target on the fixture.
     *
     * The centroid count is read from the index — one centroid-sized
@@ -361,7 +424,8 @@ object Similarity {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recallTarget must be in (0, 1], got $recallTarget")
     val nCells = index.centroids.count().toInt
-    val nP = nProbeFor(nCells, probedFraction = recallTarget)
+    val nP = nProbeFor(nCells,
+      probedFraction = calibratedFraction(recallTarget, nCells))
     probeIvf(index, queries, qId, nProbe = nP, k = k)
       .withColumn("n_probe", lit(nP))
   }

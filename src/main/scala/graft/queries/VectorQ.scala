@@ -189,11 +189,17 @@ object VectorQ {
     * lifecycle is fit/index ONCE, then per query batch embed + two leg
     * probes + rank fusion. x48 deliberately keeps the one-shot
     * build+search form (it documents the build leg, the v5/v6 split). */
+  /** The 5-tuple adds the DOC-LEVEL IVF index over the corpus vectors
+    * (nCells ~ √n, the standard sizing) and its cell count: v26 probes it
+    * as the scale-true dense leg where v23 brute-forces (the oracle
+    * anchor), and HybridIvfSpec pins v26 ≡ v23 at nProbe = nCells. */
   private val hybridCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),
-           (graft.ext.TextOps.TfIdfModel, DataFrame, graft.ext.TextOps.Bm25Index)]
+           (graft.ext.TextOps.TfIdfModel, DataFrame,
+            graft.ext.TextOps.Bm25Index, Similarity.IvfIndex, Int)]
   private def prebuiltHybrid(s: SparkSession, d: String)
-      : (graft.ext.TextOps.TfIdfModel, DataFrame, graft.ext.TextOps.Bm25Index) =
+      : (graft.ext.TextOps.TfIdfModel, DataFrame,
+         graft.ext.TextOps.Bm25Index, Similarity.IvfIndex, Int) =
     hybridCache.synchronized {
       hybridCache.getOrElseUpdate((s, d), {
         val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
@@ -207,11 +213,16 @@ object VectorQ {
         val cVecs = graft.ext.TextOps.assembleVector(
           graft.ext.TextOps.applyTfIdf(corpusD, "doc_id", "text", model),
           "doc_id", 32).persist()
-        cVecs.count()
+        val nDocs = cVecs.count()
         val b0 = graft.ext.TextOps.bm25Index(corpusD, "doc_id", "text")
         val postings = b0.postings.persist(); postings.count()
         val stats = b0.stats.persist(); stats.count()
-        (model, cVecs, graft.ext.TextOps.Bm25Index(postings, stats))
+        val nCells = math.max(16, math.sqrt(nDocs.toDouble).toInt)
+        val idx0 = Similarity.buildIvfIndex(cVecs, "doc_id", "vec",
+          nCells = nCells, nAssign = 2)
+        val idxPostings = idx0.postings.persist(); idxPostings.count()
+        (model, cVecs, graft.ext.TextOps.Bm25Index(postings, stats),
+          idx0.copy(postings = idxPostings), nCells)
       })
     }
 
@@ -222,6 +233,31 @@ object VectorQ {
   private[graft] def ragArtifacts(s: SparkSession, d: String)
       : (graft.ext.TextOps.TfIdfModel, Similarity.IvfIndex, DataFrame,
          DataFrame, DataFrame) = prebuiltRag(s, d)
+
+  /** v26's pipeline with an overridable dense-leg probe depth — the
+    * production query runs the calibrated 0.8-recall probe; HybridIvfSpec
+    * re-runs it at nProbe = nCells, where the probe degenerates to exact
+    * brute force and the output must equal v23 row-for-row. */
+  private[graft] def hybridIvf(s: SparkSession, d: String,
+                               nProbeOverride: Option[Int] = None): DataFrame = {
+    val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
+    val (model, _, bm25, docIdx, nCells) = prebuiltHybrid(s, d)
+    val qVecs = graft.ext.TextOps.assembleVector(
+      graft.ext.TextOps.applyTfIdf(qs, "doc_id", "text", model),
+      "doc_id", 32)
+    val nP = nProbeOverride.getOrElse(Similarity.nProbeFor(nCells,
+      Similarity.calibratedFraction(0.8, nCells)))
+    val dense = Similarity.probeIvf(docIdx, qVecs, "doc_id",
+        nProbe = nP, k = 20)
+      .select(col("q_id"), col("rank"), col("c_id").as("key"))
+    val sparse = graft.ext.TextOps.bm25Search(bm25, qs, "doc_id", "text",
+        k = 20)
+      .select("q_id", "rank", "key")
+    graft.ext.TextOps.rrfFuse(Seq(dense, sparse), k = 10)
+      .select(col("q_id"), col("rank"), col("key"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rank")
+  }
 
   /** Bench hook: build the shared IVF indexes + PQ artifacts + hier tree
     * + retrieval artifacts up front (see BacktestQ.prewarm — same
@@ -255,9 +291,10 @@ object VectorQ {
       chunkVecs.unpersist(); qv.unpersist(); exact.unpersist()
     }
     ragCache.clear()
-    hybridCache.values.foreach { case (model, cVecs, bm25) =>
+    hybridCache.values.foreach { case (model, cVecs, bm25, docIdx, _) =>
       model.dfTab.unpersist(); model.corpusN.unpersist()
       cVecs.unpersist(); bm25.postings.unpersist(); bm25.stats.unpersist()
+      docIdx.centroids.unpersist(); docIdx.postings.unpersist()
     }
     hybridCache.clear()
   }
@@ -716,7 +753,7 @@ object VectorQ {
     // SQL; every component is individually oracle-exact — x48, v23 —
     // and Bm25Spec pins this query's shape, bounds and determinism).
     "v25_retrieval_eval" -> ((s, d) => {
-      val (model, cVecs, bm25) = prebuiltHybrid(s, d)
+      val (model, cVecs, bm25, _, _) = prebuiltHybrid(s, d)
       val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
       // the md5-ordered sample is deterministic but LAZY — left as a plan
       // it would be re-derived (corpus scan + TakeOrdered) once per leg.
@@ -807,7 +844,7 @@ object VectorQ {
     // arithmetic).
     "v23_hybrid_rrf" -> ((s, d) => {
       val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
-      val (model, cVecs, bm25) = prebuiltHybrid(s, d)
+      val (model, cVecs, bm25, _, _) = prebuiltHybrid(s, d)
       val qVecs = graft.ext.TextOps.assembleVector(
         graft.ext.TextOps.applyTfIdf(qs, "doc_id", "text", model),
         "doc_id", 32)
@@ -822,6 +859,19 @@ object VectorQ {
           round(col("rrf"), 6).as("rrf"))
         .orderBy("q_id", "rank")
     }),
+
+    // V26 — hybrid retrieval, SCALE-TRUE serve path: v23's fusion with
+    // the dense leg swapped from the brute-force kernel (O(q·n) against
+    // the full corpus vector table — v23 keeps it deliberately, as the
+    // DuckDB-checkable oracle anchor) to a probe of the PREBUILT
+    // doc-level IVF index ([[prebuiltHybrid]]'s 4th element, nCells ~
+    // √n): serve cost ∝ probed fraction · n instead of n, the measured
+    // ~flat-under-fixed-load IVF serve shape (SCALING.md). The fusion
+    // algebra ([[graft.ext.TextOps.rrfFuse]]) is IDENTICAL — only the
+    // dense candidate generator changes — and HybridIvfSpec pins v26 ≡
+    // v23 row-for-row at nProbe = nCells (full probe ≡ brute force).
+    // Centroid-dependent at production nProbe → rows-only by design.
+    "v26_hybrid_ivf" -> ((s, d) => hybridIvf(s, d)),
 
     // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
     // k-means cells as blocks, nCells derived from the corpus count as
