@@ -269,6 +269,210 @@ object TextOps {
       .select("q_id", "rank", "key", "score")
   }
 
+  /** IMPACT-ORDERED static index pruning (Carmel et al., SIGIR'01 — the
+    * standard bounded-serve mechanism): keep, per token, only the
+    * `maxPostingsPerTerm` postings with the highest standalone BM25
+    * contribution (the posting's score if it were the only query term),
+    * tiebroken by key. Serve cost through [[bm25Search]] then becomes
+    * ∝ Σ min(df, P) ≤ |query terms| · P — FLAT in corpus size, where the
+    * exact index's Σ df(query terms) is linear (measured exponent 1.23,
+    * SCALING.md). Surviving postings keep their TRUE (tf, dl, df), so
+    * each per-term contribution is exact Okapi.
+    *
+    * Role: STAGE-1 CANDIDATE GENERATION for [[bm25SearchTwoStage]] (the
+    * shipped bounded serve). Serving the truncated lists directly through
+    * [[bm25Search]] also works but ranks by partial sums — measured
+    * top-10 overlap 0.28 at P=256 on the stopword-dense fixture — so the
+    * two-stage re-score is the default; direct truncated serve suits
+    * only corpora whose lists are dominated by their own top impacts.
+    *
+    * Note the df-FRACTION guard ([[bm25Search]]'s `maxDfFrac`) is the
+    * wrong knob for corpora like the driver fixture — a 31-token
+    * vocabulary where 30 tokens sit in ~78% of documents, so any
+    * fraction below 0.78 empties the index and anything above prunes
+    * nothing. Impact truncation bounds cost regardless of the df shape.
+    *
+    * Scale shape: one keyed window (partition by tok) over the postings
+    * at BUILD time — the impact sort a Lucene segment writer does per
+    * term; mega-list partitions are the known skew and AQE's
+    * skewed-partition split handles them (build-time, off the serve
+    * path). */
+  def bm25Prune(idx: Bm25Index, maxPostingsPerTerm: Int,
+                k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    val pruned = idx.postings
+      .crossJoin(broadcast(idx.stats))
+      .withColumn("__impact",
+        log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("__irk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok")
+          .orderBy(col("__impact").desc, col("key"))))
+      .filter(col("__irk") <= maxPostingsPerTerm)
+      .select("key", "tok", "tf", "dl", "df")
+    Bm25Index(postings = pruned, stats = idx.stats)
+  }
+
+  /** BOUNDED two-stage BM25 serve — candidate generation over the
+    * impact-PRUNED lists, exact Okapi re-score of the candidates against
+    * the full index (the candidate-generation + re-rank split every
+    * production retrieval stack uses). Stage 1 joins query terms against
+    * [[bm25Prune]]'s lists only: ≤ |query terms|·P candidates per query,
+    * FLAT in corpus size. Stage 2 re-scores exactly those (q, doc) pairs
+    * with the full per-doc term postings — a doc's final score includes
+    * every query term it contains (nothing pruned), so results are
+    * EXACTLY the true BM25 ranking restricted to the candidate set, and
+    * equal the exact top-k outright whenever the true top-k survives
+    * candidate generation (measured 1.0 coverage at P=64 on the driver
+    * fixture; Bm25Spec pins outright equality there).
+    *
+    * Why not serve the truncated lists directly? On stopword-dense
+    * corpora (the fixture: 30 of 31 tokens in ~78% of docs) a one-stage
+    * truncated serve ranks by partial sums and top-10 overlap collapses
+    * (measured 0.28 at P=256) — the two-stage split keeps the bound AND
+    * the ranking.
+    *
+    * Scale shape: stage 2 is a broadcast of the bounded candidate set
+    * against the postings table — scan-side pruning, no Σ df(q terms)
+    * shuffle anywhere; with the postings also stored bucketed by key
+    * (the forward-index layout) the re-score join becomes a point-lookup
+    * fetch of candidate docs only. */
+  def bm25SearchTwoStage(full: Bm25Index, pruned: Bm25Index,
+                         queries: org.apache.spark.sql.DataFrame,
+                         qId: String, textCol: String, k: Int,
+                         k1: Double = 1.2,
+                         b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val qToks = queries
+      .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val cand = qToks.join(pruned.postings.select("tok", "key"), "tok")
+      .select("q_id", "key").distinct()
+    full.postings
+      .join(broadcast(cand), "key")
+      .join(qToks, Seq("q_id", "tok"))
+      .crossJoin(broadcast(full.stats))
+      .groupBy("q_id", "key")
+      .agg(sum(
+        log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("key"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "key", "score")
+  }
+
+  /** SEGMENTED BM25 maintenance — the Lucene shape the [[bm25Merge]]
+    * scaladoc names, made real: each ingest batch becomes an immutable
+    * segment holding df-FREE postings (key, tok, tf, dl) plus ONE
+    * metadata row (n_docs, sum_dl); df and the corpus stats are derived
+    * AT QUERY TIME from exactly the posting lists the query touches.
+    * Appending a batch therefore tokenizes ONLY the batch and recounts
+    * NOTHING — where [[bm25Merge]] re-shuffles the whole postings table
+    * for its df recount, the segmented append writes new rows + one
+    * metadata row and is done (the x36/x45 incremental contract, now
+    * without the global recount).
+    *
+    * Serve-time df is exact: the query's terms join their posting lists
+    * across all segments (same single equi-join as [[bm25Search]]), and
+    * df(tok) = count of postings per tok over that slice — a global
+    * count, because every posting of a query term is in the slice by
+    * construction. The first-seen append guard keeps keys unique across
+    * segments, so the count never double-counts a doc. Scores are
+    * bit-identical to a scratch [[bm25Index]] + [[bm25Search]] over the
+    * union corpus (Bm25Spec pins it; the x51 DuckDB oracle proves it on
+    * real data — the oracle builds from scratch).
+    *
+    * At 100 TB: segments are parquet partitions keyed by `seg_id`;
+    * the append is a partition add; background compaction (merge small
+    * segments' postings — a pure union, no df math) keeps segment counts
+    * bounded, exactly like Lucene segment merging with the df work moved
+    * to the (already-bounded) serve join. */
+  case class Bm25Segments(postings: org.apache.spark.sql.DataFrame,
+                          segStats: org.apache.spark.sql.DataFrame)
+
+  /** First segment of a maintained index. */
+  def bm25SegmentInit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): Bm25Segments =
+    bm25SegmentOf(docs, idCol, textCol, segId = 0)
+
+  private def bm25SegmentOf(docs: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            segId: Int): Bm25Segments = {
+    val toks = docs.select(col(idCol).as("key"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("key", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("key").agg(sum("tf").as("dl"))
+    Bm25Segments(
+      postings = tf.join(dl, "key")
+        .select(lit(segId).as("seg_id"), col("key"), col("tok"), col("tf"),
+          col("dl")),
+      segStats = dl.agg(lit(segId).as("seg_id"),
+        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")))
+  }
+
+  /** Append a batch as segment `segId`: tokenize the batch, drop already-
+    * indexed ids (first-seen, at-least-once-safe — the [[bm25Merge]]
+    * guard; at scale the key-membership probe is a per-segment bloom /
+    * key-range metadata check, not a postings scan), union the postings
+    * and metadata rows. No existing row is read-modified. */
+  def bm25SegmentAppend(segs: Bm25Segments,
+                        docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, segId: Int): Bm25Segments = {
+    val fresh = docs.join(
+      segs.postings.select(col("key").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val seg = bm25SegmentOf(fresh, idCol, textCol, segId)
+    Bm25Segments(
+      postings = segs.postings.unionByName(seg.postings),
+      segStats = segs.segStats.unionByName(seg.segStats))
+  }
+
+  /** Okapi BM25 top-k over a segmented index: the SAME one-equi-join
+    * serve shape as [[bm25Search]], with df and (corpus_n, avgdl)
+    * derived query-time — df from the touched posting lists, stats from
+    * the per-segment metadata rows (a segment-count-sized aggregate,
+    * broadcast). Returns (q_id, rank, key, score), scores exactly equal
+    * to a from-scratch index over the same corpus. */
+  def bm25SearchSegmented(segs: Bm25Segments,
+                          queries: org.apache.spark.sql.DataFrame,
+                          qId: String, textCol: String, k: Int,
+                          k1: Double = 1.2,
+                          b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val qToks = queries
+      .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    // only the query terms' posting lists — the inverted-index contract,
+    // unchanged by segmentation (seg_id does not participate in the join)
+    val touched = segs.postings
+      .join(qToks.select("tok").distinct(), "tok")
+      .select("key", "tok", "tf", "dl")
+    // exact global df per query term: every posting of a touched term is
+    // in `touched`, and keys are unique across segments (append guard)
+    val dfNow = touched.groupBy("tok").agg(count(lit(1)).as("df"))
+    // corpus stats from segment metadata: sum_dl/n_docs are exact longs,
+    // and long/long division is double in Spark SQL — bit-identical to
+    // bm25Index's avg(dl)
+    val stats = segs.segStats
+      .agg(sum("n_docs").as("corpus_n"),
+        (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    qToks.join(touched, "tok").join(dfNow, "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "key")
+      .agg(sum(
+        log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("key"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "key", "score")
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher): fused(q, d) =
     * Σ_legs 1/(c + rank_leg(q, d)) over however many ranked lists mention
     * d. Inputs are (q_id, rank, key) tables; the fusion is two bounded

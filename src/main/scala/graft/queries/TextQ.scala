@@ -792,6 +792,58 @@ object TextQ {
         .orderBy("q_id", "rank")
     }),
 
+    // X50 — BOUNDED two-stage BM25 serve ([[TextOps.bm25Prune]] +
+    // [[TextOps.bm25SearchTwoStage]]): candidates from each token's
+    // top-64 postings by standalone impact (Carmel-style static pruning
+    // — ≤ |q terms|·64 candidates/query, FLAT in corpus size where exact
+    // serve is linear, measured 1.23 in SCALING.md), then exact Okapi
+    // re-score of only those candidates against the full index (the
+    // candidate-generation + re-rank split of a production stack).
+    // Oracle-exact END TO END: DuckDB replicates the impact expression,
+    // the per-token row_number truncation, the candidate join AND the
+    // re-score — the whole two-stage arithmetic is under the oracle.
+    // P=64 << the fixture's ~390-posting lists, so stage 1 genuinely
+    // bites at the gate SF. Bm25Spec pins the candidate bound and
+    // outright equality with the exact top-10 at full coverage.
+    "x50_bm25_pruned" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val full = TextOps.bm25Index(docs.filter(col("doc_id") % 97 =!= 3),
+        "doc_id", "text")
+      TextOps.bm25SearchTwoStage(full,
+          TextOps.bm25Prune(full, maxPostingsPerTerm = 64),
+          docs.filter(col("doc_id") % 97 === 3), "doc_id", "text", k = 10)
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // X51 — SEGMENTED BM25 maintenance ([[TextOps.bm25SegmentInit]]/
+    // [[TextOps.bm25SegmentAppend]]/[[TextOps.bm25SearchSegmented]]):
+    // the corpus ingested as three immutable segments (doc_id % 3), df
+    // and corpus stats derived at query time from the touched posting
+    // lists + per-segment metadata — an append tokenizes ONLY its batch
+    // and recounts nothing (x49's merge re-shuffles all postings for the
+    // df recount; this is the Lucene-segment upgrade its scaladoc
+    // names). The DuckDB oracle builds the SAME index from scratch over
+    // the union corpus, so the driver compare IS the segmented ≡ scratch
+    // proof on real data (the x49 pattern, extended to the segmented
+    // form).
+    "x51_bm25_segmented" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      val segs = TextOps.bm25SegmentAppend(
+        TextOps.bm25SegmentAppend(
+          TextOps.bm25SegmentInit(corpus.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text"),
+          corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text", segId = 1),
+        corpus.filter(col("doc_id") % 3 === 2), "doc_id", "text", segId = 2)
+      TextOps.bm25SearchSegmented(segs,
+          docs.filter(col("doc_id") % 97 === 3), "doc_id", "text", k = 10)
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")
+    }),
+
     // X46 — contiguous global-ID assignment ([[TextOps.assignGlobalIds]]):
     // dense ids for 100 TB without a global sort — md5 bucketing, tiny
     // prefix-summed offset table broadcast back, one keyed window. Ids
@@ -927,6 +979,79 @@ object TextQ {
 
   val oracles: Map[String, String] = Map(
     "x48_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, key) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
+    // Replicates the WHOLE two-stage serve: the standalone-impact
+    // expression (identical float literals to the scoring term), the
+    // per-token (impact DESC, key) row_number <= 64 cut, the DISTINCT
+    // candidate join, and the exact re-score restricted to candidates.
+    "x50_bm25_pruned" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         imp AS (SELECT tf.key, tf.tok,
+                   ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                     * (tf.tf * (1.2 + 1))
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                     AS impact
+                 FROM tf JOIN dfx USING (tok)
+                 JOIN dl ON tf.key = dl.key CROSS JOIN st),
+         pruned AS (SELECT key, tok FROM
+                     (SELECT *, row_number() OVER (PARTITION BY tok
+                        ORDER BY impact DESC, key) AS irk FROM imp)
+                    WHERE irk <= 64),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         cand AS (SELECT DISTINCT qt.q_id, p.key
+                  FROM qt JOIN pruned p USING (tok)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         scc AS (SELECT sc.q_id, sc.key, sc.score
+                 FROM sc JOIN cand ON sc.q_id = cand.q_id
+                                  AND sc.key = cand.key),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, key) AS rank FROM scc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
+    // Deliberately x48's scratch-build SQL verbatim: the Spark side
+    // serves from three appended segments with query-time df, so the
+    // driver compare IS the segmented ≡ scratch equivalence on real data.
+    "x51_bm25_segmented" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
          qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
          t AS (SELECT doc_id AS key,

@@ -191,4 +191,130 @@ class Bm25Spec extends AnyFunSuite {
     // ranks are dense 1..4
     assert(fused.map(_._1).toSeq == Seq(1, 2, 3, 4))
   }
+
+  test("bm25Prune: every list bounded by P, survivors are top-P by impact") {
+    val idx = TextOps.bm25Index(corpusDf, "doc_id", "text")
+    val pruned = TextOps.bm25Prune(idx, maxPostingsPerTerm = 2)
+    val perTok = pruned.postings.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTok.values.forall(_ <= 2), s"list over bound: $perTok")
+    // hand-check "apple" (df=3: docs 1, 2, 5): impact ranks by the
+    // saturated tf/dl trade — survivors must be the top-2 of the exact
+    // standalone contributions, computed independently here
+    val full = idx.postings.filter(col("tok") === "apple")
+      .join(idx.stats)
+      .withColumn("impact",
+        log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .collect().map(r => (r.getLong(r.fieldIndex("key")),
+        r.getDouble(r.fieldIndex("impact"))))
+    val wantTop2 = full.sortBy { case (key, imp) => (-imp, key) }
+      .take(2).map(_._1).toSet
+    val gotKeys = pruned.postings.filter(col("tok") === "apple")
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(gotKeys == wantTop2, s"got $gotKeys want $wantTop2")
+    // surviving postings are byte-identical rows of the full index
+    assert(pruned.postings.exceptAll(idx.postings).count() == 0)
+  }
+
+  test("two-stage serve on the fixture: bounded candidates, exact top-10") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = TextOps.bm25Index(
+      docs.filter(col("doc_id") % 97 =!= 3), "doc_id", "text")
+    val qs = docs.filter(col("doc_id") % 97 === 3)
+    val pruned = TextOps.bm25Prune(full, maxPostingsPerTerm = 64)
+    // stage-1 bound: no list exceeds P, so candidates/query <= |qterms|*P
+    val maxList = pruned.postings.groupBy("tok").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxList <= 64, s"pruned list of $maxList exceeds P")
+    // with full candidate coverage (measured 1.0 at P=64 here), exact
+    // re-score of the candidates IS the exact top-10 — row-for-row
+    val exact = TextOps.bm25Search(full, qs, "doc_id", "text", k = 10)
+      .select("q_id", "rank", "key").collect().map(_.toSeq).toSeq
+    val twoStage = TextOps.bm25SearchTwoStage(full, pruned, qs,
+        "doc_id", "text", k = 10)
+      .select("q_id", "rank", "key").collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && twoStage == exact)
+  }
+
+  test("one-stage truncated serve ranks by partial sums (why stage 2 exists)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = TextOps.bm25Index(
+      docs.filter(col("doc_id") % 97 =!= 3), "doc_id", "text")
+    val qs = docs.filter(col("doc_id") % 97 === 3)
+    val exact = TextOps.bm25Search(full, qs, "doc_id", "text", k = 10)
+      .select("q_id", "key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneStage = TextOps.bm25Search(
+        TextOps.bm25Prune(full, maxPostingsPerTerm = 256), qs,
+        "doc_id", "text", k = 10)
+      .select("q_id", "key", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // partial-sum scores never exceed the exact score for the same doc
+    val exactScores = TextOps.bm25Search(full, qs, "doc_id", "text",
+        k = Int.MaxValue)
+      .select("q_id", "key", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    oneStage.foreach { case (qk, s) =>
+      exactScores.get(qk).foreach(es =>
+        assert(s <= es + 1e-9, s"$qk pruned $s > exact $es"))
+    }
+    // and on this stopword-dense corpus the ranking visibly degrades —
+    // the documented reason the shipped serve is two-stage
+    val overlap = oneStage.map(_._1).count(exact.contains).toDouble /
+      oneStage.length
+    assert(overlap < 0.9, f"unexpectedly high overlap $overlap%.2f — " +
+      "revisit the two-stage rationale if the fixture corpus changed")
+  }
+
+  test("segmented: served scores == scratch index, bit-level") {
+    import spark.implicits._
+    val seg0 = corpusDf.filter(col("doc_id") <= 2)
+    val seg1 = corpusDf.filter(col("doc_id") > 2)
+    val segs = TextOps.bm25SegmentAppend(
+      TextOps.bm25SegmentInit(seg0, "doc_id", "text"),
+      seg1, "doc_id", "text", segId = 1)
+    val qs = Seq((100L, "apple banana"), (101L, "elderberry date"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25SearchSegmented(segs, qs, "doc_id", "text", k = 10)
+      .select("q_id", "key", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = TextOps.bm25Search(
+        TextOps.bm25Index(corpusDf, "doc_id", "text"), qs,
+        "doc_id", "text", k = 10)
+      .select("q_id", "key", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (qk, s) =>
+      assert(math.abs(s - want(qk)) < 1e-12, s"$qk: $s vs ${want(qk)}")
+    }
+    // the metadata rows carry exact corpus stats: Σn_docs, Σsum_dl
+    val (n, sdl) = segs.segStats
+      .agg(sum("n_docs"), sum("sum_dl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    assert(n == 5 && sdl == corpusDf.select(
+      explode(TextOps.tokens(col("text")))).count())
+  }
+
+  test("segmented append: redelivered docs are first-seen-ignored") {
+    val segs = TextOps.bm25SegmentInit(corpusDf, "doc_id", "text")
+    val before = segs.postings.count()
+    // the whole corpus redelivered as a new segment: nothing fresh
+    val again = TextOps.bm25SegmentAppend(segs, corpusDf, "doc_id", "text",
+      segId = 1)
+    assert(again.postings.count() == before, "redelivery added postings")
+    val emptySeg = again.segStats.filter(col("seg_id") === 1).collect()
+    assert(emptySeg.length == 1 && emptySeg.head.getLong(1) == 0,
+      "redelivered segment should carry n_docs = 0")
+  }
+
+  test("x51 segmented driver query equals x48 exact serve on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val x48 = SparkEntry.queries("x48_bm25_topk")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val x51 = SparkEntry.queries("x51_bm25_segmented")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(x48.nonEmpty && x51 == x48)
+  }
 }
