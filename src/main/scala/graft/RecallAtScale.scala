@@ -107,6 +107,91 @@ object RecallAtScale {
       dfTab.unpersist(); corpusN.unpersist(); chunkVecs.unpersist()
       pIdx.centroids.unpersist(); postings.unpersist(); qv.unpersist()
     }
+
+    // ---- round-7 serve paths: quality of the BOUNDED retrieval legs vs
+    // their exact forms at each scale — the evidence that x50's two-stage
+    // pruned serve and v26's IVF-probed dense leg hold ranking quality
+    // while SCALING.md's new rows show their cost staying bounded.
+    mults.foreach { m =>
+      val docs = spark.read.parquet(s"/tmp/graft_scale/m$m/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      val qs = docs.filter(col("doc_id") % 97 === 3)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(64).persist()
+      val nQ = qs.count()
+      if (nQ == 0) {
+        println(s"[hybrid] m=$m: no held-out queries — skipping")
+      } else {
+        // sparse: exact one-join serve vs two-stage pruned (P=64, P=16)
+        val i0 = TextOps.bm25Index(corpus, "doc_id", "text")
+        val ip = i0.postings.persist(); ip.count()
+        val ist = i0.stats.persist(); ist.count()
+        val idx = TextOps.Bm25Index(ip, ist)
+        def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+          df.select("q_id", "rank", "key").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+            .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+            .toMap
+        val t0 = System.nanoTime()
+        val exact = tops(TextOps.bm25Search(idx, qs, "doc_id", "text", k = 10))
+        val exactSec = (System.nanoTime() - t0) / 1e9
+        Seq(16, 64).foreach { p =>
+          val pr = TextOps.bm25Prune(idx, maxPostingsPerTerm = p)
+          val prp = pr.postings.persist(); prp.count()
+          val t1 = System.nanoTime()
+          val two = tops(TextOps.bm25SearchTwoStage(idx,
+            TextOps.Bm25Index(prp, ist), qs, "doc_id", "text", k = 10))
+          val sec = (System.nanoTime() - t1) / 1e9
+          val ov = exact.map { case (q, ex) =>
+            val got = two.getOrElse(q, Seq.empty).toSet
+            ex.count(got).toDouble / ex.length
+          }
+          println(f"[hybrid] m=$m%-3d bm25 two-stage P=$p%-4d mean overlap@10 = " +
+            f"${ov.sum / ov.size}%.3f  ($sec%.2f s vs exact $exactSec%.2f s, 64 queries)")
+          prp.unpersist()
+        }
+        // dense: brute top-20 vs IVF probe at the calibrated 0.8 fraction
+        val m0 = TextOps.tfIdfModel(corpus, "doc_id", "text", dim = 32)
+        val dfT = m0.dfTab.persist(); dfT.count()
+        val cN = m0.corpusN.persist(); cN.count()
+        val model = m0.copy(dfTab = dfT, corpusN = cN)
+        val docVecs = TextOps.assembleVector(
+          TextOps.applyTfIdf(corpus, "doc_id", "text", model),
+          "doc_id", 32).persist()
+        val nCells = math.max(16, math.sqrt(docVecs.count().toDouble).toInt)
+        val dIdx0 = Similarity.buildIvfIndex(docVecs, "doc_id", "vec",
+          nCells = nCells, nAssign = 2)
+        val dp = dIdx0.postings.persist(); dp.count()
+        val dIdx = dIdx0.copy(postings = dp)
+        val qv = TextOps.assembleVector(
+          TextOps.applyTfIdf(qs, "doc_id", "text", model), "doc_id", 32)
+          .persist()
+        qv.count()
+        val bruteT0 = System.nanoTime()
+        val brute = Similarity.bruteForceTopK(qv, docVecs, "doc_id",
+            "doc_id", "vec", k = 20)
+          .select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val bruteSec = (System.nanoTime() - bruteT0) / 1e9
+        val nP = Similarity.nProbeFor(nCells,
+          Similarity.calibratedFraction(0.8, nCells))
+        val t2 = System.nanoTime()
+        val probed = Similarity.probeIvf(dIdx, qv, "doc_id", nProbe = nP,
+            k = 20)
+          .select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val probeSec = (System.nanoTime() - t2) / 1e9
+        val dRec = brute.groupBy(_._1).view
+          .mapValues(hits => hits.count(probed.contains).toDouble / hits.length)
+        println(f"[hybrid] m=$m%-3d dense ivf nCells=$nCells%-5d nProbe=$nP%-4d " +
+          f"(target 0.8) mean recall@20 = ${dRec.values.sum / dRec.size}%.3f " +
+          f"($probeSec%.2f s vs brute $bruteSec%.2f s, 64 queries)")
+        ip.unpersist(); ist.unpersist(); dfT.unpersist(); cN.unpersist()
+        docVecs.unpersist(); dp.unpersist(); dIdx.centroids.unpersist()
+        qv.unpersist()
+      }
+      qs.unpersist()
+    }
     spark.stop()
   }
 }

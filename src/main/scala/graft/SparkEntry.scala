@@ -49,5 +49,6 @@ object SparkEntry {
     graft.queries.TextQ.oracles ++
     graft.queries.VectorQ.oracles ++
     graft.queries.ExtQ.oracles ++
-    graft.queries.CoverageQ.oracles
+    graft.queries.CoverageQ.oracles ++
+    graft.queries.GoldenOracles.oracles
 }

@@ -179,6 +179,8 @@ object BacktestQ {
 
     // G5/G8/W4 — the win/loss report over the trade log
     // (intra.ipynb:11686-11715): win rate, avg profit/loss, mc-loss share.
+    // Oracled as a literal-golden 1-row SELECT at the gate SF
+    // ([[GoldenOracles]]); the fold feeding it is spec-pinned.
     "r1_trade_report" -> ((s, d) => {
       val t = intradayEvents(s, d).toDF().filter(col("kind") =!= "bal")
       // NaN guard: a position carried across a block boundary can close at

@@ -66,6 +66,8 @@ object CoverageQ {
     // pivoted wide and forward-filled (bal_agg_df, intra.ipynb:11144-11189)
     // plus the TOTAL row-wise sum (G7). Global-ts window over an already
     // aggregated (small) panel — the long-form history stays keyed.
+    // Oracled as a literal-golden VALUES table at the gate SF
+    // ([[GoldenOracles]]); the fold feeding it is spec-pinned.
     "w1_balance_panel" -> ((s, d) => {
       val hist = BacktestQ.queries("t4_balance_history")(s, d)
         .filter(col("company") < 5)

@@ -234,6 +234,57 @@ object VectorQ {
       : (graft.ext.TextOps.TfIdfModel, Similarity.IvfIndex, DataFrame,
          DataFrame, DataFrame) = prebuiltRag(s, d)
 
+  /** Impact-pruned stage-1 lists over [[prebuiltHybrid]]'s BM25 index
+    * (P = 64, the measured full-candidate-coverage point — Bm25Spec):
+    * v27's sparse candidate generator. Memoized beside the index it
+    * prunes; cleared with the hybrid cache. */
+  private val prunedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ext.TextOps.Bm25Index]
+  private def prebuiltPruned(s: SparkSession, d: String)
+      : graft.ext.TextOps.Bm25Index =
+    prunedCache.synchronized {
+      prunedCache.getOrElseUpdate((s, d), {
+        val (_, _, bm25, _, _) = prebuiltHybrid(s, d)
+        val p = graft.ext.TextOps.bm25Prune(bm25, maxPostingsPerTerm = 64)
+          .postings.persist()
+        p.count()
+        graft.ext.TextOps.Bm25Index(p, bm25.stats)
+      })
+    }
+
+  /** v27's pipeline — BOTH legs bounded — with overridable depths so the
+    * spec can run it wide open (nProbe = nCells, P ≥ every df), where the
+    * dense probe degenerates to brute force, the pruned lists equal the
+    * full lists, and the output must equal v23 row-for-row. */
+  private[graft] def hybridBounded(s: SparkSession, d: String,
+                                   nProbeOverride: Option[Int] = None,
+                                   maxPostingsOverride: Option[Int] = None)
+      : DataFrame = {
+    val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 3)
+    val (model, _, bm25, docIdx, nCells) = prebuiltHybrid(s, d)
+    val qVecs = graft.ext.TextOps.assembleVector(
+      graft.ext.TextOps.applyTfIdf(qs, "doc_id", "text", model),
+      "doc_id", 32)
+    val nP = nProbeOverride.getOrElse(Similarity.nProbeFor(nCells,
+      Similarity.calibratedFraction(0.8, nCells)))
+    val pruned = maxPostingsOverride match {
+      case Some(p) =>
+        val pr = graft.ext.TextOps.bm25Prune(bm25, maxPostingsPerTerm = p)
+        graft.ext.TextOps.Bm25Index(pr.postings, bm25.stats)
+      case None => prebuiltPruned(s, d)
+    }
+    val dense = Similarity.probeIvf(docIdx, qVecs, "doc_id",
+        nProbe = nP, k = 20)
+      .select(col("q_id"), col("rank"), col("c_id").as("key"))
+    val sparse = graft.ext.TextOps.bm25SearchTwoStage(bm25, pruned, qs,
+        "doc_id", "text", k = 20)
+      .select("q_id", "rank", "key")
+    graft.ext.TextOps.rrfFuse(Seq(dense, sparse), k = 10)
+      .select(col("q_id"), col("rank"), col("key"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v26's pipeline with an overridable dense-leg probe depth — the
     * production query runs the calibrated 0.8-recall probe; HybridIvfSpec
     * re-runs it at nProbe = nCells, where the probe degenerates to exact
@@ -297,6 +348,8 @@ object VectorQ {
       docIdx.centroids.unpersist(); docIdx.postings.unpersist()
     }
     hybridCache.clear()
+    prunedCache.values.foreach(_.postings.unpersist())
+    prunedCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -872,6 +925,22 @@ object VectorQ {
     // v23 row-for-row at nProbe = nCells (full probe ≡ brute force).
     // Centroid-dependent at production nProbe → rows-only by design.
     "v26_hybrid_ivf" -> ((s, d) => hybridIvf(s, d)),
+
+    // V27 — hybrid retrieval with BOTH legs bounded, the complete 100 TB
+    // serve shape: v26's IVF-probed dense leg (probed fraction · n, never
+    // a corpus scan) fused with the TWO-STAGE sparse leg ([[graft.ext
+    // .TextOps.bm25SearchTwoStage]] — candidate generation over P=64
+    // impact-pruned lists, ≤ |q terms|·P candidates per query FLAT in
+    // corpus size, exact Okapi re-score of only those docs). Fusion
+    // algebra unchanged (rrfFuse, c=60). Neither leg's serve cost scans
+    // the corpus — where v23 is the oracle anchor (both legs exact and
+    // SQL-replicated) and v26 bounds only the dense leg, v27 is the query
+    // a 100 TB deployment actually runs. HybridIvfSpec pins v27 ≡ v23
+    // row-for-row wide open (nProbe = nCells, P ≥ max df: the probe
+    // degenerates to brute force and the pruned lists equal the full
+    // lists) + determinism at production depths. Centroid-dependent at
+    // production depth → rows-only by design.
+    "v27_hybrid_bounded" -> ((s, d) => hybridBounded(s, d)),
 
     // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
     // k-means cells as blocks, nCells derived from the corpus count as

@@ -53,6 +53,40 @@ class HybridIvfSpec extends AnyFunSuite {
     }
   }
 
+  test("v27 wide open (full probe, unpruned lists) equals v23 row-for-row") {
+    val anchor = SparkEntry.queries("v23_hybrid_rrf")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // P far above any fixture df → bm25Prune keeps every posting, so
+    // stage-1 candidates = every doc sharing a term with the query =
+    // exactly the docs the exact serve scores; the two-stage re-score is
+    // the same Okapi sum over the same postings. With the full probe on
+    // the dense side, the whole pipeline degenerates to v23.
+    val full = graft.queries.VectorQ.hybridBounded(spark, sf,
+        nProbeOverride = Some(100000), maxPostingsOverride = Some(100000000))
+      .collect().map(_.toSeq).toSeq
+    assert(anchor.nonEmpty, "v23 anchor returned no rows")
+    assert(full == anchor,
+      s"wide-open v27 diverged from v23: got ${full.take(3)}… " +
+        s"want ${anchor.take(3)}…")
+  }
+
+  test("production v27: bounded contiguous ranks, unique keys, deterministic") {
+    val run = () => SparkEntry.queries("v27_hybrid_bounded")(spark, sf)
+      .collect()
+    val rows = run().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, qRows) =>
+      val ranks = qRows.map(_._2).sorted.toSeq
+      assert(ranks == (1 to qRows.length), s"q=$q ranks not contiguous: $ranks")
+      assert(qRows.length <= 10, s"q=$q returned ${qRows.length} > k rows")
+      val keys = qRows.map(_._3)
+      assert(keys.distinct.length == keys.length, s"q=$q duplicate keys")
+    }
+    val a = run().map(_.toSeq).toSeq
+    val b = run().map(_.toSeq).toSeq
+    assert(a == b, "two v27 invocations disagreed")
+  }
+
   test("production v26 is deterministic and near the anchor ranking") {
     val a = SparkEntry.queries("v26_hybrid_ivf")(spark, sf)
       .collect().map(_.toSeq).toSeq

@@ -12,6 +12,10 @@ driver compare — if this passes, the driver's hash compare should too.
 import json, math, sys, glob, os
 import duckdb
 
+# literal-golden oracles generated at the driver's gate SF (see
+# queries/GoldenOracles.scala) — only meaningful against sf0.01
+SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel"}
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -29,6 +33,9 @@ def main():
         got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({len(got)} rows)"); continue
+        if name in SF001_GOLDEN and "sf0.01" not in sf_dir:
+            print(f"SKIP {name}: sf0.01-only golden oracle ({len(got)} rows)")
+            continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
