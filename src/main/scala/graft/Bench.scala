@@ -79,7 +79,8 @@ object Bench {
       () => graft.queries.BacktestQ.prewarm(spark, sfDir),
       () => graft.queries.ReplayQ.prewarm(spark),
       () => graft.queries.TextQ.prewarm(spark, sfDir),
-      () => graft.queries.VectorQ.prewarm(spark, sfDir))
+      () => graft.queries.VectorQ.prewarm(spark, sfDir),
+      () => graft.queries.ExtQ.prewarm(spark, sfDir))
     val preFutures = preWork.map(w => Future {
       // job group is thread-local — set it on each prewarm thread
       spark.sparkContext.setJobGroup("prematerialize", "shared intermediates")

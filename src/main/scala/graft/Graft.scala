@@ -22,6 +22,7 @@ object Graft {
   def clearCaches(): Unit = {
     queries.TextQ.clearCache()
     queries.VectorQ.clearCache()
+    queries.ExtQ.clearCache()
     queries.BacktestQ.clearCache()
     queries.ReplayQ.clearCache()
   }

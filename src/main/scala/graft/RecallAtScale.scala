@@ -16,6 +16,12 @@ import graft.ext.Similarity
 object RecallAtScale {
   def main(args: Array[String]): Unit = {
     val mults = if (args.isEmpty) Seq(1, 8, 64) else args.map(_.toInt).toSeq
+    // optional section filter for ad-hoc re-measurement (the ScaleStress
+    // SPARK_GRAFT_OPS pattern): emb | rag | hybrid, comma-separated.
+    // Default = all three (the full quality battery).
+    val sections = sys.env.get("SPARK_GRAFT_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("emb", "rag", "hybrid"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +32,7 @@ object RecallAtScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    mults.foreach { m =>
+    if (sections("emb")) mults.foreach { m =>
       val c = spark.read.parquet(s"/tmp/graft_scale/m$m/embeddings.parquet")
       val queries = c.filter(col("vec_id") < 5)
       val corpus = c.filter(col("vec_id") >= 5)
@@ -58,7 +64,7 @@ object RecallAtScale {
     // at each multiplier, same fit-once artifacts as ScaleStress.builtRag —
     // the retrieval-quality column SCALING.md pairs with the cost exponents.
     import graft.ext.TextOps
-    mults.foreach { m =>
+    if (sections("rag")) mults.foreach { m =>
       val docs = spark.read.parquet(s"/tmp/graft_scale/m$m/documents.parquet")
       val chunks = TextOps.chunkSliding(
           docs.filter(col("doc_id") % 97 =!= 3), "doc_id", "text", w = 12, s = 8)
@@ -112,7 +118,7 @@ object RecallAtScale {
     // their exact forms at each scale — the evidence that x50's two-stage
     // pruned serve and v26's IVF-probed dense leg hold ranking quality
     // while SCALING.md's new rows show their cost staying bounded.
-    mults.foreach { m =>
+    if (sections("hybrid")) mults.foreach { m =>
       val docs = spark.read.parquet(s"/tmp/graft_scale/m$m/documents.parquet")
       val corpus = docs.filter(col("doc_id") % 97 =!= 3)
       val qs = docs.filter(col("doc_id") % 97 === 3)

@@ -695,6 +695,27 @@ object ScaleStress {
           .select("q_id", "rank", "key")
         TextOps.rrfFuse(Seq(dense, sparse), k = 10).count()
       }),
+      Op("v28_append_fixed", m => {
+        // INCREMENTAL IVF maintenance (Similarity.ivfAppend): fold a
+        // FIXED ~2k-vector batch (fresh ids) into the prebuilt index —
+        // cost = first-seen id guard (ids-only anti-join, the x36
+        // digest-index shape; never the vectors) + batch-only assignment
+        // against the frozen centroids (O(|batch| · cell pick)). The
+        // corpus is never re-assigned, so the row must stay near-flat
+        // while v6_ivf_build (the rebuild alternative) grows ~n^1.5.
+        val batch = embsOf(1)
+          .select((col("vec_id") + lit(777000000L)).as("vec_id"), col("vec"))
+        Similarity.ivfAppend(builtIvf(m), batch)
+          .postings.filter(col("vec_id") >= 777000000L).count()
+      }),
+      Op("v28_append_quarter", m => {
+        // batch ∝ corpus (a ¼ re-ingest with fresh ids): per-vector
+        // append cost must stay constant — the row tracks BATCH size.
+        val batch = embsOf(m).filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + lit(888000000L)).as("vec_id"), col("vec"))
+        Similarity.ivfAppend(builtIvf(m), batch)
+          .postings.filter(col("vec_id") >= 888000000L).count()
+      }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid
         // align → block-local normalize → ffill → session filter →

@@ -335,6 +335,56 @@ object Similarity {
       idCol = cId, vecCol = vecCol)
   }
 
+  /** INCREMENTAL IVF maintenance — the dense-index member of the
+    * increment family (x36 exact dedup, x45 near-dup signatures, x49/x51
+    * BM25 postings): fold a new vector batch into a built index WITHOUT
+    * re-training or touching existing postings.
+    *
+    * Only the batch is assigned, against the EXISTING centroids (the
+    * frozen coarse quantizer — the standard production contract: FAISS
+    * `add` after `train`): cost ∝ |batch| · assignment pick, zero corpus
+    * re-scan, and every already-served posting row is byte-identical
+    * afterwards, so concurrent probes never see a half-updated cell. The
+    * first-seen guard drops batch ids already indexed (at-least-once
+    * re-delivery safe, the bm25SegmentAppend guard; at scale the
+    * membership probe is a per-partition bloom / id-range metadata check,
+    * not a postings scan). Appending under a frozen quantizer slowly
+    * skews cell occupancy if the batch distribution drifts — that is
+    * inherent to every incremental IVF, which is why [[ivfOccupancy]]
+    * exists: the re-train trigger is a measured occupancy ratio, not a
+    * guess (v28 reports it driver-visibly).
+    *
+    * `nCellsHint` skips the (persisted-centroid) count used to pick flat
+    * vs two-level assignment; callers that built the index know nCells. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame,
+                nAssign: Int = 2, hierAssignFrom: Int = 512,
+                nCellsHint: Option[Int] = None): IvfIndex = {
+    val keep = index.postings.columns.filterNot(_ == "ivf_cell")
+    val fresh = batch
+      .join(index.postings.select(col(index.idCol)).distinct(),
+        Seq(index.idCol), "left_anti")
+      .select(keep.map(col): _*)
+    val nCells = nCellsHint.getOrElse(index.centroids.count().toInt)
+    val appended =
+      if (nCells >= hierAssignFrom)
+        assignToHier(fresh, index.centroids, index.idCol, index.vecCol,
+          nAssign)
+      else assignTo(fresh, index.centroids, index.idCol, index.vecCol,
+        nAssign)
+    index.copy(postings =
+      index.postings.unionByName(appended.select(
+        index.postings.columns.map(col): _*)))
+  }
+
+  /** Per-cell posting counts — the drift audit for [[ivfAppend]]: a
+    * frozen quantizer under a shifting ingest distribution shows up as
+    * occupancy skew (hot cells grow, probe cost within them grows with
+    * the cell), and max/mean occupancy is the standard re-train trigger.
+    * One partial-aggregated groupBy over postings; nCells-row output. */
+  def ivfOccupancy(index: IvfIndex): DataFrame =
+    index.postings.groupBy("ivf_cell")
+      .agg(count(lit(1)).as("n_postings"))
+
   /** nProbe for a target probed FRACTION of the index. Holding the
     * fraction (rather than a fixed nProbe) is what holds recall as the
     * corpus grows: with nCells ~ √n, a fixed nProbe's probed share

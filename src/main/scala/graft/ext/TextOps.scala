@@ -398,9 +398,9 @@ object TextOps {
                       textCol: String): Bm25Segments =
     bm25SegmentOf(docs, idCol, textCol, segId = 0)
 
-  private def bm25SegmentOf(docs: org.apache.spark.sql.DataFrame,
-                            idCol: String, textCol: String,
-                            segId: Int): Bm25Segments = {
+  private[graft] def bm25SegmentOf(docs: org.apache.spark.sql.DataFrame,
+                                   idCol: String, textCol: String,
+                                   segId: Int): Bm25Segments = {
     val toks = docs.select(col(idCol).as("key"),
       explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy("key", "tok").agg(count(lit(1)).as("tf"))
@@ -471,6 +471,28 @@ object TextOps {
           .orderBy(col("score").desc, col("key"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "key", "score")
+  }
+
+  /** Segment COMPACTION — the background maintenance op that keeps a
+    * long-lived segmented index's segment count bounded (Lucene's merge
+    * policy, minus the df work: because segments are df-FREE, compaction
+    * is a pure seg_id relabel — postings rows are untouched, metadata
+    * rows of the merged segments collapse into one by summation). Merges
+    * every segment with `seg_id <= upTo` into segment `into`. Search is
+    * invariant by construction: seg_id never participates in the serve
+    * join, and (n_docs, sum_dl) are sums either way (Bm25Spec pins
+    * bit-equal scores pre/post). At 100 TB this is a partition rewrite of
+    * only the small segments being folded — never a corpus operation. */
+  def bm25SegmentCompact(segs: Bm25Segments, upTo: Int,
+                         into: Int = 0): Bm25Segments = {
+    val relabel = when(col("seg_id") <= upTo, lit(into))
+      .otherwise(col("seg_id"))
+    Bm25Segments(
+      postings = segs.postings.withColumn("seg_id", relabel),
+      segStats = segs.segStats.withColumn("seg_id", relabel)
+        .groupBy("seg_id")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        .select("seg_id", "n_docs", "sum_dl"))
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher): fused(q, d) =

@@ -310,6 +310,43 @@ object VectorQ {
       .orderBy("q_id", "rank")
   }
 
+  /** v28's pipeline — build on the ¾ slice, [[Similarity.ivfAppend]] the
+    * ¼ increment, probe the appended index — with an overridable probe
+    * depth so IvfAppendSpec can run it wide open (nProbe = nCells: the
+    * probe is exact over the union corpus, so every sampled batch vector
+    * MUST retrieve itself at rank 1). One-shot by design (the x36/x49
+    * build-leg precedent): the query times the full maintenance
+    * lifecycle, not just the probe. */
+  private[graft] def ivfIncremental(s: SparkSession, d: String,
+                                    nProbeOverride: Option[Int] = None)
+      : DataFrame = {
+    val c = corpus(s, d)
+    val base = c.filter(col("vec_id") >= 5 && col("vec_id") % 4 =!= 0)
+      .select("vec_id", "vec")
+    val batch = c.filter(col("vec_id") >= 5 && col("vec_id") % 4 === 0)
+      .select("vec_id", "vec")
+    // index-sizing action (the v22 precedent): nCells ~ √n of the slice
+    // the index is BUILT on — the increment inherits the geometry
+    val nCells = math.max(16, math.sqrt(base.count().toDouble).toInt)
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "vec",
+      nCells = nCells)
+    val appended = Similarity.ivfAppend(idx, batch,
+      nCellsHint = Some(nCells))
+    // standard query vectors + an md5-sample of the increment: the
+    // sampled batch vectors retrieving THEMSELVES proves in the output
+    // that the appended postings are live next to the old ones
+    val qs = c.filter(col("vec_id") < 5).select("vec_id", "vec")
+      .unionByName(batch
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8))
+    Similarity.probeIvf(appended, qs, "vec_id",
+        nProbe = nProbeOverride.getOrElse(4), k = 5)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("cos"), 6).as("cos"),
+        (col("c_id") % 4 === 0).as("from_increment"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Bench hook: build the shared IVF indexes + PQ artifacts + hier tree
     * + retrieval artifacts up front (see BacktestQ.prewarm — same
     * attribution rationale). */
@@ -792,21 +829,26 @@ object VectorQ {
           col("nbr_id"), round(col("cos"), 6).as("cos"))
         .orderBy("vec_id", "rank")),
 
-    // V25 — RETRIEVAL EVAL: self-retrieval MRR@10 of the three read
-    // paths (dense TF-IDF cosine, sparse BM25, hybrid RRF) as ONE
-    // driver-visible table — the number a retrieval operator watches
-    // when tuning the mix. Protocol: md5-sampled corpus docs' FIRST
-    // sliding chunk (w=12) is asked as a query; the source doc is the
-    // known-relevant answer; MRR = mean(1/rank of source) with misses
-    // scoring 0 — the standard planted self-retrieval sanity eval, fully
-    // deterministic (md5 sample, md5 buckets, exact legs). Uses the
-    // PREBUILT hybrid artifacts; each leg is top-10-bounded so the eval
-    // is O(q·k) beyond the leg costs. Bounded 3-row output at any scale.
-    // Rows-only (the 3-method pipeline is not worth 150 lines of oracle
-    // SQL; every component is individually oracle-exact — x48, v23 —
-    // and Bm25Spec pins this query's shape, bounds and determinism).
+    // V25 — RETRIEVAL EVAL: self-retrieval MRR@10 of the read paths —
+    // the three EXACT legs (dense TF-IDF cosine, sparse BM25, hybrid
+    // RRF) and, since round 7, the two BOUNDED production paths (v26's
+    // calibrated IVF dense leg, v27's fully-bounded hybrid) — as ONE
+    // driver-visible table: the number a retrieval operator watches when
+    // tuning the mix, now including "what does the scale path cost in
+    // quality". Protocol: md5-sampled corpus docs' FIRST sliding chunk
+    // (w=12) is asked as a query; the source doc is the known-relevant
+    // answer; MRR = mean(1/rank of source) with misses scoring 0 — the
+    // standard planted self-retrieval sanity eval, fully deterministic
+    // (md5 sample, md5 buckets, exact legs; the bounded legs are
+    // centroid-deterministic per build). Uses the PREBUILT hybrid
+    // artifacts; each leg is top-10-bounded so the eval is O(q·k) beyond
+    // the leg costs. Bounded 5-row output at any scale.
+    // Rows-only (the 5-method pipeline is not worth 200 lines of oracle
+    // SQL; every exact component is individually oracle-exact — x48,
+    // v23, x50 — and Bm25Spec pins this query's shape, bounds and
+    // determinism).
     "v25_retrieval_eval" -> ((s, d) => {
-      val (model, cVecs, bm25, _, _) = prebuiltHybrid(s, d)
+      val (model, cVecs, bm25, docIdx, nCells) = prebuiltHybrid(s, d)
       val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
       // the md5-ordered sample is deterministic but LAZY — left as a plan
       // it would be re-derived (corpus scan + TakeOrdered) once per leg.
@@ -844,8 +886,26 @@ object VectorQ {
           .select(lit(m).as("method"), col("n_queries"), col("n_hits"),
             round(coalesce(col("rr_sum"), lit(0.0)) / col("n_queries"), 6)
               .as("mrr"))
+      // round 7: the BOUNDED serve paths under the same eval — v26's
+      // calibrated IVF dense leg and v27's fully-bounded hybrid (IVF
+      // dense + two-stage pruned sparse) — so "the scale path holds
+      // quality" is a driver-visible number next to the exact legs,
+      // not just a parity spec
+      val nP = Similarity.nProbeFor(nCells,
+        Similarity.calibratedFraction(0.8, nCells))
+      val denseIvf = Similarity.probeIvf(docIdx, qVecs, "doc_id",
+          nProbe = nP, k = 10)
+        .select(col("q_id"), col("rank"), col("c_id").as("key"))
+      val sparse2 = graft.ext.TextOps.bm25SearchTwoStage(bm25,
+          prebuiltPruned(s, d), queries, "doc_id", "text", k = 10)
+        .select("q_id", "rank", "key")
+      val hybridBounded = graft.ext.TextOps.rrfFuse(
+          Seq(denseIvf, sparse2), k = 10)
+        .select("q_id", "rank", "key")
       mrrOf(dense, "dense").union(mrrOf(sparse, "bm25"))
         .union(mrrOf(hybrid, "hybrid_rrf"))
+        .union(mrrOf(denseIvf, "dense_ivf"))
+        .union(mrrOf(hybridBounded, "hybrid_bounded"))
         .orderBy("method")
     }),
 
@@ -941,6 +1001,20 @@ object VectorQ {
     // lists) + determinism at production depths. Centroid-dependent at
     // production depth → rows-only by design.
     "v27_hybrid_bounded" -> ((s, d) => hybridBounded(s, d)),
+
+    // V28 — INCREMENTAL IVF maintenance ([[Similarity.ivfAppend]]): the
+    // dense-index member of the increment family (x36 exact dedup, x45
+    // near-dup signatures, x49/x51 BM25) — build on the ¾ corpus slice,
+    // fold the ¼ increment in against the FROZEN centroids (only the
+    // batch is assigned; no re-train, no corpus re-scan, existing
+    // postings byte-identical), then probe the appended index with the
+    // standard queries + an md5-sample of the increment (each sampled
+    // new vector must surface ITSELF — the increment-is-live proof,
+    // `from_increment` column). Occupancy-skew re-train trigger =
+    // [[Similarity.ivfOccupancy]] (IvfAppendSpec pins append ≡ scratch
+    // assignment under the same centroids, redelivery no-op, and the
+    // occupancy account). Centroid-specific → rows-only.
+    "v28_ivf_incremental" -> ((s, d) => ivfIncremental(s, d)),
 
     // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
     // k-means cells as blocks, nCells derived from the corpus count as

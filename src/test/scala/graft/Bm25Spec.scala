@@ -156,13 +156,14 @@ class Bm25Spec extends AnyFunSuite {
     assert(st(again).getLong(0) == st(scratch).getLong(0))
   }
 
-  test("v25 retrieval eval: 3 methods, sane MRR, dense finds its source") {
+  test("v25 retrieval eval: 5 methods, sane MRR, dense finds its source") {
     val sf = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("v25_retrieval_eval")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     val rows = run()
-    assert(rows.map(_._1).toSeq == Seq("bm25", "dense", "hybrid_rrf"))
+    assert(rows.map(_._1).toSeq ==
+      Seq("bm25", "dense", "dense_ivf", "hybrid_bounded", "hybrid_rrf"))
     rows.foreach { case (m, nq, hits, mrr) =>
       assert(nq > 0 && hits <= nq, s"$m: hits $hits of $nq")
       assert(mrr >= 0.0 && mrr <= 1.0, s"$m: mrr $mrr")

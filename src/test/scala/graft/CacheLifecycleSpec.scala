@@ -33,7 +33,10 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "x21_quality_filter" -> rows("x21_quality_filter"),
       "v6_ivf_probe" -> rows("v6_ivf_probe"),
       "v7_ann_recall" -> rows("v7_ann_recall"),
-      "v15_hier_assign" -> rows("v15_hier_assign"))
+      "v15_hier_assign" -> rows("v15_hier_assign"),
+      // streamed BM25 segments: clear → re-ingest to a FRESH temp dir
+      // must serve identically (ExtQ.bm25StreamCache)
+      "st6_bm25_stream" -> rows("st6_bm25_stream"))
     Graft.clearCaches()
     // every consumer must rebuild from the source tables and agree
     before.foreach { case (q, exp) =>

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+import graft.streaming.StreamBm25
+
+/** Streaming BM25 segment maintenance ([[StreamBm25]]): a REAL
+  * micro-batched `writeStream.foreachBatch` ingest (MemoryStream) whose
+  * sink appends each batch as an immutable on-disk parquet segment must
+  * serve — through the disk round trip, with query-time df — scores
+  * bit-equal to a from-scratch [[TextOps.bm25Index]] over the union
+  * corpus; re-delivered batches append nothing; and compaction
+  * ([[TextOps.bm25SegmentCompact]]) collapses segment metadata without
+  * changing a single score. */
+class StreamBm25Spec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-stream-bm25").getOrCreate()
+
+  private val corpus = Seq(
+    1L -> "apples and oranges and pears",
+    2L -> "oranges oranges oranges",
+    3L -> "a basket of apples",
+    4L -> "pears alone",
+    5L -> "apples pears oranges mixed basket",
+    6L -> "entirely unrelated words here")
+  private val queryDocs = Seq(10L -> "apples oranges", 11L -> "basket")
+
+  private def searchRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("q_id", "rank", "key", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  private def ingest(batches: Seq[Seq[(Long, String)]],
+                     replayLast: Boolean = false): String = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_bm25").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamBm25.appendBatch(dir, batch, id, "doc_id", "text")
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      if (replayLast) { // at-least-once source re-delivers a batch
+        input.addData(batches.last: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    dir
+  }
+
+  test("3-micro-batch streamed ingest serves bit-equal to a scratch index") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq)
+    val segs = StreamBm25.load(spark, dir).get
+    val queries = queryDocs.toDF("doc_id", "text")
+    val streamed = searchRows(TextOps.bm25SearchSegmented(segs, queries,
+      "doc_id", "text", k = 3))
+    val scratch = searchRows(TextOps.bm25Search(
+      TextOps.bm25Index(corpus.toDF("doc_id", "text"), "doc_id", "text"),
+      queries, "doc_id", "text", k = 3))
+    assert(streamed == scratch)
+    assert(streamed.nonEmpty)
+    // three batches → three on-disk segments, one metadata row each
+    assert(segs.segStats.count() == 3)
+  }
+
+  test("re-delivered batch appends nothing (first-seen, no empty segment)") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq, replayLast = true)
+    val segs = StreamBm25.load(spark, dir).get
+    assert(segs.segStats.count() == 3) // no 4th segment from the replay
+    val expectedPostings = corpus.flatMap { case (_, t) => t.split("\\s+") }
+      .size // one posting per (doc, distinct tok)… compute via scratch
+    val scratchPostings = TextOps.bm25Index(
+      corpus.toDF("doc_id", "text"), "doc_id", "text").postings.count()
+    assert(segs.postings.count() == scratchPostings,
+      s"replay changed postings (expected tokens≈$expectedPostings)")
+  }
+
+  test("compaction collapses metadata, scores bit-equal") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq)
+    val segs = StreamBm25.load(spark, dir).get
+    val compact = TextOps.bm25SegmentCompact(segs, upTo = 1, into = 0)
+    assert(compact.segStats.count() == 2) // segs 0,1 folded; 2 untouched
+    // postings survive untouched (pure relabel)
+    assert(compact.postings.count() == segs.postings.count())
+    val queries = queryDocs.toDF("doc_id", "text")
+    assert(
+      searchRows(TextOps.bm25SearchSegmented(compact, queries,
+        "doc_id", "text", k = 3)) ==
+      searchRows(TextOps.bm25SearchSegmented(segs, queries,
+        "doc_id", "text", k = 3)))
+    // stats conserved through the fold
+    val tot = compact.segStats.agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+    val tot0 = segs.segStats.agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+    assert(tot == tot0)
+  }
+
+  test("st6 driver query matches the one-shot segmented form on testdata") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val qs = Tables.documents(spark, sf).filter(col("doc_id") % 101 === 7)
+    val oneShot = TextOps.bm25SearchSegmented(
+      TextOps.bm25SegmentAppend(
+        TextOps.bm25SegmentAppend(
+          TextOps.bm25SegmentInit(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text"),
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", segId = 1),
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", segId = 2),
+      qs, "doc_id", "text", k = 5)
+    val st6 = graft.SparkEntry.queries("st6_bm25_stream")(spark, sf)
+    assert(searchRows(st6.withColumn("score", col("score"))
+        .select(col("q_id"), col("rank"), col("key"), col("score"))) ==
+      searchRows(oneShot.select(col("q_id"), col("rank"), col("key"),
+        round(col("score"), 6).as("score"))))
+  }
+}

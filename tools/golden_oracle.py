@@ -62,5 +62,14 @@ def emit(con, path, name, order_by):
 if __name__ == "__main__":
     out = sys.argv[1]
     con = duckdb.connect()
-    emit(con, f"{out}/r1_trade_report", "r1_trade_report", None)
-    emit(con, f"{out}/w1_balance_panel", "w1_balance_panel", "ts")
+    # name -> order_by column (None = unordered compare). Default: the two
+    # report queries; pass extra names as argv[2:] in name[:order] form.
+    if len(sys.argv) > 2:
+        targets = []
+        for arg in sys.argv[2:]:
+            name, _, order = arg.partition(":")
+            targets.append((name, order or None))
+    else:
+        targets = [("r1_trade_report", None), ("w1_balance_panel", "ts")]
+    for name, order in targets:
+        emit(con, f"{out}/{name}", name, order)
