@@ -141,7 +141,13 @@ object RecallAtScale {
         val t0 = System.nanoTime()
         val exact = tops(TextOps.bm25Search(idx, qs, "doc_id", "text", k = 10))
         val exactSec = (System.nanoTime() - t0) / 1e9
-        Seq(16, 64).foreach { p =>
+        // fixed P AND P scaled ~proportional to corpus growth: on the
+        // synthetic all-stopword vocabulary every posting list is
+        // ~corpus-sized, so a FIXED P keeps a vanishing fraction of each
+        // list and overlap collapses — the scaled-P rows measure what it
+        // takes to hold quality (production corpora are Zipfian: query
+        // terms are mostly discriminative and small lists survive whole)
+        Seq(16, 64, 64 * m, 256 * m).distinct.foreach { p =>
           val pr = TextOps.bm25Prune(idx, maxPostingsPerTerm = p)
           val prp = pr.postings.persist(); prp.count()
           val t1 = System.nanoTime()

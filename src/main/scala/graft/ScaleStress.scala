@@ -170,8 +170,21 @@ object ScaleStress {
         "doc_id", "text")
       val p = s0.postings.persist(); p.count()
       val st = s0.segStats.persist(); st.count()
-      TextOps.Bm25Segments(p, st)
+      val td = s0.termDf.persist(); td.count()
+      TextOps.Bm25Segments(p, st, td)
     })
+
+    // compaction-time pruned lists over the segmented index (x52's
+    // stage-1 artifact; the x50 prunedIdx pattern)
+    val segPrunedIdx = scala.collection.mutable.Map.empty[Int, TextOps.Bm25Index]
+    def builtSegPruned(m: Int): TextOps.Bm25Index =
+      segPrunedIdx.getOrElseUpdate(m, {
+        val pr = TextOps.bm25PruneSegments(builtSegs(m),
+          maxPostingsPerTerm = 64)
+        val p = pr.postings.persist()
+        p.count()
+        TextOps.Bm25Index(p, pr.stats)
+      })
 
     // prebuilt doc-level HYBRID artifacts per multiplier (the v23/v26
     // serve contrast): TF-IDF model fit on the corpus docs, assembled
@@ -639,6 +652,16 @@ object ScaleStress {
         TextOps.bm25SearchTwoStage(builtBm25(m), builtPruned(m),
           queries64(m), "doc_id", "text", k = 10).count()
       }),
+      Op("x51_seg_build", m => {
+        // base-segment build (the ¾ slice as segment 0): timed as its own
+        // row so the APPEND cell below measures only the append — the
+        // helper is lazy and would otherwise charge the first caller.
+        segIdx.remove(m).foreach { s =>
+          s.postings.unpersist(); s.segStats.unpersist()
+          s.termDf.unpersist()
+        }
+        builtSegs(m).postings.count()
+      }),
       Op("x51_seg_append", m => {
         // SEGMENTED maintenance (the x49_bm25_merge contrast): append the
         // ¼ batch as an immutable segment — tokenize ONLY the batch, one
@@ -659,6 +682,32 @@ object ScaleStress {
         // Σ df(query terms)).
         TextOps.bm25SearchSegmented(builtSegs(m), queries64(m),
           "doc_id", "text", k = 10).count()
+      }),
+      Op("x52_prune_build", m => {
+        // compaction-time pruned-list artifact over the SEGMENTED index
+        // (dictionary-df impact + per-term top-P window — x50's build,
+        // derived from segments instead of a merged index)
+        segPrunedIdx.remove(m).foreach(_.postings.unpersist())
+        builtSegPruned(m).postings.count()
+      }),
+      Op("x52_seg2stage_probe64", m => {
+        // BOUNDED serve over the SEGMENTED index (bm25SearchSegmented-
+        // TwoStage): candidates from the compaction-time pruned lists,
+        // dictionary-df re-score of candidates only — must match
+        // x50_2stage_probe64's flat shape where the exact segmented
+        // serve (x51_seg_probe64) is linear.
+        TextOps.bm25SearchSegmentedTwoStage(builtSegs(m), builtSegPruned(m),
+          queries64(m), "doc_id", "text", k = 10).count()
+      }),
+      Op("hybrid_build", m => {
+        // doc-level hybrid artifacts (TF-IDF fit + vectors + √n-cell IVF
+        // index + embedded query batch) as their own timed row, so the
+        // serve cells below measure serving, not the lazy build.
+        hybIdx.remove(m).foreach { case (dv, idx, qv) =>
+          dv.unpersist(); idx.centroids.unpersist()
+          idx.postings.unpersist(); qv.unpersist()
+        }
+        builtHybrid(m)._2.postings.count()
       }),
       Op("v23_dense_brute64", m => {
         // the v23/v25 dense leg as shipped for the DuckDB oracle: 64

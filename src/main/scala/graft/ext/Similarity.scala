@@ -441,10 +441,17 @@ object Similarity {
       index.centroids, "q_id", "q_vec", nAssign = nProbe)
     probed.join(index.postings.select(col(index.idCol).as("c_id"),
         col(index.vecCol).as("c_vec2"), col("ivf_cell")), Seq("ivf_cell"))
-      // nAssign replication can surface the same candidate via two probed
-      // cells — dedup the pair before ranking
-      .dropDuplicates("q_id", "c_id")
+      // score BEFORE deduplicating, then drop the vectors: nAssign
+      // replication can surface a candidate via two probed cells, and a
+      // dropDuplicates here would hash-shuffle every candidate row WITH
+      // both 32-dim vectors aboard (~20× the bytes of the narrow row —
+      // measured as the gap to the brute kernel, SCALING.md r7). The
+      // groupBy dedups on (q_id, c_id, cos)-narrow rows with map-side
+      // partial aggregation; max() is a no-op value-wise (duplicate rows
+      // carry the identical cosine) and keeps the agg deterministic.
       .withColumn("cos", cosine(col("q_vec"), col("c_vec2")))
+      .select("q_id", "c_id", "cos")
+      .groupBy("q_id", "c_id").agg(max("cos").as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)

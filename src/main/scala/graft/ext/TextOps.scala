@@ -242,10 +242,22 @@ object TextOps {
     * The prune is a scan-side predicate on the postings (below the
     * query join), so the mega-lists never enter the shuffle. 1.0 (the
     * default) disables it — x48/x49/v23 keep exact Okapi semantics. */
+  /** `rankRound`: rank on round(score, n) with the key tiebreak instead
+    * of the raw double. Near-ties in a parallel double sum are ordered
+    * by last-ulp noise — run-stable in Spark (deterministic partitioning)
+    * but NOT across engines or across runs of a parallel SQL engine (the
+    * sf0.1 gate caught DuckDB flipping two docs tied to ~1e-15 between
+    * runs of the SAME oracle). Rounding to the oracle's own output
+    * precision collapses such pairs to exact ties broken by key on both
+    * sides. None (default) keeps raw-score ranking. */
+  private def scoreRankKey(rankRound: Option[Int]): Column =
+    rankRound.map(n => round(col("score"), n)).getOrElse(col("score"))
+
   def bm25Search(idx: Bm25Index, queries: org.apache.spark.sql.DataFrame,
                  qId: String, textCol: String, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
-                 maxDfFrac: Double = 1.0): org.apache.spark.sql.DataFrame = {
+                 maxDfFrac: Double = 1.0,
+                 rankRound: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val qToks = queries
       .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
       .distinct()
@@ -264,7 +276,7 @@ object TextOps {
         .as("score"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("key"))))
+          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "key", "score")
   }
@@ -341,7 +353,8 @@ object TextOps {
                          queries: org.apache.spark.sql.DataFrame,
                          qId: String, textCol: String, k: Int,
                          k1: Double = 1.2,
-                         b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                         b: Double = 0.75,
+                         rankRound: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val qToks = queries
       .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
       .distinct()
@@ -359,39 +372,43 @@ object TextOps {
         .as("score"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("key"))))
+          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "key", "score")
   }
 
   /** SEGMENTED BM25 maintenance — the Lucene shape the [[bm25Merge]]
     * scaladoc names, made real: each ingest batch becomes an immutable
-    * segment holding df-FREE postings (key, tok, tf, dl) plus ONE
-    * metadata row (n_docs, sum_dl); df and the corpus stats are derived
-    * AT QUERY TIME from exactly the posting lists the query touches.
-    * Appending a batch therefore tokenizes ONLY the batch and recounts
-    * NOTHING — where [[bm25Merge]] re-shuffles the whole postings table
-    * for its df recount, the segmented append writes new rows + one
-    * metadata row and is done (the x36/x45 incremental contract, now
-    * without the global recount).
+    * segment holding df-FREE postings (key, tok, tf, dl), its TERM
+    * DICTIONARY (tok → df within the segment — Lucene's per-segment
+    * term metadata, term-count-sized, never posting-sized) and ONE
+    * stats row (n_docs, sum_dl). Appending a batch tokenizes ONLY the
+    * batch and recounts NOTHING — where [[bm25Merge]] re-shuffles the
+    * whole postings table for its df recount, the segmented append
+    * writes new rows + dictionary + one stats row and is done (the
+    * x36/x45 incremental contract, without the global recount).
     *
-    * Serve-time df is exact: the query's terms join their posting lists
-    * across all segments (same single equi-join as [[bm25Search]]), and
-    * df(tok) = count of postings per tok over that slice — a global
-    * count, because every posting of a query term is in the slice by
-    * construction. The first-seen append guard keeps keys unique across
-    * segments, so the count never double-counts a doc. Scores are
-    * bit-identical to a scratch [[bm25Index]] + [[bm25Search]] over the
-    * union corpus (Bm25Spec pins it; the x51 DuckDB oracle proves it on
-    * real data — the oracle builds from scratch).
+    * Serve-time df is exact AND metadata-cheap: global df(tok) = the sum
+    * of the per-segment dictionary rows for tok (keys are unique across
+    * segments — the first-seen append guard — so the sum never double-
+    * counts). The first cut derived df by COUNTING the touched posting
+    * lists at query time; that recount measured +12% over the merged
+    * index's serve at 64× (SCALING.md round 7) and the dictionary
+    * removes it — this is exactly why Lucene keeps a term dictionary
+    * per segment. Scores are bit-identical to a scratch [[bm25Index]] +
+    * [[bm25Search]] over the union corpus (Bm25Spec pins it; the x51
+    * DuckDB oracle proves it on real data — the oracle builds from
+    * scratch).
     *
     * At 100 TB: segments are parquet partitions keyed by `seg_id`;
-    * the append is a partition add; background compaction (merge small
-    * segments' postings — a pure union, no df math) keeps segment counts
-    * bounded, exactly like Lucene segment merging with the df work moved
-    * to the (already-bounded) serve join. */
+    * the append is a partition add; background compaction
+    * ([[bm25SegmentCompact]] — pure seg_id relabel + dictionary/stats
+    * sums) keeps segment counts bounded, exactly like Lucene segment
+    * merging with no df math anywhere. The BOUNDED serve over segments
+    * is [[bm25SearchSegmentedTwoStage]]. */
   case class Bm25Segments(postings: org.apache.spark.sql.DataFrame,
-                          segStats: org.apache.spark.sql.DataFrame)
+                          segStats: org.apache.spark.sql.DataFrame,
+                          termDf: org.apache.spark.sql.DataFrame)
 
   /** First segment of a maintained index. */
   def bm25SegmentInit(docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -410,7 +427,12 @@ object TextOps {
         .select(lit(segId).as("seg_id"), col("key"), col("tok"), col("tf"),
           col("dl")),
       segStats = dl.agg(lit(segId).as("seg_id"),
-        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")))
+        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
+      // per-segment term dictionary — a by-product of the tf pass the
+      // segment writer already runs, term-count-sized
+      termDf = tf.groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        .select(lit(segId).as("seg_id"), col("tok"), col("df")))
   }
 
   /** Append a batch as segment `segId`: tokenize the batch, drop already-
@@ -427,20 +449,24 @@ object TextOps {
     val seg = bm25SegmentOf(fresh, idCol, textCol, segId)
     Bm25Segments(
       postings = segs.postings.unionByName(seg.postings),
-      segStats = segs.segStats.unionByName(seg.segStats))
+      segStats = segs.segStats.unionByName(seg.segStats),
+      termDf = segs.termDf.unionByName(seg.termDf))
   }
 
   /** Okapi BM25 top-k over a segmented index: the SAME one-equi-join
     * serve shape as [[bm25Search]], with df and (corpus_n, avgdl)
-    * derived query-time — df from the touched posting lists, stats from
-    * the per-segment metadata rows (a segment-count-sized aggregate,
-    * broadcast). Returns (q_id, rank, key, score), scores exactly equal
-    * to a from-scratch index over the same corpus. */
+    * derived query-time from segment METADATA — df as the sum of the
+    * touched terms' per-segment dictionary rows (exact: keys unique
+    * across segments), stats from the per-segment stats rows (a
+    * segment-count-sized aggregate, broadcast). Returns (q_id, rank,
+    * key, score), scores exactly equal to a from-scratch index over the
+    * same corpus. */
   def bm25SearchSegmented(segs: Bm25Segments,
                           queries: org.apache.spark.sql.DataFrame,
                           qId: String, textCol: String, k: Int,
                           k1: Double = 1.2,
-                          b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                          b: Double = 0.75,
+                          rankRound: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val qToks = queries
       .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
       .distinct()
@@ -449,9 +475,12 @@ object TextOps {
     val touched = segs.postings
       .join(qToks.select("tok").distinct(), "tok")
       .select("key", "tok", "tf", "dl")
-    // exact global df per query term: every posting of a touched term is
-    // in `touched`, and keys are unique across segments (append guard)
-    val dfNow = touched.groupBy("tok").agg(count(lit(1)).as("df"))
+    // exact global df from the term DICTIONARY (metadata, not postings):
+    // the first cut COUNTED the touched posting lists here and paid +12%
+    // over the merged index's serve at 64× (SCALING.md round 7)
+    val dfNow = segs.termDf
+      .join(qToks.select("tok").distinct(), "tok")
+      .groupBy("tok").agg(sum("df").as("df"))
     // corpus stats from segment metadata: sum_dl/n_docs are exact longs,
     // and long/long division is double in Spark SQL — bit-identical to
     // bm25Index's avg(dl)
@@ -468,7 +497,7 @@ object TextOps {
         .as("score"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("key"))))
+          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "key", "score")
   }
@@ -492,7 +521,79 @@ object TextOps {
       segStats = segs.segStats.withColumn("seg_id", relabel)
         .groupBy("seg_id")
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-        .select("seg_id", "n_docs", "sum_dl"))
+        .select("seg_id", "n_docs", "sum_dl"),
+      termDf = segs.termDf.withColumn("seg_id", relabel)
+        .groupBy("seg_id", "tok").agg(sum("df").as("df"))
+        .select("seg_id", "tok", "df"))
+  }
+
+  /** Impact-pruned stage-1 lists over a SEGMENTED index — the
+    * compaction-time analog of [[bm25Prune]]: global df from the term
+    * dictionaries + stats from the segment metadata reconstruct the
+    * exact impact expression, then the same per-term top-P truncation.
+    * Because dictionary df is exact and current (not a stale compaction
+    * snapshot), the pruned lists equal [[bm25Prune]] over a scratch
+    * index of the same corpus bit-for-bit. In production this artifact
+    * is refreshed at compaction cadence and is P·|vocabulary|-bounded. */
+  def bm25PruneSegments(segs: Bm25Segments, maxPostingsPerTerm: Int,
+                        k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    val dfG = segs.termDf.groupBy("tok").agg(sum("df").as("df"))
+    val stats = segs.segStats
+      .agg(sum("n_docs").as("corpus_n"),
+        (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    bm25Prune(
+      Bm25Index(
+        postings = segs.postings.join(dfG, "tok")
+          .select("key", "tok", "tf", "dl", "df"),
+        stats = stats),
+      maxPostingsPerTerm, k1, b)
+  }
+
+  /** BOUNDED two-stage serve over a SEGMENTED index — the complete
+    * Lucene read path: stage 1 generates ≤ |q terms|·P candidates from
+    * the impact-pruned lists ([[bm25PruneSegments]], the compaction-time
+    * artifact); stage 2 re-scores ONLY those docs exactly, with df from
+    * the term dictionaries (metadata) and tf/dl from the candidate
+    * postings (a broadcast-bounded semi-join against the posting scan —
+    * key-bucketed storage turns it into a point fetch). No stage runs
+    * the Σ df(query terms) shuffle the exact serve pays, and scores are
+    * the TRUE BM25 values (every query term of a candidate doc counts),
+    * so the result equals [[bm25SearchTwoStage]] over a scratch index
+    * bit-for-bit (Bm25Spec pins it). */
+  def bm25SearchSegmentedTwoStage(segs: Bm25Segments, pruned: Bm25Index,
+                                  queries: org.apache.spark.sql.DataFrame,
+                                  qId: String, textCol: String, k: Int,
+                                  k1: Double = 1.2,
+                                  b: Double = 0.75,
+                                  rankRound: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val qToks = queries
+      .select(col(qId).as("q_id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val cand = qToks.join(pruned.postings.select("tok", "key"), "tok")
+      .select("q_id", "key").distinct()
+    val dfNow = segs.termDf
+      .join(qToks.select("tok").distinct(), "tok")
+      .groupBy("tok").agg(sum("df").as("df"))
+    val stats = segs.segStats
+      .agg(sum("n_docs").as("corpus_n"),
+        (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    segs.postings
+      .join(broadcast(cand), "key")
+      .join(qToks, Seq("q_id", "tok"))
+      .join(dfNow, "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "key")
+      .agg(sum(
+        log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "key", "score")
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher): fused(q, d) =

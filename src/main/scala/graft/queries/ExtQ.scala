@@ -39,7 +39,8 @@ object ExtQ {
         val segs = graft.streaming.StreamBm25.load(s, dir).get
         val postings = segs.postings.persist(); postings.count()
         val stats = segs.segStats.persist(); stats.count()
-        graft.ext.TextOps.Bm25Segments(postings, stats)
+        val termDf = segs.termDf.persist(); termDf.count()
+        graft.ext.TextOps.Bm25Segments(postings, stats, termDf)
       })
     }
 
@@ -55,6 +56,7 @@ object ExtQ {
   private[graft] def clearCache(): Unit = bm25StreamCache.synchronized {
     bm25StreamCache.values.foreach { segs =>
       segs.postings.unpersist(); segs.segStats.unpersist()
+      segs.termDf.unpersist()
     }
     bm25StreamCache.clear()
   }
@@ -183,7 +185,7 @@ object ExtQ {
     "st6_bm25_stream" -> ((s, d) =>
       graft.ext.TextOps.bm25SearchSegmented(streamedBm25(s, d),
           Tables.documents(s, d).filter(col("doc_id") % 101 === 7),
-          "doc_id", "text", k = 5)
+          "doc_id", "text", k = 5, rankRound = Some(6))
         .select(col("q_id"), col("rank"), col("key"),
           round(col("score"), 6).as("score"))
         .orderBy("q_id", "rank")),
@@ -214,7 +216,7 @@ object ExtQ {
            GROUP BY 1, 2),
          r AS (SELECT q_id, key, score,
                  row_number() OVER (PARTITION BY q_id
-                   ORDER BY score DESC, key) AS rank FROM sc)
+                   ORDER BY round(score, 6) DESC, key) AS rank FROM sc)
          SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
            round(score, 6) AS score
          FROM r WHERE rank <= 5 ORDER BY q_id, rank""",

@@ -33,6 +33,7 @@ object StreamBm25 {
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def statsDir(dir: String) = s"$dir/segstats"
+  private def termDfDir(dir: String) = s"$dir/termdf"
 
   /** `foreachBatch` sink body: micro-batch `batchId` → one immutable
     * on-disk segment (postings partition `seg_id=<batchId>` + one
@@ -57,6 +58,8 @@ object StreamBm25 {
     seg.postings.write.mode("append").partitionBy("seg_id")
       .parquet(postingsDir(dir))
     seg.segStats.write.mode("append").parquet(statsDir(dir))
+    seg.termDf.write.mode("append").partitionBy("seg_id")
+      .parquet(termDfDir(dir))
   }
 
   /** The maintained index as written so far; None before the first
@@ -72,6 +75,9 @@ object StreamBm25 {
         .withColumn("seg_id", col("seg_id").cast("int"))
         .select("seg_id", "key", "tok", "tf", "dl"),
       segStats = s.read.parquet(statsDir(dir))
-        .select("seg_id", "n_docs", "sum_dl")))
+        .select("seg_id", "n_docs", "sum_dl"),
+      termDf = s.read.parquet(termDfDir(dir))
+        .withColumn("seg_id", col("seg_id").cast("int"))
+        .select("seg_id", "tok", "df")))
   }
 }

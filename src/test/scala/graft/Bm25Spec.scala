@@ -318,4 +318,71 @@ class Bm25Spec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(x48.nonEmpty && x51 == x48)
   }
+
+  test("term dictionary: global df exact through append and compact") {
+    val seg0 = corpusDf.filter(col("doc_id") <= 2)
+    val seg1 = corpusDf.filter(col("doc_id") > 2)
+    val segs = TextOps.bm25SegmentAppend(
+      TextOps.bm25SegmentInit(seg0, "doc_id", "text"),
+      seg1, "doc_id", "text", segId = 1)
+    def globalDf(td: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      td.groupBy("tok").agg(sum("df").as("df")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    val scratch = TextOps.bm25Index(corpusDf, "doc_id", "text").postings
+      .select("tok", "df").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(globalDf(segs.termDf) == scratch)
+    // compaction folds dictionary rows without changing the global sums
+    val compact = TextOps.bm25SegmentCompact(segs, upTo = 1, into = 0)
+    assert(globalDf(compact.termDf) == scratch)
+    assert(compact.termDf.select("seg_id").distinct().count() == 1)
+  }
+
+  test("segmented pruned lists == bm25Prune of a scratch index") {
+    val seg0 = corpusDf.filter(col("doc_id") <= 2)
+    val seg1 = corpusDf.filter(col("doc_id") > 2)
+    val segs = TextOps.bm25SegmentAppend(
+      TextOps.bm25SegmentInit(seg0, "doc_id", "text"),
+      seg1, "doc_id", "text", segId = 1)
+    def lists(i: TextOps.Bm25Index) = i.postings
+      .select("tok", "key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fromSegs = TextOps.bm25PruneSegments(segs, maxPostingsPerTerm = 2)
+    val fromScratch = TextOps.bm25Prune(
+      TextOps.bm25Index(corpusDf, "doc_id", "text"), maxPostingsPerTerm = 2)
+    assert(lists(fromSegs) == lists(fromScratch))
+  }
+
+  test("segmented two-stage serve == scratch two-stage, bit-level") {
+    import spark.implicits._
+    val seg0 = corpusDf.filter(col("doc_id") <= 2)
+    val seg1 = corpusDf.filter(col("doc_id") > 2)
+    val segs = TextOps.bm25SegmentAppend(
+      TextOps.bm25SegmentInit(seg0, "doc_id", "text"),
+      seg1, "doc_id", "text", segId = 1)
+    val qs = Seq((100L, "apple banana"), (101L, "elderberry date"))
+      .toDF("doc_id", "text")
+    val idx = TextOps.bm25Index(corpusDf, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "key", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val got = rows(TextOps.bm25SearchSegmentedTwoStage(segs,
+      TextOps.bm25PruneSegments(segs, maxPostingsPerTerm = 2),
+      qs, "doc_id", "text", k = 10))
+    val want = rows(TextOps.bm25SearchTwoStage(idx,
+      TextOps.bm25Prune(idx, maxPostingsPerTerm = 2),
+      qs, "doc_id", "text", k = 10))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("x52 driver query equals x50 two-stage serve on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val x50 = SparkEntry.queries("x50_bm25_pruned")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val x52 = SparkEntry.queries("x52_bm25_seg2stage")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(x50.nonEmpty && x52 == x50)
+  }
 }
