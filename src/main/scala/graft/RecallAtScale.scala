@@ -147,8 +147,14 @@ object RecallAtScale {
         // list and overlap collapses — the scaled-P rows measure what it
         // takes to hold quality (production corpora are Zipfian: query
         // terms are mostly discriminative and small lists survive whole)
-        Seq(16, 64, 64 * m, 256 * m).distinct.foreach { p =>
-          val pr = TextOps.bm25Prune(idx, maxPostingsPerTerm = p)
+        // fixed P next to two FRACTION points via the shipped
+        // bm25PruneFrac knob — on this all-stopword vocabulary the
+        // fraction is the variable that holds quality (SCALING.md r7)
+        val policies: Seq[(String, TextOps.Bm25Index)] = Seq(
+          "P=64" -> TextOps.bm25Prune(idx, maxPostingsPerTerm = 64),
+          "frac=0.013" -> TextOps.bm25PruneFrac(idx, 0.013),
+          "frac=0.05" -> TextOps.bm25PruneFrac(idx, 0.05))
+        policies.foreach { case (label, pr) =>
           val prp = pr.postings.persist(); prp.count()
           val t1 = System.nanoTime()
           val two = tops(TextOps.bm25SearchTwoStage(idx,
@@ -158,7 +164,7 @@ object RecallAtScale {
             val got = two.getOrElse(q, Seq.empty).toSet
             ex.count(got).toDouble / ex.length
           }
-          println(f"[hybrid] m=$m%-3d bm25 two-stage P=$p%-4d mean overlap@10 = " +
+          println(f"[hybrid] m=$m%-3d bm25 two-stage $label%-11s mean overlap@10 = " +
             f"${ov.sum / ov.size}%.3f  ($sec%.2f s vs exact $exactSec%.2f s, 64 queries)")
           prp.unpersist()
         }

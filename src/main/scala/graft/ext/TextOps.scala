@@ -310,7 +310,40 @@ object TextOps {
     * skewed-partition split handles them (build-time, off the serve
     * path). */
   def bm25Prune(idx: Bm25Index, maxPostingsPerTerm: Int,
-                k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+                k1: Double = 1.2, b: Double = 0.75): Bm25Index =
+    pruneByImpact(idx, lit(maxPostingsPerTerm), k1, b)
+
+  /** FRACTION-OF-CORPUS static pruning — every term's list truncated to
+    * the top ⌈frac · corpus_n⌉ postings by impact (never fewer than
+    * `minPerTerm`). The round-7 quality sweeps' finding productized,
+    * including the measured REJECTION of the per-list-fraction
+    * alternative:
+    *  - a FIXED P keeps a vanishing share of corpus-sized stopword
+    *    lists as the corpus grows → overlap@10 collapses
+    *    (0.077 → 0.006 across 64× on the all-stopword fixture);
+    *  - a per-LIST fraction (⌈frac · df⌉) ALSO collapses (0.083 at 64×)
+    *    because it equally truncates the mid-size DISCRIMINATIVE lists —
+    *    the terms that actually rank documents;
+    *  - a fraction of the CORPUS (this knob) keeps every list shorter
+    *    than frac·n WHOLE and truncates only the saturated mega-lists:
+    *    measured 0.984 overlap@10 at 64× with frac ≈ 1.3% at 3.6× below
+    *    the exact serve (SCALING.md r7 quality tables).
+    * Candidate bound: ≤ |q terms| · frac · n — Θ(frac · n), the
+    * calibrated-IVF cost shape (linear, small constant); on Zipfian real
+    * corpora most query terms' lists sit far below frac·n and are never
+    * touched. */
+  def bm25PruneFrac(idx: Bm25Index, maxPostingsFrac: Double,
+                    minPerTerm: Int = 16,
+                    k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    require(maxPostingsFrac > 0 && maxPostingsFrac <= 1,
+      s"maxPostingsFrac must be in (0, 1], got $maxPostingsFrac")
+    pruneByImpact(idx,
+      greatest(lit(minPerTerm), ceil(lit(maxPostingsFrac) * col("corpus_n"))),
+      k1, b)
+  }
+
+  private def pruneByImpact(idx: Bm25Index, perTermLimit: Column,
+                            k1: Double, b: Double): Bm25Index = {
     val pruned = idx.postings
       .crossJoin(broadcast(idx.stats))
       .withColumn("__impact",
@@ -320,7 +353,7 @@ object TextOps {
       .withColumn("__irk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("tok")
           .orderBy(col("__impact").desc, col("key"))))
-      .filter(col("__irk") <= maxPostingsPerTerm)
+      .filter(col("__irk") <= perTermLimit)
       .select("key", "tok", "tf", "dl", "df")
     Bm25Index(postings = pruned, stats = idx.stats)
   }
@@ -535,19 +568,29 @@ object TextOps {
     * snapshot), the pruned lists equal [[bm25Prune]] over a scratch
     * index of the same corpus bit-for-bit. In production this artifact
     * is refreshed at compaction cadence and is P·|vocabulary|-bounded. */
-  def bm25PruneSegments(segs: Bm25Segments, maxPostingsPerTerm: Int,
-                        k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+  /** A segmented index viewed as a merged [[Bm25Index]] (global df from
+    * the dictionaries, stats from the metadata) — the compaction-time
+    * reconstruction the prune artifacts derive from. */
+  private def segmentsAsIndex(segs: Bm25Segments): Bm25Index = {
     val dfG = segs.termDf.groupBy("tok").agg(sum("df").as("df"))
-    val stats = segs.segStats
-      .agg(sum("n_docs").as("corpus_n"),
-        (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-    bm25Prune(
-      Bm25Index(
-        postings = segs.postings.join(dfG, "tok")
-          .select("key", "tok", "tf", "dl", "df"),
-        stats = stats),
-      maxPostingsPerTerm, k1, b)
+    Bm25Index(
+      postings = segs.postings.join(dfG, "tok")
+        .select("key", "tok", "tf", "dl", "df"),
+      stats = segs.segStats
+        .agg(sum("n_docs").as("corpus_n"),
+          (sum("sum_dl") / sum("n_docs")).as("avgdl")))
   }
+
+  def bm25PruneSegments(segs: Bm25Segments, maxPostingsPerTerm: Int,
+                        k1: Double = 1.2, b: Double = 0.75): Bm25Index =
+    bm25Prune(segmentsAsIndex(segs), maxPostingsPerTerm, k1, b)
+
+  /** [[bm25PruneFrac]] over a segmented index — same frac semantics,
+    * dictionary-df exact. */
+  def bm25PruneSegmentsFrac(segs: Bm25Segments, maxPostingsFrac: Double,
+                            minPerTerm: Int = 16,
+                            k1: Double = 1.2, b: Double = 0.75): Bm25Index =
+    bm25PruneFrac(segmentsAsIndex(segs), maxPostingsFrac, minPerTerm, k1, b)
 
   /** BOUNDED two-stage serve over a SEGMENTED index — the complete
     * Lucene read path: stage 1 generates ≤ |q terms|·P candidates from

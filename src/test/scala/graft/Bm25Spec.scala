@@ -377,6 +377,38 @@ class Bm25Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("bm25PruneFrac: identity at frac=1, per-term ceil(frac*df) bound, top-impact survivors") {
+    val idx = TextOps.bm25Index(corpusDf, "doc_id", "text")
+    def lists(i: TextOps.Bm25Index) = i.postings
+      .select("tok", "key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // frac = 1.0 → every posting survives
+    assert(lists(TextOps.bm25PruneFrac(idx, 1.0, minPerTerm = 1)) ==
+      lists(TextOps.Bm25Index(idx.postings, idx.stats)))
+    // frac is a fraction of the CORPUS: at corpus_n = 5, frac = 0.5 →
+    // per-term cap ceil(2.5) = 3, so the result must equal the fixed
+    // P = 3 prune exactly (lists shorter than the cap survive whole)
+    val half = TextOps.bm25PruneFrac(idx, 0.5, minPerTerm = 1)
+    assert(lists(half) == lists(TextOps.bm25Prune(idx, 3)))
+    val dfs = idx.postings.select("tok", "df").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    half.postings.groupBy("tok").agg(count(lit(1)).as("n")).collect()
+      .foreach { r =>
+        val (tok, n) = (r.getString(0), r.getLong(1))
+        assert(n <= math.min(dfs(tok), 3L), s"$tok: $n of ${dfs(tok)}")
+      }
+    // minPerTerm floor: tiny frac → cap = max(2, ceil(tiny·n)) = 2
+    val floored = TextOps.bm25PruneFrac(idx, 0.001, minPerTerm = 2)
+    assert(lists(floored) == lists(TextOps.bm25Prune(idx, 2)))
+    // segments variant agrees with the scratch variant
+    val segs = TextOps.bm25SegmentAppend(
+      TextOps.bm25SegmentInit(corpusDf.filter(col("doc_id") <= 2),
+        "doc_id", "text"),
+      corpusDf.filter(col("doc_id") > 2), "doc_id", "text", segId = 1)
+    assert(lists(TextOps.bm25PruneSegmentsFrac(segs, 0.5, minPerTerm = 1)) ==
+      lists(half))
+  }
+
   test("x52 driver query equals x50 two-stage serve on the fixture") {
     val sf = "/root/testdata/sf0.001"
     val x50 = SparkEntry.queries("x50_bm25_pruned")(spark, sf)
