@@ -29,6 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR across per-query pools (each query thread names its own pool
+      // below): under FIFO, the 7 heavy retrieval queries added in r7
+      // starved small concurrent queries' stages — walls rose 1.8-2.9×
+      // with flat task_sec (the r7 regression cluster). Pools share the
+      // cores evenly between in-flight queries, like a multi-tenant
+      // cluster's fair scheduler.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -107,6 +114,9 @@ object Bench {
       val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
         Future {
           spark.sparkContext.setJobGroup(s"$name@$r", name)
+          // own FAIR pool per query (pools are fair-shared between each
+          // other; within a pool FIFO is fine — one query per pool)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           val s = System.nanoTime()
           // toRdd.count(), NOT count(): df.count() plans an Aggregate on
           // top and the optimizer then prunes every computed column the
@@ -116,7 +126,10 @@ object Bench {
           // every output column, which is what a real consumer pays.
           try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case _: Throwable => -1L }
-          finally spark.sparkContext.clearJobGroup()
+          finally {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            spark.sparkContext.clearJobGroup()
+          }
           name -> (System.nanoTime() - s) / 1e9
         }
       }

@@ -190,9 +190,13 @@ object ScaleStress {
     // serve contrast): TF-IDF model fit on the corpus docs, assembled
     // per-doc vectors, and a √n-cell IVF index over them. Query batch =
     // queries64's held-out docs embedded with the corpus model.
+    // 4th element: the persisted model tables (dfTab, corpusN), carried so
+    // the hybrid_build rebuild op can unpersist them too (ADVICE r7: the
+    // earlier 3-tuple leaked both caches on every timed rebuild)
     val hybIdx = scala.collection.mutable.Map
-      .empty[Int, (DataFrame, Similarity.IvfIndex, DataFrame)]
-    def builtHybrid(m: Int): (DataFrame, Similarity.IvfIndex, DataFrame) =
+      .empty[Int, (DataFrame, Similarity.IvfIndex, DataFrame, Seq[DataFrame])]
+    def builtHybrid(m: Int)
+        : (DataFrame, Similarity.IvfIndex, DataFrame, Seq[DataFrame]) =
       hybIdx.getOrElseUpdate(m, {
         val corpus = docsOf(m).filter(col("doc_id") % 97 =!= 3)
         val m0 = TextOps.tfIdfModel(corpus, "doc_id", "text", dim = 32)
@@ -210,7 +214,33 @@ object ScaleStress {
           TextOps.applyTfIdf(queries64(m), "doc_id", "text", model),
           "doc_id", 32).persist()
         qv.count()
-        (docVecs, idx.copy(postings = p), qv)
+        (docVecs, idx.copy(postings = p), qv, Seq(dfTab, corpusN))
+      })
+
+    // skewed AS-OF fixture per multiplier: key 0 carries 90% of the left
+    // rows — the hot-symbol shape asOfJoinTimeSliced exists for (its
+    // scaladoc claims "no partition ever exceeds one slice of one key";
+    // this is the measurement behind it, VERDICT r7 item 4). Left ticks
+    // every 3 s round-robin, right quotes every 10 s per key with unique
+    // (key, ts); spans overlap so hour slices cut mid-stream. Persisted
+    // so generation stays out of the timings.
+    val asofFix = scala.collection.mutable.Map
+      .empty[Int, (DataFrame, DataFrame)]
+    def builtAsof(m: Int): (DataFrame, DataFrame) =
+      asofFix.getOrElseUpdate(m, {
+        val base = lit(1600000000L)
+        val l = spark.range(50000L * m).select(
+          when(pmod(col("id"), lit(10)) < 9, 0L)
+            .otherwise(pmod(col("id"), lit(63)) + 1).as("key"),
+          timestamp_seconds(base + col("id") * 3).as("ts")).persist()
+        l.count()
+        val r = spark.range(10000L * m).select(
+          pmod(col("id"), lit(64)).as("key"),
+          timestamp_seconds(base + floor(col("id") / 64) * 640 +
+            pmod(col("id"), lit(64)) * 10).as("ts"),
+          (col("id") * 1.0).as("rate")).persist()
+        r.count()
+        (l, r)
       })
 
     val ops: Seq[Op] = Seq(
@@ -703,9 +733,10 @@ object ScaleStress {
         // doc-level hybrid artifacts (TF-IDF fit + vectors + √n-cell IVF
         // index + embedded query batch) as their own timed row, so the
         // serve cells below measure serving, not the lazy build.
-        hybIdx.remove(m).foreach { case (dv, idx, qv) =>
+        hybIdx.remove(m).foreach { case (dv, idx, qv, modelTabs) =>
           dv.unpersist(); idx.centroids.unpersist()
           idx.postings.unpersist(); qv.unpersist()
+          modelTabs.foreach(_.unpersist())
         }
         builtHybrid(m)._2.postings.count()
       }),
@@ -713,7 +744,7 @@ object ScaleStress {
         // the v23/v25 dense leg as shipped for the DuckDB oracle: 64
         // queries brute-forced against every corpus doc vector — O(q·n),
         // expect exponent ~1.0. This is the row v26 exists to beat.
-        val (docVecs, _, qv) = builtHybrid(m)
+        val (docVecs, _, qv, _) = builtHybrid(m)
         Similarity.bruteForceTopK(qv, docVecs, "doc_id", "doc_id", "vec",
           k = 20).count()
       }),
@@ -721,7 +752,7 @@ object ScaleStress {
         // v26's dense leg: probe the prebuilt doc-level IVF index at the
         // calibrated 0.8-recall fraction — candidates ~ q·nProbe·√n
         // postings, expect the v19_rag_probe64 sub-linear shape.
-        val (_, idx, qv) = builtHybrid(m)
+        val (_, idx, qv, _) = builtHybrid(m)
         val nCells = idx.centroids.count().toInt
         val nP = Similarity.nProbeFor(nCells,
           Similarity.calibratedFraction(0.8, nCells))
@@ -732,7 +763,7 @@ object ScaleStress {
         // pruned sparse leg, RRF-fused (O(q·k)). Neither leg scans the
         // corpus (dense: probed cells; sparse: pruned candidates +
         // broadcast re-score) — the 100 TB serve shape end to end.
-        val (_, idx, qv) = builtHybrid(m)
+        val (_, idx, qv, _) = builtHybrid(m)
         val nCells = idx.centroids.count().toInt
         val nP = Similarity.nProbeFor(nCells,
           Similarity.calibratedFraction(0.8, nCells))
@@ -776,6 +807,24 @@ object ScaleStress {
           minDeviation = 0.1, slPercent = 0.03, triggerRange = 0.01,
           tradeSize = 0.1, tradeSizePercent = true)
           .filter(col("kind") =!= "bal").count()
+      }),
+      Op("a3_asof_skew_plain", m => {
+        // plain as-of on the 90%-hot-key fixture: the per-key window
+        // sorts the whole hot key in ONE partition — expect superlinear
+        // wall and the single-partition ceiling the sliced form removes.
+        val (l, r) = builtAsof(m)
+        graft.ops.TimeSeries.asOfJoin(l, r, Seq("key"), "ts", Seq("rate"))
+          .filter(col("rate").isNotNull).count()
+      }),
+      Op("a3_asof_skew_sliced", m => {
+        // time-sliced as-of, 1 h slices: shuffle key becomes (key, slice)
+        // — the hot key spreads over ~42·m slices (~1.1k rows each), so
+        // no partition exceeds one slice of one key. Same count as the
+        // plain row by construction (OpsPropertySpec pins equality).
+        val (l, r) = builtAsof(m)
+        graft.ops.TimeSeries.asOfJoinTimeSliced(l, r, Seq("key"), "ts",
+            Seq("rate"), sliceSeconds = 3600)
+          .filter(col("rate").isNotNull).count()
       }),
     )
 

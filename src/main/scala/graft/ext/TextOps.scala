@@ -228,31 +228,35 @@ object TextOps {
         .agg(count(lit(1)).as("corpus_n"), avg("dl").as("avgdl")))
   }
 
+  /** Rank key for the BM25 serves: `rankRound = Some(n)` ranks on
+    * round(score, n) with the key tiebreak instead of the raw double.
+    * Near-ties in a parallel double sum are ordered by last-ulp noise —
+    * run-stable in Spark (deterministic partitioning) but NOT across
+    * engines or across runs of a parallel SQL engine (the sf0.1 gate
+    * caught DuckDB flipping two docs tied to ~1e-15 between runs of the
+    * SAME oracle). Rounding to the oracle's own output precision
+    * collapses such pairs to exact ties broken by key on both sides.
+    * None (default) keeps raw-score ranking. */
+  private def scoreRankKey(rankRound: Option[Int]): Column =
+    rankRound.map(n => round(col("score"), n)).getOrElse(col("score"))
+
   /** Okapi BM25 top-k: score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) /
     * (tf + k1·(1 − b + b·dl/avgdl)) with the +1-smoothed idf
     * ln(1 + (N − df + ½)/(df + ½)) (Robertson/Spärck Jones; the Lucene
     * form — query-term repeats collapse, Lucene-style). One equi-join of
     * the query terms against the posting lists, a partial-aggregated
     * per-(query, key) sum, and a bounded top-k window per query.
-    * Returns (q_id, rank, key, score). */
-  /** `maxDfFrac` is the serve-side SKEW guard (SCALING.md sparse rows):
+    * Returns (q_id, rank, key, score).
+    *
+    * `maxDfFrac` is the serve-side SKEW guard (SCALING.md sparse rows):
     * terms with df/N above the fraction are skipped entirely — their
     * posting lists are the ~corpus-sized mega-lists that dominate the
     * Σ df(query terms) serve cost while contributing near-zero idf.
     * The prune is a scan-side predicate on the postings (below the
     * query join), so the mega-lists never enter the shuffle. 1.0 (the
-    * default) disables it — x48/x49/v23 keep exact Okapi semantics. */
-  /** `rankRound`: rank on round(score, n) with the key tiebreak instead
-    * of the raw double. Near-ties in a parallel double sum are ordered
-    * by last-ulp noise — run-stable in Spark (deterministic partitioning)
-    * but NOT across engines or across runs of a parallel SQL engine (the
-    * sf0.1 gate caught DuckDB flipping two docs tied to ~1e-15 between
-    * runs of the SAME oracle). Rounding to the oracle's own output
-    * precision collapses such pairs to exact ties broken by key on both
-    * sides. None (default) keeps raw-score ranking. */
-  private def scoreRankKey(rankRound: Option[Int]): Column =
-    rankRound.map(n => round(col("score"), n)).getOrElse(col("score"))
-
+    * default) disables it — x48/x49/v23 keep exact Okapi semantics.
+    *
+    * `rankRound`: see [[scoreRankKey]]. */
   def bm25Search(idx: Bm25Index, queries: org.apache.spark.sql.DataFrame,
                  qId: String, textCol: String, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
@@ -455,17 +459,48 @@ object TextOps {
       explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy("key", "tok").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("key").agg(sum("tf").as("dl"))
+    val postings = tf.join(dl, "key")
+      .select(lit(segId).as("seg_id"), col("key"), col("tok"), col("tf"),
+        col("dl"))
+    // stats + dictionary derive from the POSTINGS plan, not from tf
+    // directly: value-identical ([[segMetaFromPostings]]'s argument), and
+    // a caller that materializes the postings (the ArtifactStore
+    // builders, the st6 sink, AQE's runtime exchange reuse inside a
+    // single lazy serve like x51) computes the tokenize once instead of
+    // three times. segStats stays the GLOBAL-agg form (not a groupBy):
+    // an all-redelivered append must still emit its (segId, 0, null)
+    // metadata row — Bm25Spec pins that contract for the in-memory API
+    // (the st6 disk sink skips empty segments by design instead).
     Bm25Segments(
-      postings = tf.join(dl, "key")
-        .select(lit(segId).as("seg_id"), col("key"), col("tok"), col("tf"),
-          col("dl")),
-      segStats = dl.agg(lit(segId).as("seg_id"),
-        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
-      // per-segment term dictionary — a by-product of the tf pass the
-      // segment writer already runs, term-count-sized
-      termDf = tf.groupBy("tok")
+      postings = postings,
+      segStats = postings.select("key", "dl").distinct()
+        .agg(lit(segId).as("seg_id"), count(lit(1)).as("n_docs"),
+          sum("dl").as("sum_dl")),
+      termDf = postings.groupBy("seg_id", "tok")
         .agg(count(lit(1)).as("df"))
-        .select(lit(segId).as("seg_id"), col("tok"), col("df")))
+        .select("seg_id", "tok", "df"))
+  }
+
+  /** Derive per-segment stats + term dictionaries FROM a materialized
+    * postings table — value-equal to the lineages [[bm25SegmentOf]]
+    * derives from the tokenizer (n_docs/sum_dl over the per-key dl,
+    * df = postings rows per (seg_id, tok)), but costing two
+    * partial-aggregated passes over the persisted/on-disk postings
+    * instead of two more corpus tokenizes. Callers that materialize
+    * postings first (the prebuilt x52 index, the st6 streaming sink)
+    * derive metadata through this: the r7 build tokenized each segment
+    * three times (postings + stats + dictionary lineages), and the
+    * extra two passes were most of the 77 task-sec x51 build. */
+  def segMetaFromPostings(postings: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // dl is functionally dependent on (seg_id, key) — distinct yields
+    // exactly one row per indexed doc
+    val perKey = postings.select("seg_id", "key", "dl").distinct()
+    (perKey.groupBy("seg_id")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .select("seg_id", "n_docs", "sum_dl"),
+      postings.groupBy("seg_id", "tok").agg(count(lit(1)).as("df"))
+        .select("seg_id", "tok", "df"))
   }
 
   /** Append a batch as segment `segId`: tokenize the batch, drop already-
@@ -560,14 +595,6 @@ object TextOps {
         .select("seg_id", "tok", "df"))
   }
 
-  /** Impact-pruned stage-1 lists over a SEGMENTED index — the
-    * compaction-time analog of [[bm25Prune]]: global df from the term
-    * dictionaries + stats from the segment metadata reconstruct the
-    * exact impact expression, then the same per-term top-P truncation.
-    * Because dictionary df is exact and current (not a stale compaction
-    * snapshot), the pruned lists equal [[bm25Prune]] over a scratch
-    * index of the same corpus bit-for-bit. In production this artifact
-    * is refreshed at compaction cadence and is P·|vocabulary|-bounded. */
   /** A segmented index viewed as a merged [[Bm25Index]] (global df from
     * the dictionaries, stats from the metadata) — the compaction-time
     * reconstruction the prune artifacts derive from. */
@@ -581,6 +608,14 @@ object TextOps {
           (sum("sum_dl") / sum("n_docs")).as("avgdl")))
   }
 
+  /** Impact-pruned stage-1 lists over a SEGMENTED index — the
+    * compaction-time analog of [[bm25Prune]]: global df from the term
+    * dictionaries + stats from the segment metadata reconstruct the
+    * exact impact expression, then the same per-term top-P truncation.
+    * Because dictionary df is exact and current (not a stale compaction
+    * snapshot), the pruned lists equal [[bm25Prune]] over a scratch
+    * index of the same corpus bit-for-bit. In production this artifact
+    * is refreshed at compaction cadence and is P·|vocabulary|-bounded. */
   def bm25PruneSegments(segs: Bm25Segments, maxPostingsPerTerm: Int,
                         k1: Double = 1.2, b: Double = 0.75): Bm25Index =
     bm25Prune(segmentsAsIndex(segs), maxPostingsPerTerm, k1, b)

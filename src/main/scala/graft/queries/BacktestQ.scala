@@ -131,9 +131,16 @@ object BacktestQ {
   private def intradayEvents(s: SparkSession, d: String): Dataset[IntradayEvent] =
     cache.synchronized {
       cache.getOrElseUpdate((s, d), {
-        val ev = IntradayBacktest.run(companyTicks(s, d), bal = 1000.0,
-          minDeviation = 0.1, slPercent = 0.03, triggerRange = 0.01,
-          tradeSize = 0.1, tradeSizePercent = true).persist()
+        import s.implicits._
+        // the fold output is an ArtifactStore parquet — the materialized
+        // simulation→reports intermediate a 100 TB pipeline writes once
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "intradayfold",
+          "v1 bal=1000 minDev=0.1 sl=0.03 trig=0.01 size=0.1pct") {
+          IntradayBacktest.run(companyTicks(s, d), bal = 1000.0,
+            minDeviation = 0.1, slPercent = 0.03, triggerRange = 0.01,
+            tradeSize = 0.1, tradeSizePercent = true).toDF()
+        }
+        val ev = loaded.as[IntradayEvent].persist()
         ev.count()
         ev
       })

@@ -25,16 +25,37 @@ object ExtQ {
     * ingest through the identical sink body is bit-equal to scratch. */
   private val bm25StreamCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.ext.TextOps.Bm25Segments]
+  // temp ingest dirs (ArtifactStore disabled only), deleted in clearCache
+  // — repeated clearCache/re-ingest cycles must not accumulate corpus-
+  // sized parquet under /tmp (ADVICE r7)
+  private val tmpSegDirs =
+    scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
   private def streamedBm25(s: SparkSession, d: String)
       : graft.ext.TextOps.Bm25Segments =
     bm25StreamCache.synchronized {
       bm25StreamCache.getOrElseUpdate((s, d), {
-        val dir = java.nio.file.Files.createTempDirectory("graft-st6-")
-          .toString
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        (0 to 2).foreach { i =>
-          graft.streaming.StreamBm25.appendBatch(dir,
-            docs.filter(col("doc_id") % 3 === i), i, "doc_id", "text")
+        val spec = "v1 3batches mod3"
+        def ingest(dir: String): Unit = {
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamBm25.appendBatch(dir,
+              docs.filter(col("doc_id") % 3 === i), i, "doc_id", "text")
+          }
+        }
+        // the segment dir IS the maintained artifact of the streaming
+        // ingest — under the ArtifactStore it is written once per fixture
+        // and every later JVM (and every clearCache rebuild) reloads it
+        val dir = graft.ArtifactStore.dirArtifact(d, "st6segs", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            ingest(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st6-")
+            tmpSegDirs += p
+            ingest(p.toString)
+            p.toString
         }
         val segs = graft.streaming.StreamBm25.load(s, dir).get
         val postings = segs.postings.persist(); postings.count()
@@ -50,15 +71,18 @@ object ExtQ {
     streamedBm25(s, d); ()
   }
 
-  /** Release the memoized streamed-segment index (see Graft.clearCaches);
-    * the on-disk temp segments are left for the OS tmp reaper — the next
-    * query re-ingests to a fresh directory. */
+  /** Release the memoized streamed-segment index (see Graft.clearCaches)
+    * and delete any temp ingest dirs (store-disabled mode); store-managed
+    * segment dirs stay — the next query RELOADS them instead of
+    * re-ingesting. */
   private[graft] def clearCache(): Unit = bm25StreamCache.synchronized {
     bm25StreamCache.values.foreach { segs =>
       segs.postings.unpersist(); segs.segStats.unpersist()
       segs.termDf.unpersist()
     }
     bm25StreamCache.clear()
+    tmpSegDirs.foreach(graft.ArtifactStore.deleteRecursively)
+    tmpSegDirs.clear()
   }
 
   val queries: Map[String, Q] = Map(

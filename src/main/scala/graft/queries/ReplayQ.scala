@@ -115,13 +115,21 @@ object ReplayQ {
   private def intradayEvents(s: SparkSession): Dataset[IntradayEvent] =
     cache.synchronized {
       cache.getOrElseUpdate(s, {
-        val ticks = IntradayPipeline.companyTicks(
-          intradayQuotes(s),
-          Some(s.read.parquet(s"$fixDir/fx_5m.parquet")),
-          refBlocks(s))
-        val ev = IntradayBacktest.run(ticks, bal = 1000.0, minDeviation = 0.1,
-          slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
-          tradeSizePercent = true).persist()
+        import s.implicits._
+        // keyed by the COMMITTED reference fixture (fixDir, not sfDir):
+        // the replay fold is a pure function of it, so the artifact
+        // survives fixture-regeneration of the sf dirs entirely
+        val loaded = graft.ArtifactStore.dataFrame(s, fixDir, "replayfold",
+          "v1 bal=1000 minDev=0.1 sl=0.03 trig=0.01 size=0.1pct") {
+          val ticks = IntradayPipeline.companyTicks(
+            intradayQuotes(s),
+            Some(s.read.parquet(s"$fixDir/fx_5m.parquet")),
+            refBlocks(s))
+          IntradayBacktest.run(ticks, bal = 1000.0, minDeviation = 0.1,
+            slPercent = 0.03, triggerRange = 0.01, tradeSize = 0.1,
+            tradeSizePercent = true).toDF()
+        }
+        val ev = loaded.as[IntradayEvent].persist()
         ev.count()
         ev
       })

@@ -40,7 +40,19 @@ object TextQ {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def chainClusters(s: SparkSession, d: String): DataFrame =
     ccCache.synchronized {
-      ccCache.getOrElseUpdate((s, d), Dedup.duplicateClusters(chainEdges(s, d)))
+      ccCache.getOrElseUpdate((s, d), {
+        // the CC loop (O(log diameter) jobs) runs once per FIXTURE, not
+        // once per JVM: the resolved cluster table is an ArtifactStore
+        // parquet — in production the maintained cluster table IS a
+        // written artifact (the x45 incremental loop extends it)
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "chainclusters",
+          "v1 chainEdges") {
+          Dedup.duplicateClusters(chainEdges(s, d))
+        }
+        val cc = loaded.persist()
+        cc.count() // materialize inside the lock (shared await)
+        cc
+      })
     }
 
   /** Shared TEXT-SIGNAL table — the materialized intermediate a real
@@ -72,19 +84,25 @@ object TextQ {
   private def docSignals(s: SparkSession, d: String): DataFrame =
     sigCache.synchronized {
       sigCache.getOrElseUpdate((s, d), {
-        val docs = Tables.documents(s, d)
-        val rep = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id")
-          .agg(sum("n").as("total"), count(lit(1)).as("nd"), max("n").as("maxn"))
-        val sig = docs
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-            TextOps.qualityScore(col("text"), stops).as("quality"),
-            md5(col("text")).as("digest"))
-          .join(rep, Seq("doc_id"))
-          .repartition(8, col("doc_id"))
-          .persist()
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "docsignals",
+          "v1 tokens+quality+digest") {
+          val docs = Tables.documents(s, d)
+          val rep = docs
+            .select(col("doc_id"),
+              explode(TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+            .groupBy("doc_id")
+            .agg(sum("n").as("total"), count(lit(1)).as("nd"),
+              max("n").as("maxn"))
+          docs
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              TextOps.qualityScore(col("text"), stops).as("quality"),
+              md5(col("text")).as("digest"))
+            .join(rep, Seq("doc_id"))
+        }
+        // repartition AFTER load: the tiny parquet packs into ~1 split,
+        // and concurrent consumers would serialize behind one cache scan
+        val sig = loaded.repartition(8, col("doc_id")).persist()
         sig.count() // materialize inside the lock (shared await)
         sig
       })
@@ -99,11 +117,14 @@ object TextQ {
   private def benchSegBloom(s: SparkSession, d: String): Array[Long] =
     bloomCache.synchronized {
       bloomCache.getOrElseUpdate((s, d), {
-        val bench = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
-        Dedup.bloomBuild(
-          Dedup.segmentsOf(bench, "doc_id", "text", 10)
-            .select("__seg").distinct(),
-          col("__seg"), numBits = 1 << 18, numHashes = 5)
+        graft.ArtifactStore.longArray(s, d, "benchbloom",
+          "v1 bits=2^18 h=5 seg=10 bench=doc_id%7==0") {
+          val bench = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+          Dedup.bloomBuild(
+            Dedup.segmentsOf(bench, "doc_id", "text", 10)
+              .select("__seg").distinct(),
+            col("__seg"), numBits = 1 << 18, numHashes = 5)
+        }
       })
     }
 
@@ -123,14 +144,16 @@ object TextQ {
   private[graft] def corpusSigIndex(s: SparkSession, d: String): DataFrame =
     sigIdxCache.synchronized {
       sigIdxCache.getOrElseUpdate((s, d), {
-        val docs = Tables.documents(s, d)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
-        val idx = Dedup.withMinHash(
-            docs.filter(col("doc_id") % 4 =!= 0), "sh", k = 32)
-          .select(col("doc_id"), col("minhash"))
-          .repartition(8, col("doc_id"))
-          .persist()
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "corpussigidx",
+          "v1 k=32 shingle=3 corpus=doc_id%4!=0") {
+          val docs = Tables.documents(s, d)
+            .withColumn("toks", TextOps.tokens(col("text")))
+            .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+          Dedup.withMinHash(docs.filter(col("doc_id") % 4 =!= 0), "sh",
+              k = 32)
+            .select(col("doc_id"), col("minhash"))
+        }
+        val idx = loaded.repartition(8, col("doc_id")).persist()
         idx.count() // materialize inside the lock (shared await)
         idx
       })
@@ -149,14 +172,20 @@ object TextQ {
   private[queries] def realPairClusters(s: SparkSession, d: String): DataFrame =
     realClusterCache.synchronized {
       realClusterCache.getOrElseUpdate((s, d), {
-        val sh = Tables.documents(s, d)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
-        val pairs = Dedup.minHashCandidates(sh, "doc_id", "sh", k = 32,
-            bands = 16)
-          .filter(col("est_jaccard") >= 0.25)
-          .select("id1", "id2")
-        Dedup.duplicateClusters(pairs)
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "realclusters",
+          "v1 k=32 bands=16 jacc>=0.25") {
+          val sh = Tables.documents(s, d)
+            .withColumn("toks", TextOps.tokens(col("text")))
+            .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+          val pairs = Dedup.minHashCandidates(sh, "doc_id", "sh", k = 32,
+              bands = 16)
+            .filter(col("est_jaccard") >= 0.25)
+            .select("id1", "id2")
+          Dedup.duplicateClusters(pairs)
+        }
+        val cc = loaded.persist()
+        cc.count() // materialize inside the lock (shared await)
+        cc
       })
     }
 
@@ -173,22 +202,36 @@ object TextQ {
       : (TextOps.Bm25Segments, TextOps.Bm25Index) =
     segIdxCache.synchronized {
       segIdxCache.getOrElseUpdate((s, d), {
-        val corpus = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
-        val s0 = TextOps.bm25SegmentAppend(
-          TextOps.bm25SegmentAppend(
-            TextOps.bm25SegmentInit(corpus.filter(col("doc_id") % 3 === 0),
-              "doc_id", "text"),
-            corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text",
-            segId = 1),
-          corpus.filter(col("doc_id") % 3 === 2), "doc_id", "text",
-          segId = 2)
-        val p = s0.postings.persist(); p.count()
-        val st = s0.segStats.persist(); st.count()
-        val td = s0.termDf.persist(); td.count()
-        val segs = TextOps.Bm25Segments(p, st, td)
-        val pr0 = TextOps.bm25PruneSegments(segs, maxPostingsPerTerm = 64)
-        val prp = pr0.postings.persist(); prp.count()
-        (segs, TextOps.Bm25Index(prp, pr0.stats))
+        val loaded = graft.ArtifactStore.group(s, d, "bm25seg",
+          "v1 3segs mod3 corpus=doc_id%97!=3 P=64",
+          Seq("postings", "segstats", "termdf", "prunedpostings",
+            "prunedstats")) {
+          val corpus = Tables.documents(s, d)
+            .filter(col("doc_id") % 97 =!= 3)
+          val s0 = TextOps.bm25SegmentAppend(
+            TextOps.bm25SegmentAppend(
+              TextOps.bm25SegmentInit(corpus.filter(col("doc_id") % 3 === 0),
+                "doc_id", "text"),
+              corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+              segId = 1),
+            corpus.filter(col("doc_id") % 3 === 2), "doc_id", "text",
+            segId = 2)
+          // SINGLE-tokenize build: materialize the postings once, then
+          // derive stats + term dictionaries FROM the persisted postings
+          // — the r7 form materialized three tokenize lineages and paid
+          // the corpus tokenize three times (VERDICT r7 item 2)
+          val p = s0.postings.persist(); p.count()
+          val (st0, td0) = TextOps.segMetaFromPostings(p)
+          val st = st0.persist(); st.count()
+          val td = td0.persist(); td.count()
+          val segs = TextOps.Bm25Segments(p, st, td)
+          val pr0 = TextOps.bm25PruneSegments(segs, maxPostingsPerTerm = 64)
+          val prp = pr0.postings.persist(); prp.count()
+          Seq(p, st, td, prp, pr0.stats)
+        }
+        val Seq(p, st, td, prp, prst) =
+          loaded.map { df => val x = df.persist(); x.count(); x }
+        (TextOps.Bm25Segments(p, st, td), TextOps.Bm25Index(prp, prst))
       })
     }
 
@@ -212,6 +255,7 @@ object TextQ {
     segIdxCache.values.foreach { case (segs, pruned) =>
       segs.postings.unpersist(); segs.segStats.unpersist()
       segs.termDf.unpersist(); pruned.postings.unpersist()
+      pruned.stats.unpersist() // persisted read-back since the r8 store
     }
     segIdxCache.clear()
     bloomCache.clear() // plain driver arrays — no executor state to release

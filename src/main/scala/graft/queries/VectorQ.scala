@@ -29,12 +29,21 @@ object VectorQ {
   private def prebuiltIvf(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfCache.synchronized {
       ivfCache.getOrElseUpdate((s, d), {
-        val idx = Similarity.buildIvfIndex(
-          corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
-          nCells = 16)
-        val postings = idx.postings.persist()
-        postings.count() // materialize inside the lock (shared await)
-        idx.copy(postings = postings)
+        // parquet-persisted via ArtifactStore (IvfSpec proves round-trip
+        // parity): built once per fixture, loaded by every later JVM
+        val Seq(cents, posts) = graft.ArtifactStore.group(s, d, "ivf16",
+          "v1 nCells=16 nAssign=2 corpus=vec_id>=5",
+          Seq("centroids", "postings")) {
+          val idx = Similarity.buildIvfIndex(
+            corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
+            nCells = 16)
+          Seq(idx.centroids, idx.postings)
+        }
+        val c = cents.persist(); c.count()
+        val p = posts.persist()
+        p.count() // materialize inside the lock (shared await)
+        Similarity.IvfIndex(centroids = c, postings = p,
+          idCol = "vec_id", vecCol = "vec")
       })
     }
 
@@ -48,18 +57,27 @@ object VectorQ {
   private def prebuiltPq(s: SparkSession, d: String): (graft.ext.Pq.Codebook, DataFrame) =
     pqCache.synchronized {
       pqCache.getOrElseUpdate((s, d), {
-        val idx = prebuiltIvf(s, d)
-        val base = corpus(s, d).filter(col("vec_id") >= 5)
-        val cb0 = graft.ext.Pq.trainCodebooks(base, "vec_id", "vec",
-          m = 8, k = 16, subDim = 8)
-        val cents = cb0.centroids.persist()
+        val Seq(centsL, codesL) = graft.ArtifactStore.group(s, d, "pq",
+          "v1 m=8 k=16 subDim=8 corpus=vec_id>=5 cell=ivf16",
+          Seq("centroids", "codes")) {
+          val idx = prebuiltIvf(s, d)
+          val base = corpus(s, d).filter(col("vec_id") >= 5)
+          val cb0 = graft.ext.Pq.trainCodebooks(base, "vec_id", "vec",
+            m = 8, k = 16, subDim = 8)
+          // build-local persist: encode re-reads the centroids; the block
+          // is released by the store's afterWrite once the parquet exists
+          val cents0 = cb0.centroids.persist(); cents0.count()
+          val codes0 = graft.ext.Pq.encode(base, "vec_id", "vec",
+              cb0.copy(centroids = cents0))
+            .join(idx.postings.select(col("vec_id"), col("ivf_cell")),
+              "vec_id")
+          Seq(cents0, codes0)
+        }
+        val cents = centsL.persist()
         cents.count() // materialize inside the lock (shared await)
-        val cb = cb0.copy(centroids = cents)
-        val codes = graft.ext.Pq.encode(base, "vec_id", "vec", cb)
-          .join(idx.postings.select(col("vec_id"), col("ivf_cell")), "vec_id")
-          .persist()
+        val codes = codesL.persist()
         codes.count()
-        (cb, codes)
+        (graft.ext.Pq.Codebook(cents, m = 8, k = 16, subDim = 8), codes)
       })
     }
 
@@ -74,8 +92,11 @@ object VectorQ {
   private def prebuiltHier(s: SparkSession, d: String): Similarity.HierTree =
     hierCache.synchronized {
       hierCache.getOrElseUpdate((s, d), {
-        val packed = Similarity
-          .buildHierTree(prebuiltIvf(s, d).centroids).packed.persist()
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "hier",
+          "v1 over=ivf16") {
+          Similarity.buildHierTree(prebuiltIvf(s, d).centroids).packed
+        }
+        val packed = loaded.persist()
         packed.count() // materialize inside the lock (shared await)
         Similarity.HierTree(packed)
       })
@@ -94,12 +115,19 @@ object VectorQ {
   private def prebuiltFilteredIvf(s: SparkSession, d: String): Similarity.IvfIndex =
     filteredIvfCache.synchronized {
       filteredIvfCache.getOrElseUpdate((s, d), {
-        val idx = Similarity.buildIvfIndex(
-          corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
-          nCells = 24, nAssign = 2, keepCols = Seq("label"))
-        val postings = idx.postings.persist()
+        val Seq(cents, posts) = graft.ArtifactStore.group(s, d, "ivf24f",
+          "v1 nCells=24 nAssign=2 keep=label corpus=vec_id>=5",
+          Seq("centroids", "postings")) {
+          val idx = Similarity.buildIvfIndex(
+            corpus(s, d).filter(col("vec_id") >= 5), "vec_id", "vec",
+            nCells = 24, nAssign = 2, keepCols = Seq("label"))
+          Seq(idx.centroids, idx.postings)
+        }
+        val c = cents.persist(); c.count()
+        val postings = posts.persist()
         postings.count() // materialize inside the lock (shared await)
-        idx.copy(postings = postings)
+        Similarity.IvfIndex(centroids = c, postings = postings,
+          idCol = "vec_id", vecCol = "vec")
       })
     }
 
@@ -133,6 +161,10 @@ object VectorQ {
             "doc_id", "text", w = 12, s = 8)
           .select((col("doc_id") * 100000 + col("chunk_id")).as("chunk_key"),
             col("chunk"))
+        val loaded = graft.ArtifactStore.group(s, d, "rag",
+          s"v1 dim=32 w=12 s=8 nAssign=2 audit=$auditSample",
+          Seq("dftab", "corpusn", "chunkvecs", "centroids", "postings",
+            "auditq", "exacttop5")) {
         val m0 = graft.ext.TextOps.tfIdfModel(chunks, "chunk_key", "chunk",
           dim = 32)
         val dfTab = m0.dfTab.persist(); dfTab.count()
@@ -177,8 +209,20 @@ object VectorQ {
           .select(col("q_id"), col("c_id"))
           .persist()
         exactTop5.count()
-        (model, idx.copy(postings = postings), chunkVecs, auditQVecs,
+        Seq(dfTab, corpusN, chunkVecs, idx.centroids, postings, auditQVecs,
           exactTop5)
+        }
+        val Seq(dfTab, corpusN, chunkVecs, cents, postings, auditQVecs,
+          exactTop5) = loaded.map { df => val p = df.persist(); p.count(); p }
+        // model reconstructed lazily over the LOADED fit tables — the fit
+        // itself (bucketFn, dim) is data-independent plan structure
+        val model = graft.ext.TextOps.tfIdfModel(chunks, "chunk_key",
+            "chunk", dim = 32)
+          .copy(dfTab = dfTab, corpusN = corpusN)
+        (model,
+          Similarity.IvfIndex(centroids = cents, postings = postings,
+            idCol = "chunk_key", vecCol = "vec"),
+          chunkVecs, auditQVecs, exactTop5)
       })
     }
 
@@ -205,24 +249,38 @@ object VectorQ {
         val corpusD = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 3)
         val md5Bucket: Column => Column =
           t => conv(substring(md5(t), 1, 4), 16, 10).cast("int") % 32
-        val m0 = graft.ext.TextOps.tfIdfModel(corpusD, "doc_id", "text",
-          dim = 32, bucketOf = md5Bucket)
-        val dfTab = m0.dfTab.persist(); dfTab.count()
-        val corpusN = m0.corpusN.persist(); corpusN.count()
-        val model = m0.copy(dfTab = dfTab, corpusN = corpusN)
-        val cVecs = graft.ext.TextOps.assembleVector(
-          graft.ext.TextOps.applyTfIdf(corpusD, "doc_id", "text", model),
-          "doc_id", 32).persist()
-        val nDocs = cVecs.count()
-        val b0 = graft.ext.TextOps.bm25Index(corpusD, "doc_id", "text")
-        val postings = b0.postings.persist(); postings.count()
-        val stats = b0.stats.persist(); stats.count()
-        val nCells = math.max(16, math.sqrt(nDocs.toDouble).toInt)
-        val idx0 = Similarity.buildIvfIndex(cVecs, "doc_id", "vec",
-          nCells = nCells, nAssign = 2)
-        val idxPostings = idx0.postings.persist(); idxPostings.count()
+        val loaded = graft.ArtifactStore.group(s, d, "hybrid",
+          "v1 dim=32 md5bucket nAssign=2",
+          Seq("dftab", "corpusn", "cvecs", "bm25postings", "bm25stats",
+            "centroids", "postings")) {
+          val m0 = graft.ext.TextOps.tfIdfModel(corpusD, "doc_id", "text",
+            dim = 32, bucketOf = md5Bucket)
+          val dfTab = m0.dfTab.persist(); dfTab.count()
+          val corpusN = m0.corpusN.persist(); corpusN.count()
+          val model = m0.copy(dfTab = dfTab, corpusN = corpusN)
+          val cVecs = graft.ext.TextOps.assembleVector(
+            graft.ext.TextOps.applyTfIdf(corpusD, "doc_id", "text", model),
+            "doc_id", 32).persist()
+          val nDocs = cVecs.count()
+          val b0 = graft.ext.TextOps.bm25Index(corpusD, "doc_id", "text")
+          val nCells = math.max(16, math.sqrt(nDocs.toDouble).toInt)
+          val idx0 = Similarity.buildIvfIndex(cVecs, "doc_id", "vec",
+            nCells = nCells, nAssign = 2)
+          Seq(dfTab, corpusN, cVecs, b0.postings, b0.stats, idx0.centroids,
+            idx0.postings)
+        }
+        val Seq(dfTab, corpusN, cVecs, postings, stats, cents, idxPostings) =
+          loaded.map { df => val p = df.persist(); p.count(); p }
+        val model = graft.ext.TextOps.tfIdfModel(corpusD, "doc_id", "text",
+            dim = 32, bucketOf = md5Bucket)
+          .copy(dfTab = dfTab, corpusN = corpusN)
+        // recompute the build-time √n sizing (not centroids.count(): a
+        // dead cell would shift it and change v26's probe depth) — a
+        // cheap count on the persisted corpus vectors
+        val nCells = math.max(16, math.sqrt(cVecs.count().toDouble).toInt)
         (model, cVecs, graft.ext.TextOps.Bm25Index(postings, stats),
-          idx0.copy(postings = idxPostings), nCells)
+          Similarity.IvfIndex(centroids = cents, postings = idxPostings,
+            idCol = "doc_id", vecCol = "vec"), nCells)
       })
     }
 
@@ -245,8 +303,11 @@ object VectorQ {
     prunedCache.synchronized {
       prunedCache.getOrElseUpdate((s, d), {
         val (_, _, bm25, _, _) = prebuiltHybrid(s, d)
-        val p = graft.ext.TextOps.bm25Prune(bm25, maxPostingsPerTerm = 64)
-          .postings.persist()
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "hybridpruned",
+          "v1 P=64 over=hybrid") {
+          graft.ext.TextOps.bm25Prune(bm25, maxPostingsPerTerm = 64).postings
+        }
+        val p = loaded.persist()
         p.count()
         graft.ext.TextOps.Bm25Index(p, bm25.stats)
       })

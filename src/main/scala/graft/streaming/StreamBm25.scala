@@ -41,25 +41,41 @@ object StreamBm25 {
     * re-delivery-safe). */
   def appendBatch(dir: String, batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String): Unit = {
-    val fresh = load(batch.sparkSession, dir) match {
+    val spark = batch.sparkSession
+    val fresh = (load(spark, dir) match {
       case Some(segs) =>
         batch.join(segs.postings.select(col("key").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
       case None => batch
-    }
-    // a FULLY re-delivered batch appends nothing — not even an empty
-    // segment (an n_docs=0 metadata row would be harmless for the stats
-    // sums but is noise the maintained index doesn't need)
-    if (fresh.isEmpty) return
-    val seg = TextOps.bm25SegmentOf(fresh, idCol, textCol, batchId.toInt)
-    // partition-add, never a rewrite: each segment lands in its own
-    // seg_id= directory; dynamic partition overwrite is not needed
-    // because segment ids never repeat (re-delivery is key-guarded)
-    seg.postings.write.mode("append").partitionBy("seg_id")
-      .parquet(postingsDir(dir))
-    seg.segStats.write.mode("append").parquet(statsDir(dir))
-    seg.termDf.write.mode("append").partitionBy("seg_id")
-      .parquet(termDfDir(dir))
+    }).persist()
+    try {
+      // ONE materialized snapshot (persist + full count, not a
+      // short-circuiting isEmpty) drives every write below: the
+      // anti-join + tokenize run once, and a file-listing refresh
+      // between writes can no longer feed the later writes a listing
+      // that already contains this batch's own postings (ADVICE r7).
+      // A FULLY re-delivered batch appends nothing — not even an empty
+      // segment (an n_docs=0 metadata row would be harmless for the
+      // stats sums but is noise the maintained index doesn't need).
+      if (fresh.count() == 0) return
+      val seg = TextOps.bm25SegmentOf(fresh, idCol, textCol, batchId.toInt)
+      // partition-add, never a rewrite: each segment lands in its own
+      // seg_id= directory; dynamic partition overwrite is not needed
+      // because segment ids never repeat (re-delivery is key-guarded)
+      seg.postings.write.mode("append").partitionBy("seg_id")
+        .parquet(postingsDir(dir))
+      // stats + dictionary derive FROM the just-written partition
+      // (partition-pruned read-back): single tokenize per batch, and the
+      // metadata is consistent with the on-disk postings by construction
+      val written = spark.read.parquet(postingsDir(dir))
+        .withColumn("seg_id", col("seg_id").cast("int"))
+        .filter(col("seg_id") === batchId.toInt)
+        .select("seg_id", "key", "tok", "tf", "dl")
+      val (segStats, termDf) = TextOps.segMetaFromPostings(written)
+      segStats.write.mode("append").parquet(statsDir(dir))
+      termDf.write.mode("append").partitionBy("seg_id")
+        .parquet(termDfDir(dir))
+    } finally fresh.unpersist()
   }
 
   /** The maintained index as written so far; None before the first

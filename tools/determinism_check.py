@@ -25,10 +25,19 @@ import tempfile
 import duckdb
 
 
-def run_verify(sf_dir, out_dir):
+def run_verify(sf_dir, out_dir, rebuild_artifacts=False):
+    """rebuild_artifacts=True forces the ArtifactStore to rebuild every
+    shared serve artifact from scratch (SPARK_GRAFT_ARTIFACT_REBUILD=1):
+    run B uses it so this gate keeps testing BUILD determinism, not just
+    that two JVMs can read the same parquet — the build path is where the
+    r7 rank-tie instability lived."""
+    env = dict(os.environ)
+    if rebuild_artifacts:
+        env["SPARK_GRAFT_ARTIFACT_REBUILD"] = "1"
     subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
-        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=env)
 
 
 def content_hash(con, parquet_glob):
@@ -72,8 +81,8 @@ def main():
     b = tempfile.mkdtemp(prefix="graft_det_b_")
     print(f"run 1 -> {a}")
     run_verify(sf_dir, a)
-    print(f"run 2 -> {b}")
-    run_verify(sf_dir, b)
+    print(f"run 2 (fresh artifact rebuild) -> {b}")
+    run_verify(sf_dir, b, rebuild_artifacts=True)
     sys.exit(compare_dirs(a, b))
 
 
