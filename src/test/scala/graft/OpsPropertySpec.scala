@@ -132,6 +132,30 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("time-sliced as-of join equals plain on a 90%-hot-key skewed fixture") {
+    import spark.implicits._
+    // the ScaleStress a3_asof_skew fixture in miniature: key 0 carries
+    // 90% of the left rows, multiple keys, slices cutting mid-stream
+    val left = (0 until 3000).map { i =>
+      (if (i % 10 < 9) 0 else (i % 7) + 1, new Timestamp(i * 3000L))
+    }.toDF("key", "ts")
+    val right = (0 until 600).map { i =>
+      (i % 8, new Timestamp(((i / 8) * 80 + (i % 8) * 10) * 1000L),
+        i.toDouble)
+    }.toDF("key", "ts", "rate")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("key", "ts").select("key", "ts", "rate").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    val plain = canon(
+      TimeSeries.asOfJoin(left, right, Seq("key"), "ts", Seq("rate")))
+    val sliced = canon(
+      TimeSeries.asOfJoinTimeSliced(left, right, Seq("key"), "ts",
+        Seq("rate"), sliceSeconds = 600))
+    assert(plain.count(_._1 == 0) == 2700) // the skew really is 90/10
+    assert(sliced == plain)
+  }
+
   test("as-of join equals a per-row linear scan on random grids") {
     import spark.implicits._
     val rnd = new Random(99)

@@ -15,7 +15,10 @@ import duckdb
 # literal-golden oracles generated at the driver's gate SF (see
 # queries/GoldenOracles.scala) — only meaningful against sf0.01
 SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
-                "r4_replay_report", "t4_intraday_trades"}
+                "r4_replay_report", "t4_intraday_trades",
+                "t4_balance_history"}
+# (r3_intraday_trades is fixture-driven and SF-independent, so its golden
+# is valid at every SF and is deliberately NOT in the skip set)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]

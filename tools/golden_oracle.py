@@ -51,12 +51,28 @@ def emit(con, path, name, order_by):
     rows = ["(" + ", ".join(lit(v, types[c]) for v, c in zip(r, cols)) + ")"
             for r in rows_raw]
     alias = ", ".join(quote(c) for c in cols)
-    values = ",\n           ".join(rows)
-    sql = (f"SELECT * FROM (VALUES\n           {values})\n"
-           f"         AS t({alias})")
+    tail = f"\n         AS t({alias})"
     if order_by:
-        sql += f" ORDER BY {quote(order_by)}"
-    print(f'    "{name}" ->\n      """{sql}""",\n')
+        tail += f" ORDER BY {quote(order_by)}"
+    # JVM limit: one string constant must stay under 64 KiB of UTF-8. For
+    # the big fold surfaces (r3's 2k-row blotter) emit chunked literals
+    # joined at RUNTIME (Seq(...).mkString — scalac constant-folds a
+    # literal "+" chain back into one oversized constant, mkString it is).
+    CHUNK = 300
+    if len(rows) <= CHUNK:
+        values = ",\n           ".join(rows)
+        sql = f"SELECT * FROM (VALUES\n           {values}){tail}"
+        print(f'    "{name}" ->\n      """{sql}""",\n')
+    else:
+        parts = ["SELECT * FROM (VALUES"]
+        for i in range(0, len(rows), CHUNK):
+            parts.append("           " +
+                         ",\n           ".join(rows[i:i + CHUNK]) +
+                         ("," if i + CHUNK < len(rows) else ")"))
+        parts[-1] += tail
+        body = ",\n        ".join(f'"""{p}"""' for p in parts)
+        print(f'    "{name}" ->\n      Seq(\n        {body})'
+              f'.mkString("\\n"),\n')
 
 
 if __name__ == "__main__":
