@@ -57,15 +57,12 @@ object ArtifactStore {
 
   // ---- fixture fingerprint ------------------------------------------------
 
-  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Content fingerprint of a fixture directory: sorted (relpath, size,
     * tail-4KiB CRC32) of every regular non-hidden file, md5'd. Cheap
-    * (~30 files × 4 KiB at the test SFs) and content-sensitive via the
-    * parquet footer stats. Memoized per path for the JVM's lifetime —
-    * fixtures don't change under a running harness. */
-  private[graft] def fingerprint(srcDir: String): String =
-    fpCache.getOrElseUpdate(srcDir, {
+    * (~30 files × 4 KiB at the test SFs, computed once per artifact
+    * lookup — deliberately NOT memoized, so a fixture regenerated under
+    * a running JVM is picked up rather than silently served stale). */
+  private[graft] def fingerprint(srcDir: String): String = {
       val base = Paths.get(srcDir)
       val md = java.security.MessageDigest.getInstance("MD5")
       if (Files.isDirectory(base)) {
@@ -98,7 +95,7 @@ object ArtifactStore {
         }
       } else md.update(s"missing:$srcDir".getBytes("UTF-8"))
       md.digest().map("%02x".format(_)).mkString.take(16)
-    })
+  }
 
   /** Root directory for one fixture's artifacts (None ⇒ store disabled). */
   private def groupDir(srcDir: String, name: String): Option[Path] =

@@ -229,12 +229,12 @@ object ScaleStress {
     def builtAsof(m: Int): (DataFrame, DataFrame) =
       asofFix.getOrElseUpdate(m, {
         val base = lit(1600000000L)
-        val l = spark.range(50000L * m).select(
+        val l = spark.range(400000L * m).select(
           when(pmod(col("id"), lit(10)) < 9, 0L)
             .otherwise(pmod(col("id"), lit(63)) + 1).as("key"),
           timestamp_seconds(base + col("id") * 3).as("ts")).persist()
         l.count()
-        val r = spark.range(10000L * m).select(
+        val r = spark.range(80000L * m).select(
           pmod(col("id"), lit(64)).as("key"),
           timestamp_seconds(base + floor(col("id") / 64) * 640 +
             pmod(col("id"), lit(64)) * 10).as("ts"),
@@ -818,7 +818,7 @@ object ScaleStress {
       }),
       Op("a3_asof_skew_sliced", m => {
         // time-sliced as-of, 1 h slices: shuffle key becomes (key, slice)
-        // — the hot key spreads over ~42·m slices (~1.1k rows each), so
+        // — the hot key spreads over ~333·m 1 h slices (~1.1k rows each), so
         // no partition exceeds one slice of one key. Same count as the
         // plain row by construction (OpsPropertySpec pins equality).
         val (l, r) = builtAsof(m)

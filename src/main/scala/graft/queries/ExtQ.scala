@@ -65,10 +65,52 @@ object ExtQ {
       })
     }
 
-  /** Bench hook: ingest + load the streamed segment index up front (the
-    * BacktestQ.prewarm attribution rationale — st6 times the serve). */
+  /** st7's COMPACTED streamed index: the same 3-batch ingest as
+    * [[streamedBm25]] into its own directory, then the on-disk
+    * background merge ([[graft.streaming.StreamBm25.compact]]) folds
+    * segments 0-1 into fresh segment 3 — the full Lucene maintenance
+    * lifecycle (ingest → serve → merge) on the parquet layout. Kept
+    * separate from the st6 dir, which must stay 3-segment for st6's
+    * streamed ≡ scratch claim. */
+  private val bm25CompactCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ext.TextOps.Bm25Segments]
+  private def compactedBm25(s: SparkSession, d: String)
+      : graft.ext.TextOps.Bm25Segments =
+    bm25CompactCache.synchronized {
+      bm25CompactCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 compact upTo=1 into=3"
+        def build(dir: String): Unit = {
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamBm25.appendBatch(dir,
+              docs.filter(col("doc_id") % 3 === i), i, "doc_id", "text")
+          }
+          graft.streaming.StreamBm25.compact(s, dir, upTo = 1, into = 3)
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st7segs", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st7-")
+            tmpSegDirs += p
+            build(p.toString)
+            p.toString
+        }
+        val segs = graft.streaming.StreamBm25.load(s, dir).get
+        val postings = segs.postings.persist(); postings.count()
+        val stats = segs.segStats.persist(); stats.count()
+        val termDf = segs.termDf.persist(); termDf.count()
+        graft.ext.TextOps.Bm25Segments(postings, stats, termDf)
+      })
+    }
+
+  /** Bench hook: ingest + load the streamed segment indexes up front (the
+    * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    streamedBm25(s, d); ()
+    streamedBm25(s, d); compactedBm25(s, d); ()
   }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)
@@ -76,11 +118,12 @@ object ExtQ {
     * segment dirs stay — the next query RELOADS them instead of
     * re-ingesting. */
   private[graft] def clearCache(): Unit = bm25StreamCache.synchronized {
-    bm25StreamCache.values.foreach { segs =>
+    (bm25StreamCache.values ++ bm25CompactCache.values).foreach { segs =>
       segs.postings.unpersist(); segs.segStats.unpersist()
       segs.termDf.unpersist()
     }
     bm25StreamCache.clear()
+    bm25CompactCache.clear()
     tmpSegDirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSegDirs.clear()
   }
@@ -213,6 +256,22 @@ object ExtQ {
         .select(col("q_id"), col("rank"), col("key"),
           round(col("score"), 6).as("score"))
         .orderBy("q_id", "rank")),
+
+    // ST7 — the COMPACTED streamed index: same firehose ingest, then the
+    // on-disk background merge ([[graft.streaming.StreamBm25.compact]] —
+    // Lucene's tiered merge on the parquet layout: postings of the folded
+    // segments relabeled into one fresh partition, dictionaries summed,
+    // stats rows collapsed, old partitions dropped last). The DuckDB
+    // oracle builds from scratch, so the driver compare proves
+    // streamed + COMPACTED ≡ scratch on real data — serve cost over a
+    // distinct query slice from st6's, through the merged artifact.
+    "st7_bm25_compacted" -> ((s, d) =>
+      graft.ext.TextOps.bm25SearchSegmented(compactedBm25(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 101 === 11),
+          "doc_id", "text", k = 5, rankRound = Some(6))
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +281,35 @@ object ExtQ {
     // streaming maintenance path exactly equals a from-scratch index.
     "st6_bm25_stream" ->
       """WITH qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 7),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY round(score, 6) DESC, key) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // Scratch build again (st6's SQL over a distinct query slice): the
+    // Spark side serves from the streamed-then-COMPACTED on-disk index,
+    // so the compare proves the background merge is serve-invariant on
+    // real data — streamed + compacted ≡ scratch.
+    "st7_bm25_compacted" ->
+      """WITH qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 11),
          t AS (SELECT doc_id AS key,
                  unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
          tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),

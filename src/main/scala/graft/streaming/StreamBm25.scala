@@ -78,6 +78,61 @@ object StreamBm25 {
     } finally fresh.unpersist()
   }
 
+  /** ON-DISK segment compaction — the background merge that keeps a
+    * long-lived streamed index's segment count bounded (the Lucene merge
+    * policy, on the parquet layout [[appendBatch]] writes): every
+    * segment with `seg_id <= upTo` folds into ONE fresh segment `into`.
+    * Because segments are df-FREE, the merge is a partition rewrite of
+    * only the folded segments — postings rows are relabeled, dictionary
+    * rows sum per token, stats rows sum — never a corpus operation, and
+    * the serve is bit-invariant (seg_id never joins;
+    * [[graft.ext.TextOps.bm25SegmentCompact]] is the in-memory proof,
+    * StreamBm25Spec pins the disk form).
+    *
+    * `into` must be a FRESH id (> every existing seg_id): the merged
+    * partition is written before the old partitions are dropped, so at
+    * no point does a reader see a token's postings twice under the same
+    * seg_id, and the final delete is the commit. Test-scale
+    * simplification: production would stage this behind a manifest
+    * commit point (Lucene's segments_N) so a crash between the write
+    * and the deletes cannot double-serve; at 100 TB the rewrite touches
+    * only the small segments being folded, exactly like tiered merging. */
+  def compact(s: SparkSession, dir: String, upTo: Int, into: Int): Unit = {
+    val segs = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no index at $dir"))
+    val maxSeg = segs.segStats.agg(max(col("seg_id"))).head.getInt(0)
+    require(into > maxSeg, s"into=$into must be fresh (> max seg id $maxSeg)")
+    val merged = segs.postings.filter(col("seg_id") <= upTo)
+    // 1. write the merged postings partition (fresh seg_id dir — append
+    //    collides with nothing) and its summed term dictionary
+    merged.select(lit(into).as("seg_id"), col("key"), col("tok"),
+        col("tf"), col("dl"))
+      .write.mode("append").partitionBy("seg_id").parquet(postingsDir(dir))
+    segs.termDf.filter(col("seg_id") <= upTo)
+      .groupBy("tok").agg(sum("df").as("df"))
+      .select(lit(into).as("seg_id"), col("tok"), col("df"))
+      .write.mode("append").partitionBy("seg_id").parquet(termDfDir(dir))
+    // 2. rewrite the (tiny, unpartitioned) stats table: surviving rows +
+    //    one summed row for the merged segment — staged then swapped
+    val newStats = segs.segStats.filter(col("seg_id") > upTo)
+      .unionByName(segs.segStats.filter(col("seg_id") <= upTo)
+        .agg(lit(into).as("seg_id"), sum("n_docs").as("n_docs"),
+          sum("sum_dl").as("sum_dl")))
+      .select("seg_id", "n_docs", "sum_dl")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statsTmp = s"$dir/segstats.compact-tmp"
+    newStats.coalesce(1).write.mode("overwrite").parquet(statsTmp)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir(dir)), true)
+    fs.rename(new org.apache.hadoop.fs.Path(statsTmp),
+      new org.apache.hadoop.fs.Path(statsDir(dir)))
+    // 3. commit: drop the folded segments' partition dirs
+    (0 to upTo).foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${postingsDir(dir)}/seg_id=$k"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${termDfDir(dir)}/seg_id=$k"), true)
+    }
+  }
+
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.TextOps.bm25SearchSegmented]]. */
   def load(s: SparkSession, dir: String): Option[TextOps.Bm25Segments] = {

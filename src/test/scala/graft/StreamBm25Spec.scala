@@ -105,6 +105,57 @@ class StreamBm25Spec extends AnyFunSuite {
     assert(tot == tot0)
   }
 
+  test("ON-DISK compaction: merged layout serves bit-equal, partitions dropped") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq) // segments 0,1,2
+    val before = StreamBm25.load(spark, dir).get
+    val queries = queryDocs.toDF("doc_id", "text")
+    val wantRows = searchRows(TextOps.bm25SearchSegmented(before, queries,
+      "doc_id", "text", k = 3))
+    val nPostings = before.postings.count()
+    // snapshot the stats totals NOW — `before`'s listing dies with the
+    // compaction's segstats swap (immutable-segment readers re-load)
+    val wantTotals =
+      before.segStats.agg(sum("n_docs"), sum("sum_dl")).collect()(0)
+    StreamBm25.compact(spark, dir, upTo = 1, into = 3)
+    val after = StreamBm25.load(spark, dir).get
+    // layout: segs 0,1 folded into fresh seg 3; seg 2 untouched
+    assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
+      Set(2, 3))
+    assert(after.postings.count() == nPostings) // pure relabel, no loss
+    assert(!new java.io.File(s"$dir/postings/seg_id=0").exists)
+    assert(!new java.io.File(s"$dir/termdf/seg_id=1").exists)
+    // serve bit-equal through the merged on-disk layout
+    assert(searchRows(TextOps.bm25SearchSegmented(after, queries,
+      "doc_id", "text", k = 3)) == wantRows)
+    // stats conserved through the fold
+    assert(after.segStats.agg(sum("n_docs"), sum("sum_dl")).collect()(0) ==
+      wantTotals)
+    // the first-seen append guard still sees the merged keys: a full
+    // re-delivery of batch 0 after compaction appends nothing
+    StreamBm25.appendBatch(dir, corpus.take(2).toDF("doc_id", "text"),
+      batchId = 9, "doc_id", "text")
+    assert(StreamBm25.load(spark, dir).get.postings.count() == nPostings)
+    // a fresh id must be demanded (into <= an existing seg id is refused)
+    intercept[IllegalArgumentException] {
+      StreamBm25.compact(spark, dir, upTo = 2, into = 2)
+    }
+  }
+
+  test("st7 driver query: compacted streamed index equals scratch on testdata") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val qs = Tables.documents(spark, sf).filter(col("doc_id") % 101 === 11)
+    val scratch = TextOps.bm25Search(
+      TextOps.bm25Index(docs, "doc_id", "text"), qs, "doc_id", "text",
+      k = 5, rankRound = Some(6))
+    val st7 = graft.SparkEntry.queries("st7_bm25_compacted")(spark, sf)
+    assert(searchRows(st7
+        .select(col("q_id"), col("rank"), col("key"), col("score"))) ==
+      searchRows(scratch.select(col("q_id"), col("rank"), col("key"),
+        round(col("score"), 6).as("score"))))
+  }
+
   test("st6 driver query matches the one-shot segmented form on testdata") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
