@@ -581,8 +581,16 @@ object TextOps {
     * bit-equal scores pre/post). At 100 TB this is a partition rewrite of
     * only the small segments being folded — never a corpus operation. */
   def bm25SegmentCompact(segs: Bm25Segments, upTo: Int,
-                         into: Int = 0): Bm25Segments = {
-    val relabel = when(col("seg_id") <= upTo, lit(into))
+                         into: Int = 0): Bm25Segments =
+    bm25SegmentCompactSet(segs, (0 to upTo).toSet, into)
+
+  /** [[bm25SegmentCompact]] over an ARBITRARY segment set — the form a
+    * real merge policy needs: tiered merging folds the small segments
+    * wherever their ids fall (a big old segment between two small ones
+    * stays untouched), not an id prefix. */
+  def bm25SegmentCompactSet(segs: Bm25Segments, segIds: Set[Int],
+                            into: Int): Bm25Segments = {
+    val relabel = when(col("seg_id").isin(segIds.toSeq: _*), lit(into))
       .otherwise(col("seg_id"))
     Bm25Segments(
       postings = segs.postings.withColumn("seg_id", relabel),

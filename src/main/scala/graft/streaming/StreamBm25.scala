@@ -97,25 +97,34 @@ object StreamBm25 {
     * commit point (Lucene's segments_N) so a crash between the write
     * and the deletes cannot double-serve; at 100 TB the rewrite touches
     * only the small segments being folded, exactly like tiered merging. */
-  def compact(s: SparkSession, dir: String, upTo: Int, into: Int): Unit = {
+  def compact(s: SparkSession, dir: String, upTo: Int, into: Int): Unit =
+    compactSet(s, dir, (0 to upTo).toSet, into)
+
+  /** [[compact]] over an ARBITRARY segment set — the form a real merge
+    * policy produces: tiered merging folds the small segments wherever
+    * their ids fall; a big segment between two small ones stays
+    * untouched on disk. */
+  def compactSet(s: SparkSession, dir: String, segIds: Set[Int],
+                 into: Int): Unit = {
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
     val maxSeg = segs.segStats.agg(max(col("seg_id"))).head.getInt(0)
     require(into > maxSeg, s"into=$into must be fresh (> max seg id $maxSeg)")
-    val merged = segs.postings.filter(col("seg_id") <= upTo)
+    val fold = col("seg_id").isin(segIds.toSeq: _*)
     // 1. write the merged postings partition (fresh seg_id dir — append
     //    collides with nothing) and its summed term dictionary
-    merged.select(lit(into).as("seg_id"), col("key"), col("tok"),
+    segs.postings.filter(fold)
+      .select(lit(into).as("seg_id"), col("key"), col("tok"),
         col("tf"), col("dl"))
       .write.mode("append").partitionBy("seg_id").parquet(postingsDir(dir))
-    segs.termDf.filter(col("seg_id") <= upTo)
+    segs.termDf.filter(fold)
       .groupBy("tok").agg(sum("df").as("df"))
       .select(lit(into).as("seg_id"), col("tok"), col("df"))
       .write.mode("append").partitionBy("seg_id").parquet(termDfDir(dir))
     // 2. rewrite the (tiny, unpartitioned) stats table: surviving rows +
     //    one summed row for the merged segment — staged then swapped
-    val newStats = segs.segStats.filter(col("seg_id") > upTo)
-      .unionByName(segs.segStats.filter(col("seg_id") <= upTo)
+    val newStats = segs.segStats.filter(!fold)
+      .unionByName(segs.segStats.filter(fold)
         .agg(lit(into).as("seg_id"), sum("n_docs").as("n_docs"),
           sum("sum_dl").as("sum_dl")))
       .select("seg_id", "n_docs", "sum_dl")
@@ -127,11 +136,32 @@ object StreamBm25 {
     fs.rename(new org.apache.hadoop.fs.Path(statsTmp),
       new org.apache.hadoop.fs.Path(statsDir(dir)))
     // 3. commit: drop the folded segments' partition dirs
-    (0 to upTo).foreach { k =>
+    segIds.foreach { k =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${postingsDir(dir)}/seg_id=$k"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${termDfDir(dir)}/seg_id=$k"), true)
     }
   }
+
+  /** A tiered MERGE POLICY over the segment metadata (Lucene's
+    * by-size tiering in its simplest form): fold every segment whose
+    * doc count is below `smallFrac` of the index total, but only when
+    * at least `minSegments` of them exist (merging one segment is a
+    * no-op rewrite). Returns the segment ids to fold — the caller
+    * passes them to [[compactSet]] with a fresh `into`. A
+    * metadata-only decision: reads the (segment-count-sized) stats
+    * table, never the postings. */
+  def compactionCandidates(s: SparkSession, dir: String,
+                           smallFrac: Double = 0.2,
+                           minSegments: Int = 2): Set[Int] =
+    load(s, dir) match {
+      case None => Set.empty
+      case Some(segs) =>
+        val rows = segs.segStats.select("seg_id", "n_docs").collect()
+        val total = rows.map(_.getLong(1)).sum.toDouble
+        val small = rows.filter(_.getLong(1) < smallFrac * total)
+          .map(_.getInt(0)).toSet
+        if (small.size >= minSegments) small else Set.empty
+    }
 
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.TextOps.bm25SearchSegmented]]. */

@@ -142,6 +142,34 @@ class StreamBm25Spec extends AnyFunSuite {
     }
   }
 
+  test("tiered merge policy folds a NON-CONTIGUOUS small-segment set") {
+    import spark.implicits._
+    // seg 0 small (1 doc), seg 1 BIG (4 docs), seg 2 small (1 doc)
+    val dir = ingest(Seq(corpus.take(1), corpus.slice(1, 5), corpus.drop(5)))
+    val before = StreamBm25.load(spark, dir).get
+    val queries = queryDocs.toDF("doc_id", "text")
+    val wantRows = searchRows(TextOps.bm25SearchSegmented(before, queries,
+      "doc_id", "text", k = 3))
+    // the in-memory set form agrees before touching disk
+    assert(searchRows(TextOps.bm25SearchSegmented(
+      TextOps.bm25SegmentCompactSet(before, Set(0, 2), into = 3),
+      queries, "doc_id", "text", k = 3)) == wantRows)
+    val cand = StreamBm25.compactionCandidates(spark, dir, smallFrac = 0.3)
+    assert(cand == Set(0, 2), "policy must skip the big MIDDLE segment")
+    StreamBm25.compactSet(spark, dir, cand, into = 3)
+    val after = StreamBm25.load(spark, dir).get
+    assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
+      Set(1, 3)) // big segment untouched, small pair folded into fresh 3
+    assert(new java.io.File(s"$dir/postings/seg_id=1").exists)
+    assert(!new java.io.File(s"$dir/postings/seg_id=0").exists &&
+      !new java.io.File(s"$dir/postings/seg_id=2").exists)
+    assert(searchRows(TextOps.bm25SearchSegmented(after, queries,
+      "doc_id", "text", k = 3)) == wantRows)
+    // below minSegments the policy declines (one small segment left: none)
+    assert(StreamBm25.compactionCandidates(spark, dir, smallFrac = 0.3)
+      .isEmpty)
+  }
+
   test("st7 driver query: compacted streamed index equals scratch on testdata") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
