@@ -159,13 +159,19 @@ object ArtifactStore {
           }
           Files.write(tmp.resolve(OkMarker),
             specLine(spec, outs).getBytes("UTF-8"))
-          // commit: replace any stale group, atomic-rename the fresh one in
-          deleteRecursively(dir)
-          try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException if isValid(dir, spec, outs) =>
-              deleteRecursively(tmp) // lost a cross-JVM race; theirs is valid
+          // commit: replace any stale group, atomic-rename the fresh one
+          // in. If a CONCURRENT builder committed a valid group while we
+          // were building, keep theirs — deleting a committed dir another
+          // JVM may already be reading would fail its in-flight scans.
+          if (!rebuild && isValid(dir, spec, outs)) deleteRecursively(tmp)
+          else {
+            deleteRecursively(dir)
+            try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException if isValid(dir, spec, outs) =>
+                deleteRecursively(tmp) // lost the rename race; theirs is valid
+            }
           }
           afterWrite(built)
           outs.map(o => s.read.parquet(dir.resolve(o).toString))
