@@ -385,6 +385,41 @@ object Similarity {
     index.postings.groupBy("ivf_cell")
       .agg(count(lit(1)).as("n_postings"))
 
+  /** One-row drift audit over [[ivfOccupancy]] — the metered quantities
+    * behind the re-train decision for an append-only index
+    * ([[ivfAppend]], [[graft.streaming.StreamIvf]]): live cell count,
+    * max/mean occupancy, and their ratio `occ_skew`. Under the uniform
+    * ideal skew ≈ 1; a frozen quantizer under a drifting ingest
+    * distribution concentrates postings in few cells and skew grows —
+    * and probe cost inside a hot cell grows with it (each probed cell is
+    * scored in full). Note the ceiling: with nAssign-way replication a
+    * fully-concentrated ingest tops out at skew = nCells/nAssign, so the
+    * threshold must sit well below that for the index's geometry (a
+    * production index at nCells ~ √n has ceilings in the hundreds).
+    * nCells-row groupBy + one global agg: metadata cost, never a corpus
+    * operation. */
+  def ivfDriftReport(index: IvfIndex): DataFrame =
+    ivfOccupancy(index).agg(
+      sum("n_postings").as("n_postings"),
+      count(lit(1)).as("n_live_cells"),
+      max("n_postings").as("max_occ"),
+      round(avg("n_postings"), 2).as("mean_occ"),
+      round(max("n_postings") / avg("n_postings"), 2).as("occ_skew"))
+
+  /** The re-train TRIGGER: true when max/mean cell occupancy exceeds
+    * `skewThreshold`. The dense-index analogue of [[graft.streaming
+    * .StreamBm25.compactionCandidates]] — a metadata-only maintenance
+    * decision (one bounded 1-row collect) the background maintainer
+    * polls; on true, the remedy is a re-train + re-assign (a rebuild,
+    * which [[buildIvfIndex]] already is), scheduled off the serve path.
+    * Threshold default 4.0: the fixture indexes measure ~1.5-2.5 under
+    * uniform ingest (StreamIvfSpec pins both sides of the trigger). */
+  def ivfRetrainNeeded(index: IvfIndex, skewThreshold: Double = 4.0)
+      : Boolean = {
+    val r = ivfDriftReport(index).select("occ_skew").head
+    r.getDouble(0) > skewThreshold
+  }
+
   /** nProbe for a target probed FRACTION of the index. Holding the
     * fraction (rather than a fixed nProbe) is what holds recall as the
     * corpus grows: with nCells ~ √n, a fixed nProbe's probed share

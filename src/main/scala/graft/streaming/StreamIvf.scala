@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** STREAMING maintenance of the dense IVF index — the vector-side member
+  * of the streaming-ingest family (st3 exact dedup, st5 near-dup, st6/st7
+  * segmented BM25): each micro-batch of arriving embeddings is assigned
+  * against a FROZEN coarse quantizer and lands as an immutable on-disk
+  * postings partition, completing the symmetry with [[StreamBm25]] — the
+  * sparse index streams as df-free segments, the dense index streams as
+  * cell-assigned postings under train-once centroids.
+  *
+  * Lifecycle (the FAISS train-then-add contract,
+  * [[graft.ext.Similarity.ivfAppend]]'s scaladoc):
+  *
+  *   - The FIRST micro-batch trains the coarse quantizer
+  *     ([[graft.ext.Similarity.ivfCentroids]], Lloyd-refined) and writes
+  *     it once; every later batch reads it back and only ASSIGNS —
+  *     centroid bytes on disk never change after batch 0
+  *     (StreamIvfSpec pins this), so concurrent probes always score
+  *     against the same cell geometry.
+  *   - Each batch's postings append as their own `batch_id=` parquet
+  *     partition: a partition ADD, never a rewrite — existing postings
+  *     are never read, re-assigned, or rewritten, so ingest cost is
+  *     bounded by batch size and a reader mid-append sees only whole
+  *     batches.
+  *   - At-least-once sources re-deliver: the first-seen guard drops
+  *     batch ids already indexed (the [[StreamBm25.appendBatch]] /
+  *     bm25SegmentAppend guard; at scale the membership probe is
+  *     per-partition id-range/bloom metadata, not the postings scan used
+  *     at test scale). A fully re-delivered batch appends nothing — not
+  *     even an empty partition.
+  *
+  * Training on the first batch rather than the full stream is the
+  * production reality (the stream has no end to train on); the cost is
+  * quantizer drift as the ingest distribution shifts, which is exactly
+  * what [[graft.ext.Similarity.ivfDriftReport]] meters and
+  * [[graft.ext.Similarity.ivfRetrainNeeded]] turns into the re-train
+  * trigger — the dense-index analogue of [[StreamBm25
+  * .compactionCandidates]]'s metadata-only merge decision.
+  *
+  * Serve correctness is probe-depth-independent of training quality:
+  * st8_bm25_stream's driver query probes the streamed index at FULL
+  * depth (nProbe = nCells), which is exact top-k whatever the centroids
+  * learned — the streamed ≡ scratch proof runs against a DuckDB
+  * brute-force oracle on real data.
+  */
+object StreamIvf {
+
+  private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def postingsDir(dir: String) = s"$dir/postings"
+
+  /** `foreachBatch` sink body: micro-batch `batchId` → one immutable
+    * on-disk postings partition (`batch_id=<batchId>`), training the
+    * frozen quantizer iff this is the first non-empty batch. Docs
+    * already indexed are dropped (first-seen, re-delivery-safe). */
+  def appendBatch(dir: String, batch: DataFrame, batchId: Long,
+                  idCol: String, vecCol: String, nCells: Int,
+                  nAssign: Int = 2, refineIters: Int = 2,
+                  hierAssignFrom: Int = 512): Unit = {
+    val spark = batch.sparkSession
+    val fresh = (load(spark, dir, idCol, vecCol) match {
+      case Some(idx) =>
+        batch.join(idx.postings.select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      case None => batch
+    }).select(col(idCol), col(vecCol)).persist()
+    try {
+      // one materialized snapshot drives the (possible) train AND the
+      // assignment — the StreamBm25 listing-consistency discipline: no
+      // later action can see a file listing containing this batch's own
+      // postings
+      if (fresh.count() == 0) return
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cPath = new org.apache.hadoop.fs.Path(centroidsDir(dir))
+      if (!fs.exists(cPath)) {
+        // train ONCE, on the first batch (FAISS train-then-add); the
+        // write is the freeze — no later batch ever touches this dir
+        Similarity.ivfCentroids(fresh, idCol, vecCol, nCells,
+            refineIters, hierAssignFrom)
+          .coalesce(1) // nCells rows — one footer, page-cached reload
+          .write.mode("errorifexists").parquet(centroidsDir(dir))
+      }
+      val centroids = spark.read.parquet(centroidsDir(dir))
+      val assigned =
+        if (nCells >= hierAssignFrom)
+          Similarity.assignToHier(fresh, centroids, idCol, vecCol, nAssign)
+        else Similarity.assignTo(fresh, centroids, idCol, vecCol, nAssign)
+      assigned
+        .select(lit(batchId.toInt).as("batch_id"), col(idCol),
+          col(vecCol), col("ivf_cell"))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(postingsDir(dir))
+    } finally fresh.unpersist()
+  }
+
+  /** The maintained index as written so far; None before the first
+    * batch. Serve with [[graft.ext.Similarity.probeIvf]]; audit with
+    * [[graft.ext.Similarity.ivfDriftReport]]. The `batch_id` partition
+    * column rides along in the postings (probeIvf selects only the
+    * columns it scores), so provenance of every posting survives into
+    * any serve-side audit. */
+  def load(s: SparkSession, dir: String, idCol: String, vecCol: String)
+      : Option[Similarity.IvfIndex] = {
+    val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(Similarity.IvfIndex(
+      centroids = s.read.parquet(centroidsDir(dir)),
+      postings = s.read.parquet(postingsDir(dir))
+        .withColumn("batch_id", col("batch_id").cast("int")),
+      idCol = idCol, vecCol = vecCol))
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Similarity
+import graft.streaming.StreamIvf
+
+/** Streaming dense-index maintenance ([[StreamIvf]]): a REAL
+  * micro-batched `writeStream.foreachBatch` ingest (MemoryStream) whose
+  * sink trains the quantizer on batch 0 and appends every later batch as
+  * an immutable on-disk partition must (a) leave the centroid bytes
+  * frozen after batch 0, (b) hold postings set-equal to the in-memory
+  * [[Similarity.ivfAppend]] lifecycle under the same centroids, (c) be a
+  * no-op on re-delivery, and (d) serve FULL-DEPTH top-k equal to brute
+  * force over the union corpus through the disk round trip — the
+  * probe-depth-independence that makes st8's DuckDB oracle a streamed ≡
+  * scratch proof. The drift trigger ([[Similarity.ivfRetrainNeeded]])
+  * flips on a planted hot-cell batch and stays quiet under uniform
+  * ingest. */
+class StreamIvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-stream-ivf").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private val NCells = 8
+
+  private def corpus = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+
+  /** Ingest vec_id % 3 == i as micro-batch i through a real stream. */
+  private def ingest(replayLast: Boolean = false): String = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_ivf").toString
+    val input = MemoryStream[Long]
+    val all = corpus.persist()
+    val q = input.toDS().toDF("batch_no").writeStream
+      .foreachBatch { (ticket: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the ticket row carries which slice arrives; the sink body is
+        // the production one — batch in, partition out
+        val i = ticket.select("batch_no").head.getLong(0)
+        StreamIvf.appendBatch(dir,
+          all.filter(col("vec_id") % 3 === i), id, "vec_id", "vec",
+          nCells = NCells)
+      }
+      .start()
+    try {
+      (0L to 2L).foreach { i => input.addData(i); q.processAllAvailable() }
+      if (replayLast) { input.addData(2L); q.processAllAvailable() }
+    } finally { q.stop(); all.unpersist() }
+    dir
+  }
+
+  private def postingSet(idx: Similarity.IvfIndex): Set[(Long, Int)] =
+    idx.postings.select(col("vec_id"), col("ivf_cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private lazy val streamedDir = ingest()
+  private def streamed = StreamIvf.load(spark, streamedDir, "vec_id", "vec").get
+
+  test("streamed ingest == the in-memory train-then-add lifecycle") {
+    val idx = streamed
+    // rebuild the same lifecycle in memory UNDER THE STREAMED CENTROIDS:
+    // batch 0's index with the frozen quantizer, then two ivfAppends
+    val b0 = corpus.filter(col("vec_id") % 3 === 0)
+    val seed = Similarity.IvfIndex(
+      centroids = idx.centroids,
+      postings = Similarity.assignTo(b0, idx.centroids, "vec_id", "vec", 2),
+      idCol = "vec_id", vecCol = "vec")
+    val after = (1 to 2).foldLeft(seed) { (acc, i) =>
+      Similarity.ivfAppend(acc, corpus.filter(col("vec_id") % 3 === i),
+        nCellsHint = Some(NCells))
+    }
+    assert(postingSet(idx) == postingSet(after))
+    assert(postingSet(idx).nonEmpty)
+  }
+
+  test("centroids are frozen after batch 0 (bytes never change)") {
+    val dir = ingest()
+    val before = StreamIvf.load(spark, dir, "vec_id", "vec").get
+      .centroids.orderBy("ivf_cell").collect().toSeq
+    // two more appends (fresh ids — vec_id space above the fixture)
+    import spark.implicits._
+    val extra = corpus.limit(6)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    StreamIvf.appendBatch(dir, extra, 7, "vec_id", "vec", nCells = NCells)
+    val after = StreamIvf.load(spark, dir, "vec_id", "vec").get
+      .centroids.orderBy("ivf_cell").collect().toSeq
+    assert(before == after)
+  }
+
+  test("re-delivered batch appends nothing (first-seen, no empty partition)") {
+    val dir = ingest(replayLast = true)
+    val idx = StreamIvf.load(spark, dir, "vec_id", "vec").get
+    val expected = streamed
+    assert(idx.postings.count() == expected.postings.count())
+    // no 4th partition materialized by the replay
+    assert(idx.postings.select("batch_id").distinct().count() == 3)
+  }
+
+  test("full-depth probe over the disk round trip == brute force") {
+    val idx = streamed
+    val qs = corpus.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rank"), col("c_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = rows(Similarity.probeIvf(idx, qs, "vec_id",
+      nProbe = NCells, k = 8))
+    val brute = rows(Similarity.bruteForceTopK(qs, corpus,
+      "vec_id", "vec_id", "vec", k = 8))
+    assert(full == brute)
+    assert(full.nonEmpty)
+  }
+
+  test("drift trigger: quiet under uniform ingest, flips on a hot-cell batch") {
+    // drop the batch_id provenance column: ivfAppend is strict about
+    // postings metadata existing on the batch (silently null-filling a
+    // keepCols column would be worse); the streamed production append is
+    // StreamIvf.appendBatch
+    val loaded = streamed
+    val idx = loaded.copy(postings = loaded.postings.drop("batch_id"))
+    assert(!Similarity.ivfRetrainNeeded(idx, skewThreshold = 4.0))
+    // plant drift: many fresh vectors all equal to one existing vector —
+    // they assign to the same cells and blow its occupancy up
+    val hot = corpus.limit(1).select(col("vec")).crossJoin(
+        spark.range(0, 2000).select(col("id").as("vec_id")))
+      .select(col("vec_id") + 2000000L as "vec_id", col("vec"))
+    val drifted = Similarity.ivfAppend(idx, hot, nCellsHint = Some(NCells))
+    // skew is bounded by nCells/nAssign (= 4 here) even under total
+    // concentration, so pin the trigger's DIRECTION: drift must raise
+    // skew well past the uniform baseline, and a threshold between the
+    // two separates them
+    def skew(i: Similarity.IvfIndex) =
+      Similarity.ivfDriftReport(i).select("occ_skew").head.getDouble(0)
+    val (s0, s1) = (skew(idx), skew(drifted))
+    assert(s1 > s0 * 1.5)
+    val mid = (s0 + s1) / 2
+    assert(!Similarity.ivfRetrainNeeded(idx, skewThreshold = mid))
+    assert(Similarity.ivfRetrainNeeded(drifted, skewThreshold = mid))
+    // and the report's account stays exact: postings total = occupancy sum
+    val rep = Similarity.ivfDriftReport(drifted).head
+    assert(rep.getLong(0) == drifted.postings.count())
+  }
+}
