@@ -243,6 +243,26 @@ object ScaleStress {
         (l, r)
       })
 
+    // streamed dense-index dirs per multiplier (StreamIvf 3-batch ingest,
+    // nCells ~ √n at each scale — the prebuiltRag sizing); built by the
+    // st8_stream_ingest3 row, reused by st8_append_fixed
+    val st8Dirs = scala.collection.mutable.Map.empty[Int, String]
+    val st8Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def stCellsOf(m: Int): Int =
+      math.max(16, math.sqrt(embsOf(m).count().toDouble).toInt)
+    def builtStreamDir(m: Int): String = st8Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-st8-m$m-").toString
+      val c = embsOf(m)
+      val cells = stCellsOf(m)
+      (0 to 2).foreach { i =>
+        graft.streaming.StreamIvf.appendBatch(dir,
+          c.filter(col("vec_id") % 3 === i).select("vec_id", "vec"),
+          i, "vec_id", "vec", nCells = cells)
+      }
+      dir
+    })
+
     val ops: Seq[Op] = Seq(
       Op("x1_exact_dedup", m =>
         Dedup.exactGroups(docsOf(m), "doc_id", "text").count()),
@@ -795,6 +815,36 @@ object ScaleStress {
           .select((col("vec_id") + lit(888000000L)).as("vec_id"), col("vec"))
         Similarity.ivfAppend(builtIvf(m), batch)
           .postings.filter(col("vec_id") >= 888000000L).count()
+      }),
+      Op("st8_stream_ingest3", m => {
+        // the STREAMED dense-index sink end-to-end (StreamIvf.appendBatch
+        // ×3: train-on-batch-0 + two assign-and-append partitions, all
+        // through parquet): ingests the whole corpus, so expect ~linear —
+        // the row is the ingest-side cost account for the st8 lifecycle.
+        // Rebuild-from-empty each call; the dir is memoized for the
+        // append row below (the v6_ivf_build attribution pattern).
+        st8Dirs.remove(m).foreach(d =>
+          graft.ArtifactStore.deleteRecursively(java.nio.file.Paths.get(d)))
+        val dir = builtStreamDir(m)
+        graft.streaming.StreamIvf.load(spark, dir, "vec_id", "vec")
+          .get.postings.count()
+      }),
+      Op("st8_append_fixed", m => {
+        // steady-state firehose cost: ONE fixed ~n(1×)-row micro-batch
+        // (fresh ids each call) into the maintained on-disk index. Cost =
+        // ids-only first-seen anti-join + batch assignment + one
+        // partition write — must stay near-flat while the corpus behind
+        // the dir grows 64× (the v28_append_fixed claim, now through the
+        // disk sink including the guard against ALL existing postings).
+        val dir = builtStreamDir(m)
+        val off = 900000000L + st8Ctr.incrementAndGet() * 10000000L
+        val batch = embsOf(1)
+          .select((col("vec_id") + lit(off)).as("vec_id"), col("vec"))
+        graft.streaming.StreamIvf.appendBatch(dir, batch,
+          batchId = 100 + st8Ctr.get(), idCol = "vec_id", vecCol = "vec",
+          nCells = stCellsOf(m))
+        graft.streaming.StreamIvf.load(spark, dir, "vec_id", "vec")
+          .get.postings.filter(col("vec_id") >= off).count()
       }),
       Op("t4_composed_fold", m => {
         // the heaviest engine pipeline: T5 composed feed (blocks → grid

@@ -799,6 +799,58 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X53 — INCREMENTAL curation capstone: the daily batch
+    // (doc_id % 4 == 0) run through the FULL x22 curation chain against
+    // maintained state, composing the increment family end-to-end the
+    // way a production daily job does — no stage rescans the corpus
+    // bodies:
+    //   1. incremental exact dedup (x36's op: first-seen within the
+    //      batch + anti-join on the corpus DIGEST index — ids/digests
+    //      shuffle, bodies never);
+    //   2. quality verdict (x21's scan-shaped predicate over the shared
+    //      docSignals pass — per-doc, batch-boundable);
+    //   3. decontamination with pair generation scoped to the BATCH ×
+    //      the (static, small) benchmark split — cost ∝ |batch|, where
+    //      x15 pays |corpus| (same blocked equi-join + Jaccard);
+    //   4. deterministic md5-uniform stratified sample (x22's rates) —
+    //      a scan filter, batch-restricted.
+    // Oracle-exact end-to-end: the DuckDB SQL rebuilds all four stages
+    // batch-scoped. At 100 TB the batch is the unit of work — this query
+    // IS the shape of the nightly ingest job, which is why every join
+    // here keys on digests/ids/block keys and the only corpus-sized
+    // artifact touched is the digest index.
+    "x53_incremental_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val survivors = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+        .select("doc_id")
+      val kept = queries("x21_quality_filter")(s, d).select("doc_id")
+      // batch-scoped x15: train side = this batch's training-split docs
+      val t = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), floor(col("n_chars") / 20).as("bkt"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val a = t.filter(col("doc_id") % 4 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("bkt"),
+          col("n_chars").as("nc1"), col("toks").as("t1"))
+      val bch = t.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_id"), col("lang"), col("source"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+          col("n_chars").as("nc2"), col("toks").as("t2"))
+      val contaminated = a.join(bch, Seq("lang", "source", "bkt"))
+        .filter(abs(col("nc1") - col("nc2")) <= 20)
+        .filter(round(TextOps.jaccard(col("t1"), col("t2")), 6) >= 0.5)
+        .select("doc_id").distinct()
+      TextOps.stratifiedSample(
+          batch.filter(col("doc_id") % 7 =!= 0)
+            .join(survivors, "doc_id").join(kept, "doc_id")
+            .join(contaminated, Seq("doc_id"), "left_anti"),
+          "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
+          defaultFraction = 0.8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // X36 — INCREMENTAL exact dedup (the daily-crawl increment): docs
     // with doc_id % 4 == 0 arrive as the new batch against the rest as
     // the already-deduped corpus; survivors are the batch's first-seen
@@ -1433,6 +1485,55 @@ object TextQ {
            unnest(generate_series(1, epochs)) AS epoch
          FROM documents JOIN e USING (lang)
          ORDER BY doc_id, epoch""",
+    "x53_incremental_curation" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 4 = 0 AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         corpus AS (SELECT DISTINCT md5(text) AS digest
+                    FROM documents WHERE doc_id % 4 <> 0),
+         bat AS (SELECT doc_id, md5(text) AS digest,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rk
+                 FROM documents WHERE doc_id % 4 = 0)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN bat USING (doc_id)
+         WHERE d.doc_id % 7 <> 0
+           AND bat.rk = 1 AND bat.digest NOT IN (SELECT digest FROM corpus)
+           AND d.doc_id IN (SELECT doc_id FROM keep_q)
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+           AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0
+               < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END
+         ORDER BY d.doc_id""",
     "x36_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS digest
                          FROM documents WHERE doc_id % 4 <> 0),
