@@ -816,6 +816,18 @@ object ScaleStress {
         Similarity.ivfAppend(builtIvf(m), batch)
           .postings.filter(col("vec_id") >= 888000000L).count()
       }),
+      Op("v29_sem_decontam", m => {
+        // semantic decontam audit: FIXED benchmark (the 1x slice —
+        // benchmarks don't grow with the corpus) broadcast-packed, train
+        // side scales m x. One scan, per-row array_max fold, zero
+        // shuffles -> expect ~linear wall, rows exactly linear.
+        val bench = embsOf(1).filter(col("vec_id") % 7 === 0)
+          .select("vec_id", "vec")
+        val train = embsOf(m).filter(col("vec_id") % 7 =!= 0)
+          .select("vec_id", "vec")
+        Similarity.semanticDecontam(train, bench, "vec_id", "vec", 0.3)
+          .filter(col("contaminated")).count()
+      }),
       Op("st8_stream_ingest3", m => {
         // the STREAMED dense-index sink end-to-end (StreamIvf.appendBatch
         // ×3: train-on-batch-0 + two assign-and-append partitions, all

@@ -729,6 +729,35 @@ object Similarity {
       .drop("ivf_cell")
   }
 
+  /** SEMANTIC cross-corpus decontamination audit — the embedding-space
+    * member of the decontam family (x15/x17/x26/x29 are lexical):
+    * per train vector, the max cosine against ANY benchmark vector,
+    * plus the ≥ `threshold` contamination verdict. Catches the
+    * paraphrase-level overlap n-gram methods structurally miss (a
+    * reworded benchmark question shares no trigram but sits next to the
+    * original in embedding space).
+    *
+    * Scale shape: benchmarks are MBs at ANY corpus scale (the x26
+    * broadcast rationale), so the right 100 TB plan is no index at all —
+    * the benchmark packs into ONE array-of-structs row (the
+    * centroid-pack lifecycle of [[assignTo]]), broadcasts, and the train
+    * side is a single scan computing an `array_max(transform(...))` fold
+    * per row: O(n·|bench|·dim) work, ZERO shuffles, no pair
+    * materialization. Callers keep rows with `contaminated = false`
+    * (the x20 anti-join shape) or inspect near-threshold mass first —
+    * the audit emits the score, not just the verdict, for exactly that
+    * reason. */
+  def semanticDecontam(train: DataFrame, bench: DataFrame, idCol: String,
+                       vecCol: String, threshold: Double): DataFrame = {
+    val packed = bench.agg(collect_list(col(vecCol)).as("__bench"))
+    train.crossJoin(broadcast(packed))
+      .withColumn("max_bench_cos",
+        round(array_max(transform(col("__bench"),
+          b => cosine(col(vecCol), b))), 6))
+      .withColumn("contaminated", col("max_bench_cos") >= threshold)
+      .drop("__bench")
+  }
+
   /** 1-bit (sign) quantization: each 64-dim chunk of the vector packs
     * into one BIGINT whose bits are `x >= 0` in dimension order (MSB =
     * first dim of the chunk, short final chunks pack left-aligned into

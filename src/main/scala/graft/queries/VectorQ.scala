@@ -1143,6 +1143,26 @@ object VectorQ {
         .orderBy("vec_id", "rank")
     }),
 
+    // V29 — SEMANTIC cross-corpus decontamination
+    // ([[Similarity.semanticDecontam]]): per train vector the max cosine
+    // vs ANY benchmark vector (vec_id % 7 == 0, the x15 split) + the
+    // contamination verdict — the embedding-space complement of the
+    // lexical decontam family (paraphrases share no trigram but sit
+    // next to the original in embedding space). The benchmark packs
+    // into ONE broadcast row (benchmarks are MBs at any corpus scale),
+    // so the train side is a single zero-shuffle scan with a per-row
+    // array_max fold — no index, no pair materialization. Oracle-exact
+    // (DuckDB rebuilds the max over the bench cross join).
+    "v29_semantic_decontam" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.semanticDecontam(
+          c.filter(col("vec_id") % 7 =!= 0),
+          c.filter(col("vec_id") % 7 === 0),
+          "vec_id", "vec", threshold = 0.3)
+        .select("vec_id", "label", "max_bench_cos", "contaminated")
+        .orderBy("vec_id")
+    }),
+
     // ST8 — the STREAM-MAINTAINED dense IVF index ([[streamedIvf]]:
     // 3-batch foreachBatch ingest, quantizer trained on batch 0 and
     // FROZEN, batches 1-2 appended as immutable on-disk partitions)
@@ -1258,6 +1278,18 @@ object VectorQ {
                     * (x - CAST(round(x / s) AS INTEGER) * s)),
              'sum') / len(v)), 6) AS rmse
          FROM s ORDER BY vec_id""",
+    "v29_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         b AS (SELECT v FROM e WHERE vec_id % 7 = 0),
+         t AS (SELECT vec_id, label, v FROM e WHERE vec_id % 7 <> 0)
+         SELECT t.vec_id, t.label,
+           round(max(list_cosine_similarity(t.v, b.v)), 6) AS max_bench_cos,
+           (round(max(list_cosine_similarity(t.v, b.v)), 6) >= 0.3)
+             AS contaminated
+         FROM t CROSS JOIN b
+         GROUP BY t.vec_id, t.label
+         ORDER BY t.vec_id""",
     "st8_ivf_stream" ->
       """SELECT q_id, rank, c_id, round(cos, 6) AS cos,
            (c_id % 3 = 2) AS from_increment FROM (

@@ -123,4 +123,30 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out1.sameElements(out2))
     assert(out1.nonEmpty && out1.length < corpus.count())
   }
+
+  test("semanticDecontam: planted bench twin flagged at cos 1, orthogonal clean, scan-shaped plan") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),  // identical to bench vec -> cos 1
+      (2L, Array(0.0, 1.0, 0.0)),  // orthogonal to all bench -> cos 0
+      (3L, Array(0.8, 0.6, 0.0))   // cos 0.8 vs bench 10 -> contaminated
+    ).toDF("vec_id", "vec")
+    val bench = Seq(
+      (10L, Array(1.0, 0.0, 0.0)),
+      (11L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "vec")
+    val out = Similarity.semanticDecontam(train, bench, "vec_id", "vec", 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (1.0, true))
+    assert(out(2L) == (0.0, false))
+    assert(out(3L) == (0.8, true))
+    // the train side must stay scan-shaped: the packed benchmark rides a
+    // broadcast nested-loop join, so the only permissible shuffle is the
+    // bench-sized SinglePartition pack — never a hash partitioning of
+    // the train rows
+    val plan = Similarity.semanticDecontam(train, bench, "vec_id", "vec", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
 }
