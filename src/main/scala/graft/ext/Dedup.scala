@@ -681,11 +681,25 @@ object Dedup {
     * fingerprints) before the self-join, like every bucketed join here. */
   def simHashPairs(docs: DataFrame, idCol: String, tokensCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 10000, bands: Int = 4): DataFrame = {
+                   maxBucketSize: Int = 10000, bands: Int = 4): DataFrame =
+    fingerprintPairs(simHash(docs, idCol, tokensCol, "fp"), idCol, "fp",
+      maxHamming, maxBucketSize, bands)
+
+  /** Banded-Hamming pairing over an ARBITRARY 64-bit fingerprint column —
+    * the candidate kernel [[simHashPairs]] is built on, extracted so any
+    * 64-bit locality hash rides the same scale shape (the multimodal
+    * perceptual hash `m5` is the second consumer): fingerprints split
+    * into `bands` equi-join buckets, pairs sharing a band recheck exact
+    * Hamming. All guarantees of the simHash doc above (pigeonhole-exact
+    * recall ≤ bands − 1, bucket cap, no O(n²)) are properties of THIS
+    * kernel and carry over to every fingerprint family. */
+  def fingerprintPairs(fp0: DataFrame, idCol: String, fpCol: String,
+                       maxHamming: Int = 3,
+                       maxBucketSize: Int = 10000, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands ($bands) must be >= 2 and divide 64")
     val w = 64 / bands
-    val fp = simHash(docs, idCol, tokensCol, "fp")
+    val fp = fp0.select(col(idCol), col(fpCol).as("fp"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1)).as("band_val"))

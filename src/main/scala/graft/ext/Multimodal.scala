@@ -224,6 +224,99 @@ object Multimodal {
     * UDF). Frame bytes are the payload sliced into `n_frames` equal chunks
     * — the stand-in for an ffmpeg seek+decode. Zero-frame payloads vanish,
     * like an empty pandas batch. */
+  /** Pluggable 64-bit PERCEPTUAL hash — the locality fingerprint for
+    * media near-dup (aHash/pHash family): visually-close payloads map to
+    * small Hamming distances, so dedup rides the same banded-Hamming
+    * kernel as text SimHash ([[graft.ext.Dedup.fingerprintPairs]]).
+    * Must be `Serializable` + deterministic. */
+  trait PerceptualHasher extends Serializable {
+    def hash(row: MediaRow): Long
+  }
+
+  /** Deterministic fallback for payloads no codec claims: the first 8
+    * bytes of the payload's MD5 as a big-endian long. NOT perceptual —
+    * only byte-identical payloads collide (Hamming 0), which is exactly
+    * the honest semantics for opaque bytes: exact-duplicate detection,
+    * never a false visual match. Replicable in SQL, so the driver
+    * fixture (synthetic payloads → all fallback) stays oracle-exact. */
+  object StubPerceptualHasher extends PerceptualHasher {
+    override def hash(r: MediaRow): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(r.media)
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+  }
+
+  /** REAL average-hash (aHash) on the JDK codecs: decode, average-pool
+    * to an 8×8 grayscale grid, threshold each cell at the grid mean —
+    * bit i (row-major, MSB first) set iff cell ≥ mean. The classic
+    * perceptual fingerprint: brightness-scale-invariant-ish, robust to
+    * resizing and small edits (MultimodalSpec pins a one-pixel edit at
+    * small Hamming and an inverted image far away). Payloads imageio
+    * can't decode fall back (mixed-corpus contract of
+    * [[ImageIoDecoder]]). */
+  class ImageIoAHash(fallback: PerceptualHasher = StubPerceptualHasher)
+      extends PerceptualHasher {
+    override def hash(r: MediaRow): Long = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media)))
+        catch { case _: Exception => None }
+      img match {
+        case None => fallback.hash(r)
+        case Some(im) =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          if (w <= 0 || h <= 0) fallback.hash(r)
+          else {
+            val cell = new Array[Double](64)
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                // average grayscale over this cell's pixel block
+                val (x0, x1) = (gx * w / 8, math.max(gx * w / 8 + 1, (gx + 1) * w / 8))
+                val (y0, y1) = (gy * h / 8, math.max(gy * h / 8 + 1, (gy + 1) * h / 8))
+                var sum = 0.0; var n = 0
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = im.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)) / 3.0
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                cell(gy * 8 + gx) = sum / n
+                gx += 1
+              }
+              gy += 1
+            }
+            val mean = cell.sum / 64
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (cell(i) >= mean) bits |= (1L << (63 - i))
+              i += 1
+            }
+            bits
+          }
+      }
+    }
+  }
+
+  /** Partition-parallel perceptual hashing (the [[extractMeta]] shape);
+    * pair the output with [[graft.ext.Dedup.fingerprintPairs]] for
+    * banded near-dup candidates — the multimodal member of the dedup
+    * family. */
+  def perceptualHash(media: DataFrame, hasher: PerceptualHasher): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, r.kind, hasher.hash(r))))
+      .toDF("doc_id", "kind", "phash")
+  }
+
   def sampleFrames(media: DataFrame, decoder: Decoder, stride: Int): Dataset[MediaFrame] = {
     require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession

@@ -184,6 +184,31 @@ object ExtQ {
         .select("doc_id", "frame_idx", "offset", "frame_len")
         .orderBy("doc_id", "frame_idx")),
 
+    // M5 — perceptual-hash media near-dup: the multimodal member of the
+    // dedup family. mapPartitions aHash stage (REAL javax.imageio
+    // average-hash for decodable payloads; md5-derived fallback for the
+    // fixture's synthetic bytes — exact-dup-only semantics, so the
+    // DuckDB oracle replicates it bit-for-bit) → the SAME banded-Hamming
+    // kernel text SimHash uses ([[Dedup.fingerprintPairs]]): candidates
+    // from 4 16-bit-band equi-joins (pigeonhole-exact to Hamming 3),
+    // never O(n²). The corpus carries a planted RE-CRAWL slice
+    // (doc_id % 11 == 0 re-keyed +10⁷, byte-identical payloads — the
+    // realistic media-dup source), so every SF yields Hamming-0 pairs;
+    // the gate-SF fixture has no native byte-dups. MultimodalSpec pins
+    // the real-codec path: a one-pixel edit pairs at small Hamming, an
+    // inverted image doesn't.
+    "m5_media_phash_dup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val recrawl = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      graft.ext.Dedup.fingerprintPairs(
+          Multimodal.perceptualHash(
+            Multimodal.mediaTable(docs.unionByName(recrawl)),
+            new Multimodal.ImageIoAHash()),
+          "doc_id", "phash", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // ST1 — event-time tumbling window aggregation (Structured Streaming's
     // window() primitive, batch-executed; epoch-aligned 6h windows).
     "st1_tumbling_window" -> ((s, d) =>
@@ -369,6 +394,21 @@ object ExtQ {
            CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
            least(n_bytes, (ow * oh) // 8) AS n_bytes_out
          FROM d ORDER BY doc_id""",
+    "m5_media_phash_dup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text FROM documents
+           WHERE doc_id % 11 = 0),
+         p AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
+           FROM u)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS INTEGER) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id1, id2""",
     "m4_frame_sample" ->
       """WITH v AS (
            SELECT doc_id, octet_length(encode(text)) AS n_bytes,

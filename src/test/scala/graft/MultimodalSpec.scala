@@ -180,4 +180,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(cos > 0 && cos <= 1.0 + 1e-12)
     }
   }
+
+  test("perceptual aHash: one-pixel edit pairs at small Hamming, inversion doesn't; stub = md5 prefix") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // a high-contrast half-dark/half-light base; the edit flips ONE pixel
+    val base = png((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val edited = png((x, y) =>
+      if (x == 0 && y == 0) 0xffffff
+      else if (x < 32) 0x000000 else 0xffffff)
+    val inverted = png((x, _) => if (x < 32) 0xffffff else 0x000000)
+    val synthetic = "opaque non-image payload".getBytes("UTF-8")
+    val media = Seq((1L, "image", base), (2L, "image", edited),
+        (3L, "image", inverted), (4L, "audio", synthetic))
+      .toDF("doc_id", "kind", "media")
+    val hashed = Multimodal.perceptualHash(media, new Multimodal.ImageIoAHash())
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one flipped pixel in a 64-pixel cell barely moves the cell mean →
+    // identical or near-identical fingerprints; inversion flips ~all bits
+    assert(hamming(hashed(1L), hashed(2L)) <= 3)
+    assert(hamming(hashed(1L), hashed(3L)) > 32)
+    // non-image payload takes the md5-prefix fallback, exactly
+    val d = java.security.MessageDigest.getInstance("MD5").digest(synthetic)
+    assert(hashed(4L) == java.nio.ByteBuffer.wrap(d, 0, 8).getLong)
+
+    // and the banded kernel pairs exactly the close pair
+    val pairs = graft.ext.Dedup.fingerprintPairs(
+        Multimodal.perceptualHash(media, new Multimodal.ImageIoAHash()),
+        "doc_id", "phash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
