@@ -816,6 +816,73 @@ object ScaleStress {
         Similarity.ivfAppend(builtIvf(m), batch)
           .postings.filter(col("vec_id") >= 888000000L).count()
       }),
+      Op("m5_phash_pairs", m => {
+        // perceptual-hash media near-dup: mapPartitions hash scan (the
+        // fixture payloads all take the md5-prefix fallback) + the
+        // banded-Hamming kernel. Payload copies are distinct across the
+        // blow-up (copy-tag prefix), so pairs come only from the planted
+        // re-crawl slice — expect ~linear wall, linear pair counts.
+        val docs = docsOf(m)
+        val recrawl = docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000000L)
+        graft.ext.Dedup.fingerprintPairs(
+          graft.ext.Multimodal.perceptualHash(
+            graft.ext.Multimodal.mediaTable(docs.unionByName(recrawl)
+              .select("doc_id", "text")),
+            new graft.ext.Multimodal.ImageIoAHash()),
+          "doc_id", "phash", maxHamming = 3).count()
+      }),
+      Op("x53_incr_curation", m => {
+        // the composed nightly-ingest capstone at m×: incremental dedup
+        // vs the corpus digest index + quality verdict + batch-scoped
+        // decontam + sample. Every stage is batch-bounded or
+        // digest/id-keyed — expect the max of its members' shapes
+        // (~linear), never a corpus-squared term.
+        val docs = docsOf(m)
+        val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        val batch = docs.filter(col("doc_id") % 4 === 0)
+        val survivors = graft.ext.Dedup
+          .incrementalDedup(corpus, batch, "doc_id", "text")
+          .select("doc_id")
+        // the repetition + length legs of the x21 verdict, recomputed on
+        // the blow-up (the driver query reads memoized sf-dir signals;
+        // the composite-score leg is one more scan column — same shape)
+        val toks = docs.withColumn("toks", TextOps.tokens(col("text")))
+        val rep = toks.select(col("doc_id"),
+            explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(sum("n").as("total"),
+            count(lit(1)).as("nd"), max("n").as("maxn"))
+        val kept = docs.join(rep, "doc_id")
+          .filter((lit(1.0) - col("nd") / col("total")) <= 0.8 &&
+            (col("maxn") / col("total")) <= 0.3 && col("n_chars") >= 50)
+          .select("doc_id")
+        // tokens salted per copy (the x17 convention): the blow-up's
+        // copies are textually near-identical, so unsalted cross-copy
+        // Jaccard ≈ 0.9 marks EVERY doc contaminated by some copy's
+        // benchmark twin — that would test the data, not the op
+        val t = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), floor(col("n_chars") / 20).as("bkt"),
+          transform(array_distinct(TextOps.tokens(col("text"))),
+            x => concat(x, lit("#"), col("copy"))).as("toks"))
+        val a = t.filter(col("doc_id") % 4 === 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("bkt"),
+            col("n_chars").as("nc1"), col("toks").as("t1"))
+        val bch = t.filter(col("doc_id") % 7 === 0)
+          .select(col("lang"), col("source"),
+            explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+            col("n_chars").as("nc2"), col("toks").as("t2"))
+        val contaminated = a.join(bch, Seq("lang", "source", "bkt"))
+          .filter(abs(col("nc1") - col("nc2")) <= 20)
+          .filter(round(TextOps.jaccard(col("t1"), col("t2")), 6) >= 0.5)
+          .select("doc_id").distinct()
+        TextOps.stratifiedSample(
+            batch.filter(col("doc_id") % 7 =!= 0)
+              .join(survivors, "doc_id").join(kept, "doc_id")
+              .join(contaminated, Seq("doc_id"), "left_anti"),
+            "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
+            defaultFraction = 0.8).count()
+      }),
       Op("v29_sem_decontam", m => {
         // semantic decontam audit: FIXED benchmark (the 1x slice —
         // benchmarks don't grow with the corpus) broadcast-packed, train
