@@ -42,6 +42,25 @@ object StreamBm25 {
   def appendBatch(dir: String, batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a brand-new index is manifest-mode from birth: commit the empty
+    // set BEFORE any write, so even a batch-0 crash leaves a manifest
+    // that marks the orphaned partition uncommitted
+    if (Manifest.read(spark, dir).isEmpty &&
+        !fs.exists(new org.apache.hadoop.fs.Path(postingsDir(dir))))
+      Manifest.commit(spark, dir, Set.empty)
+    val manifest = Manifest.read(spark, dir)
+    // same-batchId retry after a crash: the engine re-runs foreachBatch
+    // with the SAME id, and append-mode writes into the half-written
+    // partition would double rows — wipe the uncommitted partitions
+    // first (they were never readable: not in any manifest)
+    if (manifest.exists(live => !live.contains(batchId.toInt))) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${postingsDir(dir)}/seg_id=${batchId.toInt}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${termDfDir(dir)}/seg_id=${batchId.toInt}"), true)
+    }
     val fresh = (load(spark, dir) match {
       case Some(segs) =>
         batch.join(segs.postings.select(col("key").as(idCol)).distinct(),
@@ -75,6 +94,13 @@ object StreamBm25 {
       segStats.write.mode("append").parquet(statsDir(dir))
       termDf.write.mode("append").partitionBy("seg_id")
         .parquet(termDfDir(dir))
+      // COMMIT: the batch becomes visible in one atomic manifest flip —
+      // all three artifacts or none. Legacy (pre-manifest) dirs adopt
+      // their current listing as the baseline live set.
+      val live = manifest.getOrElse(
+        spark.read.parquet(statsDir(dir)).select("seg_id").distinct()
+          .collect().map(_.getInt(0)).toSet - batchId.toInt)
+      Manifest.commit(spark, dir, live + batchId.toInt)
     } finally fresh.unpersist()
   }
 
@@ -89,14 +115,14 @@ object StreamBm25 {
     * [[graft.ext.TextOps.bm25SegmentCompact]] is the in-memory proof,
     * StreamBm25Spec pins the disk form).
     *
-    * `into` must be a FRESH id (> every existing seg_id): the merged
-    * partition is written before the old partitions are dropped, so at
-    * no point does a reader see a token's postings twice under the same
-    * seg_id, and the final delete is the commit. Test-scale
-    * simplification: production would stage this behind a manifest
-    * commit point (Lucene's segments_N) so a crash between the write
-    * and the deletes cannot double-serve; at 100 TB the rewrite touches
-    * only the small segments being folded, exactly like tiered merging. */
+    * `into` must be a FRESH id (> every seg_id ever written): the merged
+    * artifacts are STAGED (unreadable), then one atomic [[Manifest]]
+    * flip makes the merged segment visible and the folded segments
+    * invisible in the same instant — a crash at any point cannot
+    * double-serve (before the flip: the stage is invisible; after: the
+    * folded dirs are unreachable garbage for [[vacuum]]). At 100 TB the
+    * rewrite touches only the small segments being folded, exactly like
+    * tiered merging. */
   def compact(s: SparkSession, dir: String, upTo: Int, into: Int): Unit =
     compactSet(s, dir, (0 to upTo).toSet, into)
 
@@ -108,11 +134,31 @@ object StreamBm25 {
                  into: Int): Unit = {
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
-    val maxSeg = segs.segStats.agg(max(col("seg_id"))).head.getInt(0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // `into` must be fresh vs everything EVER written (raw stats, not
+    // the live view): a crashed compaction's orphaned id must never be
+    // re-used with rows already in its partition dir
+    val maxSeg = s.read.parquet(statsDir(dir))
+      .agg(max(col("seg_id"))).head.getInt(0)
     require(into > maxSeg, s"into=$into must be fresh (> max seg id $maxSeg)")
+    val live = Manifest.read(s, dir).getOrElse(
+      segs.segStats.select("seg_id").distinct()
+        .collect().map(_.getInt(0)).toSet)
+    require(segIds.subsetOf(live),
+      s"fold set $segIds must be live segments ($live)")
+    // a PREVIOUS crashed attempt at this same `into` can only have
+    // staged uncommitted partitions (require above would fail if its
+    // stats row landed) — wipe before restaging
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${postingsDir(dir)}/seg_id=$into"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${termDfDir(dir)}/seg_id=$into"), true)
     val fold = col("seg_id").isin(segIds.toSeq: _*)
-    // 1. write the merged postings partition (fresh seg_id dir — append
-    //    collides with nothing) and its summed term dictionary
+    // 1. STAGE the merged segment: postings partition (fresh seg_id dir
+    //    — append collides with nothing), summed term dictionary, and
+    //    one summed stats row (append-only — dead rows are filtered by
+    //    the manifest at load). Nothing staged here is readable yet.
     segs.postings.filter(fold)
       .select(lit(into).as("seg_id"), col("key"), col("tok"),
         col("tf"), col("dl"))
@@ -121,21 +167,18 @@ object StreamBm25 {
       .groupBy("tok").agg(sum("df").as("df"))
       .select(lit(into).as("seg_id"), col("tok"), col("df"))
       .write.mode("append").partitionBy("seg_id").parquet(termDfDir(dir))
-    // 2. rewrite the (tiny, unpartitioned) stats table: surviving rows +
-    //    one summed row for the merged segment — staged then swapped
-    val newStats = segs.segStats.filter(!fold)
-      .unionByName(segs.segStats.filter(fold)
-        .agg(lit(into).as("seg_id"), sum("n_docs").as("n_docs"),
-          sum("sum_dl").as("sum_dl")))
+    segs.segStats.filter(fold)
+      .agg(lit(into).as("seg_id"), sum("n_docs").as("n_docs"),
+        sum("sum_dl").as("sum_dl"))
       .select("seg_id", "n_docs", "sum_dl")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val statsTmp = s"$dir/segstats.compact-tmp"
-    newStats.coalesce(1).write.mode("overwrite").parquet(statsTmp)
-    fs.delete(new org.apache.hadoop.fs.Path(statsDir(dir)), true)
-    fs.rename(new org.apache.hadoop.fs.Path(statsTmp),
-      new org.apache.hadoop.fs.Path(statsDir(dir)))
-    // 3. commit: drop the folded segments' partition dirs
+      .write.mode("append").parquet(statsDir(dir))
+    // 2. COMMIT: one atomic manifest flip — the merged segment becomes
+    //    visible and the folded segments invisible in the same instant,
+    //    so no reader ever sees a posting twice. (Legacy dirs adopt
+    //    manifest mode here.)
+    Manifest.commit(s, dir, live -- segIds + into)
+    // 3. reclaim the folded partition dirs (already unreachable; a
+    //    crash here merely leaves garbage for [[vacuum]])
     segIds.foreach { k =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${postingsDir(dir)}/seg_id=$k"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"${termDfDir(dir)}/seg_id=$k"), true)
@@ -164,21 +207,69 @@ object StreamBm25 {
     }
 
   /** The maintained index as written so far; None before the first
-    * batch. Serve with [[graft.ext.TextOps.bm25SearchSegmented]]. */
+    * batch. Serve with [[graft.ext.TextOps.bm25SearchSegmented]].
+    *
+    * Manifest-mode dirs serve EXACTLY the latest committed segment set
+    * ([[Manifest]]): partitions staged by an in-flight append or
+    * compaction — and partitions a compaction has already folded but
+    * not yet deleted — are invisible, so a reader can never see a
+    * posting twice or a half-written batch. Partition pruning makes the
+    * `isin` filter a listing-level operation, not a scan. Legacy dirs
+    * (no manifest) keep the directory-listing behavior. */
   def load(s: SparkSession, dir: String): Option[TextOps.Bm25Segments] = {
     val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(TextOps.Bm25Segments(
-      // partition column seg_id comes back as its directory-inferred
-      // type; normalize to the int the in-memory form carries
-      postings = s.read.parquet(postingsDir(dir))
-        .withColumn("seg_id", col("seg_id").cast("int"))
-        .select("seg_id", "key", "tok", "tf", "dl"),
-      segStats = s.read.parquet(statsDir(dir))
-        .select("seg_id", "n_docs", "sum_dl"),
-      termDf = s.read.parquet(termDfDir(dir))
-        .withColumn("seg_id", col("seg_id").cast("int"))
-        .select("seg_id", "tok", "df")))
+    else {
+      val raw = TextOps.Bm25Segments(
+        // partition column seg_id comes back as its directory-inferred
+        // type; normalize to the int the in-memory form carries
+        postings = s.read.parquet(postingsDir(dir))
+          .withColumn("seg_id", col("seg_id").cast("int"))
+          .select("seg_id", "key", "tok", "tf", "dl"),
+        segStats = s.read.parquet(statsDir(dir))
+          .select("seg_id", "n_docs", "sum_dl"),
+        termDf = s.read.parquet(termDfDir(dir))
+          .withColumn("seg_id", col("seg_id").cast("int"))
+          .select("seg_id", "tok", "df"))
+      Manifest.read(s, dir) match {
+        case None => Some(raw)
+        case Some(live) =>
+          val keep = col("seg_id").isin(live.toSeq: _*)
+          Some(TextOps.Bm25Segments(
+            postings = raw.postings.filter(keep),
+            // stats rows are append-only in manifest mode; a crashed
+            // append retried by the engine can leave a value-identical
+            // duplicate row for its (re-delivered, hence byte-identical)
+            // batch — collapse it
+            segStats = raw.segStats.filter(keep).dropDuplicates("seg_id"),
+            termDf = raw.termDf.filter(keep)))
+      }
+    }
   }
+
+  /** Reclaim space a compaction's manifest flip already made
+    * unreachable: delete postings/dictionary partition dirs whose
+    * seg_id is not in the latest manifest, and all manifest
+    * generations below the latest. Pure garbage collection — the
+    * manifest protocol means correctness never depends on running
+    * this. No-op on legacy dirs. */
+  def vacuum(s: SparkSession, dir: String): Unit =
+    Manifest.read(s, dir).foreach { live =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(postingsDir(dir), termDfDir(dir)).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("seg_id=") &&
+              !live.contains(n.stripPrefix("seg_id=").toInt))
+            fs.delete(st.getPath, true)
+        }
+      }
+      val m = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+      val gens = fs.listStatus(m).map(_.getPath)
+        .filter(_.getName.matches("m-\\d{8}")).sortBy(_.getName)
+      gens.dropRight(1).foreach(fs.delete(_, false))
+    }
 }

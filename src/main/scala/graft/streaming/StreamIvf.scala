@@ -61,6 +61,19 @@ object StreamIvf {
                   nAssign: Int = 2, refineIters: Int = 2,
                   hierAssignFrom: Int = 512): Unit = {
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest-mode from birth + same-batchId crash-retry wipe (the
+    // [[StreamBm25.appendBatch]] protocol): a partition that never
+    // reached a manifest commit was never readable, and the engine's
+    // retry must not append into its leftovers
+    if (Manifest.read(spark, dir).isEmpty &&
+        !fs.exists(new org.apache.hadoop.fs.Path(postingsDir(dir))))
+      Manifest.commit(spark, dir, Set.empty)
+    val manifest = Manifest.read(spark, dir)
+    if (manifest.exists(live => !live.contains(batchId.toInt)))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${postingsDir(dir)}/batch_id=${batchId.toInt}"), true)
     val fresh = (load(spark, dir, idCol, vecCol) match {
       case Some(idx) =>
         batch.join(idx.postings.select(col(idCol)).distinct(),
@@ -73,9 +86,13 @@ object StreamIvf {
       // later action can see a file listing containing this batch's own
       // postings
       if (fresh.count() == 0) return
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cPath = new org.apache.hadoop.fs.Path(centroidsDir(dir))
+      // a centroid dir without its _SUCCESS job-commit marker is a
+      // crashed training write — wipe and retrain (the quantizer is
+      // only frozen once COMPLETELY written)
+      if (fs.exists(cPath) && !fs.exists(
+          new org.apache.hadoop.fs.Path(cPath, "_SUCCESS")))
+        fs.delete(cPath, true)
       if (!fs.exists(cPath)) {
         // train ONCE, on the first batch (FAISS train-then-add); the
         // write is the freeze — no later batch ever touches this dir
@@ -94,6 +111,12 @@ object StreamIvf {
           col(vecCol), col("ivf_cell"))
         .write.mode("append").partitionBy("batch_id")
         .parquet(postingsDir(dir))
+      // COMMIT: the batch's postings become visible atomically
+      val live = manifest.getOrElse(
+        spark.read.parquet(postingsDir(dir))
+          .select(col("batch_id").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSet - batchId.toInt)
+      Manifest.commit(spark, dir, live + batchId.toInt)
     } finally fresh.unpersist()
   }
 
@@ -107,11 +130,24 @@ object StreamIvf {
       : Option[Similarity.IvfIndex] = {
     val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(Similarity.IvfIndex(
-      centroids = s.read.parquet(centroidsDir(dir)),
-      postings = s.read.parquet(postingsDir(dir))
-        .withColumn("batch_id", col("batch_id").cast("int")),
-      idCol = idCol, vecCol = vecCol))
+    // a batch-0 crash can leave staged postings without a completed
+    // quantizer — the index exists only once both are committed
+    if (!fs.exists(p) || !fs.exists(new org.apache.hadoop.fs.Path(
+        centroidsDir(dir), "_SUCCESS"))) None
+    else {
+      val raw = s.read.parquet(postingsDir(dir))
+        .withColumn("batch_id", col("batch_id").cast("int"))
+      // manifest-mode dirs serve exactly the committed batch set — a
+      // partition staged by an in-flight append is invisible (the
+      // [[Manifest]] protocol; partition-pruned filter). Legacy dirs
+      // keep the listing behavior.
+      val postings = Manifest.read(s, dir) match {
+        case None => raw
+        case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
+      }
+      Some(Similarity.IvfIndex(
+        centroids = s.read.parquet(centroidsDir(dir)),
+        postings = postings, idCol = idCol, vecCol = vecCol))
+    }
   }
 }

@@ -170,6 +170,42 @@ class StreamBm25Spec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("manifest: staged-but-uncommitted partitions are invisible; flip + vacuum") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq) // segments 0,1,2 committed
+    val queries = queryDocs.toDF("doc_id", "text")
+    val want = searchRows(TextOps.bm25SearchSegmented(
+      StreamBm25.load(spark, dir).get, queries, "doc_id", "text", k = 3))
+    // simulate a crashed append/compaction: a fully-written partition
+    // that never reached a manifest commit (duplicate copies of segment
+    // 0's postings under a fresh id — the double-serve hazard)
+    val seg0 = spark.read.parquet(s"$dir/postings")
+      .withColumn("seg_id", col("seg_id").cast("int"))
+      .filter(col("seg_id") === 0)
+    seg0.withColumn("seg_id", lit(99))
+      .write.mode("append").partitionBy("seg_id").parquet(s"$dir/postings")
+    val segs = StreamBm25.load(spark, dir).get
+    assert(segs.segStats.select("seg_id").as[Int].collect().toSet ==
+      Set(0, 1, 2), "orphan partition must not surface")
+    assert(searchRows(TextOps.bm25SearchSegmented(segs, queries,
+      "doc_id", "text", k = 3)) == want, "orphan must not change scores")
+    // the manifest flip is the visibility switch: drop segment 2 from
+    // the live set WITHOUT deleting its dir (crash-after-commit shape)
+    val live = graft.streaming.Manifest.read(spark, dir).get
+    graft.streaming.Manifest.commit(spark, dir, live - 2)
+    val dropped = StreamBm25.load(spark, dir).get
+    assert(dropped.segStats.select("seg_id").as[Int].collect().toSet ==
+      Set(0, 1), "committed manifest must hide seg 2 though its dir exists")
+    assert(new java.io.File(s"$dir/postings/seg_id=2").exists)
+    // vacuum reclaims what the manifest already made unreachable
+    graft.streaming.StreamBm25.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/postings/seg_id=2").exists)
+    assert(!new java.io.File(s"$dir/postings/seg_id=99").exists)
+    val after = StreamBm25.load(spark, dir).get
+    assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
+      Set(0, 1), "vacuum must not change the live view")
+  }
+
   test("st7 driver query: compacted streamed index equals scratch on testdata") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

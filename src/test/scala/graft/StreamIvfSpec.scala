@@ -117,6 +117,23 @@ class StreamIvfSpec extends AnyFunSuite {
     assert(full.nonEmpty)
   }
 
+  test("manifest: a staged-but-uncommitted partition is invisible") {
+    val dir = ingest()
+    val idx0 = StreamIvf.load(spark, dir, "vec_id", "vec").get
+    val n0 = idx0.postings.count()
+    // simulate a crashed append: a fully-written partition that never
+    // reached a manifest commit (duplicate copies of batch 0's postings
+    // under a fresh batch id — the double-index hazard)
+    spark.read.parquet(s"$dir/postings")
+      .withColumn("batch_id", col("batch_id").cast("int"))
+      .filter(col("batch_id") === 0)
+      .withColumn("batch_id", lit(50))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$dir/postings")
+    val idx = StreamIvf.load(spark, dir, "vec_id", "vec").get
+    assert(idx.postings.count() == n0, "orphan partition must not surface")
+    assert(idx.postings.select("batch_id").distinct().count() == 3)
+  }
+
   test("drift trigger: quiet under uniform ingest, flips on a hot-cell batch") {
     // drop the batch_id provenance column: ivfAppend is strict about
     // postings metadata existing on the batch (silently null-filling a
