@@ -286,6 +286,33 @@ object ScaleStress {
         Similarity.bruteForceTopK(c.filter(col("vec_id") < 5), c,
           "vec_id", "vec_id", "vec", k = 10).count()
       }),
+      Op("v2_brute_heap_5q", m => {
+        // the SAME exact top-k via the bounded-heap aggregate
+        // (TopKAgg.topKByKey): map-side partial aggregation discards all
+        // but k rows per (mapper, query) BEFORE the shuffle, where the
+        // rank window ships and sorts every candidate row. Bit-identical
+        // output (TopKAggSpec); this row measures what the shuffle
+        // savings are worth.
+        val c = embsOf(m)
+        graft.functions.TopKAgg.topKByKey(
+          Similarity.bruteForceScores(c.filter(col("vec_id") < 5), c,
+            "vec_id", "vec_id", "vec"),
+          "q_id", "cos", "c_id", k = 10).count()
+      }),
+      // the 64-query pair: candidate stream is 64·n rows — the shuffle
+      // the two forms treat differently is 64× bigger than the 5q rows'
+      Op("v2_win64q", m => {
+        val c = embsOf(m)
+        Similarity.bruteForceTopK(c.filter(col("vec_id") < 64), c,
+          "vec_id", "vec_id", "vec", k = 10).count()
+      }),
+      Op("v2_heap64q", m => {
+        val c = embsOf(m)
+        graft.functions.TopKAgg.topKByKey(
+          Similarity.bruteForceScores(c.filter(col("vec_id") < 64), c,
+            "vec_id", "vec_id", "vec"),
+          "q_id", "cos", "c_id", k = 10).count()
+      }),
       Op("v4_ann_lsh", m => {
         // planes sized to the corpus (log2 rule): a FIXED 8-bit band at
         // 128k vectors means 256 buckets of ~500 → Θ(n²/256) candidate

@@ -120,6 +120,39 @@ object StreamIvf {
     } finally fresh.unpersist()
   }
 
+  /** RE-TRAIN — the remedy [[graft.ext.Similarity.ivfRetrainNeeded]]
+    * triggers, completing the dense maintenance lifecycle the way
+    * [[StreamBm25.compactSet]] completes the sparse one (ingest → serve
+    * → drift audit → RETRAIN): the live corpus (ids + vectors read from
+    * the current postings, first assignment per id) trains a fresh
+    * quantizer and re-assigns into `newDir` as that index's batch 0.
+    *
+    * The retrained index is a NEW index dir, and the serving layer's
+    * pointer swap is the commit — deliberately: a re-train invalidates
+    * every cell id at once (unlike compaction, there is no shared
+    * postings layout to stage into), so the only honest atomic unit is
+    * the whole index, exactly FAISS's rebuild-and-swap contract. The
+    * old dir keeps serving until the swap, then becomes garbage. The
+    * ingest stream targets `newDir` afterwards; its first-seen guard
+    * sees all retrained ids (StreamIvfSpec: retrained full-depth serve
+    * ≡ the old index's ≡ brute force, and the planted drift skew
+    * resets). */
+  def retrain(s: SparkSession, oldDir: String, newDir: String, nCells: Int,
+              nAssign: Int = 2, refineIters: Int = 2,
+              hierAssignFrom: Int = 512,
+              idCol: String = "vec_id", vecCol: String = "vec"): Unit = {
+    val idx = load(s, oldDir, idCol, vecCol).getOrElse(
+      throw new IllegalArgumentException(s"no index at $oldDir"))
+    val corpus = idx.postings
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("ivf_cell"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(vecCol))
+    appendBatch(newDir, corpus, batchId = 0, idCol, vecCol, nCells,
+      nAssign, refineIters, hierAssignFrom)
+  }
+
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.Similarity.probeIvf]]; audit with
     * [[graft.ext.Similarity.ivfDriftReport]]. The `batch_id` partition

@@ -163,4 +163,36 @@ class StreamIvfSpec extends AnyFunSuite {
     val rep = Similarity.ivfDriftReport(drifted).head
     assert(rep.getLong(0) == drifted.postings.count())
   }
+
+  test("retrain: fresh quantizer serves identically at full depth, drift resets") {
+    // build a DRIFTED on-disk index: normal 3-batch ingest + a hot batch
+    // of near-identical vectors (all copies of one corpus vector)
+    val dir = ingest()
+    val hot = corpus.limit(1).select(col("vec")).crossJoin(
+        spark.range(0, 1500).select(col("id").as("vec_id")))
+      .select(col("vec_id") + 3000000L as "vec_id", col("vec"))
+    StreamIvf.appendBatch(dir, hot, 7, "vec_id", "vec", nCells = NCells)
+    val old = StreamIvf.load(spark, dir, "vec_id", "vec").get
+    def skew(i: Similarity.IvfIndex) =
+      Similarity.ivfDriftReport(i).select("occ_skew").head.getDouble(0)
+    val skewBefore = skew(old)
+    // retrain into a fresh dir; the pointer swap is the commit
+    val newDir = java.nio.file.Files
+      .createTempDirectory("stream_ivf_rt").toString
+    StreamIvf.retrain(spark, dir, newDir, nCells = NCells)
+    val fresh = StreamIvf.load(spark, newDir, "vec_id", "vec").get
+    // same corpus, one posting pair per id
+    assert(fresh.postings.select("vec_id").distinct().count() ==
+      old.postings.select("vec_id").distinct().count())
+    // full-depth serve identical (probe-depth independence of training)
+    val qs = corpus.filter(col("vec_id") < 5)
+    def rows(i: Similarity.IvfIndex) =
+      Similarity.probeIvf(i, qs, "vec_id", nProbe = NCells, k = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(fresh) == rows(old))
+    // the retrained quantizer has SEEN the hot mass, so it spends cells
+    // on it: occupancy skew drops back toward the uniform band
+    assert(skew(fresh) < skewBefore * 0.7,
+      s"retrain must reduce skew (before ${skewBefore}, after ${skew(fresh)})")
+  }
 }
