@@ -278,10 +278,13 @@ object TextOps {
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
         .as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
-      .filter(col("rank") <= k)
+      // bounded-heap top-k, ranking on the (optionally rounded) score
+      // with raw score carried through — candidates per query are the
+      // touched posting lists, so the partial agg keeps ≤ k of them per
+      // mapper out of the final shuffle (TopKAgg; bit-identical to the
+      // rank window, TopKAggSpec)
+      .transform(graft.functions.TopKAgg.topKByKeyOn(_, "q_id",
+        scoreRankKey(rankRound), "key", "score", k))
       .select("q_id", "rank", "key", "score")
   }
 
@@ -407,10 +410,13 @@ object TextOps {
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
         .as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
-      .filter(col("rank") <= k)
+      // bounded-heap top-k, ranking on the (optionally rounded) score
+      // with raw score carried through — candidates per query are the
+      // touched posting lists, so the partial agg keeps ≤ k of them per
+      // mapper out of the final shuffle (TopKAgg; bit-identical to the
+      // rank window, TopKAggSpec)
+      .transform(graft.functions.TopKAgg.topKByKeyOn(_, "q_id",
+        scoreRankKey(rankRound), "key", "score", k))
       .select("q_id", "rank", "key", "score")
   }
 
@@ -563,10 +569,13 @@ object TextOps {
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
         .as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
-      .filter(col("rank") <= k)
+      // bounded-heap top-k, ranking on the (optionally rounded) score
+      // with raw score carried through — candidates per query are the
+      // touched posting lists, so the partial agg keeps ≤ k of them per
+      // mapper out of the final shuffle (TopKAgg; bit-identical to the
+      // rank window, TopKAggSpec)
+      .transform(graft.functions.TopKAgg.topKByKeyOn(_, "q_id",
+        scoreRankKey(rankRound), "key", "score", k))
       .select("q_id", "rank", "key", "score")
   }
 
@@ -675,10 +684,13 @@ object TextOps {
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
         .as("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(scoreRankKey(rankRound).desc, col("key"))))
-      .filter(col("rank") <= k)
+      // bounded-heap top-k, ranking on the (optionally rounded) score
+      // with raw score carried through — candidates per query are the
+      // touched posting lists, so the partial agg keeps ≤ k of them per
+      // mapper out of the final shuffle (TopKAgg; bit-identical to the
+      // rank window, TopKAggSpec)
+      .transform(graft.functions.TopKAgg.topKByKeyOn(_, "q_id",
+        scoreRankKey(rankRound), "key", "score", k))
       .select("q_id", "rank", "key", "score")
   }
 
@@ -694,10 +706,8 @@ object TextOps {
         (lit(1.0) / (lit(c) + col("rank"))).as("contrib")))
       .reduce(_ union _)
       .groupBy("q_id", "key").agg(sum("contrib").as("rrf"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("rrf").desc, col("key"))))
-      .filter(col("rank") <= k)
+      .transform(graft.functions.TopKAgg.topKByKey(_, "q_id", "rrf",
+        "key", k))
       .select("q_id", "rank", "key", "rrf")
 
   /** Jaccard similarity of two string sets (inputs must be distinct

@@ -79,4 +79,47 @@ object TopKAgg {
       .select(col(keyCol), posexplode(col("__top")).as(Seq("__i", "__e")))
       .select(col(keyCol), (col("__i") + 1).cast("int").as("rank"),
         col("__e.id").as(idCol), col("__e.score").as(scoreCol))
+
+  /** One scored candidate with a carried payload (rank on `rs`, emit
+    * `carry`) — the BM25 shape: serve ranks on round(score, n) for
+    * cross-engine tie stability but emits the raw score. */
+  case class Entry3(rs: Double, id: Long, carry: Double)
+
+  /** [[TopK]] with a payload column that rides along without
+    * participating in the order. */
+  class TopKCarry(k: Int) extends Aggregator[Entry3, Seq[Entry3], Seq[Entry3]] {
+    require(k > 0, s"k must be positive, got $k")
+    private def better(a: Entry3, b: Entry3): Boolean =
+      a.rs > b.rs || (a.rs == b.rs && a.id < b.id)
+    private def insert(b: Seq[Entry3], a: Entry3): Seq[Entry3] =
+      if (b.lengthCompare(k) >= 0 && better(b.last, a)) b
+      else {
+        val (keep, rest) = b.span(better(_, a))
+        val nb = keep ++ (a +: rest)
+        if (nb.lengthCompare(k) > 0) nb.take(k) else nb
+      }
+    override def zero: Seq[Entry3] = Nil
+    override def reduce(b: Seq[Entry3], a: Entry3): Seq[Entry3] = insert(b, a)
+    override def merge(b1: Seq[Entry3], b2: Seq[Entry3]): Seq[Entry3] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: Seq[Entry3]): Seq[Entry3] = r
+    override def bufferEncoder: Encoder[Seq[Entry3]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry3]]()
+    override def outputEncoder: Encoder[Seq[Entry3]] = bufferEncoder
+  }
+
+  /** Top-k per `keyCol` ranked by (`rankOn` desc, `idCol` asc), carrying
+    * `carryCol` through — output (key, rank, id, carry), bit-identical
+    * to `row_number().over(partitionBy(key).orderBy(rankOn desc, id))`
+    * with the carry column selected alongside. */
+  def topKByKeyOn(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                  rankOn: Column, idCol: String, carryCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new TopKCarry(k), Encoders.product[Entry3])
+    df.groupBy(col(keyCol))
+      .agg(agg(rankOn, col(idCol), col(carryCol)).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col(keyCol), (col("__i") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), col("__e.carry").as(carryCol))
+  }
 }

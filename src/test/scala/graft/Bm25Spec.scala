@@ -232,9 +232,11 @@ class Bm25Spec extends AnyFunSuite {
     // with full candidate coverage (measured 1.0 at P=64 here), exact
     // re-score of the candidates IS the exact top-10 — row-for-row
     val exact = TextOps.bm25Search(full, qs, "doc_id", "text", k = 10)
+      .orderBy("q_id", "rank")
       .select("q_id", "rank", "key").collect().map(_.toSeq).toSeq
     val twoStage = TextOps.bm25SearchTwoStage(full, pruned, qs,
         "doc_id", "text", k = 10)
+      .orderBy("q_id", "rank")
       .select("q_id", "rank", "key").collect().map(_.toSeq).toSeq
     assert(exact.nonEmpty && twoStage == exact)
   }
