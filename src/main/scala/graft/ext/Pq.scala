@@ -125,9 +125,10 @@ object Pq {
       .withColumn("adist",
         aggregate(zip_with(col("codes"), col("lut"),
           (code, row) => element_at(row, code + 1)), lit(0.0), _ + _))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("adist"), col(cId))))
-      .filter(col("rank") <= topK)
+      // ascending ADC distance = descending on its negation (TopKAgg;
+      // bounded-heap instead of shipping every scanned code row)
+      .transform(df => graft.functions.TopKAgg.topKByKeyOn(df, "q_id",
+        -col("adist"), cId, "adist", topK))
       .select(col("q_id"), col("rank"), col(cId).as("c_id"),
         round(col("adist"), 6).as("adist"))
   }
@@ -177,9 +178,8 @@ object Pq {
       .withColumn("adist",
         aggregate(zip_with(col("codes"), col("lut"),
           (code, row) => element_at(row, code + 1)), lit(0.0), _ + _))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("adist"), col("c_id"))))
-      .filter(col("rank") <= shortlist)
+      .transform(df => graft.functions.TopKAgg.topKByKeyOn(df, "q_id",
+        -col("adist"), "c_id", "adist", shortlist))
       .select(col("q_id"), col("rank"), col("c_id"),
         round(col("adist"), 6).as("adist"))
   }

@@ -92,9 +92,10 @@ object Similarity {
       col(filterCol))
     c.join(broadcast(q), Seq(filterCol))
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
+      // bounded-heap top-k (TopKAgg): filterCol is functionally
+      // dependent on q_id, so the composite group IS the q_id partition
+      .transform(graft.functions.TopKAgg.topKByKeys(_,
+        Seq("q_id", filterCol), "cos", "c_id", k))
       .select(col("q_id"), col(filterCol), col("rank"), col("c_id"),
         col("cos"))
   }
@@ -553,9 +554,8 @@ object Similarity {
         Seq("ivf_cell", filterCol))
       .dropDuplicates("q_id", "c_id")
       .withColumn("cos", cosine(col("q_vec"), col("c_vec2")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
+      .transform(graft.functions.TopKAgg.topKByKeys(_,
+        Seq("q_id", filterCol), "cos", "c_id", k))
       .select("q_id", filterCol, "rank", "c_id", "cos")
   }
 
@@ -580,11 +580,11 @@ object Similarity {
     val assigned = assignTo(corpus.select(col(idCol), col(index.vecCol)),
       index.centroids, idCol, index.vecCol, nAssign = 1)
     assigned
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("ivf_cell")
-          .orderBy(TextOps.md5Uniform(col(idCol)), col(idCol))))
-      .filter(col("__rk") <= cap)
-      .select(col(idCol), col("ivf_cell"), col("__rk").as("pick_rank"))
+      .withColumn("__u", TextOps.md5Uniform(col(idCol)))
+      // ascending (u, id) pick = descending on -u with the id tiebreak
+      .transform(df2 => graft.functions.TopKAgg.topKByKeyOn(df2,
+        "ivf_cell", -col("__u"), idCol, "__u", cap))
+      .select(col(idCol), col("ivf_cell"), col("rank").as("pick_rank"))
   }
 
   /** IVF top-k in one call (build + probe). For repeated query batches
@@ -686,9 +686,8 @@ object Similarity {
       .join(signed.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
       .join(signed.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
       .withColumn("cos", cosine(col("v1"), col("v2")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))))
-      .filter(col("rank") <= k)
+      .transform(graft.functions.TopKAgg.topKByKey(_, "id1", "cos",
+        "id2", k))
       .select("id1", "id2", "cos", "rank")
   }
 
@@ -808,17 +807,17 @@ object Similarity {
     val short = c.select(col("c_id"), col("c_sig"))
       .crossJoin(broadcast(q.select(col("q_id"), col("q_sig"))))
       .withColumn("ham", hammingDist(col("q_sig"), col("c_sig")))
-      .withColumn("hr", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))))
-      .filter(col("hr") <= shortlist)
+      // ascending rank = descending on the negated distance (exact:
+      // integer Hamming negates losslessly in double)
+      .transform(df2 => graft.functions.TopKAgg.topKByKeyOn(df2, "q_id",
+        -col("ham").cast("double"), "c_id", "ham", shortlist))
       .select("q_id", "c_id")
     short
       .join(c.select(col("c_id"), col("c_vec")), "c_id")
       .join(broadcast(q.select(col("q_id"), col("q_vec"))), "q_id")
       .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
+      .transform(graft.functions.TopKAgg.topKByKey(_, "q_id", "cos",
+        "c_id", k))
       .select("q_id", "rank", "c_id", "cos")
   }
 
@@ -846,9 +845,8 @@ object Similarity {
     a.join(b, "__blk")
       .filter(col("__id") =!= col("__nbr"))
       .withColumn("cos", cosine(col("__v"), col("__nv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("__id").orderBy(col("cos").desc, col("__nbr"))))
-      .filter(col("rank") <= k)
+      .transform(graft.functions.TopKAgg.topKByKeys(_,
+        Seq("__id", "__blk"), "cos", "__nbr", k))
       .select(col("__id").as(idCol), col("__blk").as(blockCol),
         col("rank"), col("__nbr").as("nbr_id"), col("cos"))
   }

@@ -1061,11 +1061,18 @@ object TextOps {
   def capPerKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
                 idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
-    df.withColumn("__u", md5Uniform(col(idCol)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(keyCol).orderBy(col("__u"), col(idCol))))
-      .filter(col("rk") <= n)
-      .drop("__u")
+    // winners decided on NARROW (key, u, id) rows via the bounded-heap
+    // aggregate — the old keyed window hash-shuffled every full row
+    // (text bodies included) to its key's reducer; here the wide rows
+    // never shuffle: the ≤ n·|keys| winner ids join back onto the scan
+    // (AQE broadcasts the bounded side). Same (u asc, id asc) pick.
+    val winners = graft.functions.TopKAgg.topKByKeyOn(
+        df.select(col(keyCol), col(idCol))
+          .withColumn("__u", md5Uniform(col(idCol))),
+        keyCol, -col("__u"), idCol, "__u", n)
+      .select(col(idCol), col("rank").as("rk"))
+    df.join(winners, idCol)
+      .select(df.columns.map(col) :+ col("rk"): _*)
   }
 
   /** Temperature-scaled mixture sampling — the multilingual/domain

@@ -74,11 +74,22 @@ object TopKAgg {
   def topKByKey(df: org.apache.spark.sql.DataFrame, keyCol: String,
                 scoreCol: String, idCol: String, k: Int)
       : org.apache.spark.sql.DataFrame =
-    df.groupBy(col(keyCol))
+    topKByKeys(df, Seq(keyCol), scoreCol, idCol, k)
+
+  /** [[topKByKey]] with a COMPOSITE key — for rank windows whose output
+    * carries columns functionally dependent on the partition key (a
+    * query's filter value, a vector's block id): grouping by all of
+    * them is the same partition with the dependents riding along. */
+  def topKByKeys(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                 scoreCol: String, idCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(keyCols.map(col): _*)
       .agg(topk(k, col(scoreCol), col(idCol)).as("__top"))
-      .select(col(keyCol), posexplode(col("__top")).as(Seq("__i", "__e")))
-      .select(col(keyCol), (col("__i") + 1).cast("int").as("rank"),
-        col("__e.id").as(idCol), col("__e.score").as(scoreCol))
+      .select(keyCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__i", "__e")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        (col("__i") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), col("__e.score").as(scoreCol)): _*)
 
   /** One scored candidate with a carried payload (rank on `rs`, emit
     * `carry`) — the BM25 shape: serve ranks on round(score, n) for

@@ -224,9 +224,14 @@ class PlanSpec extends AnyFunSuite {
     val crosses = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).size
     assert("CartesianProduct".r.findAllIn(p).isEmpty, s"cartesian:\n$p")
     assert(crosses <= 1, s"only the 1-row stats combine may cross:\n$p")
-    // the per-query top-k runs as a rank-limit window (partial+final
-    // WindowGroupLimit), not a global sort of all candidates
-    assert(p.contains("WindowGroupLimit"), s"top-k not group-limited:\n$p")
+    // the per-query top-k runs as the bounded-heap aggregate with a
+    // map-side partial (two ObjectHashAggregate stages), not a rank
+    // window over all candidates — stronger than the old
+    // WindowGroupLimit gate: at most k entries per (mapper, query)
+    // reach the exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"top-k not partial-aggregated:\n$p")
+    assert(!p.contains("Window ["), s"rank window crept back:\n$p")
   }
 
   test("v24 MMR: ONE keyed exchange feeds the bounded mapGroups fold") {
