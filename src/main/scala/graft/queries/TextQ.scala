@@ -235,9 +235,77 @@ object TextQ {
       })
     }
 
+  /** The STREAM-CURATED corpus ([[graft.streaming.StreamCurate
+    * .appendBatch]]): documents ingested as three arrival batches
+    * (doc_id % 3) through the on-disk sink — first-seen dedup vs the
+    * persistent seen index, then x53's policy stages (quality via the
+    * row-shaped verdict, batch × static-benchmark decontam, stratified
+    * sample) — then the curated corpus loaded back from disk. Memoized
+    * per (session, sfDir) + ArtifactStore'd like st6/st7/st8. */
+  private val st9Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val tmpSt9Dirs =
+    scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private def streamedCuration(s: SparkSession, d: String): DataFrame =
+    st9Cache.synchronized {
+      st9Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 x53policy"
+        def ingest(dir: String): Unit = {
+          val docs = Tables.documents(s, d)
+          // static benchmark reference (the x15/x53 split), prepared once
+          val bench = docs.filter(col("doc_id") % 7 === 0)
+            .select(col("lang"), col("source"),
+              explode(array(floor(col("n_chars") / 20) - 1,
+                floor(col("n_chars") / 20),
+                floor(col("n_chars") / 20) + 1)).as("bkt"),
+              col("n_chars").as("nc2"),
+              array_distinct(TextOps.tokens(col("text"))).as("t2"))
+          def policy(batch: DataFrame): DataFrame = {
+            val kept = batch.filter(col("doc_id") % 7 =!= 0)
+              .filter(graft.streaming.StreamCurate.qualityOk(
+                col("text"), col("n_chars"), stops))
+            val a = kept.select(col("doc_id"), col("lang"), col("source"),
+              floor(col("n_chars") / 20).as("bkt"),
+              col("n_chars").as("nc1"),
+              array_distinct(TextOps.tokens(col("text"))).as("t1"))
+            val contaminated = a.join(bench, Seq("lang", "source", "bkt"))
+              .filter(abs(col("nc1") - col("nc2")) <= 20)
+              .filter(round(TextOps.jaccard(col("t1"), col("t2")), 6) >= 0.5)
+              .select("doc_id").distinct()
+            TextOps.stratifiedSample(
+                kept.join(contaminated, Seq("doc_id"), "left_anti"),
+                "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
+                defaultFraction = 0.8)
+              .select("doc_id", "lang", "source")
+          }
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamCurate.appendBatch(dir,
+              docs.filter(col("doc_id") % 3 === i), i, policy)
+          }
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st9cur", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            ingest(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st9-")
+            tmpSt9Dirs += p
+            ingest(p.toString)
+            p.toString
+        }
+        val out = graft.streaming.StreamCurate.load(s, dir).get
+          .select("doc_id", "lang", "source").persist()
+        out.count()
+        out
+      })
+    }
+
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
-    corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d); ()
+    corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
+    streamedCuration(s, d); ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -259,6 +327,10 @@ object TextQ {
     }
     segIdxCache.clear()
     bloomCache.clear() // plain driver arrays — no executor state to release
+    st9Cache.values.foreach(_.unpersist())
+    st9Cache.clear()
+    tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
+    tmpSt9Dirs.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -798,6 +870,22 @@ object TextQ {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+
+    // ST9 — the nightly-ingest chain ONLINE: x53's stages as a
+    // foreachBatch sink against manifest-committed ON-DISK state
+    // ([[graft.streaming.StreamCurate.appendBatch]]): each arrival
+    // batch is first-seen-deduped against the persistent seen-digest
+    // index (EVERY fresh digest recorded, quality-rejects included —
+    // re-crawls of dropped pages never re-enter), then quality-filtered
+    // (the row-shaped x21 verdict, proven ≡ the aggregate form),
+    // decontaminated batch × static benchmark, sampled — survivors
+    // append to the curated corpus under one atomic manifest flip per
+    // batch. st9 serves the disk-round-tripped corpus. Oracle-exact:
+    // global first-seen = rank over (batch = doc_id % 3, doc_id), all
+    // other stages are per-doc conjuncts — the DuckDB SQL rebuilds the
+    // whole chain.
+    "st9_curate_stream" -> ((s, d) =>
+      streamedCuration(s, d).orderBy("doc_id")),
 
     // X53 — INCREMENTAL curation capstone: the daily batch
     // (doc_id % 4 == 0) run through the FULL x22 curation chain against
@@ -1485,6 +1573,52 @@ object TextQ {
            unnest(generate_series(1, epochs)) AS epoch
          FROM documents JOIN e USING (lang)
          ORDER BY doc_id, epoch""",
+    "st9_curate_stream" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         firstseen AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id % 3, doc_id) AS rk
+               FROM documents)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN firstseen USING (doc_id)
+         WHERE firstseen.rk = 1 AND d.doc_id % 7 <> 0
+           AND d.doc_id IN (SELECT doc_id FROM keep_q)
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+           AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0
+               < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END
+         ORDER BY d.doc_id""",
     "x53_incremental_curation" ->
       """WITH t AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

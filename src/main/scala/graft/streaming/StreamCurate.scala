@@ -54,4 +54,103 @@ object StreamCurate {
         .select(col("doc_id"), md5(col("text")).as("digest"))
         .as[DocEvent])
   }
+
+  // ---------------------------------------------------------------------
+  // ON-DISK streamed curation: the x53 nightly-ingest chain as a
+  // foreachBatch sink with manifest-committed state — the curation
+  // family's member of the maintained-artifact streaming set (st6/st7
+  // sparse index, st8 dense index, st9 curated corpus).
+
+  private def seenDir(dir: String) = s"$dir/seen"
+  private def corpusDir(dir: String) = s"$dir/corpus"
+
+  /** `foreachBatch` sink body: micro-batch → first-seen dedup against
+    * the ON-DISK seen-digest index (within-batch keep-min first), then
+    * the caller's curation stage (quality → decontam → sample — the
+    * sink owns dedup + state, the query owns policy), survivors
+    * appended to the curated corpus. Both state tables are `batch_id=`
+    * partition adds under ONE [[Manifest]] commit, so a crash anywhere
+    * leaves nothing visible and the engine's same-id retry wipes the
+    * uncommitted leftovers (the [[StreamBm25.appendBatch]] protocol).
+    *
+    * EVERY fresh digest is recorded as seen — including docs `curate`
+    * then rejects: a re-crawl of a quality-dropped page must not
+    * re-enter the pipeline (the production contract: the seen index is
+    * the processed-set, the corpus is the kept-set). Batch cost: one
+    * digest anti-join (ids/digests only — bodies never shuffle) + the
+    * curation stage on the deduped batch. */
+  def appendBatch(dir: String, batch: DataFrame, batchId: Long,
+                  curate: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Manifest.read(spark, dir).isEmpty &&
+        !fs.exists(new org.apache.hadoop.fs.Path(seenDir(dir))))
+      Manifest.commit(spark, dir, Set.empty)
+    val manifest = Manifest.read(spark, dir)
+    if (manifest.exists(live => !live.contains(batchId.toInt))) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${seenDir(dir)}/batch_id=${batchId.toInt}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${corpusDir(dir)}/batch_id=${batchId.toInt}"), true)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__digest").orderBy(col("doc_id"))
+    val firstInBatch = batch.withColumn("__digest", md5(col("text")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    val fresh = (seen(spark, dir) match {
+      case Some(s) => firstInBatch.join(s.select(col("digest")
+          .as("__digest")), Seq("__digest"), "left_anti")
+      case None => firstInBatch
+    }).persist()
+    try {
+      // one materialized snapshot drives both writes (the st6 listing-
+      // consistency discipline)
+      if (fresh.count() == 0) return
+      fresh.select(lit(batchId.toInt).as("batch_id"),
+          col("__digest").as("digest"))
+        .write.mode("append").partitionBy("batch_id").parquet(seenDir(dir))
+      val survivors = curate(fresh.drop("__digest"))
+      survivors.select(lit(batchId.toInt).as("batch_id") +:
+          survivors.columns.map(col): _*)
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(corpusDir(dir))
+      val live = manifest.getOrElse(Set.empty[Int])
+      Manifest.commit(spark, dir, live + batchId.toInt)
+    } finally fresh.unpersist()
+  }
+
+  /** The curated corpus so far (manifest-committed batches only);
+    * None before the first batch. */
+  def load(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val raw = s.read.parquet(corpusDir(dir))
+        .withColumn("batch_id", col("batch_id").cast("int"))
+      Some(Manifest.read(s, dir) match {
+        case None => raw
+        case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
+      })
+    }
+  }
+
+  /** The processed-set (seen digests), manifest-filtered. */
+  private def seen(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(seenDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val raw = s.read.parquet(seenDir(dir))
+        .withColumn("batch_id", col("batch_id").cast("int"))
+      Some(Manifest.read(s, dir) match {
+        case None => raw
+        case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
+      })
+    }
+  }
 }

@@ -82,4 +82,49 @@ class StreamCurationSpec extends AnyFunSuite {
         "no exact dups among originals → curation = the x21 survivor set")
     } finally q.stop()
   }
+
+  test("on-disk sink: seen index blocks re-crawls of REJECTED docs; retry no-op; manifest guards orphans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_cur9").toString
+    // policy = quality only (no decontam/sample — this spec pins the
+    // SINK's dedup/state semantics, the driver oracle pins the policy)
+    def policy(b: org.apache.spark.sql.DataFrame) =
+      b.filter(StreamCurate.qualityOk(col("text"), col("n_chars"), stops))
+        .select("doc_id")
+    val good = "the data row holds a good long value " * 4
+    val junk = "zzzz" // fails the length floor AND the quality score
+    val input = MemoryStream[CurDoc]
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamCurate.appendBatch(dir, batch, id, policy)
+      }.start()
+    try {
+      // batch 0: one keeper + one quality-REJECT
+      input.addData(CurDoc(1L, good + "alpha", 200),
+        CurDoc(2L, junk, 4))
+      q.processAllAvailable()
+      // batch 1: a re-crawl of the REJECTED doc's exact bytes (new id)
+      // + a within-batch dup pair + a fresh keeper
+      input.addData(CurDoc(10L, junk, 4),
+        CurDoc(11L, good + "beta", 200), CurDoc(12L, good + "beta", 200),
+        CurDoc(13L, good + "gamma", 200))
+      q.processAllAvailable()
+      val kept = StreamCurate.load(spark, dir).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // 2 rejected for quality; 10 blocked by the SEEN index even though
+      // its batch-0 twin was never kept; 12 loses within-batch keep-min
+      assert(kept == Set(1L, 11L, 13L), s"got $kept")
+      // re-delivery of batch 1's data (a NEW engine batch) appends nothing
+      input.addData(CurDoc(11L, good + "beta", 200),
+        CurDoc(13L, good + "gamma", 200))
+      q.processAllAvailable()
+      assert(StreamCurate.load(spark, dir).get.count() == 3)
+    } finally q.stop()
+    // a staged-but-uncommitted partition is invisible (crash shape)
+    spark.range(1).select(lit(99).as("batch_id"), lit(999L).as("doc_id"))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$dir/corpus")
+    assert(StreamCurate.load(spark, dir).get.count() == 3,
+      "orphan corpus partition must not surface")
+  }
 }
