@@ -44,9 +44,30 @@ object Manifest {
 
   /** Latest committed live-segment set; None = legacy index (no
     * manifest was ever committed) → caller uses the directory listing. */
-  def read(s: SparkSession, root: String): Option[Set[Int]] = {
+  def read(s: SparkSession, root: String): Option[Set[Int]] =
+    readAt(s, root, None)
+
+  /** The live set AT a generation — TIME TRAVEL over the maintained
+    * index (the Iceberg/Delta snapshot-read idea on this layout): every
+    * commit is a numbered immutable file and segments are immutable, so
+    * a reader pinned to gen G serves exactly the index as of that
+    * commit, bit-stable, regardless of later appends/compactions — for
+    * as long as G's segments haven't been reclaimed ([[StreamBm25
+    * .vacuum]] collapses history to the latest gen; until someone runs
+    * it, all history is readable). `gen = None` → latest. Throws on a
+    * missing generation (a pinned reader must fail loudly, not silently
+    * serve a different snapshot). */
+  def readAt(s: SparkSession, root: String, gen: Option[Int])
+      : Option[Set[Int]] = {
     val fs = fsOf(s, root)
-    gens(fs, root).lastOption.map { case (_, p) =>
+    val all = gens(fs, root)
+    val pick = gen match {
+      case None => all.lastOption
+      case Some(g) =>
+        Some(all.find(_._1 == g).getOrElse(throw new IllegalArgumentException(
+          s"no manifest generation $g at $root (have ${all.map(_._1)})")))
+    }
+    pick.map { case (_, p) =>
       val in = fs.open(p)
       try {
         val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -55,6 +76,10 @@ object Manifest {
       } finally in.close()
     }
   }
+
+  /** Committed generation numbers, oldest first (empty = legacy). */
+  def generations(s: SparkSession, root: String): Seq[Int] =
+    gens(fsOf(s, root), root).map(_._1)
 
   /** Commit a new live set as the next generation (write-tmp + atomic
     * rename). This IS the visibility flip: everything a writer staged

@@ -175,14 +175,11 @@ object StreamBm25 {
     // 2. COMMIT: one atomic manifest flip — the merged segment becomes
     //    visible and the folded segments invisible in the same instant,
     //    so no reader ever sees a posting twice. (Legacy dirs adopt
-    //    manifest mode here.)
+    //    manifest mode here.) The folded partitions are NOT deleted:
+    //    compaction only stages and flips; every older generation stays
+    //    time-travel-readable ([[Manifest.readAt]]) until [[vacuum]]
+    //    reclaims — the Iceberg/Delta snapshot-then-expire layering.
     Manifest.commit(s, dir, live -- segIds + into)
-    // 3. reclaim the folded partition dirs (already unreachable; a
-    //    crash here merely leaves garbage for [[vacuum]])
-    segIds.foreach { k =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"${postingsDir(dir)}/seg_id=$k"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"${termDfDir(dir)}/seg_id=$k"), true)
-    }
   }
 
   /** A tiered MERGE POLICY over the segment metadata (Lucene's
@@ -216,7 +213,15 @@ object StreamBm25 {
     * posting twice or a half-written batch. Partition pruning makes the
     * `isin` filter a listing-level operation, not a scan. Legacy dirs
     * (no manifest) keep the directory-listing behavior. */
-  def load(s: SparkSession, dir: String): Option[TextOps.Bm25Segments] = {
+  def load(s: SparkSession, dir: String): Option[TextOps.Bm25Segments] =
+    loadAt(s, dir, asOfGen = None)
+
+  /** TIME-TRAVEL read: the index exactly as of manifest generation
+    * `asOfGen` ([[Manifest.readAt]]) — segments are immutable and
+    * compaction no longer deletes, so any un-vacuumed snapshot serves
+    * bit-stable forever. None = latest. */
+  def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
+      : Option[TextOps.Bm25Segments] = {
     val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -232,7 +237,7 @@ object StreamBm25 {
         termDf = s.read.parquet(termDfDir(dir))
           .withColumn("seg_id", col("seg_id").cast("int"))
           .select("seg_id", "tok", "df"))
-      Manifest.read(s, dir) match {
+      Manifest.readAt(s, dir, asOfGen) match {
         case None => Some(raw)
         case Some(live) =>
           val keep = col("seg_id").isin(live.toSeq: _*)
@@ -248,12 +253,13 @@ object StreamBm25 {
     }
   }
 
-  /** Reclaim space a compaction's manifest flip already made
-    * unreachable: delete postings/dictionary partition dirs whose
-    * seg_id is not in the latest manifest, and all manifest
-    * generations below the latest. Pure garbage collection — the
-    * manifest protocol means correctness never depends on running
-    * this. No-op on legacy dirs. */
+  /** EXPIRE history: delete postings/dictionary partition dirs whose
+    * seg_id is not in the latest manifest, and all manifest generations
+    * below the latest — after this only the current snapshot is
+    * readable ([[loadAt]] on an expired generation throws). Pure
+    * garbage collection — the manifest protocol means correctness
+    * never depends on running this; a deployment picks its time-travel
+    * retention by how often it vacuums. No-op on legacy dirs. */
   def vacuum(s: SparkSession, dir: String): Unit =
     Manifest.read(s, dir).foreach { live =>
       val fs = new org.apache.hadoop.fs.Path(dir)

@@ -124,14 +124,21 @@ object StreamCurate {
   /** The curated corpus so far (manifest-committed batches only);
     * None before the first batch. */
   def load(s: org.apache.spark.sql.SparkSession, dir: String)
-      : Option[DataFrame] = {
+      : Option[DataFrame] = loadAt(s, dir, asOfGen = None)
+
+  /** TIME-TRAVEL read ([[Manifest.readAt]]): the curated corpus exactly
+    * as of a committed manifest generation — reproducible training-set
+    * snapshots ("the corpus the run trained on") for free from the
+    * commit protocol. None = latest. */
+  def loadAt(s: org.apache.spark.sql.SparkSession, dir: String,
+             asOfGen: Option[Int]): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(corpusDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val raw = s.read.parquet(corpusDir(dir))
         .withColumn("batch_id", col("batch_id").cast("int"))
-      Some(Manifest.read(s, dir) match {
+      Some(Manifest.readAt(s, dir, asOfGen) match {
         case None => raw
         case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
       })

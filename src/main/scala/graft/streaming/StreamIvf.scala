@@ -160,7 +160,15 @@ object StreamIvf {
     * columns it scores), so provenance of every posting survives into
     * any serve-side audit. */
   def load(s: SparkSession, dir: String, idCol: String, vecCol: String)
-      : Option[Similarity.IvfIndex] = {
+      : Option[Similarity.IvfIndex] =
+    loadAt(s, dir, idCol, vecCol, asOfGen = None)
+
+  /** TIME-TRAVEL read ([[Manifest.readAt]]): the index exactly as of a
+    * committed manifest generation — postings partitions are immutable
+    * and the quantizer frozen, so any un-vacuumed snapshot serves
+    * bit-stable. None = latest. */
+  def loadAt(s: SparkSession, dir: String, idCol: String, vecCol: String,
+             asOfGen: Option[Int]): Option[Similarity.IvfIndex] = {
     val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // a batch-0 crash can leave staged postings without a completed
@@ -174,7 +182,7 @@ object StreamIvf {
       // partition staged by an in-flight append is invisible (the
       // [[Manifest]] protocol; partition-pruned filter). Legacy dirs
       // keep the listing behavior.
-      val postings = Manifest.read(s, dir) match {
+      val postings = Manifest.readAt(s, dir, asOfGen) match {
         case None => raw
         case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
       }

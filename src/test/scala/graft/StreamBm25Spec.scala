@@ -123,6 +123,10 @@ class StreamBm25Spec extends AnyFunSuite {
     assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
       Set(2, 3))
     assert(after.postings.count() == nPostings) // pure relabel, no loss
+    // compaction stages + flips; the folded dirs stay time-travel-
+    // readable until vacuum expires history
+    assert(new java.io.File(s"$dir/postings/seg_id=0").exists)
+    StreamBm25.vacuum(spark, dir)
     assert(!new java.io.File(s"$dir/postings/seg_id=0").exists)
     assert(!new java.io.File(s"$dir/termdf/seg_id=1").exists)
     // serve bit-equal through the merged on-disk layout
@@ -157,6 +161,7 @@ class StreamBm25Spec extends AnyFunSuite {
     val cand = StreamBm25.compactionCandidates(spark, dir, smallFrac = 0.3)
     assert(cand == Set(0, 2), "policy must skip the big MIDDLE segment")
     StreamBm25.compactSet(spark, dir, cand, into = 3)
+    StreamBm25.vacuum(spark, dir) // expire the pre-merge snapshot
     val after = StreamBm25.load(spark, dir).get
     assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
       Set(1, 3)) // big segment untouched, small pair folded into fresh 3
@@ -204,6 +209,32 @@ class StreamBm25Spec extends AnyFunSuite {
     val after = StreamBm25.load(spark, dir).get
     assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
       Set(0, 1), "vacuum must not change the live view")
+  }
+
+  test("time travel: a pinned generation serves the pre-compaction index bit-stable; vacuum expires it") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq) // gens: 0 empty, 1..3 batches
+    val queries = queryDocs.toDF("doc_id", "text")
+    def serve(segs: graft.ext.TextOps.Bm25Segments) =
+      searchRows(TextOps.bm25SearchSegmented(segs, queries,
+        "doc_id", "text", k = 3))
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    assert(gens == Seq(0, 1, 2, 3))
+    val want = serve(StreamBm25.load(spark, dir).get)
+    StreamBm25.compact(spark, dir, upTo = 1, into = 3) // gen 4
+    // latest view: merged layout; pinned gen 3: the exact pre-merge index
+    assert(StreamBm25.loadAt(spark, dir, Some(3)).get
+      .segStats.select("seg_id").as[Int].collect().toSet == Set(0, 1, 2))
+    assert(serve(StreamBm25.loadAt(spark, dir, Some(3)).get) == want)
+    // a mid-history snapshot too: gen 2 = first two batches only
+    assert(StreamBm25.loadAt(spark, dir, Some(2)).get
+      .segStats.select("seg_id").as[Int].collect().toSet == Set(0, 1))
+    // vacuum expires: history unreadable, latest unchanged
+    StreamBm25.vacuum(spark, dir)
+    intercept[IllegalArgumentException] {
+      StreamBm25.loadAt(spark, dir, Some(3))
+    }
+    assert(serve(StreamBm25.load(spark, dir).get) == want)
   }
 
   test("st7 driver query: compacted streamed index equals scratch on testdata") {

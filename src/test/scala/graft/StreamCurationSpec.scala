@@ -120,6 +120,10 @@ class StreamCurationSpec extends AnyFunSuite {
         CurDoc(13L, good + "gamma", 200))
       q.processAllAvailable()
       assert(StreamCurate.load(spark, dir).get.count() == 3)
+      // time travel: the corpus as of the batch-0 commit is exactly the
+      // batch-0 survivors — the reproducible "corpus a run trained on"
+      assert(StreamCurate.loadAt(spark, dir, Some(1)).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
     } finally q.stop()
     // a staged-but-uncommitted partition is invisible (crash shape)
     spark.range(1).select(lit(99).as("batch_id"), lit(999L).as("doc_id"))
