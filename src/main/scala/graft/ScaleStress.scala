@@ -910,6 +910,50 @@ object ScaleStress {
             "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
             defaultFraction = 0.8).count()
       }),
+      Op("st9_ingest3", m => {
+        // the on-disk curation sink end-to-end at m×: 3 batches through
+        // StreamCurate.appendBatch — first-seen vs the growing seen
+        // index + the x53 policy stages (quality, batch × FIXED
+        // benchmark decontam with per-copy salt, sample). Expect
+        // ~linear: every stage is batch-bounded or digest-keyed.
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-st9-m$m-").toString
+        val docs = docsOf(m)
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("lang"), col("source"),
+            explode(array(floor(col("n_chars") / 20) - 1,
+              floor(col("n_chars") / 20),
+              floor(col("n_chars") / 20) + 1)).as("bkt"),
+            col("n_chars").as("nc2"),
+            transform(array_distinct(TextOps.tokens(col("text"))),
+              x => concat(x, lit("#"), col("copy"))).as("t2"))
+        def policy(batch: DataFrame): DataFrame = {
+          val kept = batch.filter(col("doc_id") % 7 =!= 0)
+            .filter(graft.streaming.StreamCurate.qualityOk(
+              col("text"), col("n_chars"),
+              Seq("the", "a", "data", "row", "value")))
+          val a = kept.select(col("doc_id"), col("lang"), col("source"),
+            floor(col("n_chars") / 20).as("bkt"),
+            col("n_chars").as("nc1"),
+            transform(array_distinct(TextOps.tokens(col("text"))),
+              x => concat(x, lit("#"), col("copy"))).as("t1"))
+          val contaminated = a.join(bench, Seq("lang", "source", "bkt"))
+            .filter(abs(col("nc1") - col("nc2")) <= 20)
+            .filter(round(TextOps.jaccard(col("t1"), col("t2")), 6) >= 0.5)
+            .select("doc_id").distinct()
+          TextOps.stratifiedSample(
+              kept.join(contaminated, Seq("doc_id"), "left_anti"),
+              "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9), 0.8)
+            .select("doc_id", "lang", "source")
+        }
+        (0 to 2).foreach { i =>
+          graft.streaming.StreamCurate.appendBatch(dir,
+            docs.filter(col("doc_id") % 3 === i), i, policy)
+        }
+        val n = graft.streaming.StreamCurate.load(spark, dir).get.count()
+        graft.ArtifactStore.deleteRecursively(java.nio.file.Paths.get(dir))
+        n
+      }),
       Op("v29_sem_decontam", m => {
         // semantic decontam audit: FIXED benchmark (the 1x slice —
         // benchmarks don't grow with the corpus) broadcast-packed, train
