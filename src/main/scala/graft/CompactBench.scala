@@ -46,7 +46,7 @@ object CompactBench {
       val folded = before.postings.filter(col("seg_id") <= 1).count()
       val total = before.postings.count()
       val t0 = System.nanoTime()
-      StreamBm25.compact(spark, dir, upTo = 1, into = 3)
+      StreamBm25.compact(spark, dir, upTo = 1, into = -1)
       val sec = (System.nanoTime() - t0) / 1e9
       val after = StreamBm25.load(spark, dir).get
       println(f"[compactbench] m=$m%-3d folded_postings=$folded%d " +

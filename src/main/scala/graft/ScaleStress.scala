@@ -850,8 +850,11 @@ object ScaleStress {
         // blow-up (copy-tag prefix), so pairs come only from the planted
         // re-crawl slice — expect ~linear wall, linear pair counts.
         val docs = docsOf(m)
+        // offset beyond ANY copy id (copies re-key at +c*10^7, c < 64 →
+        // max ~6.4e8): +5e8 collided with copy c+50's ids at m=64,
+        // pairing ambiguous ids — 1e10 is out of reach of every copy
         val recrawl = docs.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 500000000L)
+          .withColumn("doc_id", col("doc_id") + 10000000000L)
         graft.ext.Dedup.fingerprintPairs(
           graft.ext.Multimodal.perceptualHash(
             graft.ext.Multimodal.mediaTable(docs.unionByName(recrawl)

@@ -761,7 +761,13 @@ object Similarity {
       .withColumn("max_bench_cos",
         round(array_max(transform(col("__bench"),
           b => cosine(col(vecCol), b))), 6))
-      .withColumn("contaminated", col("max_bench_cos") >= threshold)
+      // an EMPTY benchmark (or an all-null-cosine row) yields a NULL
+      // max — the verdict must be an explicit false, not null: the
+      // documented "keep contaminated = false" pattern would otherwise
+      // silently drop the whole corpus on a misconfigured benchmark
+      // filter (null is not false under a Spark filter)
+      .withColumn("contaminated",
+        coalesce(col("max_bench_cos") >= threshold, lit(false)))
       .drop("__bench")
   }
 

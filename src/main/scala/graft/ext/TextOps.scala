@@ -1064,14 +1064,18 @@ object TextOps {
     // winners decided on NARROW (key, u, id) rows via the bounded-heap
     // aggregate — the old keyed window hash-shuffled every full row
     // (text bodies included) to its key's reducer; here the wide rows
-    // never shuffle: the ≤ n·|keys| winner ids join back onto the scan
+    // never shuffle: the ≤ n·|keys| winner rows join back onto the scan
     // (AQE broadcasts the bounded side). Same (u asc, id asc) pick.
+    // The join keys on (key, id) — NOT id alone — so an id listed under
+    // several keys wins or loses independently per key, exactly like
+    // the window (ids need not be globally unique, only unique within
+    // a key, the same contract the window's deterministic order had).
     val winners = graft.functions.TopKAgg.topKByKeyOn(
         df.select(col(keyCol), col(idCol))
           .withColumn("__u", md5Uniform(col(idCol))),
         keyCol, -col("__u"), idCol, "__u", n)
-      .select(col(idCol), col("rank").as("rk"))
-    df.join(winners, idCol)
+      .select(col(keyCol), col(idCol), col("rank").as("rk"))
+    df.join(winners, Seq(keyCol, idCol))
       .select(df.columns.map(col) :+ col("rk"): _*)
   }
 

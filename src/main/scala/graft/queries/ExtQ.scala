@@ -68,7 +68,8 @@ object ExtQ {
   /** st7's COMPACTED streamed index: the same 3-batch ingest as
     * [[streamedBm25]] into its own directory, then the on-disk
     * background merge ([[graft.streaming.StreamBm25.compact]]) folds
-    * segments 0-1 into fresh segment 3 — the full Lucene maintenance
+    * segments 0-1 into merged segment -1 (the negative merged-id
+    * namespace) — the full Lucene maintenance
     * lifecycle (ingest → serve → merge) on the parquet layout. Kept
     * separate from the st6 dir, which must stay 3-segment for st6's
     * streamed ≡ scratch claim. */
@@ -78,14 +79,14 @@ object ExtQ {
       : graft.ext.TextOps.Bm25Segments =
     bm25CompactCache.synchronized {
       bm25CompactCache.getOrElseUpdate((s, d), {
-        val spec = "v1 3batches mod3 compact upTo=1 into=3"
+        val spec = "v2 3batches mod3 compact upTo=1 into=-1"
         def build(dir: String): Unit = {
           val docs = Tables.documents(s, d).select("doc_id", "text")
           (0 to 2).foreach { i =>
             graft.streaming.StreamBm25.appendBatch(dir,
               docs.filter(col("doc_id") % 3 === i), i, "doc_id", "text")
           }
-          graft.streaming.StreamBm25.compact(s, dir, upTo = 1, into = 3)
+          graft.streaming.StreamBm25.compact(s, dir, upTo = 1, into = -1)
         }
         val dir = graft.ArtifactStore.dirArtifact(d, "st7segs", spec) match {
           case Some((p, true)) => p.toString

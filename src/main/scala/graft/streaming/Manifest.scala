@@ -4,10 +4,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Lucene-`segments_N`-style MANIFEST commit for the streamed on-disk
-  * indexes ([[StreamBm25]], [[StreamIvf]]): the set of LIVE segment ids
-  * lives in a numbered manifest file, and readers serve exactly the
-  * latest committed set — never the directory listing. That closes the
-  * two crash windows the directory-listing protocol had:
+  * indexes ([[StreamBm25]], [[StreamIvf]], [[StreamCurate]]): the set of
+  * LIVE segment ids lives in a numbered manifest file, and readers serve
+  * exactly the latest committed set — never the directory listing. That
+  * closes the two crash windows the directory-listing protocol had:
   *
   *   - append crash: a partially-committed postings partition (or a
   *     fully-written one whose metadata write died) is INVISIBLE until
@@ -16,15 +16,24 @@ import org.apache.spark.sql.SparkSession
   *   - compaction crash: the merged partition is invisible until the
   *     manifest flips, and after the flip the folded partitions are
   *     invisible even though their dirs still exist — at no point can a
-  *     reader see a posting twice. The old dirs become garbage for
-  *     [[StreamBm25.vacuum]]-style reclamation, not a correctness
-  *     hazard.
+  *     reader see a posting twice. The old dirs become time-travel
+  *     history until [[StreamBm25.vacuum]]-style reclamation expires it.
   *
-  * Commit = write `m-<gen>.tmp`, then an atomic `rename` to `m-<gen>`
-  * (single-writer per index — the structured-streaming driver — so gens
-  * never race). Readers pick the max gen. A missing manifest dir means
-  * a legacy (pre-manifest) index: callers fall back to the directory
-  * listing, so existing artifacts keep serving.
+  * CONCURRENCY: a commit claims its generation number — the write goes
+  * to a uuid-tmp file and reaches `m-<gen>` through a NO-OVERWRITE
+  * rename (`FileContext.rename` with `Options.Rename.NONE`), so of two
+  * writers basing on the same parent generation exactly one wins and
+  * the other gets a `ConcurrentModificationException` to retry on fresh
+  * state. That makes the background maintainer (compaction, vacuum)
+  * safe against an in-flight append: the loser's commit can no longer
+  * silently resurrect folded segments or drop a merged one. (Atomic on
+  * HDFS-like stores; on a raw local FS the no-overwrite check has a
+  * vanishing check-then-rename window — fine for tests, and the
+  * single-driver deployments local mode implies.)
+  *
+  * Readers pick the max gen. A missing manifest dir means a legacy
+  * (pre-manifest) index: callers fall back to the directory listing, so
+  * existing artifacts keep serving.
   */
 object Manifest {
 
@@ -42,10 +51,28 @@ object Manifest {
       .sortBy(_._1)
   }
 
+  private def parse(fs: FileSystem, p: Path): Set[Int] = {
+    val in = fs.open(p)
+    try {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      if (txt.isEmpty) Set.empty[Int]
+      else txt.split(",").map(_.trim.toInt).toSet
+    } finally in.close()
+  }
+
   /** Latest committed live-segment set; None = legacy index (no
     * manifest was ever committed) → caller uses the directory listing. */
   def read(s: SparkSession, root: String): Option[Set[Int]] =
-    readAt(s, root, None)
+    readWithGen(s, root).map(_._2)
+
+  /** (generation, live set) of the latest commit — callers that will
+    * COMMIT later must remember the generation and pass it to
+    * [[commitAfter]] so concurrent maintenance is detected, not
+    * overwritten. None = legacy. */
+  def readWithGen(s: SparkSession, root: String): Option[(Int, Set[Int])] = {
+    val fs = fsOf(s, root)
+    gens(fs, root).lastOption.map { case (g, p) => (g, parse(fs, p)) }
+  }
 
   /** The live set AT a generation — TIME TRAVEL over the maintained
     * index (the Iceberg/Delta snapshot-read idea on this layout): every
@@ -67,35 +94,77 @@ object Manifest {
         Some(all.find(_._1 == g).getOrElse(throw new IllegalArgumentException(
           s"no manifest generation $g at $root (have ${all.map(_._1)})")))
     }
-    pick.map { case (_, p) =>
-      val in = fs.open(p)
-      try {
-        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (txt.isEmpty) Set.empty[Int]
-        else txt.split(",").map(_.trim.toInt).toSet
-      } finally in.close()
-    }
+    pick.map { case (_, p) => parse(fs, p) }
   }
 
   /** Committed generation numbers, oldest first (empty = legacy). */
   def generations(s: SparkSession, root: String): Seq[Int] =
     gens(fsOf(s, root), root).map(_._1)
 
-  /** Commit a new live set as the next generation (write-tmp + atomic
-    * rename). This IS the visibility flip: everything a writer staged
-    * before this call becomes readable at once; everything dropped from
-    * `live` disappears at once. */
-  def commit(s: SparkSession, root: String, live: Set[Int]): Unit = {
+  /** Every historical live set (oldest first) — [[StreamBm25.vacuum]]'s
+    * "referenced by some generation" account. */
+  def allSets(s: SparkSession, root: String): Seq[Set[Int]] = {
+    val fs = fsOf(s, root)
+    gens(fs, root).map { case (_, p) => parse(fs, p) }
+  }
+
+  /** Commit a new live set as generation `basedOn + 1` — the CAS: if
+    * another writer committed that generation first, throws
+    * `ConcurrentModificationException` and writes nothing; the caller
+    * retries against fresh state (a streaming sink simply lets the
+    * engine's batch retry do it). This IS the visibility flip:
+    * everything staged before this call becomes readable at once. */
+  def commitAfter(s: SparkSession, root: String, live: Set[Int],
+                  basedOn: Int): Unit = {
     val fs = fsOf(s, root)
     val d = mdir(root)
     if (!fs.exists(d)) fs.mkdirs(d)
-    val gen = gens(fs, root).lastOption.map(_._1 + 1).getOrElse(0)
-    val tmp = new Path(d, f"m-$gen%08d.tmp")
+    val gen = basedOn + 1
+    val tmp = new Path(d, f"m-$gen%08d.tmp-${java.util.UUID.randomUUID()}")
     val fin = new Path(d, f"m-$gen%08d")
     val out = fs.create(tmp, true)
     try out.write(live.toSeq.sorted.mkString(",").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      d.toUri, s.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, fin) // Options.Rename.NONE: fails if fin exists
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest generation $gen at $root was committed concurrently", e)
+      case e: java.io.IOException if fs.exists(fin) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest generation $gen at $root was committed concurrently", e)
+    }
+  }
+
+  /** Non-CAS convenience for single-writer call sites (the birth commit
+    * of a fresh dir, tests): bases on whatever is latest right now. */
+  def commit(s: SparkSession, root: String, live: Set[Int]): Unit =
+    commitAfter(s, root, live,
+      basedOn = readWithGen(s, root).map(_._1).getOrElse(-1))
+
+  /** The shared sink-ENTRY protocol ([[StreamBm25]]/[[StreamIvf]]/
+    * [[StreamCurate]] `appendBatch`): commit an empty manifest on a
+    * virgin dir (manifest-mode from birth — even a batch-0 crash leaves
+    * its orphan marked uncommitted), then wipe `stagedPartitions` if
+    * `batchId` is NOT in the live set (the engine re-runs foreachBatch
+    * with the SAME id after a crash, and append-mode writes into the
+    * half-written partitions would double rows). Returns
+    * (basedOn generation, live set or None = legacy dir) — ONE read
+    * serves the guard and the later [[commitAfter]]. */
+  def enterBatch(s: SparkSession, root: String, batchId: Int,
+                 primaryDataDir: String, stagedPartitions: Seq[String])
+      : (Int, Option[Set[Int]]) = {
+    val fs = fsOf(s, root)
+    if (readWithGen(s, root).isEmpty &&
+        !fs.exists(new Path(primaryDataDir)))
+      commitAfter(s, root, Set.empty, basedOn = -1)
+    val st = readWithGen(s, root)
+    if (st.exists { case (_, live) => !live.contains(batchId) })
+      stagedPartitions.foreach(p => fs.delete(new Path(p), true))
+    (st.map(_._1).getOrElse(-1), st.map(_._2))
   }
 }

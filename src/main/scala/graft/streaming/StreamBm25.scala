@@ -41,26 +41,15 @@ object StreamBm25 {
     * re-delivery-safe). */
   def appendBatch(dir: String, batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String): Unit = {
+    require(batchId >= 0, s"engine batch ids are non-negative (got " +
+      s"$batchId); negative seg ids are the compaction namespace")
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a brand-new index is manifest-mode from birth: commit the empty
-    // set BEFORE any write, so even a batch-0 crash leaves a manifest
-    // that marks the orphaned partition uncommitted
-    if (Manifest.read(spark, dir).isEmpty &&
-        !fs.exists(new org.apache.hadoop.fs.Path(postingsDir(dir))))
-      Manifest.commit(spark, dir, Set.empty)
-    val manifest = Manifest.read(spark, dir)
-    // same-batchId retry after a crash: the engine re-runs foreachBatch
-    // with the SAME id, and append-mode writes into the half-written
-    // partition would double rows — wipe the uncommitted partitions
-    // first (they were never readable: not in any manifest)
-    if (manifest.exists(live => !live.contains(batchId.toInt))) {
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${postingsDir(dir)}/seg_id=${batchId.toInt}"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${termDfDir(dir)}/seg_id=${batchId.toInt}"), true)
-    }
+    // birth commit + same-batchId crash-retry wipe + ONE manifest read
+    // shared by guard and commit (the protocol all three sinks share)
+    val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
+      postingsDir(dir), Seq(
+        s"${postingsDir(dir)}/seg_id=${batchId.toInt}",
+        s"${termDfDir(dir)}/seg_id=${batchId.toInt}"))
     val fresh = (load(spark, dir) match {
       case Some(segs) =>
         batch.join(segs.postings.select(col("key").as(idCol)).distinct(),
@@ -94,13 +83,15 @@ object StreamBm25 {
       segStats.write.mode("append").parquet(statsDir(dir))
       termDf.write.mode("append").partitionBy("seg_id")
         .parquet(termDfDir(dir))
-      // COMMIT: the batch becomes visible in one atomic manifest flip —
-      // all three artifacts or none. Legacy (pre-manifest) dirs adopt
-      // their current listing as the baseline live set.
+      // COMMIT (CAS on the generation read at entry): the batch becomes
+      // visible in one atomic manifest flip — all three artifacts or
+      // none; a concurrent maintenance commit makes this throw and the
+      // engine's batch retry re-runs against fresh state. Legacy
+      // (pre-manifest) dirs adopt their current listing as the baseline.
       val live = manifest.getOrElse(
         spark.read.parquet(statsDir(dir)).select("seg_id").distinct()
           .collect().map(_.getInt(0)).toSet - batchId.toInt)
-      Manifest.commit(spark, dir, live + batchId.toInt)
+      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
 
@@ -115,7 +106,8 @@ object StreamBm25 {
     * [[graft.ext.TextOps.bm25SegmentCompact]] is the in-memory proof,
     * StreamBm25Spec pins the disk form).
     *
-    * `into` must be a FRESH id (> every seg_id ever written): the merged
+    * `into` must be a FRESH NEGATIVE id (engine batch ids own the
+    * non-negative namespace — [[nextMergedId]] picks one): the merged
     * artifacts are STAGED (unreadable), then one atomic [[Manifest]]
     * flip makes the merged segment visible and the folded segments
     * invisible in the same instant — a crash at any point cannot
@@ -130,23 +122,35 @@ object StreamBm25 {
     * policy produces: tiered merging folds the small segments wherever
     * their ids fall; a big segment between two small ones stays
     * untouched on disk. */
-  def compactSet(s: SparkSession, dir: String, segIds: Set[Int],
+  def compactSet(s: SparkSession, dir: String, segIds0: Set[Int],
                  into: Int): Unit = {
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // `into` must be fresh vs everything EVER written (raw stats, not
-    // the live view): a crashed compaction's orphaned id must never be
-    // re-used with rows already in its partition dir
-    val maxSeg = s.read.parquet(statsDir(dir))
-      .agg(max(col("seg_id"))).head.getInt(0)
-    require(into > maxSeg, s"into=$into must be fresh (> max seg id $maxSeg)")
-    val live = Manifest.read(s, dir).getOrElse(
+    // merged segments live in the NEGATIVE id namespace — engine batch
+    // ids are non-negative, so a future micro-batch whose batchId equals
+    // a committed merged-segment id (into must be fresh, which is
+    // exactly where the engine's counter is heading) can never append
+    // into a live merged partition. `into` must also be fresh vs
+    // everything EVER written (raw stats, not the live view): a crashed
+    // compaction's orphaned id must never be re-used with rows already
+    // in its partition dir.
+    require(into < 0, s"merged segment ids are negative (got into=$into); " +
+      "non-negative ids belong to the streaming engine's batch counter")
+    val everUsed = s.read.parquet(statsDir(dir))
+      .select("seg_id").distinct().collect().map(_.getInt(0)).toSet
+    require(!everUsed.contains(into),
+      s"into=$into was already used (ever-written ids: $everUsed)")
+    val st = Manifest.readWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(
       segs.segStats.select("seg_id").distinct()
         .collect().map(_.getInt(0)).toSet)
-    require(segIds.subsetOf(live),
-      s"fold set $segIds must be live segments ($live)")
+    // ids already folded away (a repeated compact(upTo) range) simply
+    // no longer exist — fold what is actually live, like the pre-
+    // manifest isin filter did
+    val segIds = segIds0.intersect(live)
+    if (segIds.isEmpty) return
     // a PREVIOUS crashed attempt at this same `into` can only have
     // staged uncommitted partitions (require above would fail if its
     // stats row landed) — wipe before restaging
@@ -179,7 +183,12 @@ object StreamBm25 {
     //    compaction only stages and flips; every older generation stays
     //    time-travel-readable ([[Manifest.readAt]]) until [[vacuum]]
     //    reclaims — the Iceberg/Delta snapshot-then-expire layering.
-    Manifest.commit(s, dir, live -- segIds + into)
+    //    The commit is a CAS on the generation read above: if an append
+    //    landed meanwhile, this throws instead of resurrecting the
+    //    folded segments over the append's commit — the maintainer
+    //    retries on fresh state.
+    Manifest.commitAfter(s, dir, live -- segIds + into,
+      basedOn = st.map(_._1).getOrElse(-1))
   }
 
   /** A tiered MERGE POLICY over the segment metadata (Lucene's
@@ -254,22 +263,33 @@ object StreamBm25 {
   }
 
   /** EXPIRE history: delete postings/dictionary partition dirs whose
-    * seg_id is not in the latest manifest, and all manifest generations
-    * below the latest — after this only the current snapshot is
-    * readable ([[loadAt]] on an expired generation throws). Pure
-    * garbage collection — the manifest protocol means correctness
-    * never depends on running this; a deployment picks its time-travel
-    * retention by how often it vacuums. No-op on legacy dirs. */
-  def vacuum(s: SparkSession, dir: String): Unit =
+    * seg_id appears in SOME older manifest generation but not the
+    * latest, plus all manifest generations below the latest — after
+    * this only the current snapshot is readable ([[loadAt]] on an
+    * expired generation throws). Partitions referenced by NO generation
+    * are left alone by default: they may be an IN-FLIGHT append's
+    * staged-but-uncommitted batch, and deleting them under a running
+    * stream would lose its data mid-commit. `includeOrphans = true`
+    * reclaims those too (crashed-attempt leftovers) — only safe with
+    * the ingest quiesced. Pure garbage collection either way — the
+    * manifest protocol means correctness never depends on running
+    * this; a deployment picks its time-travel retention by how often
+    * it vacuums. No-op on legacy dirs. */
+  def vacuum(s: SparkSession, dir: String,
+             includeOrphans: Boolean = false): Unit =
     Manifest.read(s, dir).foreach { live =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val referenced = Manifest.allSets(s, dir).reduce(_ ++ _)
+      def reclaimable(id: Int): Boolean =
+        !live.contains(id) &&
+          (referenced.contains(id) || includeOrphans)
       Seq(postingsDir(dir), termDfDir(dir)).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         if (fs.exists(p)) fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName
           if (n.startsWith("seg_id=") &&
-              !live.contains(n.stripPrefix("seg_id=").toInt))
+              reclaimable(n.stripPrefix("seg_id=").toInt))
             fs.delete(st.getPath, true)
         }
       }
@@ -278,4 +298,12 @@ object StreamBm25 {
         .filter(_.getName.matches("m-\\d{8}")).sortBy(_.getName)
       gens.dropRight(1).foreach(fs.delete(_, false))
     }
+
+  /** The next free merged-segment id (negative namespace): one below
+    * the most negative id ever written. */
+  def nextMergedId(s: SparkSession, dir: String): Int = {
+    val everUsed = s.read.parquet(statsDir(dir))
+      .select("seg_id").distinct().collect().map(_.getInt(0))
+    math.min(0, everUsed.min) - 1
+  }
 }

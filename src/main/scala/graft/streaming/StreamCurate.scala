@@ -82,18 +82,13 @@ object StreamCurate {
   def appendBatch(dir: String, batch: DataFrame, batchId: Long,
                   curate: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (Manifest.read(spark, dir).isEmpty &&
-        !fs.exists(new org.apache.hadoop.fs.Path(seenDir(dir))))
-      Manifest.commit(spark, dir, Set.empty)
-    val manifest = Manifest.read(spark, dir)
-    if (manifest.exists(live => !live.contains(batchId.toInt))) {
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${seenDir(dir)}/batch_id=${batchId.toInt}"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${corpusDir(dir)}/batch_id=${batchId.toInt}"), true)
-    }
+    // birth commit + same-batchId crash-retry wipe + ONE manifest read
+    // shared by guard and commit ([[Manifest.enterBatch]] — the
+    // protocol all three sinks share)
+    val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
+      seenDir(dir), Seq(
+        s"${seenDir(dir)}/batch_id=${batchId.toInt}",
+        s"${corpusDir(dir)}/batch_id=${batchId.toInt}"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__digest").orderBy(col("doc_id"))
     val firstInBatch = batch.withColumn("__digest", md5(col("text")))
@@ -117,7 +112,7 @@ object StreamCurate {
         .write.mode("append").partitionBy("batch_id")
         .parquet(corpusDir(dir))
       val live = manifest.getOrElse(Set.empty[Int])
-      Manifest.commit(spark, dir, live + batchId.toInt)
+      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
 

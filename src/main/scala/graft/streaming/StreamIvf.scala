@@ -63,17 +63,12 @@ object StreamIvf {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // manifest-mode from birth + same-batchId crash-retry wipe (the
-    // [[StreamBm25.appendBatch]] protocol): a partition that never
-    // reached a manifest commit was never readable, and the engine's
-    // retry must not append into its leftovers
-    if (Manifest.read(spark, dir).isEmpty &&
-        !fs.exists(new org.apache.hadoop.fs.Path(postingsDir(dir))))
-      Manifest.commit(spark, dir, Set.empty)
-    val manifest = Manifest.read(spark, dir)
-    if (manifest.exists(live => !live.contains(batchId.toInt)))
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${postingsDir(dir)}/batch_id=${batchId.toInt}"), true)
+    // birth commit + same-batchId crash-retry wipe + ONE manifest read
+    // shared by guard and commit ([[Manifest.enterBatch]] — the
+    // protocol all three sinks share)
+    val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
+      postingsDir(dir),
+      Seq(s"${postingsDir(dir)}/batch_id=${batchId.toInt}"))
     val fresh = (load(spark, dir, idCol, vecCol) match {
       case Some(idx) =>
         batch.join(idx.postings.select(col(idCol)).distinct(),
@@ -111,12 +106,14 @@ object StreamIvf {
           col(vecCol), col("ivf_cell"))
         .write.mode("append").partitionBy("batch_id")
         .parquet(postingsDir(dir))
-      // COMMIT: the batch's postings become visible atomically
+      // COMMIT (CAS on the generation read at entry): the batch's
+      // postings become visible atomically; a concurrent maintenance
+      // commit throws and the engine's batch retry re-runs fresh
       val live = manifest.getOrElse(
         spark.read.parquet(postingsDir(dir))
           .select(col("batch_id").cast("int")).distinct()
           .collect().map(_.getInt(0)).toSet - batchId.toInt)
-      Manifest.commit(spark, dir, live + batchId.toInt)
+      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
 

@@ -303,4 +303,23 @@ class CorpusQualitySpec extends AnyFunSuite {
           .orderBy("doc_id"))).filter(col("rk0") <= 10).select("doc_id")
     assert(capped.select("doc_id").except(heads).count() > 0)
   }
+
+  test("capPerKey: an id listed under TWO keys wins or loses per key independently") {
+    // ids need not be globally unique (the winner join keys on
+    // (key, id), not id alone): the same doc under two sources must
+    // cap within each source like the window form did
+    val spark2 = spark
+    import spark2.implicits._
+    val two = (0L until 30L).map(i => ("srcA", i)) ++
+      (0L until 30L).map(i => ("srcB", i)) // every id under BOTH keys
+    val df = two.toDF("source", "doc_id")
+    val capped = TextOps.capPerKey(df, "source", "doc_id", n = 5)
+    val perKey = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey == Map("srcA" -> 5L, "srcB" -> 5L), s"got $perKey")
+    // md5 order is id-driven, so both keys pick the SAME ids — but each
+    // row carries its own key and exactly one rk per (key, id)
+    assert(capped.count() == 10)
+    assert(capped.select("doc_id").distinct().count() == 5)
+  }
 }

@@ -117,11 +117,12 @@ class StreamBm25Spec extends AnyFunSuite {
     // compaction's segstats swap (immutable-segment readers re-load)
     val wantTotals =
       before.segStats.agg(sum("n_docs"), sum("sum_dl")).collect()(0)
-    StreamBm25.compact(spark, dir, upTo = 1, into = 3)
+    StreamBm25.compact(spark, dir, upTo = 1,
+      into = StreamBm25.nextMergedId(spark, dir))
     val after = StreamBm25.load(spark, dir).get
-    // layout: segs 0,1 folded into fresh seg 3; seg 2 untouched
+    // layout: segs 0,1 folded into merged seg -1; seg 2 untouched
     assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
-      Set(2, 3))
+      Set(2, -1))
     assert(after.postings.count() == nPostings) // pure relabel, no loss
     // compaction stages + flips; the folded dirs stay time-travel-
     // readable until vacuum expires history
@@ -140,9 +141,41 @@ class StreamBm25Spec extends AnyFunSuite {
     StreamBm25.appendBatch(dir, corpus.take(2).toDF("doc_id", "text"),
       batchId = 9, "doc_id", "text")
     assert(StreamBm25.load(spark, dir).get.postings.count() == nPostings)
-    // a fresh id must be demanded (into <= an existing seg id is refused)
+    // the merged namespace is negative-only (engine batch-id collision
+    // guard) and an already-used merged id is refused
     intercept[IllegalArgumentException] {
       StreamBm25.compact(spark, dir, upTo = 2, into = 2)
+    }
+    intercept[IllegalArgumentException] {
+      StreamBm25.compact(spark, dir, upTo = 2, into = -1)
+    }
+    // ...and a batch id colliding with a merged segment id is refused
+    // at the sink (the namespace split's other half)
+    intercept[IllegalArgumentException] {
+      StreamBm25.appendBatch(dir, corpus.take(1).toDF("doc_id", "text"),
+        batchId = -1, "doc_id", "text")
+    }
+    // the engine's counter continuing past the fold appends cleanly
+    // next to the merged segment — the collision the namespace split
+    // exists to prevent is structurally impossible now
+    StreamBm25.appendBatch(dir,
+      Seq(100L -> "grapes and plums").toDF("doc_id", "text"),
+      batchId = 3, "doc_id", "text")
+    val grown = StreamBm25.load(spark, dir).get
+    assert(grown.segStats.select("seg_id").as[Int].collect().toSet ==
+      Set(2, -1, 3))
+    assert(grown.postings.count() == nPostings + 3)
+  }
+
+  test("manifest CAS: a commit based on a stale generation is refused") {
+    val dir = ingest(corpus.grouped(2).toSeq)
+    val (gen, live) = graft.streaming.Manifest.readWithGen(spark, dir).get
+    graft.streaming.Manifest.commitAfter(spark, dir, live, basedOn = gen)
+    // a concurrent maintainer that read the same generation loses —
+    // its commit cannot silently overwrite the winner's
+    intercept[java.util.ConcurrentModificationException] {
+      graft.streaming.Manifest.commitAfter(spark, dir, live - 0,
+        basedOn = gen)
     }
   }
 
@@ -160,14 +193,19 @@ class StreamBm25Spec extends AnyFunSuite {
       queries, "doc_id", "text", k = 3)) == wantRows)
     val cand = StreamBm25.compactionCandidates(spark, dir, smallFrac = 0.3)
     assert(cand == Set(0, 2), "policy must skip the big MIDDLE segment")
-    StreamBm25.compactSet(spark, dir, cand, into = 3)
+    StreamBm25.compactSet(spark, dir, cand, into = -1)
     StreamBm25.vacuum(spark, dir) // expire the pre-merge snapshot
     val after = StreamBm25.load(spark, dir).get
     assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
-      Set(1, 3)) // big segment untouched, small pair folded into fresh 3
+      Set(1, -1)) // big segment untouched, small pair folded into -1
     assert(new java.io.File(s"$dir/postings/seg_id=1").exists)
     assert(!new java.io.File(s"$dir/postings/seg_id=0").exists &&
       !new java.io.File(s"$dir/postings/seg_id=2").exists)
+    // repeated range compaction over an already-folded range is a no-op
+    // for the missing ids (the pre-manifest isin semantics), not a throw
+    StreamBm25.compactSet(spark, dir, Set(0, 2), into = -2)
+    assert(StreamBm25.load(spark, dir).get
+      .segStats.select("seg_id").as[Int].collect().toSet == Set(1, -1))
     assert(searchRows(TextOps.bm25SearchSegmented(after, queries,
       "doc_id", "text", k = 3)) == wantRows)
     // below minSegments the policy declines (one small segment left: none)
@@ -202,9 +240,16 @@ class StreamBm25Spec extends AnyFunSuite {
     assert(dropped.segStats.select("seg_id").as[Int].collect().toSet ==
       Set(0, 1), "committed manifest must hide seg 2 though its dir exists")
     assert(new java.io.File(s"$dir/postings/seg_id=2").exists)
-    // vacuum reclaims what the manifest already made unreachable
+    // default vacuum reclaims only HISTORY (ids some generation
+    // referenced): seg 2 goes, but the never-committed partition stays —
+    // it could be an in-flight append's stage, and deleting it under a
+    // running stream would lose its data mid-commit
     graft.streaming.StreamBm25.vacuum(spark, dir)
     assert(!new java.io.File(s"$dir/postings/seg_id=2").exists)
+    assert(new java.io.File(s"$dir/postings/seg_id=99").exists,
+      "default vacuum must not touch never-committed partitions")
+    // includeOrphans (quiesced-stream cleanup) reclaims those too
+    graft.streaming.StreamBm25.vacuum(spark, dir, includeOrphans = true)
     assert(!new java.io.File(s"$dir/postings/seg_id=99").exists)
     val after = StreamBm25.load(spark, dir).get
     assert(after.segStats.select("seg_id").as[Int].collect().toSet ==
@@ -221,7 +266,7 @@ class StreamBm25Spec extends AnyFunSuite {
     val gens = graft.streaming.Manifest.generations(spark, dir)
     assert(gens == Seq(0, 1, 2, 3))
     val want = serve(StreamBm25.load(spark, dir).get)
-    StreamBm25.compact(spark, dir, upTo = 1, into = 3) // gen 4
+    StreamBm25.compact(spark, dir, upTo = 1, into = -1) // gen 4
     // latest view: merged layout; pinned gen 3: the exact pre-merge index
     assert(StreamBm25.loadAt(spark, dir, Some(3)).get
       .segStats.select("seg_id").as[Int].collect().toSet == Set(0, 1, 2))

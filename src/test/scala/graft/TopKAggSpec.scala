@@ -59,6 +59,22 @@ class TopKAggSpec extends AnyFunSuite {
       rows(win.withColumnRenamed("q_id", "q")))
   }
 
+  test("NaN scores rank LAST and never evict a real candidate") {
+    import spark.implicits._
+    // deliberate deviation from Spark's desc sort (NaN first there):
+    // a degenerate score must not displace real neighbours
+    val df = Seq((1L, 0.5, 10L), (1L, Double.NaN, 11L), (1L, 0.9, 12L),
+      (1L, Double.NaN, 9L)).toDF("q", "s", "id")
+    val got = TopKAgg.topKByKey(df, "q", "s", "id", 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // 0.9, 0.5 first; then NaNs by id
+    assert(got.toSeq == Seq((1, 12L), (2, 10L), (3, 9L)))
+    // with k=2 the NaNs are fully evicted
+    val k2 = TopKAgg.topKByKey(df, "q", "s", "id", 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(k2.toSeq == Seq(12L, 10L))
+  }
+
   test("plan: partial aggregation bounds the shuffle (no rank window, no sort-all)") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i % 4, i * 0.001, i)).toDF("q", "s", "id")
