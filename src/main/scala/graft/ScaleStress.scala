@@ -913,6 +913,26 @@ object ScaleStress {
             "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
             defaultFraction = 0.8).count()
       }),
+      Op("x54_dup_score", m => {
+        // per-doc corpus-overlap score at m× — trigram-keyed df groupBy
+        // + join back; trigrams salted per copy (the x17 convention:
+        // interior trigrams are IDENTICAL across copies, unsalted df
+        // would saturate dup_share to 1 and measure the blow-up, not
+        // the op). Expect ~linear, per-doc rows exactly linear.
+        val g = docsOf(m)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              TextOps.ngrams(col("toks"), 3),
+              x => concat(x, lit("#"), col("copy"))))).as("ng"))
+        val df3 = g.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+        g.join(df3, "ng")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .count()
+      }),
       Op("st9_ingest3", m => {
         // the on-disk curation sink end-to-end at m×: 3 batches through
         // StreamCurate.appendBatch — first-seen vs the growing seen

@@ -716,6 +716,34 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X54 — per-document corpus-overlap score (the memorization-risk
+    // audit): share of a doc's distinct trigrams that occur in at least
+    // one OTHER document — the per-doc complement of x41 (which removes
+    // cross-doc boilerplate) and x26 (which grades train-vs-benchmark
+    // overlap); high-dup_share docs are the near-duplicate/boilerplate
+    // mass that inflates memorization (the Lee et al. dedup rationale
+    // as a driver-visible per-doc number). Shape: materialized-toks
+    // explode (the x26 HOF rule) → one trigram-keyed partial-agg
+    // groupBy for df → one trigram-keyed join back → per-doc agg —
+    // no pairwise term at any scale (trigram df plays the blocking
+    // role; heavy trigrams are exactly x41's broadcastable heavy
+    // hitters if skew ever bites). Oracle-exact.
+    "x54_dup_ngram_score" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.ngrams(col("toks"), 3))).as("ng"))
+      val df3 = g.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+      g.join(df3, "ng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_share",
+          round(col("n_dup") / col("n_ngrams"), 6))
+        .orderBy("doc_id")
+    }),
+
     // X27 — temperature-scaled mixture sampling (the multilingual
     // re-weighting step): per-lang keep rates computed FROM corpus counts
     // with τ=0.5 — en (44% of the fixture) flattens to ~35% of the
@@ -1991,6 +2019,21 @@ object TextQ {
                / 16777216.0
                < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
          ORDER BY doc_id""",
+    "x54_dup_ngram_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, len(toks) - 1)])) AS ng
+               FROM t WHERE len(toks) >= 3),
+         f AS (SELECT ng, count(*) AS ndocs FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+         FROM g JOIN f USING (ng)
+         GROUP BY 1 ORDER BY 1""",
     "x26_contam_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),
