@@ -100,18 +100,32 @@ object TopKAgg {
       : org.apache.spark.sql.DataFrame =
     topKByKeysOn(df, Seq(keyCol), rankOn, idCol, carryCol, k)
 
-  /** The general form all others delegate to. */
+  /** The general form all others delegate to.
+    *
+    * NULL handling: `Entry`'s fields are primitive `Double`s, so a NULL
+    * rank/carry input (cosine yields NULL on a zero-norm vector) must
+    * never reach the encoder — it would either fail decoding or decode
+    * to 0.0 and outrank real negative-score candidates. Both are
+    * coalesced to NaN on the way in: NaN ranks LAST by the aggregator's
+    * comparator, which is exactly the window form's `desc` ordering
+    * (desc_nulls_last, id-asc tiebreak among the NULLs). On the way out
+    * a NaN carry is restored to NULL — no engine path produces a
+    * genuine NaN score (see ORDER CONTRACT above), so NaN-in-buffer
+    * means NULL-in-input and window parity holds bit-for-bit. */
   def topKByKeysOn(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                    rankOn: Column, idCol: String, carryCol: String, k: Int)
       : org.apache.spark.sql.DataFrame = {
     val agg = udaf(new TopK(k), Encoders.product[Entry])
+    val nanD = lit(Double.NaN)
     df.groupBy(keyCols.map(col): _*)
-      .agg(agg(rankOn.cast("double"), col(idCol),
-        col(carryCol).cast("double")).as("__top"))
+      .agg(agg(coalesce(rankOn.cast("double"), nanD), col(idCol),
+        coalesce(col(carryCol).cast("double"), nanD)).as("__top"))
       .select(keyCols.map(col) :+
         posexplode(col("__top")).as(Seq("__i", "__e")): _*)
       .select(keyCols.map(col) ++ Seq(
         (col("__i") + 1).cast("int").as("rank"),
-        col("__e.id").as(idCol), col("__e.carry").as(carryCol)): _*)
+        col("__e.id").as(idCol),
+        when(isnan(col("__e.carry")), lit(null).cast("double"))
+          .otherwise(col("__e.carry")).as(carryCol)): _*)
   }
 }

@@ -45,8 +45,11 @@ object Manifest {
   private def gens(fs: FileSystem, root: String): Seq[(Int, Path)] = {
     val d = mdir(root)
     if (!fs.exists(d)) Nil
+    // {8,}: writers zero-pad to 8 digits but generations past 10^8 grow
+    // to 9+ — a fixed-width match would silently IGNORE them and serve
+    // the previous generation (an undetected rollback).
     else fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(_.getName.matches("m-\\d{8}"))
+      .filter(_.getName.matches("m-\\d{8,}"))
       .map(p => (p.getName.drop(2).toInt, p))
       .sortBy(_._1)
   }

@@ -294,8 +294,13 @@ object StreamBm25 {
         }
       }
       val m = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+      // {8,} + NUMERIC sort: past generation 10^8 the filename grows to
+      // 9 digits; a fixed-width match would skip it and a lexical sort
+      // would order m-100000000 before m-99999999 — either way vacuum
+      // would delete the LATEST generation instead of history.
       val gens = fs.listStatus(m).map(_.getPath)
-        .filter(_.getName.matches("m-\\d{8}")).sortBy(_.getName)
+        .filter(_.getName.matches("m-\\d{8,}"))
+        .sortBy(_.getName.drop(2).toInt)
       gens.dropRight(1).foreach(fs.delete(_, false))
     }
 

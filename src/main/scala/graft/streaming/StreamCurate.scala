@@ -82,6 +82,27 @@ object StreamCurate {
   def appendBatch(dir: String, batch: DataFrame, batchId: Long,
                   curate: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
+    // LEGACY (pre-manifest) dir: adopt the on-disk batches as the first
+    // manifest generation BEFORE entering the protocol — upgrade on
+    // first touch. Two reasons this must happen at entry, not at the
+    // commit: (a) an empty baseline would silently drop every
+    // pre-manifest batch from the live set; (b) this sink writes TWO
+    // state dirs, and Spark's recacheByPath re-materializes the cached
+    // anti-join when the seen dir is written — on a manifest-less dir
+    // the refreshed listing includes the batch's OWN just-written
+    // digests, so the corpus write would see an empty frame and the
+    // batch's documents would be recorded as seen but never kept. The
+    // manifest filter (staged ≠ live) is what makes the cached plan
+    // re-evaluation-stable. Adoption trusts the on-disk state as-is —
+    // the legacy protocol's own guarantee level; a crashed pre-manifest
+    // last batch is adopted like any other (indistinguishable, and
+    // dropping data would be worse).
+    if (Manifest.read(spark, dir).isEmpty) {
+      val baseline = partitionIds(spark, seenDir(dir)) ++
+        partitionIds(spark, corpusDir(dir))
+      if (baseline.nonEmpty)
+        Manifest.commitAfter(spark, dir, baseline, basedOn = -1)
+    }
     // birth commit + same-batchId crash-retry wipe + ONE manifest read
     // shared by guard and commit ([[Manifest.enterBatch]] — the
     // protocol all three sinks share)
@@ -111,7 +132,12 @@ object StreamCurate {
           survivors.columns.map(col): _*)
         .write.mode("append").partitionBy("batch_id")
         .parquet(corpusDir(dir))
-      val live = manifest.getOrElse(Set.empty[Int])
+      // unreachable None after entry-time adoption (every path above
+      // leaves a committed manifest); the listing fallback stays as
+      // belt-and-braces with this batch's just-staged partitions excluded
+      val live = manifest.getOrElse(
+        (partitionIds(spark, seenDir(dir)) ++
+          partitionIds(spark, corpusDir(dir))) - batchId.toInt)
       Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
@@ -138,6 +164,18 @@ object StreamCurate {
         case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
       })
     }
+  }
+
+  /** `batch_id=` partition ids present under `d` (empty if the dir
+    * doesn't exist) — the legacy-dir live-set baseline. */
+  private def partitionIds(s: org.apache.spark.sql.SparkSession,
+                           d: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toInt).toSet
   }
 
   /** The processed-set (seen digests), manifest-filtered. */

@@ -133,7 +133,18 @@ object StreamIvf {
     * ingest stream targets `newDir` afterwards; its first-seen guard
     * sees all retrained ids (StreamIvfSpec: retrained full-depth serve
     * ≡ the old index's ≡ brute force, and the planted drift skew
-    * resets). */
+    * resets).
+    *
+    * The rebuilt corpus lands as the RESERVED partition
+    * `batch_id=`[[RetrainBatchId]] (negative — the same
+    * outside-the-engine namespace as [[StreamBm25]]'s merged segments):
+    * a fresh stream checkpoint pointed at `newDir` restarts at batchId
+    * 0, and if the retrain output had claimed 0, `enterBatch` would see
+    * it already live, skip the crash-wipe, and the new batch's rows
+    * would append into a COMMITTED partition — visible without a
+    * manifest flip and leaking into older pinned snapshots. Streaming
+    * engine batch ids are always ≥ 0, so the negative id can never
+    * collide. */
   def retrain(s: SparkSession, oldDir: String, newDir: String, nCells: Int,
               nAssign: Int = 2, refineIters: Int = 2,
               hierAssignFrom: Int = 512,
@@ -146,9 +157,13 @@ object StreamIvf {
           .orderBy(col("ivf_cell"))))
       .filter(col("__rk") === 1)
       .select(col(idCol), col(vecCol))
-    appendBatch(newDir, corpus, batchId = 0, idCol, vecCol, nCells,
-      nAssign, refineIters, hierAssignFrom)
+    appendBatch(newDir, corpus, batchId = RetrainBatchId, idCol, vecCol,
+      nCells, nAssign, refineIters, hierAssignFrom)
   }
+
+  /** Reserved partition id for [[retrain]] output — outside the
+    * streaming engine's (≥ 0) batch-id namespace. */
+  val RetrainBatchId: Long = -1L
 
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.Similarity.probeIvf]]; audit with

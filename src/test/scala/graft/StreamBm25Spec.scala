@@ -179,6 +179,25 @@ class StreamBm25Spec extends AnyFunSuite {
     }
   }
 
+  test("manifest generations survive the 8-digit width boundary (no silent rollback)") {
+    // writers pad to 8 digits; generation 10^8 is 9 digits wide — a
+    // fixed-width reader regex would ignore it and serve the previous
+    // generation, and a LEXICAL sort in vacuum would order m-100000000
+    // before m-99999999 and delete the latest instead of history
+    val dir = java.nio.file.Files.createTempDirectory("manifest_wide").toString
+    val M = graft.streaming.Manifest
+    M.commitAfter(spark, dir, Set(1), basedOn = 99999998) // m-99999999
+    assert(M.readWithGen(spark, dir).contains((99999999, Set(1))))
+    M.commitAfter(spark, dir, Set(1, 2), basedOn = 99999999) // m-100000000
+    assert(M.readWithGen(spark, dir).contains((100000000, Set(1, 2))),
+      "a 9-digit generation must be served, not silently rolled back")
+    assert(M.readAt(spark, dir, Some(99999999)).contains(Set(1)))
+    assert(M.generations(spark, dir) == Seq(99999999, 100000000))
+    StreamBm25.vacuum(spark, dir) // no data dirs — manifest history only
+    assert(M.generations(spark, dir) == Seq(100000000),
+      "vacuum must keep the NUMERICALLY latest generation")
+  }
+
   test("tiered merge policy folds a NON-CONTIGUOUS small-segment set") {
     import spark.implicits._
     // seg 0 small (1 doc), seg 1 BIG (4 docs), seg 2 small (1 doc)

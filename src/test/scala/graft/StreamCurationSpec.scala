@@ -131,4 +131,28 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(StreamCurate.load(spark, dir).get.count() == 3,
       "orphan corpus partition must not surface")
   }
+
+  test("legacy (manifest-less) dir: the first commit ADOPTS on-disk batches, not Set.empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_cur_legacy").toString
+    val good = "the data row holds a good long value " * 4
+    // a pre-manifest deployment left batch 0 on disk, no manifest dir
+    Seq((0, good + "legacy")).toDF("batch_id", "text")
+      .select(col("batch_id"), md5(col("text")).as("digest"))
+      .write.partitionBy("batch_id").parquet(s"$dir/seen")
+    Seq((0, 100L)).toDF("batch_id", "doc_id")
+      .write.partitionBy("batch_id").parquet(s"$dir/corpus")
+    def policy(b: org.apache.spark.sql.DataFrame) = b.select("doc_id")
+    StreamCurate.appendBatch(dir,
+      Seq((200L, good + "fresh")).toDF("doc_id", "text"), 5, policy)
+    val kept = StreamCurate.load(spark, dir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 200L),
+      s"legacy batch must survive the first manifest commit, got $kept")
+    // and the adopted seen index still blocks a re-crawl of its digest
+    StreamCurate.appendBatch(dir,
+      Seq((300L, good + "legacy")).toDF("doc_id", "text"), 6, policy)
+    assert(StreamCurate.load(spark, dir).get.count() == 2)
+  }
 }

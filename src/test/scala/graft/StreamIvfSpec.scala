@@ -195,4 +195,36 @@ class StreamIvfSpec extends AnyFunSuite {
     assert(skew(fresh) < skewBefore * 0.7,
       s"retrain must reduce skew (before ${skewBefore}, after ${skew(fresh)})")
   }
+
+  test("retrain uses the reserved negative id — a fresh stream's batch 0 cannot collide") {
+    // a new stream checkpoint pointed at the retrained dir restarts at
+    // batchId 0; if retrain had claimed 0, enterBatch would see it live,
+    // skip the crash-wipe, and the append would write into a COMMITTED
+    // partition (rows visible without a manifest flip, older pinned
+    // snapshots polluted)
+    val dir = ingest()
+    val newDir = java.nio.file.Files
+      .createTempDirectory("stream_ivf_rt0").toString
+    StreamIvf.retrain(spark, dir, newDir, nCells = NCells)
+    val fresh = StreamIvf.load(spark, newDir, "vec_id", "vec").get
+    def partIds(i: Similarity.IvfIndex) = i.postings.select("batch_id")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(partIds(fresh) == Set(StreamIvf.RetrainBatchId.toInt))
+    val nRetrained = fresh.postings.count()
+    // the new stream's first batch: genuinely new vectors at batchId 0
+    val extra = corpus.limit(4)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    StreamIvf.appendBatch(newDir, extra, 0, "vec_id", "vec",
+      nCells = NCells)
+    val after = StreamIvf.load(spark, newDir, "vec_id", "vec").get
+    assert(partIds(after) == Set(StreamIvf.RetrainBatchId.toInt, 0))
+    assert(after.postings.count() > nRetrained)
+    // time travel: the pre-append generation still serves ONLY the
+    // retrained corpus (nothing leaked into an already-committed batch)
+    val gens = graft.streaming.Manifest.generations(spark, newDir)
+    val pinned = StreamIvf.loadAt(spark, newDir, "vec_id", "vec",
+      Some(gens.dropRight(1).last)).get
+    assert(pinned.postings.count() == nRetrained)
+    assert(partIds(pinned) == Set(StreamIvf.RetrainBatchId.toInt))
+  }
 }

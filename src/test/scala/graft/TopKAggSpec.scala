@@ -75,6 +75,28 @@ class TopKAggSpec extends AnyFunSuite {
     assert(k2.toSeq == Seq(12L, 10L))
   }
 
+  test("NULL rank keys rank LAST (window desc = nulls-last parity), NULL carry survives") {
+    import spark.implicits._
+    // cosine yields NULL on a zero-norm vector; Entry's fields are
+    // primitive Doubles, so an uncoalesced NULL would either fail
+    // decoding or decode to 0.0 and outrank the real -0.9 candidate
+    val df = Seq[(Long, java.lang.Double, Long)](
+      (1L, 0.5, 10L), (1L, null, 11L), (1L, -0.9, 12L), (1L, null, 9L)
+    ).toDF("q", "s", "id")
+    def triples(d: org.apache.spark.sql.DataFrame) = d.orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), Option(r.get(3)))).toSeq
+    val win = triples(df.withColumn("rank", row_number().over(
+        Window.partitionBy("q").orderBy(col("s").desc, col("id"))))
+      .filter(col("rank") <= 3).select("q", "rank", "id", "s"))
+    val agg = triples(TopKAgg.topKByKey(df, "q", "s", "id", 3)
+      .select("q", "rank", "id", "s"))
+    assert(agg == win)
+    // NULL never outranks a real negative score; the surviving NULL
+    // carry comes back as NULL, not 0.0
+    assert(agg.map(_._2) == Seq(10L, 12L, 9L))
+    assert(agg(2)._3.isEmpty)
+  }
+
   test("plan: partial aggregation bounds the shuffle (no rank window, no sort-all)") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i % 4, i * 0.001, i)).toDF("q", "s", "id")
