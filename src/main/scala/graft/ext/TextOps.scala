@@ -357,6 +357,9 @@ object TextOps {
         log(lit(1.0) + (col("corpus_n") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      // rank window, not TopKAgg: the keep limit is a per-term COLUMN
+      // (df-scaled), not a constant k — the bounded-heap aggregate needs
+      // its k at plan time. One-shot build cost, not a serve path.
       .withColumn("__irk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("tok")
           .orderBy(col("__impact").desc, col("key"))))
@@ -1188,6 +1191,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val tri = docs
       .select(col("doc_id"), col("lang"), explode(charTrigrams(col("text"))).as("tg"))
+    // rank windows, not TopKAgg, in both stages: the tiebreak ids are
+    // STRINGS (trigram, predicted lang) — outside the aggregate's
+    // (double, long) entry — and both inputs are already partial-agg
+    // reduced (distinct trigrams per lang; langs per doc)
     val prof = tri.filter(trainFilter)
       .groupBy("lang", "tg").agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(

@@ -152,7 +152,9 @@ object Relational {
         .limit(10)),
 
     // W4 — final-snapshot per key (last balance row, intra.ipynb:11709):
-    // row_number over (key ORDER BY ts DESC) = 1.
+    // row_number over (key ORDER BY ts DESC) = 1. Rank window, not
+    // TopKAgg: the order needs a DESC id tiebreak (event_id desc) and
+    // carries a non-numeric payload — outside the aggregate's contract.
     "w4_last_snapshot" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)

@@ -693,6 +693,9 @@ object TextQ {
         .select(col("lang"),
           explode(TextOps.ngrams(col("toks"), 2)).as("bigram"))
       bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        // rank window, not TopKAgg: the tiebreak id is a STRING (bigram)
+        // — outside the aggregate's (double, long) entry — and the input
+        // is already the partial-agg-reduced distinct-bigram table
         .withColumn("rk", row_number().over(Window.partitionBy("lang")
           .orderBy(col("n").desc, col("bigram"))))
         .filter(col("rk") <= 20)
