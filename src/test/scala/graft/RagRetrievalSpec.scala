@@ -147,4 +147,52 @@ class RagRetrievalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("v25 exact legs: memoized ground truth matches independent recomputation") {
+    val (queries, dense, sparse) =
+      graft.queries.VectorQ.evalExactArtifacts(spark, sf)
+    val (model, cVecs, _, _, _) =
+      graft.queries.VectorQ.hybridArtifacts(spark, sf)
+    val qIds = queries.select("doc_id").collect().map(_.getLong(0))
+    assert(qIds.nonEmpty && qIds.length <= 32 &&
+      qIds.distinct.length == qIds.length)
+    // DENSE: every memoized top-10 doc must score at least the
+    // independently-computed (driver-side float loop) 10th-best cosine —
+    // the v20 tolerance pattern, robust to fold-order ulp differences
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) Double.NegativeInfinity
+      else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def vecsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("vec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val qv = vecsOf(TextOps.assembleVector(
+      TextOps.applyTfIdf(queries, "doc_id", "text", model),
+      "doc_id", Dim)).toMap
+    val cv = vecsOf(cVecs)
+    val denseTop = dense.collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(denseTop.keySet == qIds.toSet)
+    denseTop.foreach { case (q, keys) =>
+      val scores = cv.map { case (c, v) => c -> cos(qv(q), v) }
+      val tenth = scores.map(_._2).sorted(Ordering[Double].reverse)
+        .take(10).last
+      val byId = scores.toMap
+      keys.foreach(c => assert(byId(c) >= tenth - 1e-9,
+        s"memoized dense top-10 doc $c for query $q below 10th-best"))
+    }
+    // SPARSE: a SCRATCH-built BM25 index (not the prebuilt one) must
+    // reproduce the memoized (q_id, rank, key) lists exactly — BM25
+    // ranks on the rounded score, so the ordering is fold-order-stable
+    val corpusD = Tables.documents(spark, sf).filter(col("doc_id") % 97 =!= 3)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scratch = TextOps.bm25Search(
+      TextOps.bm25Index(corpusD, "doc_id", "text"), queries,
+      "doc_id", "text", k = 10).select("q_id", "rank", "key")
+    assert(triples(sparse.select("q_id", "rank", "key")) == triples(scratch))
+  }
 }
