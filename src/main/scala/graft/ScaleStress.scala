@@ -248,6 +248,23 @@ object ScaleStress {
     // st8_stream_ingest3 row, reused by st8_append_fixed
     val st8Dirs = scala.collection.mutable.Map.empty[Int, String]
     val st8Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+
+    // m6_append_fixed: the maintained fingerprint index per multiplier
+    // (build cost excluded from the append row — the v6 attribution
+    // pattern; the build itself is m5's hash scan, measured there)
+    val m6Idx = scala.collection.mutable.Map.empty[Int,
+      org.apache.spark.sql.DataFrame]
+    val m6Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtPhashIdx(m: Int): org.apache.spark.sql.DataFrame =
+      m6Idx.getOrElseUpdate(m, {
+        val idx = graft.ext.Multimodal.perceptualHash(
+          graft.ext.Multimodal.mediaTable(
+            docsOf(m).select("doc_id", "text")),
+          new graft.ext.Multimodal.ImageIoAHash())
+          .select("doc_id", "phash").persist()
+        idx.count()
+        idx
+      })
     def stCellsOf(m: Int): Int =
       math.max(16, math.sqrt(embsOf(m).count().toDouble).toInt)
     def builtStreamDir(m: Int): String = st8Dirs.getOrElseUpdate(m, {
@@ -862,6 +879,33 @@ object ScaleStress {
             new graft.ext.Multimodal.ImageIoAHash()),
           "doc_id", "phash", maxHamming = 3).count()
       }),
+      Op("m6_append_fixed", m => {
+        // steady-state RE-CRAWL cost of the maintained fingerprint index
+        // (m6): ONE fixed ~(n(1×)/11)-row media batch — a byte-identical
+        // re-crawl of copy-0's % 11 slice plus equally many genuinely
+        // new payloads — against the prebuilt (id, fingerprint) index of
+        // the m× corpus. ONLY the batch decodes/hashes; the corpus-side
+        // cost is a 16-byte/row fingerprint band-join (the index scan),
+        // not m5's full payload decode scan — the re-crawl pays batch
+        // cost where m5 pays corpus cost (exp 0.96). Fresh ids/salts per
+        // call; survivor count = the fresh half, constant across m.
+        val idx = builtPhashIdx(m)
+        val n = m6Ctr.incrementAndGet()
+        val slice = docsOf(1).filter(col("doc_id") % 11 === 0)
+          .select("doc_id", "text")
+        val recrawl = slice.select(
+          (col("doc_id") + lit(20000000000L + n * 1000000L)).as("doc_id"),
+          col("text"))
+        val fresh = slice.select(
+          (col("doc_id") + lit(30000000000L + n * 1000000L)).as("doc_id"),
+          concat(lit(s"m6batch$n "), col("text")).as("text"))
+        val batchFp = graft.ext.Multimodal.perceptualHash(
+          graft.ext.Multimodal.mediaTable(recrawl.unionByName(fresh)),
+          new graft.ext.Multimodal.ImageIoAHash())
+          .select("doc_id", "phash")
+        graft.ext.Dedup.incrementalFingerprintDedup(idx, batchFp,
+          "doc_id", "phash", maxHamming = 3).count()
+      }),
       Op("x53_incr_curation", m => {
         // the composed nightly-ingest capstone at m×: incremental dedup
         // vs the corpus digest index + quality verdict + batch-scoped
@@ -1061,6 +1105,11 @@ object ScaleStress {
     // warmup: run every op once at the smallest multiplier so codegen/JIT
     // cost doesn't land in the first timed cell
     ops0.foreach(_.run(mults.min))
+    // m6_append_fixed times the APPEND alone: prebuild the maintained
+    // fingerprint index for EVERY multiplier outside the timed cells
+    // (the build is m5's hash scan, measured by its own row; without
+    // this the m>min cells would pay the corpus build on first touch)
+    if (ops0.exists(_.name == "m6_append_fixed")) mults.foreach(builtPhashIdx)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

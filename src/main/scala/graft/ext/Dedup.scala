@@ -698,15 +698,8 @@ object Dedup {
                        maxBucketSize: Int = 10000, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands ($bands) must be >= 2 and divide 64")
-    val w = 64 / bands
     val fp = fp0.select(col(idCol), col(fpCol).as("fp"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1)).as("band_val"))
-    }
-    val banded = fp
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.band_val"))
+    val banded = fpBands(fp, idCol, bands)
       .withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "band_val")))
@@ -724,6 +717,81 @@ object Dedup {
         bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+  }
+
+  /** One banded row per (id, band): the band-split both fingerprint
+    * kernels join on. */
+  private def fpBands(fp: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val w = 64 / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1)).as("band_val"))
+    }
+    fp.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_val"))
+  }
+
+  /** TWO-SIDED banded-Hamming candidates — [[fingerprintPairs]]'s kernel
+    * with the self-join split into (batch × index): candidates come from
+    * band equi-joins of the SMALL batch side against the maintained
+    * index side, so an incremental pass pays batch-sized join cost, not
+    * the corpus-sized self-join. Same guarantees (pigeonhole-exact
+    * recall to Hamming ≤ bands − 1, no O(n²)); the bucket cap is the
+    * COMBINED (a + b) occupancy per (band, value) — two tiny aggs on
+    * band keys, the [[bandedPairs]] discipline — so a degenerate
+    * boilerplate bucket is dropped no matter which side its mass sits
+    * on. Returns (id_a from `fpA`, id_b from `fpB`, hamming). */
+  def fingerprintPairsAgainst(fpA: DataFrame, fpB: DataFrame, idCol: String,
+                              fpCol: String, maxHamming: Int = 3,
+                              maxBucketSize: Int = 10000,
+                              bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands ($bands) must be >= 2 and divide 64")
+    val a = fpA.select(col(idCol), col(fpCol).as("fp"))
+    val b = fpB.select(col(idCol), col(fpCol).as("fp"))
+    val bA = fpBands(a, idCol, bands)
+    val bB = fpBands(b, idCol, bands)
+    val cA = bA.groupBy("band", "band_val").agg(count(lit(1)).as("na"))
+    val cB = bB.groupBy("band", "band_val").agg(count(lit(1)).as("nb"))
+    val keep = cA.join(cB, Seq("band", "band_val"))
+      .filter(col("na") + col("nb") <= maxBucketSize)
+      .select("band", "band_val")
+    bA.select(col(idCol).as("id_a"), col("band"), col("band_val"))
+      .join(keep, Seq("band", "band_val"))
+      .join(bB.select(col(idCol).as("id_b"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .select("id_a", "id_b").distinct()
+      .join(a.select(col(idCol).as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(b.select(col(idCol).as("id_b"), col("fp").as("fp_b")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** INCREMENTAL fingerprint dedup ([[incrementalNearDup]]'s shape for
+    * 64-bit perceptual/SimHash fingerprints): the corpus side is ONLY
+    * its maintained (id, fingerprint) index — bodies are never decoded
+    * or rescanned — and a batch survives iff it is within `maxHamming`
+    * of neither an index fingerprint ([[fingerprintPairsAgainst]]) nor
+    * an earlier (smaller-id) batch fingerprint ([[fingerprintPairs]]
+    * within the batch). Returns the surviving (id, fingerprint) rows —
+    * exactly what the caller appends to the index, so a re-crawl pays
+    * batch cost, not corpus cost (m6's contract; the media decode
+    * happens once per NEW byte payload, ever). */
+  def incrementalFingerprintDedup(indexFp: DataFrame, batchFp: DataFrame,
+                                  idCol: String, fpCol: String,
+                                  maxHamming: Int = 3,
+                                  maxBucketSize: Int = 10000,
+                                  bands: Int = 4): DataFrame = {
+    val vsIndex = fingerprintPairsAgainst(batchFp, indexFp, idCol, fpCol,
+        maxHamming, maxBucketSize, bands)
+      .select(col("id_a").as(idCol))
+    val laterTwins = fingerprintPairs(batchFp, idCol, fpCol, maxHamming,
+        maxBucketSize, bands)
+      .select(col("id2").as(idCol)) // id1 < id2: the earlier twin wins
+    batchFp.join(vsIndex.union(laterTwins).distinct(), Seq(idCol),
+      "left_anti")
   }
 
   /** 64-bit SimHash over a token array: per-token xxhash64, then for each

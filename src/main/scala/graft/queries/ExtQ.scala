@@ -108,10 +108,39 @@ object ExtQ {
       })
     }
 
+  /** Memoized media FINGERPRINT index for m6 — the maintained
+    * (doc_id, phash) artifact an incremental media-dedup loop carries
+    * between crawls (the x45 signature-index rationale applied to the
+    * perceptual hashes): in production it is written once per corpus
+    * snapshot and every re-crawl batch bandjoins against it WITHOUT
+    * re-decoding a single committed payload — the decode scan (m5's
+    * linear leg, SCALING.md exp 0.96) becomes a one-time build cost.
+    * Index side = the doc_id % 4 != 0 slice; the % 4 == 0 slice plays
+    * the arriving crawl batch. */
+  private val phashIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private[graft] def mediaFingerprintIndex(s: SparkSession, d: String)
+      : DataFrame =
+    phashIdxCache.synchronized {
+      phashIdxCache.getOrElseUpdate((s, d), {
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "phashidx",
+          "v1 ahash corpus=doc_id%4!=0") {
+          Multimodal.perceptualHash(
+            Multimodal.mediaTable(Tables.documents(s, d)
+              .filter(col("doc_id") % 4 =!= 0)),
+            new Multimodal.ImageIoAHash())
+            .select("doc_id", "phash")
+        }
+        val idx = loaded.persist()
+        idx.count() // materialize inside the lock (shared await)
+        idx
+      })
+    }
+
   /** Bench hook: ingest + load the streamed segment indexes up front (the
     * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    streamedBm25(s, d); compactedBm25(s, d); ()
+    streamedBm25(s, d); compactedBm25(s, d); mediaFingerprintIndex(s, d); ()
   }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)
@@ -125,6 +154,8 @@ object ExtQ {
     }
     bm25StreamCache.clear()
     bm25CompactCache.clear()
+    phashIdxCache.values.foreach(_.unpersist())
+    phashIdxCache.clear()
     tmpSegDirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSegDirs.clear()
   }
@@ -208,6 +239,36 @@ object ExtQ {
             new Multimodal.ImageIoAHash()),
           "doc_id", "phash", maxHamming = 3)
         .orderBy("id1", "id2")
+    }),
+
+    // M6 — INCREMENTAL media near-dup ([[graft.ext.Dedup
+    // .incrementalFingerprintDedup]]): m5's banded-Hamming pairing
+    // against the MAINTAINED fingerprint index instead of a full-corpus
+    // decode scan — the x45 daily-increment pattern for media. The
+    // corpus side is ONLY its persisted (doc_id, phash) index (built
+    // from the doc_id % 4 != 0 slice; the carried artifact in
+    // production); the arriving batch = the % 4 == 0 slice PLUS a
+    // byte-identical RE-CRAWL of the % 11 == 0 docs (re-keyed +10⁷ —
+    // the realistic media-dup source). Only the BATCH decodes; a batch
+    // doc survives iff within Hamming 3 of neither an index fingerprint
+    // nor an earlier batch doc's. Output = the (doc_id) rows appended
+    // to the index. Oracle-exact: the fixture's synthetic payloads take
+    // the md5 fallback hash, which DuckDB replicates bit-for-bit (the
+    // m5 oracle pattern), and banded recall is pigeonhole-exact at
+    // Hamming ≤ 3 — so the quadratic SQL check IS this query's answer.
+    "m6_media_phash_increment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val batchFp = Multimodal.perceptualHash(
+          Multimodal.mediaTable(batchDocs), new Multimodal.ImageIoAHash())
+        .select("doc_id", "phash")
+      graft.ext.Dedup.incrementalFingerprintDedup(
+          mediaFingerprintIndex(s, d), batchFp, "doc_id", "phash",
+          maxHamming = 3)
+        .select("doc_id")
+        .orderBy("doc_id")
     }),
 
     // ST1 — event-time tumbling window aggregation (Structured Streaming's
@@ -410,6 +471,32 @@ object ExtQ {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id1, id2""",
+    "m6_media_phash_increment" ->
+      """WITH idx AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
+           FROM documents WHERE doc_id % 4 <> 0),
+         b AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text FROM documents
+           WHERE doc_id % 11 = 0),
+         bp AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
+           FROM b),
+         dropped AS (
+           SELECT a.doc_id FROM bp a JOIN idx i
+             ON bit_count(xor(a.hi, i.hi)) + bit_count(xor(a.lo, i.lo)) <= 3
+           UNION
+           SELECT a2.doc_id FROM bp a1 JOIN bp a2
+             ON a1.doc_id < a2.doc_id
+            AND bit_count(xor(a1.hi, a2.hi)) + bit_count(xor(a1.lo, a2.lo)) <= 3)
+         SELECT doc_id FROM bp
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id""",
     "m4_frame_sample" ->
       """WITH v AS (
            SELECT doc_id, octet_length(encode(text)) AS n_bytes,

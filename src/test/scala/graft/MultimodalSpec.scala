@@ -220,4 +220,43 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("m6 kernel: planted re-crawl caught vs index, near-dup caught, within-batch twin loses, idempotent") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = png((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val edited = png((x, y) =>
+      if (x == 0 && y == 0) 0xffffff
+      else if (x < 32) 0x000000 else 0xffffff)
+    val inverted = png((x, _) => if (x < 32) 0xffffff else 0x000000)
+    val checker = png((x, y) =>
+      if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)
+    def fp(rows: Seq[(Long, String, Array[Byte])]) =
+      Multimodal.perceptualHash(rows.toDF("doc_id", "kind", "media"),
+        new Multimodal.ImageIoAHash()).select("doc_id", "phash")
+    val index = fp(Seq((1L, "image", base), (3L, "image", inverted)))
+    val batch = fp(Seq(
+      (11L, "image", base),    // byte-identical RE-CRAWL of index doc 1
+      (12L, "image", edited),  // REAL-codec near-dup of index doc 1
+      (13L, "image", checker), // genuinely new — survives
+      (14L, "image", checker), // within-batch twin of 13 — earliest wins
+      (15L, "audio", "fresh opaque bytes".getBytes("UTF-8")))) // fallback, new
+    val surv = graft.ext.Dedup.incrementalFingerprintDedup(
+      index, batch, "doc_id", "phash", maxHamming = 3)
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(13L, 15L))
+    // idempotence: with the survivors appended to the index, a re-run of
+    // the SAME batch appends nothing (re-delivery safety — the x45
+    // contract; only the increment ever decodes)
+    val again = graft.ext.Dedup.incrementalFingerprintDedup(
+      index.unionByName(surv), batch, "doc_id", "phash", maxHamming = 3)
+    assert(again.count() == 0)
+  }
 }

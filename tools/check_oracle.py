@@ -16,7 +16,8 @@ import duckdb
 # queries/GoldenOracles.scala) — only meaningful against sf0.01
 SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "r4_replay_report", "t4_intraday_trades",
-                "t4_balance_history"}
+                "t4_balance_history", "x18_pack_sequences",
+                "x35_training_batches"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 

@@ -35,7 +35,8 @@ def lit(v, col_type):
 
 
 def quote(c):
-    return f'"{c}"' if not c.isidentifier() or c != c.lower() else c
+    # always double-quote: column names like "group" are SQL keywords
+    return f'"{c}"'
 
 
 def emit(con, path, name, order_by):
