@@ -34,7 +34,7 @@ object ExtQ {
       : graft.ext.TextOps.Bm25Segments =
     bm25StreamCache.synchronized {
       bm25StreamCache.getOrElseUpdate((s, d), {
-        val spec = "v1 3batches mod3"
+        val spec = "v2 3batches mod3 partdirs"
         def ingest(dir: String): Unit = {
           val docs = Tables.documents(s, d).select("doc_id", "text")
           (0 to 2).foreach { i =>
@@ -79,7 +79,7 @@ object ExtQ {
       : graft.ext.TextOps.Bm25Segments =
     bm25CompactCache.synchronized {
       bm25CompactCache.getOrElseUpdate((s, d), {
-        val spec = "v2 3batches mod3 compact upTo=1 into=-1"
+        val spec = "v3 3batches mod3 compact upTo=1 into=-1 partdirs"
         def build(dir: String): Unit = {
           val docs = Tables.documents(s, d).select("doc_id", "text")
           (0 to 2).foreach { i =>

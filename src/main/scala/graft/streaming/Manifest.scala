@@ -31,6 +31,19 @@ import org.apache.spark.sql.SparkSession
   * vanishing check-then-rename window — fine for tests, and the
   * single-driver deployments local mode implies.)
   *
+  * OBJECT STORES: S3A has NO atomic rename — rename is a copy+delete
+  * and the no-overwrite claim cannot be made atomically, so this
+  * file-based CAS does not transfer as-is. The production answer on an
+  * object store is an external commit arbiter: a catalog service doing
+  * a real compare-and-swap per commit (the Iceberg/Delta answer — a
+  * Hive/Nessie/REST catalog swap, or a DynamoDB conditional put as the
+  * lock), with the manifest FILES staying exactly as here and only the
+  * "claim generation N" step moving into the arbiter. S3 does offer
+  * conditional PUT (If-None-Match), which can stand in for the
+  * no-overwrite rename where available. Data/segment writes need no
+  * arbiter — they are uuid/partition-unique and invisible until the
+  * commit, on any store.
+  *
   * Readers pick the max gen. A missing manifest dir means a legacy
   * (pre-manifest) index: callers fall back to the directory listing, so
   * existing artifacts keep serving.

@@ -67,11 +67,19 @@ object StreamBm25 {
       // stats sums but is noise the maintained index doesn't need).
       if (fresh.count() == 0) return
       val seg = TextOps.bm25SegmentOf(fresh, idCol, textCol, batchId.toInt)
-      // partition-add, never a rewrite: each segment lands in its own
-      // seg_id= directory; dynamic partition overwrite is not needed
-      // because segment ids never repeat (re-delivery is key-guarded)
-      seg.postings.write.mode("append").partitionBy("seg_id")
-        .parquet(postingsDir(dir))
+      // partition-add, never a rewrite — and each staged write targets
+      // its OWN partition directory as the job's output root (not a
+      // `partitionBy` append into the shared root): concurrent Spark
+      // jobs writing one root share its `_temporary` staging dir, and a
+      // committing job's cleanup can delete a concurrent job's staged
+      // task files — a silent-partial-loss window BEFORE the manifest
+      // flip. Unique roots give every in-flight write (this append, a
+      // background compaction's stage) disjoint staging — the same idea
+      // as unique-filename object-store committers. `overwrite` =
+      // crash-retry wipes the partial partition (enterBatch already
+      // wiped; legacy dirs get the same safety from the mode).
+      seg.postings.drop("seg_id").write.mode("overwrite")
+        .parquet(s"${postingsDir(dir)}/seg_id=${batchId.toInt}")
       // stats + dictionary derive FROM the just-written partition
       // (partition-pruned read-back): single tokenize per batch, and the
       // metadata is consistent with the on-disk postings by construction
@@ -80,9 +88,10 @@ object StreamBm25 {
         .filter(col("seg_id") === batchId.toInt)
         .select("seg_id", "key", "tok", "tf", "dl")
       val (segStats, termDf) = TextOps.segMetaFromPostings(written)
-      segStats.write.mode("append").parquet(statsDir(dir))
-      termDf.write.mode("append").partitionBy("seg_id")
-        .parquet(termDfDir(dir))
+      segStats.drop("seg_id").write.mode("overwrite")
+        .parquet(s"${statsDir(dir)}/seg_id=${batchId.toInt}")
+      termDf.drop("seg_id").write.mode("overwrite")
+        .parquet(s"${termDfDir(dir)}/seg_id=${batchId.toInt}")
       // COMMIT (CAS on the generation read at entry): the batch becomes
       // visible in one atomic manifest flip — all three artifacts or
       // none; a concurrent maintenance commit makes this throw and the
@@ -126,8 +135,6 @@ object StreamBm25 {
                  into: Int): Unit = {
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     // merged segments live in the NEGATIVE id namespace — engine batch
     // ids are non-negative, so a future micro-batch whose batchId equals
     // a committed merged-segment id (into must be fresh, which is
@@ -153,29 +160,27 @@ object StreamBm25 {
     if (segIds.isEmpty) return
     // a PREVIOUS crashed attempt at this same `into` can only have
     // staged uncommitted partitions (require above would fail if its
-    // stats row landed) — wipe before restaging
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"${postingsDir(dir)}/seg_id=$into"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"${termDfDir(dir)}/seg_id=$into"), true)
+    // stats partition landed) — `overwrite` below wipes them
     val fold = col("seg_id").isin(segIds.toSeq: _*)
     // 1. STAGE the merged segment: postings partition (fresh seg_id dir
-    //    — append collides with nothing), summed term dictionary, and
-    //    one summed stats row (append-only — dead rows are filtered by
-    //    the manifest at load). Nothing staged here is readable yet.
+    //    — collides with nothing), summed term dictionary, one summed
+    //    stats row (dead partitions are filtered by the manifest at
+    //    load). Each write targets its own partition directory as the
+    //    job's output root — disjoint `_temporary` staging from any
+    //    in-flight append's writes, so the two can no longer partially
+    //    delete each other's staged task files (see [[appendBatch]]).
+    //    Nothing staged here is readable yet.
     segs.postings.filter(fold)
-      .select(lit(into).as("seg_id"), col("key"), col("tok"),
-        col("tf"), col("dl"))
-      .write.mode("append").partitionBy("seg_id").parquet(postingsDir(dir))
+      .select(col("key"), col("tok"), col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(s"${postingsDir(dir)}/seg_id=$into")
     segs.termDf.filter(fold)
       .groupBy("tok").agg(sum("df").as("df"))
-      .select(lit(into).as("seg_id"), col("tok"), col("df"))
-      .write.mode("append").partitionBy("seg_id").parquet(termDfDir(dir))
+      .select(col("tok"), col("df"))
+      .write.mode("overwrite").parquet(s"${termDfDir(dir)}/seg_id=$into")
     segs.segStats.filter(fold)
-      .agg(lit(into).as("seg_id"), sum("n_docs").as("n_docs"),
-        sum("sum_dl").as("sum_dl"))
-      .select("seg_id", "n_docs", "sum_dl")
-      .write.mode("append").parquet(statsDir(dir))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"${statsDir(dir)}/seg_id=$into")
     // 2. COMMIT: one atomic manifest flip — the merged segment becomes
     //    visible and the folded segments invisible in the same instant,
     //    so no reader ever sees a posting twice. (Legacy dirs adopt

@@ -179,6 +179,84 @@ class StreamBm25Spec extends AnyFunSuite {
     }
   }
 
+  test("CONCURRENT append vs background compaction: pounded CAS, nothing lost, nothing double-served") {
+    // the claimed contract exercised for real: an ingest thread appends
+    // fresh batches while a maintainer thread continuously folds every
+    // live segment; both race read→stage→commit on the shared manifest.
+    // The CAS must serialize them — the loser throws and retries on
+    // fresh state — and the staged parquet writes must not interfere
+    // (each write owns its partition dir as the job output root, so no
+    // shared _temporary staging). Afterwards the index must serve
+    // bit-equal to a scratch index over exactly the appended corpus:
+    // a lost append shows as a missing doc, a resurrected folded
+    // segment as a double-counted df/stats row.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_bm25_conc").toString
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def docsFor(b: Int): Seq[(Long, String)] =
+      (0 until 4).map(i =>
+        (b * 100L + i, s"${words(i % 6)} ${words((i + b) % 6)} tok${b}x$i"))
+    (0 to 1).foreach(b => StreamBm25.appendBatch(dir,
+      docsFor(b).toDF("doc_id", "text"), b, "doc_id", "text"))
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintainerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintainer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // every live segment counts as "small" → maximum fold churn
+          val cand = StreamBm25.compactionCandidates(spark, dir,
+            smallFrac = 1.1)
+          if (cand.size >= 2)
+            StreamBm25.compactSet(spark, dir, cand,
+              into = StreamBm25.nextMergedId(spark, dir))
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            cme.incrementAndGet() // lost the CAS — retry on fresh state
+          case t: Throwable => maintainerErr.set(t); stop.set(true)
+        }
+      }
+    })
+    maintainer.start()
+    val lastBatch = 9
+    try {
+      (2 to lastBatch).foreach { b =>
+        var done = false
+        while (!done) {
+          try {
+            StreamBm25.appendBatch(dir, docsFor(b).toDF("doc_id", "text"),
+              b, "doc_id", "text")
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              cme.incrementAndGet() // the engine's batch retry, inlined
+          }
+        }
+      }
+    } finally { stop.set(true); maintainer.join() }
+    assert(maintainerErr.get() == null,
+      s"maintainer died: ${maintainerErr.get()}")
+    val union = (0 to lastBatch).flatMap(docsFor)
+    val segs = StreamBm25.load(spark, dir).get
+    // every appended doc present exactly once, none resurrected twice
+    val keys = segs.postings.select("key").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == union.map(_._1).toSet)
+    assert(segs.segStats.agg(sum("n_docs")).head.getLong(0) ==
+      union.size.toLong)
+    // and the serve is bit-equal to scratch over the union corpus
+    val queries = Seq(100L -> "alpha delta", 101L -> "zeta beta")
+      .toDF("doc_id", "text")
+    val served = searchRows(TextOps.bm25SearchSegmented(segs, queries,
+      "doc_id", "text", k = 5))
+    val scratch = searchRows(TextOps.bm25Search(
+      TextOps.bm25Index(union.toDF("doc_id", "text"), "doc_id", "text"),
+      queries, "doc_id", "text", k = 5))
+    assert(served == scratch)
+    assert(served.nonEmpty)
+  }
+
   test("manifest generations survive the 8-digit width boundary (no silent rollback)") {
     // writers pad to 8 digits; generation 10^8 is 9 digits wide — a
     // fixed-width reader regex would ignore it and serve the previous
