@@ -53,13 +53,19 @@ object VectorQ {
     * IVF index: at scale both are written once next to the index and
     * read per query batch. */
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (graft.ext.Pq.Codebook, DataFrame)]
-  private def prebuiltPq(s: SparkSession, d: String): (graft.ext.Pq.Codebook, DataFrame) =
+    .empty[(SparkSession, String),
+           (graft.ext.Pq.Codebook, DataFrame, DataFrame)]
+  /** (codebook, cell-tagged codes for v12's cell-joined probe,
+    * one-row-per-vector codes for v11's full ADC scan — persisted
+    * beside the others so no invocation pays the de-replication
+    * shuffle). */
+  private def prebuiltPq(s: SparkSession, d: String)
+      : (graft.ext.Pq.Codebook, DataFrame, DataFrame) =
     pqCache.synchronized {
       pqCache.getOrElseUpdate((s, d), {
-        val Seq(centsL, codesL) = graft.ArtifactStore.group(s, d, "pq",
-          "v1 m=8 k=16 subDim=8 corpus=vec_id>=5 cell=ivf16",
-          Seq("centroids", "codes")) {
+        val Seq(centsL, codesL, flatL) = graft.ArtifactStore.group(s, d,
+          "pq", "v2 m=8 k=16 subDim=8 corpus=vec_id>=5 cell=ivf16 +flat",
+          Seq("centroids", "codes", "codesflat")) {
           val idx = prebuiltIvf(s, d)
           val base = corpus(s, d).filter(col("vec_id") >= 5)
           val cb0 = graft.ext.Pq.trainCodebooks(base, "vec_id", "vec",
@@ -67,17 +73,22 @@ object VectorQ {
           // build-local persist: encode re-reads the centroids; the block
           // is released by the store's afterWrite once the parquet exists
           val cents0 = cb0.centroids.persist(); cents0.count()
-          val codes0 = graft.ext.Pq.encode(base, "vec_id", "vec",
-              cb0.copy(centroids = cents0))
+          val flat0 = graft.ext.Pq.encode(base, "vec_id", "vec",
+              cb0.copy(centroids = cents0)).persist()
+          flat0.count()
+          val codes0 = flat0
             .join(idx.postings.select(col("vec_id"), col("ivf_cell")),
               "vec_id")
-          Seq(cents0, codes0)
+          Seq(cents0, codes0, flat0)
         }
         val cents = centsL.persist()
         cents.count() // materialize inside the lock (shared await)
         val codes = codesL.persist()
         codes.count()
-        (graft.ext.Pq.Codebook(cents, m = 8, k = 16, subDim = 8), codes)
+        val flat = flatL.persist()
+        flat.count()
+        (graft.ext.Pq.Codebook(cents, m = 8, k = 16, subDim = 8), codes,
+          flat)
       })
     }
 
@@ -577,8 +588,8 @@ object VectorQ {
       idx.centroids.unpersist(); idx.postings.unpersist()
     }
     ivfCache.clear()
-    pqCache.values.foreach { case (cb, codes) =>
-      cb.centroids.unpersist(); codes.unpersist()
+    pqCache.values.foreach { case (cb, codes, flat) =>
+      cb.centroids.unpersist(); codes.unpersist(); flat.unpersist()
     }
     pqCache.clear()
     hierCache.values.foreach(_.packed.unpersist())
@@ -769,10 +780,8 @@ object VectorQ {
       // serve from the PREBUILT codebook/codes (same train params, same
       // corpus — the artifact lifecycle v12 already uses; retraining
       // inline per invocation was the one genuine r8 bench regression).
-      // The cell tag rides along for v12's cell-joined path (nAssign=2
-      // replication); v11's full scan wants one row per vector.
-      val (cb, cellCodes) = prebuiltPq(s, d)
-      val codes = cellCodes.select(col("vec_id"), col("codes")).distinct()
+      // v11's full scan uses the persisted one-row-per-vector codes.
+      val (cb, _, codes) = prebuiltPq(s, d)
       val qs = corpus(s, d).filter(col("vec_id") < 5)
       // the production read path: ADC shortlists from nibbles alone, then
       // ONLY the ~50 shortlisted candidates per query fetch their floats
@@ -794,7 +803,7 @@ object VectorQ {
     // PqSpec pins the floor.
     "v12_ivfpq_recall" -> ((s, d) => {
       val qs = corpus(s, d).filter(col("vec_id") < 5)
-      val (cb, codes) = prebuiltPq(s, d)
+      val (cb, codes, _) = prebuiltPq(s, d)
       val sl = graft.ext.Pq.ivfPqShortlist(prebuiltIvf(s, d), cb, codes,
         qs, "vec_id", "vec_id", "vec", nProbe = 4, shortlist = 50)
       recallAt10(prebuiltExactL2(s, d),

@@ -35,6 +35,75 @@ object StreamBm25 {
   private def statsDir(dir: String) = s"$dir/segstats"
   private def termDfDir(dir: String) = s"$dir/termdf"
 
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** True iff `p` holds at least one real data file (directly, or one
+    * level down inside a partition dir) — `spark.read.parquet` on an
+    * existing-but-empty dir throws UNABLE_TO_INFER_SCHEMA, so a
+    * batch-0 crash whose retry wiped the only staged partition would
+    * otherwise brick the stream: every retry's load() would throw
+    * instead of seeing "index not born yet". */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
+        fs.listStatus(st.getPath).exists { c =>
+          val cn = c.getPath.getName
+          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
+        })
+    }
+
+  /** Every seg id EVER written, from the stats layout — partition-DIR
+    * names, never a data read: a concurrent append retrying its lost
+    * CAS rewrites its own STAGED stats partition (delete + new file
+    * names), and a raw `spark.read.parquet(statsDir)` racing that
+    * rewrite dies with FAILED_READ_FILE (caught by the pounded
+    * concurrency spec). Listing directory names races with nothing.
+    * Flat pre-partition-layout files are covered by [[migrateLegacy
+    * Stats]], which every writer runs first. */
+  private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
+    val fs = fsOf(s, dir)
+    val p = new org.apache.hadoop.fs.Path(statsDir(dir))
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("seg_id="))
+      .map(_.stripPrefix("seg_id=").toInt).toSet
+  }
+
+  /** Upgrade-on-first-touch for the stats layout: dirs written before
+    * the partition-dir layout carry flat files at the statsDir root
+    * (seg_id as a data column), and Spark SILENTLY IGNORES root-level
+    * data files once partition directories exist — so the first
+    * new-layout write into a legacy dir would make every legacy stats
+    * row invisible (wrong corpus stats, and a manifest-less dir's
+    * adopted live set would lose its whole pre-existing index). Every
+    * WRITER migrates first: flat rows are re-written as one partition
+    * dir per segment, then the flat files are deleted. Pure readers
+    * never see a mixed dir (writers migrate before writing partitions;
+    * a never-touched legacy dir stays all-flat, which reads fine). */
+  private def migrateLegacyStats(s: SparkSession, dir: String): Unit = {
+    val fs = fsOf(s, dir)
+    val root = new org.apache.hadoop.fs.Path(statsDir(dir))
+    if (!fs.exists(root)) return
+    val flat = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.toString)
+    if (flat.isEmpty) return
+    val flatDf = s.read.parquet(flat: _*)
+    val ids = flatDf.select(col("seg_id").cast("int")).distinct()
+      .collect().map(_.getInt(0)) // one row per segment — tiny
+    ids.foreach { segId =>
+      flatDf.filter(col("seg_id") === segId).drop("seg_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"${statsDir(dir)}/seg_id=$segId")
+    }
+    flat.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+  }
+
   /** `foreachBatch` sink body: micro-batch `batchId` → one immutable
     * on-disk segment (postings partition `seg_id=<batchId>` + one
     * metadata row). Docs already indexed are dropped (first-seen,
@@ -44,12 +113,14 @@ object StreamBm25 {
     require(batchId >= 0, s"engine batch ids are non-negative (got " +
       s"$batchId); negative seg ids are the compaction namespace")
     val spark = batch.sparkSession
+    migrateLegacyStats(spark, dir) // pre-partition-layout dirs upgrade
     // birth commit + same-batchId crash-retry wipe + ONE manifest read
     // shared by guard and commit (the protocol all three sinks share)
     val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
       postingsDir(dir), Seq(
         s"${postingsDir(dir)}/seg_id=${batchId.toInt}",
-        s"${termDfDir(dir)}/seg_id=${batchId.toInt}"))
+        s"${termDfDir(dir)}/seg_id=${batchId.toInt}",
+        s"${statsDir(dir)}/seg_id=${batchId.toInt}"))
     val fresh = (load(spark, dir) match {
       case Some(segs) =>
         batch.join(segs.postings.select(col("key").as(idCol)).distinct(),
@@ -66,6 +137,19 @@ object StreamBm25 {
       // segment (an n_docs=0 metadata row would be harmless for the
       // stats sums but is noise the maintained index doesn't need).
       if (fresh.count() == 0) return
+      // COMMITTED segments are immutable: a batch id that is already
+      // LIVE with docs this index has never seen means a RESET stream
+      // checkpoint was pointed at an existing dir — proceeding would
+      // overwrite the committed segment's rows (destroying them in the
+      // live view AND in every pinned time-travel generation). A true
+      // at-least-once re-delivery carries only indexed keys and
+      // returned at the count above; anything else must fail loudly.
+      if (manifest.exists(_.contains(batchId.toInt)))
+        throw new IllegalStateException(
+          s"batch $batchId is already committed in $dir but this " +
+            "delivery carries unindexed documents — a restarted stream " +
+            "against an existing index needs a fresh checkpoint AND " +
+            "batch ids above the live maximum (or a new index dir)")
       val seg = TextOps.bm25SegmentOf(fresh, idCol, textCol, batchId.toInt)
       // partition-add, never a rewrite — and each staged write targets
       // its OWN partition directory as the job's output root (not a
@@ -80,13 +164,15 @@ object StreamBm25 {
       // wiped; legacy dirs get the same safety from the mode).
       seg.postings.drop("seg_id").write.mode("overwrite")
         .parquet(s"${postingsDir(dir)}/seg_id=${batchId.toInt}")
-      // stats + dictionary derive FROM the just-written partition
-      // (partition-pruned read-back): single tokenize per batch, and the
-      // metadata is consistent with the on-disk postings by construction
-      val written = spark.read.parquet(postingsDir(dir))
-        .withColumn("seg_id", col("seg_id").cast("int"))
-        .filter(col("seg_id") === batchId.toInt)
-        .select("seg_id", "key", "tok", "tf", "dl")
+      // stats + dictionary derive FROM the just-written partition (read
+      // DIRECTLY by path — a root listing would enumerate a concurrent
+      // compaction's staged partition, whose retry-overwrite can vanish
+      // files mid-listing): single tokenize per batch, and the metadata
+      // is consistent with the on-disk postings by construction
+      val written = spark.read
+        .parquet(s"${postingsDir(dir)}/seg_id=${batchId.toInt}")
+        .select(lit(batchId.toInt).as("seg_id"), col("key"), col("tok"),
+          col("tf"), col("dl"))
       val (segStats, termDf) = TextOps.segMetaFromPostings(written)
       segStats.drop("seg_id").write.mode("overwrite")
         .parquet(s"${statsDir(dir)}/seg_id=${batchId.toInt}")
@@ -98,8 +184,7 @@ object StreamBm25 {
       // engine's batch retry re-runs against fresh state. Legacy
       // (pre-manifest) dirs adopt their current listing as the baseline.
       val live = manifest.getOrElse(
-        spark.read.parquet(statsDir(dir)).select("seg_id").distinct()
-          .collect().map(_.getInt(0)).toSet - batchId.toInt)
+        everUsedIds(spark, dir) - batchId.toInt)
       Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
@@ -133,6 +218,7 @@ object StreamBm25 {
     * untouched on disk. */
   def compactSet(s: SparkSession, dir: String, segIds0: Set[Int],
                  into: Int): Unit = {
+    migrateLegacyStats(s, dir) // pre-partition-layout dirs upgrade
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
     // merged segments live in the NEGATIVE id namespace — engine batch
@@ -145,8 +231,9 @@ object StreamBm25 {
     // in its partition dir.
     require(into < 0, s"merged segment ids are negative (got into=$into); " +
       "non-negative ids belong to the streaming engine's batch counter")
-    val everUsed = s.read.parquet(statsDir(dir))
-      .select("seg_id").distinct().collect().map(_.getInt(0)).toSet
+    // listing-based (everUsedIds): a raw statsDir data read here races
+    // a concurrent append's staged-partition rewrite (FAILED_READ_FILE)
+    val everUsed = everUsedIds(s, dir)
     require(!everUsed.contains(into),
       s"into=$into was already used (ever-written ids: $everUsed)")
     val st = Manifest.readWithGen(s, dir)
@@ -236,34 +323,73 @@ object StreamBm25 {
     * bit-stable forever. None = latest. */
   def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
       : Option[TextOps.Bm25Segments] = {
-    val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val raw = TextOps.Bm25Segments(
-        // partition column seg_id comes back as its directory-inferred
-        // type; normalize to the int the in-memory form carries
-        postings = s.read.parquet(postingsDir(dir))
-          .withColumn("seg_id", col("seg_id").cast("int"))
-          .select("seg_id", "key", "tok", "tf", "dl"),
-        segStats = s.read.parquet(statsDir(dir))
-          .select("seg_id", "n_docs", "sum_dl"),
-        termDf = s.read.parquet(termDfDir(dir))
-          .withColumn("seg_id", col("seg_id").cast("int"))
-          .select("seg_id", "tok", "df"))
-      Manifest.readAt(s, dir, asOfGen) match {
-        case None => Some(raw)
-        case Some(live) =>
-          val keep = col("seg_id").isin(live.toSeq: _*)
+    val fs = fsOf(s, dir)
+    Manifest.readAt(s, dir, asOfGen) match {
+      case Some(live) =>
+        // SNAPSHOT-ISOLATED read: the file list comes FROM THE MANIFEST
+        // — exactly the live partitions' paths — never the directory
+        // listing. A listing would enumerate partitions STAGED by an
+        // in-flight append/compaction, and a concurrent crash-retry
+        // wiping its own staged partition mid-listing kills the reader
+        // with FileNotFoundException (caught live by the pounded
+        // concurrency spec). Live partitions are immutable, so these
+        // paths can never vanish under the read (until vacuum, which
+        // requires the pinned generation to be expired anyway). This is
+        // the Iceberg read discipline the manifest exists to provide.
+        if (live.isEmpty) None // born (birth commit) but no batch yet
+        else {
+          def part(root: String) = {
+            val paths = live.toSeq.sorted.map(id => s"$root/seg_id=$id")
+            s.read.option("basePath", root).parquet(paths: _*)
+              .withColumn("seg_id", col("seg_id").cast("int"))
+          }
+          // a manifest-mode dir written BEFORE the partition-dir stats
+          // layout still carries flat stats files (writers migrate on
+          // first touch; pure readers must tolerate the old layout
+          // read-only). dropDuplicates: the old append-only layout could
+          // hold a value-identical duplicate row from a crashed retried
+          // append.
+          val statsRoot = new org.apache.hadoop.fs.Path(statsDir(dir))
+          val flatStats = fs.exists(statsRoot) &&
+            fs.listStatus(statsRoot).exists { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+          val segStats =
+            if (flatStats)
+              s.read.parquet(statsDir(dir))
+                .withColumn("seg_id", col("seg_id").cast("int"))
+                .filter(col("seg_id").isin(live.toSeq: _*))
+                .dropDuplicates("seg_id")
+                .select("seg_id", "n_docs", "sum_dl")
+            else part(statsDir(dir)).select("seg_id", "n_docs", "sum_dl")
           Some(TextOps.Bm25Segments(
-            postings = raw.postings.filter(keep),
-            // stats rows are append-only in manifest mode; a crashed
-            // append retried by the engine can leave a value-identical
-            // duplicate row for its (re-delivered, hence byte-identical)
-            // batch — collapse it
-            segStats = raw.segStats.filter(keep).dropDuplicates("seg_id"),
-            termDf = raw.termDf.filter(keep)))
-      }
+            postings = part(postingsDir(dir))
+              .select("seg_id", "key", "tok", "tf", "dl"),
+            segStats = segStats,
+            termDf = part(termDfDir(dir))
+              .select("seg_id", "tok", "df")))
+        }
+      case None =>
+        // legacy (pre-manifest) dir: single-writer by definition — the
+        // directory listing IS the live set. Empty/missing dirs mean
+        // "index not born yet", not an error (a first-batch crash
+        // retry's wipe leaves existing-but-empty dirs).
+        if (!hasDataFiles(fs,
+              new org.apache.hadoop.fs.Path(postingsDir(dir))) ||
+            !hasDataFiles(fs, new org.apache.hadoop.fs.Path(statsDir(dir))) ||
+            !hasDataFiles(fs,
+              new org.apache.hadoop.fs.Path(termDfDir(dir)))) None
+        else Some(TextOps.Bm25Segments(
+          postings = s.read.parquet(postingsDir(dir))
+            .withColumn("seg_id", col("seg_id").cast("int"))
+            .select("seg_id", "key", "tok", "tf", "dl"),
+          segStats = s.read.parquet(statsDir(dir))
+            .withColumn("seg_id", col("seg_id").cast("int"))
+            .select("seg_id", "n_docs", "sum_dl"),
+          termDf = s.read.parquet(termDfDir(dir))
+            .withColumn("seg_id", col("seg_id").cast("int"))
+            .select("seg_id", "tok", "df")))
     }
   }
 
@@ -310,10 +436,12 @@ object StreamBm25 {
     }
 
   /** The next free merged-segment id (negative namespace): one below
-    * the most negative id ever written. */
+    * the most negative id ever written. Listing-based, like every
+    * maintainer-side id read (see [[everUsedIds]]); migrates a legacy
+    * flat stats layout first so no pre-partition id is missed. */
   def nextMergedId(s: SparkSession, dir: String): Int = {
-    val everUsed = s.read.parquet(statsDir(dir))
-      .select("seg_id").distinct().collect().map(_.getInt(0))
-    math.min(0, everUsed.min) - 1
+    migrateLegacyStats(s, dir)
+    val everUsed = everUsedIds(s, dir)
+    if (everUsed.isEmpty) -1 else math.min(0, everUsed.min) - 1
   }
 }

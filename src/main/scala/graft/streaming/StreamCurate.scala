@@ -124,6 +124,16 @@ object StreamCurate {
       // one materialized snapshot drives both writes (the st6 listing-
       // consistency discipline)
       if (fresh.count() == 0) return
+      // COMMITTED batches are immutable: a live batch id carrying
+      // unseen digests means a RESET checkpoint against an existing
+      // dir — appending would put rows into committed partitions. A
+      // true re-delivery carries only seen digests and returned above.
+      if (manifest.exists(_.contains(batchId.toInt)))
+        throw new IllegalStateException(
+          s"batch $batchId is already committed in $dir but this " +
+            "delivery carries unseen documents — a restarted stream " +
+            "against existing state needs batch ids above the live " +
+            "maximum (or a new state dir)")
       fresh.select(lit(batchId.toInt).as("batch_id"),
           col("__digest").as("digest"))
         .write.mode("append").partitionBy("batch_id").parquet(seenDir(dir))
@@ -153,9 +163,7 @@ object StreamCurate {
     * commit protocol. None = latest. */
   def loadAt(s: org.apache.spark.sql.SparkSession, dir: String,
              asOfGen: Option[Int]): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(corpusDir(dir))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!hasDataFiles(s, corpusDir(dir))) None
     else {
       val raw = s.read.parquet(corpusDir(dir))
         .withColumn("batch_id", col("batch_id").cast("int"))
@@ -178,12 +186,28 @@ object StreamCurate {
       .map(_.stripPrefix("batch_id=").toInt).toSet
   }
 
+  /** True iff `d` holds at least one real data file (directly or one
+    * level down) — reading an existing-but-empty parquet dir throws
+    * instead of meaning "no state yet", which would brick a first-batch
+    * crash's retry loop (the wipe leaves the dir empty). */
+  private def hasDataFiles(s: org.apache.spark.sql.SparkSession,
+                           d: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
+        fs.listStatus(st.getPath).exists { c =>
+          val cn = c.getPath.getName
+          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
+        })
+    }
+  }
+
   /** The processed-set (seen digests), manifest-filtered. */
   private def seen(s: org.apache.spark.sql.SparkSession, dir: String)
       : Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(seenDir(dir))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!hasDataFiles(s, seenDir(dir))) None
     else {
       val raw = s.read.parquet(seenDir(dir))
         .withColumn("batch_id", col("batch_id").cast("int"))

@@ -81,6 +81,17 @@ object StreamIvf {
       // later action can see a file listing containing this batch's own
       // postings
       if (fresh.count() == 0) return
+      // COMMITTED partitions are immutable: a live batch id carrying
+      // unindexed vectors means a RESET checkpoint against an existing
+      // dir — appending would put rows into a committed partition
+      // (visible without a flip, leaking into pinned snapshots). A true
+      // re-delivery carries only indexed ids and returned above.
+      if (manifest.exists(_.contains(batchId.toInt)))
+        throw new IllegalStateException(
+          s"batch $batchId is already committed in $dir but this " +
+            "delivery carries unindexed vectors — a restarted stream " +
+            "against an existing index needs batch ids above the live " +
+            "maximum (or a new index dir)")
       val cPath = new org.apache.hadoop.fs.Path(centroidsDir(dir))
       // a centroid dir without its _SUCCESS job-commit marker is a
       // crashed training write — wipe and retrain (the quantizer is
@@ -184,8 +195,20 @@ object StreamIvf {
     val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // a batch-0 crash can leave staged postings without a completed
-    // quantizer — the index exists only once both are committed
-    if (!fs.exists(p) || !fs.exists(new org.apache.hadoop.fs.Path(
+    // quantizer — the index exists only once both are committed. The
+    // postings dir must hold actual DATA files: after a crash-retry's
+    // wipe of the only staged partition the dir exists but is empty,
+    // and reading it would throw (bricking the retry loop) instead of
+    // meaning "index not born yet".
+    val hasPostings = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
+        fs.listStatus(st.getPath).exists { c =>
+          val cn = c.getPath.getName
+          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
+        })
+    }
+    if (!hasPostings || !fs.exists(new org.apache.hadoop.fs.Path(
         centroidsDir(dir), "_SUCCESS"))) None
     else {
       val raw = s.read.parquet(postingsDir(dir))

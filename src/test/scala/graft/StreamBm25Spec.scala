@@ -257,6 +257,76 @@ class StreamBm25Spec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("legacy FLAT stats layout migrates on first write — nothing goes invisible") {
+    import spark.implicits._
+    // a dir written by the pre-partition-layout code: postings/termdf as
+    // partition dirs, stats as FLAT files (seg_id data column), no
+    // manifest. Spark silently ignores root-level data files once
+    // partition dirs exist, so an unmigrated new-layout write would make
+    // every legacy stats row invisible — wrong corpus stats AND a
+    // manifest adoption that loses the whole pre-existing index.
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_bm25_legacy").toString
+    val old = corpus.take(4).toDF("doc_id", "text")
+    val seg = TextOps.bm25SegmentOf(old, "doc_id", "text", 0)
+    seg.postings.write.mode("append").partitionBy("seg_id")
+      .parquet(s"$dir/postings")
+    val (st0, tdf0) = TextOps.segMetaFromPostings(seg.postings)
+    st0.write.mode("append").parquet(s"$dir/segstats") // FLAT, old layout
+    tdf0.write.mode("append").partitionBy("seg_id").parquet(s"$dir/termdf")
+    // new-layout append into the legacy dir
+    StreamBm25.appendBatch(dir, corpus.drop(4).toDF("doc_id", "text"),
+      1, "doc_id", "text")
+    val segs = StreamBm25.load(spark, dir).get
+    assert(segs.segStats.select("seg_id").collect().map(_.getInt(0)).toSet
+      == Set(0, 1), "legacy segment stats must survive the migration")
+    assert(segs.segStats.agg(sum("n_docs")).head.getLong(0) ==
+      corpus.size.toLong)
+    // serve bit-equal to scratch over the full corpus
+    val queries = queryDocs.toDF("doc_id", "text")
+    assert(searchRows(TextOps.bm25SearchSegmented(segs, queries,
+        "doc_id", "text", k = 3)) ==
+      searchRows(TextOps.bm25Search(
+        TextOps.bm25Index(corpus.toDF("doc_id", "text"), "doc_id", "text"),
+        queries, "doc_id", "text", k = 3)))
+  }
+
+  test("reset-checkpoint guard: a live batch id with UNINDEXED docs refuses loudly") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(3).toSeq) // batches 0, 1 committed
+    val before = StreamBm25.load(spark, dir).get.postings.count()
+    // a re-delivery of committed data is a silent no-op (first-seen)
+    StreamBm25.appendBatch(dir, corpus.take(3).toDF("doc_id", "text"),
+      0, "doc_id", "text")
+    assert(StreamBm25.load(spark, dir).get.postings.count() == before)
+    // but batch id 0 with NEW docs = a reset stream checkpoint pointed
+    // at an existing index: overwriting the committed segment would
+    // destroy its rows in the live view and every pinned generation
+    intercept[IllegalStateException] {
+      StreamBm25.appendBatch(dir,
+        Seq(900L -> "entirely new grapes").toDF("doc_id", "text"),
+        0, "doc_id", "text")
+    }
+    // the committed segment is untouched
+    assert(StreamBm25.load(spark, dir).get.postings.count() == before)
+  }
+
+  test("a first-batch crash whose retry wiped the staged partition does not brick the stream") {
+    import spark.implicits._
+    // crash state: birth manifest committed, postings dir exists but
+    // EMPTY (the retry's enterBatch wiped the only staged partition);
+    // load must mean "index not born yet", not UNABLE_TO_INFER_SCHEMA
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_bm25_crash0").toString
+    graft.streaming.Manifest.commitAfter(spark, dir, Set.empty,
+      basedOn = -1)
+    new java.io.File(s"$dir/postings").mkdirs()
+    assert(StreamBm25.load(spark, dir).isEmpty)
+    StreamBm25.appendBatch(dir, corpus.take(3).toDF("doc_id", "text"),
+      0, "doc_id", "text")
+    assert(StreamBm25.load(spark, dir).get.postings.count() > 0)
+  }
+
   test("manifest generations survive the 8-digit width boundary (no silent rollback)") {
     // writers pad to 8 digits; generation 10^8 is 9 digits wide — a
     // fixed-width reader regex would ignore it and serve the previous
