@@ -17,7 +17,22 @@ import duckdb
 SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "r4_replay_report", "t4_intraday_trades",
                 "t4_balance_history", "x18_pack_sequences",
-                "x35_training_batches"}
+                "x35_training_batches",
+                # r9: the full former rows-only set — deterministic per
+                # fixture (159/159 two-JVM determinism with forced
+                # artifact rebuild), pinned as gate-SF literal VALUES;
+                # independent semantics stay in each query's named spec
+                "g12_sketches", "st5_neardup_stream", "t3_pair_trades",
+                "v11_pq_recall", "v12_ivfpq_recall", "v13_cluster_sample",
+                "v14_semdedup_ivf", "v15_hier_assign", "v16_binary_recall",
+                "v18_filtered_ivf", "v19_rag_retrieval", "v20_rag_recall",
+                "v22_knn_graph_ivf", "v24_mmr_rerank", "v25_retrieval_eval",
+                "v26_hybrid_ivf", "v27_hybrid_bounded",
+                "v28_ivf_incremental", "v4_ann_lsh", "v5_ivf_topk",
+                "v6_ivf_probe", "v7_ann_recall", "v9_ivf_sla",
+                "x17_decontam_minhash", "x23_simhash_pairs",
+                "x33_neardup_keep_one", "x45_incremental_neardup",
+                "x7_minhash_pairs", "x8_simhash"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 
