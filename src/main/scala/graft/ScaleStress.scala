@@ -265,6 +265,19 @@ object ScaleStress {
         idx.count()
         idx
       })
+
+    // x55_append_fixed: the maintained trigram-df index per multiplier
+    // (same attribution split — the one-shot build is x54's scan shape)
+    val x55Idx = scala.collection.mutable.Map.empty[Int,
+      org.apache.spark.sql.DataFrame]
+    val x55Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtNgDfIdx(m: Int): org.apache.spark.sql.DataFrame =
+      x55Idx.getOrElseUpdate(m, {
+        val idx = TextOps.ngramDf(docsOf(m), "doc_id", "text", n = 3)
+          .persist()
+        idx.count()
+        idx
+      })
     def stCellsOf(m: Int): Int =
       math.max(16, math.sqrt(embsOf(m).count().toDouble).toInt)
     def builtStreamDir(m: Int): String = st8Dirs.getOrElseUpdate(m, {
@@ -906,6 +919,21 @@ object ScaleStress {
         graft.ext.Dedup.incrementalFingerprintDedup(idx, batchFp,
           "doc_id", "phash", maxHamming = 3).count()
       }),
+      Op("x55_append_fixed", m => {
+        // steady-state overlap scoring of ONE fixed ~(n(1×)/4)-row batch
+        // against the maintained trigram-df index of the m× corpus:
+        // only the batch tokenizes; the corpus side is the (ng, ndocs)
+        // METADATA index — ~20 B/distinct-trigram, never the bodies.
+        // Expect the x36 shape (sublinear: the metadata scan grows, the
+        // batch work doesn't), vs x54's full body scan per run.
+        val idx = builtNgDfIdx(m)
+        val n = x55Ctr.incrementAndGet()
+        val batch = docsOf(1).filter(col("doc_id") % 4 === 0)
+          .select(
+            (col("doc_id") + lit(40000000000L + n * 1000000L)).as("doc_id"),
+            concat(lit(s"x55b$n "), col("text")).as("text"))
+        TextOps.dupScoreAgainst(idx, batch, "doc_id", "text").count()
+      }),
       Op("x53_incr_curation", m => {
         // the composed nightly-ingest capstone at m×: incremental dedup
         // vs the corpus digest index + quality verdict + batch-scoped
@@ -1110,6 +1138,7 @@ object ScaleStress {
     // (the build is m5's hash scan, measured by its own row; without
     // this the m>min cells would pay the corpus build on first touch)
     if (ops0.exists(_.name == "m6_append_fixed")) mults.foreach(builtPhashIdx)
+    if (ops0.exists(_.name == "x55_append_fixed")) mults.foreach(builtNgDfIdx)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

@@ -84,6 +84,64 @@ object TextOps {
         i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** (id, distinct word-n-gram) pairs — the scoring unit of the
+    * corpus-overlap family (x54/x55). Docs with fewer than `n` tokens
+    * contribute nothing (x54's length floor). */
+  def docGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(array_distinct(ngrams(col("__toks"), n))).as("ng"))
+
+  /** Distinct-n-gram DOCUMENT FREQUENCIES over a corpus — the maintained
+    * metadata index behind the INCREMENTAL corpus-overlap score (x55):
+    * one row per distinct n-gram with the count of docs containing it.
+    * The index is token-level metadata (distinct-n-gram-sized, never the
+    * bodies), so the maintained form scores a batch without rescanning a
+    * single committed document — the x36 digest-index rationale applied
+    * to x54's memorization-risk scan. */
+  def ngramDf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    docGrams(docs, idCol, textCol, n)
+      .groupBy("ng").agg(count(lit(1)).as("ndocs"))
+
+  /** Fold a batch's n-gram df into the maintained index — metadata-only
+    * (union + one keyed sum; corpus bodies never move). Invariant
+    * (spec-pinned): `ngramDfMerge(ngramDf(A), ngramDf(B)) ≡
+    * ngramDf(A ∪ B)` for DISJOINT doc sets. The df table carries no doc
+    * ids, so re-delivery guarding is the CALLER's job (the composed
+    * ingest runs behind the seen-digest index — st9 — which is exactly
+    * that guard); merging the same batch twice double-counts. */
+  def ngramDfMerge(idx: org.apache.spark.sql.DataFrame,
+                   batchDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    idx.unionByName(batchDf).groupBy("ng").agg(sum("ndocs").as("ndocs"))
+
+  /** INCREMENTAL corpus-overlap (memorization-risk) score — x54 against
+    * a MAINTAINED [[ngramDf]] index: each batch doc's share of distinct
+    * n-grams that appear in ≥ 2 docs of index ∪ batch. Only the BATCH
+    * tokenizes; the corpus side is one left join against the df index
+    * keyed by the batch's own n-grams. Equals x54 computed over the
+    * full union, restricted to the batch docs (the DuckDB oracle proves
+    * it on real data): a batch n-gram is duplicated iff index df +
+    * within-batch df ≥ 2 — which also catches batch-internal overlap
+    * the way the full scan does. */
+  def dupScoreAgainst(idx: org.apache.spark.sql.DataFrame,
+                      batch: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val g = docGrams(batch, idCol, textCol, n)
+    val bdf = g.groupBy("ng").agg(count(lit(1)).as("bdocs"))
+    g.join(bdf, "ng")
+      .join(idx.select(col("ng"), col("ndocs")), Seq("ng"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(coalesce(col("ndocs"), lit(0L)) + col("bdocs") >= 2, 1L)
+          .otherwise(0L)).as("n_dup"))
+      .withColumn("dup_share", round(col("n_dup") / col("n_ngrams"), 6))
+  }
+
   /** Hashing-trick TF-IDF components: one row per (doc, bucket) with
     * weight = Σ_tokens-in-bucket tf · ln(N/df). The feature-hashing step
     * (token → one of `dim` buckets) is what makes TF-IDF vectors

@@ -159,6 +159,29 @@ object TextQ {
       })
     }
 
+  /** Memoized corpus n-gram-DF index for x55 — the maintained metadata
+    * artifact of the incremental corpus-overlap score ([[TextOps
+    * .ngramDf]] over the doc_id % 4 != 0 slice): in production it is
+    * written once per corpus snapshot and extended per ingest batch
+    * with [[TextOps.ngramDfMerge]] (metadata-only; the bodies never
+    * rescan). The [[corpusSigIndex]] lifecycle, trigram-df-shaped. */
+  private val ngDfIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private[graft] def ngramDfIndex(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    ngDfIdxCache.synchronized {
+      ngDfIdxCache.getOrElseUpdate((s, d), {
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "ngdf3idx",
+          "v1 n=3 corpus=doc_id%4!=0") {
+          TextOps.ngramDf(Tables.documents(s, d)
+            .filter(col("doc_id") % 4 =!= 0), "doc_id", "text", n = 3)
+        }
+        val idx = loaded.persist()
+        idx.count() // materialize inside the lock (shared await)
+        idx
+      })
+    }
+
   /** x33's resolved cluster table over the REAL MinHash candidate pairs,
     * memoized per (session, sfDir) like [[chainClusters]]: in production
     * the near-dup cluster table is a maintained artifact (built once per
@@ -305,7 +328,7 @@ object TextQ {
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
-    streamedCuration(s, d); ()
+    streamedCuration(s, d); ngramDfIndex(s, d); ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -320,6 +343,8 @@ object TextQ {
     sigCache.clear()
     sigIdxCache.values.foreach(_.unpersist())
     sigIdxCache.clear()
+    ngDfIdxCache.values.foreach(_.unpersist())
+    ngDfIdxCache.clear()
     segIdxCache.values.foreach { case (segs, pruned) =>
       segs.postings.unpersist(); segs.segStats.unpersist()
       segs.termDf.unpersist(); pruned.postings.unpersist()
@@ -746,6 +771,22 @@ object TextQ {
           round(col("n_dup") / col("n_ngrams"), 6))
         .orderBy("doc_id")
     }),
+
+    // X55 — INCREMENTAL corpus-overlap score ([[TextOps
+    // .dupScoreAgainst]]): x54's memorization-risk number for an
+    // ARRIVING batch against the MAINTAINED trigram-df index — the
+    // x36/x45/m6 daily-increment pattern applied to the last
+    // scan-shaped overlap op. The corpus side is ONLY its (ng, ndocs)
+    // metadata index (built from the doc_id % 4 != 0 slice, persisted;
+    // extended per batch with ngramDfMerge in a real loop); the % 4 ==
+    // 0 batch tokenizes itself once and joins the index by its own
+    // n-grams. Oracle-exact: equals x54 over the full corpus restricted
+    // to the batch docs (index df + within-batch df IS the corpus df).
+    "x55_incremental_dup_score" -> ((s, d) =>
+      TextOps.dupScoreAgainst(ngramDfIndex(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
 
     // X27 — temperature-scaled mixture sampling (the multilingual
     // re-weighting step): per-lang keep rates computed FROM corpus counts
@@ -2036,6 +2077,22 @@ object TextQ {
            round(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS dup_share
          FROM g JOIN f USING (ng)
+         GROUP BY 1 ORDER BY 1""",
+    "x55_incremental_dup_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, len(toks) - 1)])) AS ng
+               FROM t WHERE len(toks) >= 3),
+         f AS (SELECT ng, count(*) AS ndocs FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+         FROM g JOIN f USING (ng)
+         WHERE g.doc_id % 4 = 0
          GROUP BY 1 ORDER BY 1""",
     "x26_contam_ngram" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks

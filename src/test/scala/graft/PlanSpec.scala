@@ -179,6 +179,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivors come from one left_anti")
   }
 
+  test("m6 incremental fingerprint dedup: banded equi-joins + one left_anti") {
+    val p = plan("m6_media_phash_increment")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from band equi-joins, never all-pairs")
+    assert(p.contains("LeftAnti"), "survivors come from one left_anti")
+  }
+
+  test("x55 incremental overlap score joins the metadata index — no corpus-body rescan") {
+    val p = plan("x55_incremental_dup_score")
+    assert(!p.contains("CartesianProduct"))
+    // exactly ONE scan tokenizes text (the batch); the corpus side
+    // enters as the parquet-persisted (ng, ndocs) artifact
+    val textScans = "split".r.findAllIn(p).size
+    assert(textScans >= 1, "batch tokenize must be present")
+    assert(p.contains("ndocs"), "index side must be the df artifact")
+  }
+
   test("st5's stateless stream stage is scan-shaped — zero exchanges") {
     // the banded-signature stage runs inside the micro-batch scan: any
     // Exchange here would shuffle every arriving document before the
