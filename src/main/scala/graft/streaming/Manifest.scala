@@ -52,6 +52,23 @@ object Manifest {
 
   private def mdir(root: String) = new Path(s"$root/manifest")
 
+  /** True iff `p` holds at least one real data file (directly, or one
+    * level down inside a partition dir) — shared by all three sinks'
+    * loaders: `spark.read.parquet` on an existing-but-empty dir throws
+    * UNABLE_TO_INFER_SCHEMA, so a first-batch crash whose retry wiped
+    * the only staged partition must read as "state not born yet", not
+    * an error that bricks the retry loop. */
+  private[streaming] def hasDataFiles(
+      fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
+        fs.listStatus(st.getPath).exists { c =>
+          val cn = c.getPath.getName
+          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
+        })
+    }
+
   private def fsOf(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -166,21 +183,32 @@ object Manifest {
     * [[StreamCurate]] `appendBatch`): commit an empty manifest on a
     * virgin dir (manifest-mode from birth — even a batch-0 crash leaves
     * its orphan marked uncommitted), then wipe `stagedPartitions` if
-    * `batchId` is NOT in the live set (the engine re-runs foreachBatch
-    * with the SAME id after a crash, and append-mode writes into the
-    * half-written partitions would double rows). Returns
-    * (basedOn generation, live set or None = legacy dir) — ONE read
-    * serves the guard and the later [[commitAfter]]. */
+    * `batchId` was never referenced by ANY manifest generation (the
+    * engine re-runs foreachBatch with the SAME id after a crash, and
+    * append-mode writes into the half-written partitions would double
+    * rows). Referenced-but-not-live ids — batches compacted away into a
+    * merged segment — are NOT wiped: their partitions are committed
+    * history that older pinned generations still serve ([[readAt]]);
+    * deleting them on a reset-checkpoint re-delivery would silently
+    * corrupt time travel. The sinks' reset guards use the returned
+    * `referenced` set for the same reason (a live-only check would let
+    * a recycled historical id through). Returns (basedOn generation,
+    * live set or None = legacy dir, every id referenced by any
+    * generation) — ONE read sequence serves the guard and the later
+    * [[commitAfter]]. */
   def enterBatch(s: SparkSession, root: String, batchId: Int,
                  primaryDataDir: String, stagedPartitions: Seq[String])
-      : (Int, Option[Set[Int]]) = {
+      : (Int, Option[Set[Int]], Set[Int]) = {
     val fs = fsOf(s, root)
     if (readWithGen(s, root).isEmpty &&
         !fs.exists(new Path(primaryDataDir)))
       commitAfter(s, root, Set.empty, basedOn = -1)
     val st = readWithGen(s, root)
-    if (st.exists { case (_, live) => !live.contains(batchId) })
+    val referenced =
+      if (st.isEmpty) Set.empty[Int]
+      else allSets(s, root).foldLeft(Set.empty[Int])(_ ++ _)
+    if (st.nonEmpty && !referenced.contains(batchId))
       stagedPartitions.foreach(p => fs.delete(new Path(p), true))
-    (st.map(_._1).getOrElse(-1), st.map(_._2))
+    (st.map(_._1).getOrElse(-1), st.map(_._2), referenced)
   }
 }

@@ -39,23 +39,6 @@ object StreamBm25 {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** True iff `p` holds at least one real data file (directly, or one
-    * level down inside a partition dir) — `spark.read.parquet` on an
-    * existing-but-empty dir throws UNABLE_TO_INFER_SCHEMA, so a
-    * batch-0 crash whose retry wiped the only staged partition would
-    * otherwise brick the stream: every retry's load() would throw
-    * instead of seeing "index not born yet". */
-  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                           p: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
-        fs.listStatus(st.getPath).exists { c =>
-          val cn = c.getPath.getName
-          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
-        })
-    }
-
   /** Every seg id EVER written, from the stats layout — partition-DIR
     * names, never a data read: a concurrent append retrying its lost
     * CAS rewrites its own STAGED stats partition (delete + new file
@@ -81,10 +64,20 @@ object StreamBm25 {
     * row invisible (wrong corpus stats, and a manifest-less dir's
     * adopted live set would lose its whole pre-existing index). Every
     * WRITER migrates first: flat rows are re-written as one partition
-    * dir per segment, then the flat files are deleted. Pure readers
-    * never see a mixed dir (writers migrate before writing partitions;
-    * a never-touched legacy dir stays all-flat, which reads fine). */
-  private def migrateLegacyStats(s: SparkSession, dir: String): Unit = {
+    * dir per segment, then the flat files are deleted (partitions
+    * complete BEFORE any flat delete, so a crash leaves every row
+    * readable in at least one form — readers union both forms by
+    * explicit path and dedupe, see [[loadAt]]). In-JVM concurrent
+    * writers serialize on a per-dir lock; ACROSS JVMs the one-time
+    * layout upgrade should run quiesced (one writer), like any storage
+    * migration. */
+  private val migrationLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def migrateLegacyStats(s: SparkSession, dir: String): Unit =
+    migrationLocks.computeIfAbsent(dir, _ => new Object).synchronized {
+      migrateLegacyStatsLocked(s, dir)
+    }
+  private def migrateLegacyStatsLocked(s: SparkSession, dir: String): Unit = {
     val fs = fsOf(s, dir)
     val root = new org.apache.hadoop.fs.Path(statsDir(dir))
     if (!fs.exists(root)) return
@@ -115,9 +108,10 @@ object StreamBm25 {
     val spark = batch.sparkSession
     migrateLegacyStats(spark, dir) // pre-partition-layout dirs upgrade
     // birth commit + same-batchId crash-retry wipe + ONE manifest read
-    // shared by guard and commit (the protocol all three sinks share)
-    val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
-      postingsDir(dir), Seq(
+    // shared by guard and commit (the protocol all three sinks share);
+    // history-referenced partitions are never wiped (time travel)
+    val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
+      batchId.toInt, postingsDir(dir), Seq(
         s"${postingsDir(dir)}/seg_id=${batchId.toInt}",
         s"${termDfDir(dir)}/seg_id=${batchId.toInt}",
         s"${statsDir(dir)}/seg_id=${batchId.toInt}"))
@@ -137,19 +131,21 @@ object StreamBm25 {
       // segment (an n_docs=0 metadata row would be harmless for the
       // stats sums but is noise the maintained index doesn't need).
       if (fresh.count() == 0) return
-      // COMMITTED segments are immutable: a batch id that is already
-      // LIVE with docs this index has never seen means a RESET stream
-      // checkpoint was pointed at an existing dir — proceeding would
-      // overwrite the committed segment's rows (destroying them in the
-      // live view AND in every pinned time-travel generation). A true
+      // COMMITTED segments are immutable — including segments a later
+      // compaction folded away, which older pinned generations still
+      // serve: a batch id EVER referenced by a manifest generation,
+      // arriving with docs this index has never seen, means a RESET
+      // stream checkpoint was pointed at an existing dir — proceeding
+      // would overwrite committed rows (in the live view for a live id;
+      // in time-travel history for a compacted-away one). A true
       // at-least-once re-delivery carries only indexed keys and
       // returned at the count above; anything else must fail loudly.
-      if (manifest.exists(_.contains(batchId.toInt)))
+      if (referenced.contains(batchId.toInt))
         throw new IllegalStateException(
-          s"batch $batchId is already committed in $dir but this " +
-            "delivery carries unindexed documents — a restarted stream " +
-            "against an existing index needs a fresh checkpoint AND " +
-            "batch ids above the live maximum (or a new index dir)")
+          s"batch $batchId was already committed in $dir (live or in " +
+            "time-travel history) but this delivery carries unindexed " +
+            "documents — a restarted stream against an existing index " +
+            "needs batch ids above every id ever used (or a new dir)")
       val seg = TextOps.bm25SegmentOf(fresh, idCol, textCol, batchId.toInt)
       // partition-add, never a rewrite — and each staged write targets
       // its OWN partition directory as the job's output root (not a
@@ -345,24 +341,40 @@ object StreamBm25 {
           }
           // a manifest-mode dir written BEFORE the partition-dir stats
           // layout still carries flat stats files (writers migrate on
-          // first touch; pure readers must tolerate the old layout
-          // read-only). dropDuplicates: the old append-only layout could
-          // hold a value-identical duplicate row from a crashed retried
-          // append.
+          // first touch; pure readers must tolerate the old layout —
+          // and the mid-migration-crash MIXED state, where a root read
+          // would silently ignore the remaining flat files). Per live
+          // id: serve its partition dir if present (committed partition
+          // dirs never vanish — existence probes race nothing), else
+          // the flat files read by EXPLICIT path. dropDuplicates: a
+          // migration crash can leave an id in both forms with
+          // identical values.
+          val partIds = live.filter(id => fs.exists(
+            new org.apache.hadoop.fs.Path(s"${statsDir(dir)}/seg_id=$id")))
+          val flatIds = live -- partIds
           val statsRoot = new org.apache.hadoop.fs.Path(statsDir(dir))
-          val flatStats = fs.exists(statsRoot) &&
-            fs.listStatus(statsRoot).exists { st =>
+          val flatFiles =
+            if (flatIds.isEmpty || !fs.exists(statsRoot)) Array.empty[String]
+            else fs.listStatus(statsRoot).filter { st =>
               val n = st.getPath.getName
               st.isFile && !n.startsWith("_") && !n.startsWith(".")
-            }
-          val segStats =
-            if (flatStats)
-              s.read.parquet(statsDir(dir))
+            }.map(_.getPath.toString)
+          val legs = Seq(
+            if (partIds.isEmpty) None else Some {
+              val paths = partIds.toSeq.sorted
+                .map(id => s"${statsDir(dir)}/seg_id=$id")
+              s.read.option("basePath", statsDir(dir)).parquet(paths: _*)
                 .withColumn("seg_id", col("seg_id").cast("int"))
-                .filter(col("seg_id").isin(live.toSeq: _*))
-                .dropDuplicates("seg_id")
                 .select("seg_id", "n_docs", "sum_dl")
-            else part(statsDir(dir)).select("seg_id", "n_docs", "sum_dl")
+            },
+            if (flatFiles.isEmpty) None else Some {
+              s.read.parquet(flatFiles.toSeq: _*)
+                .withColumn("seg_id", col("seg_id").cast("int"))
+                .filter(col("seg_id").isin(flatIds.toSeq: _*))
+                .select("seg_id", "n_docs", "sum_dl")
+            }).flatten
+          val segStats = legs.reduce(_ unionByName _)
+            .dropDuplicates("seg_id")
           Some(TextOps.Bm25Segments(
             postings = part(postingsDir(dir))
               .select("seg_id", "key", "tok", "tf", "dl"),
@@ -375,21 +387,43 @@ object StreamBm25 {
         // directory listing IS the live set. Empty/missing dirs mean
         // "index not born yet", not an error (a first-batch crash
         // retry's wipe leaves existing-but-empty dirs).
-        if (!hasDataFiles(fs,
+        if (!Manifest.hasDataFiles(fs,
               new org.apache.hadoop.fs.Path(postingsDir(dir))) ||
-            !hasDataFiles(fs, new org.apache.hadoop.fs.Path(statsDir(dir))) ||
-            !hasDataFiles(fs,
+            !Manifest.hasDataFiles(fs,
+              new org.apache.hadoop.fs.Path(statsDir(dir))) ||
+            !Manifest.hasDataFiles(fs,
               new org.apache.hadoop.fs.Path(termDfDir(dir)))) None
-        else Some(TextOps.Bm25Segments(
-          postings = s.read.parquet(postingsDir(dir))
-            .withColumn("seg_id", col("seg_id").cast("int"))
-            .select("seg_id", "key", "tok", "tf", "dl"),
-          segStats = s.read.parquet(statsDir(dir))
-            .withColumn("seg_id", col("seg_id").cast("int"))
-            .select("seg_id", "n_docs", "sum_dl"),
-          termDf = s.read.parquet(termDfDir(dir))
-            .withColumn("seg_id", col("seg_id").cast("int"))
-            .select("seg_id", "tok", "df")))
+        else {
+          // mixed-safe stats read (a migration crash can leave flat
+          // files AND partition dirs; a root read ignores the flats):
+          // both forms by explicit path, union, value-identical dedupe
+          val statsRoot = new org.apache.hadoop.fs.Path(statsDir(dir))
+          val entries = fs.listStatus(statsRoot)
+          val flat = entries.filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.map(_.getPath.toString)
+          val parts = entries.filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("seg_id=")).map(_.getPath.toString)
+          val legs = Seq(
+            if (parts.isEmpty) None else Some(
+              s.read.option("basePath", statsDir(dir)).parquet(parts.toSeq: _*)
+                .withColumn("seg_id", col("seg_id").cast("int"))
+                .select("seg_id", "n_docs", "sum_dl")),
+            if (flat.isEmpty) None else Some(
+              s.read.parquet(flat.toSeq: _*)
+                .withColumn("seg_id", col("seg_id").cast("int"))
+                .select("seg_id", "n_docs", "sum_dl"))).flatten
+          Some(TextOps.Bm25Segments(
+            postings = s.read.parquet(postingsDir(dir))
+              .withColumn("seg_id", col("seg_id").cast("int"))
+              .select("seg_id", "key", "tok", "tf", "dl"),
+            segStats = legs.reduce(_ unionByName _)
+              .dropDuplicates("seg_id"),
+            termDf = s.read.parquet(termDfDir(dir))
+              .withColumn("seg_id", col("seg_id").cast("int"))
+              .select("seg_id", "tok", "df")))
+        }
     }
   }
 

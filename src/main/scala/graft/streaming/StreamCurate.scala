@@ -106,8 +106,8 @@ object StreamCurate {
     // birth commit + same-batchId crash-retry wipe + ONE manifest read
     // shared by guard and commit ([[Manifest.enterBatch]] — the
     // protocol all three sinks share)
-    val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
-      seenDir(dir), Seq(
+    val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
+      batchId.toInt, seenDir(dir), Seq(
         s"${seenDir(dir)}/batch_id=${batchId.toInt}",
         s"${corpusDir(dir)}/batch_id=${batchId.toInt}"))
     val w = org.apache.spark.sql.expressions.Window
@@ -124,16 +124,17 @@ object StreamCurate {
       // one materialized snapshot drives both writes (the st6 listing-
       // consistency discipline)
       if (fresh.count() == 0) return
-      // COMMITTED batches are immutable: a live batch id carrying
-      // unseen digests means a RESET checkpoint against an existing
-      // dir — appending would put rows into committed partitions. A
-      // true re-delivery carries only seen digests and returned above.
-      if (manifest.exists(_.contains(batchId.toInt)))
+      // COMMITTED batches are immutable — including ones no longer live
+      // (older pinned generations still serve them): a batch id EVER
+      // referenced by a manifest generation, carrying unseen digests,
+      // means a RESET checkpoint against an existing dir. A true
+      // re-delivery carries only seen digests and returned above.
+      if (referenced.contains(batchId.toInt))
         throw new IllegalStateException(
-          s"batch $batchId is already committed in $dir but this " +
-            "delivery carries unseen documents — a restarted stream " +
-            "against existing state needs batch ids above the live " +
-            "maximum (or a new state dir)")
+          s"batch $batchId was already committed in $dir (live or in " +
+            "time-travel history) but this delivery carries unseen " +
+            "documents — a restarted stream against existing state " +
+            "needs batch ids above every id ever used (or a new dir)")
       fresh.select(lit(batchId.toInt).as("batch_id"),
           col("__digest").as("digest"))
         .write.mode("append").partitionBy("batch_id").parquet(seenDir(dir))
@@ -162,17 +163,41 @@ object StreamCurate {
     * snapshots ("the corpus the run trained on") for free from the
     * commit protocol. None = latest. */
   def loadAt(s: org.apache.spark.sql.SparkSession, dir: String,
-             asOfGen: Option[Int]): Option[DataFrame] = {
-    if (!hasDataFiles(s, corpusDir(dir))) None
-    else {
-      val raw = s.read.parquet(corpusDir(dir))
-        .withColumn("batch_id", col("batch_id").cast("int"))
-      Some(Manifest.readAt(s, dir, asOfGen) match {
-        case None => raw
-        case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
-      })
+             asOfGen: Option[Int]): Option[DataFrame] =
+    snapshotRead(s, dir, corpusDir(dir), asOfGen)
+
+  /** SNAPSHOT-ISOLATED state read (the StreamBm25.loadAt discipline):
+    * manifest mode reads exactly the live partitions' paths — immutable,
+    * so an in-flight append's staged-partition wipe can race nothing —
+    * never a directory listing; legacy dirs keep the listing, with an
+    * existing-but-empty dir meaning "no state yet" rather than an
+    * unreadable-parquet error. */
+  private def snapshotRead(s: org.apache.spark.sql.SparkSession,
+                           dir: String, dataDir: String,
+                           asOfGen: Option[Int]): Option[DataFrame] =
+    Manifest.readAt(s, dir, asOfGen) match {
+      case Some(live) =>
+        if (live.isEmpty) None
+        else {
+          val paths = live.toSeq.sorted.map(id => s"$dataDir/batch_id=$id")
+          // a batch id live in the manifest may have no partition under
+          // THIS table (a batch whose survivors were empty writes seen
+          // but an empty corpus partition dir may not materialize) —
+          // keep only the paths that exist (committed dirs never vanish)
+          val p0 = new org.apache.hadoop.fs.Path(dataDir)
+          val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val present = paths.filter(p =>
+            Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p)))
+          if (present.isEmpty) None
+          else Some(s.read.option("basePath", dataDir)
+            .parquet(present: _*)
+            .withColumn("batch_id", col("batch_id").cast("int")))
+        }
+      case None =>
+        if (!hasDataFiles(s, dataDir)) None
+        else Some(s.read.parquet(dataDir)
+          .withColumn("batch_id", col("batch_id").cast("int")))
     }
-  }
 
   /** `batch_id=` partition ids present under `d` (empty if the dir
     * doesn't exist) — the legacy-dir live-set baseline. */
@@ -186,35 +211,17 @@ object StreamCurate {
       .map(_.stripPrefix("batch_id=").toInt).toSet
   }
 
-  /** True iff `d` holds at least one real data file (directly or one
-    * level down) — reading an existing-but-empty parquet dir throws
-    * instead of meaning "no state yet", which would brick a first-batch
-    * crash's retry loop (the wipe leaves the dir empty). */
+  /** [[Manifest.hasDataFiles]] on a path string. */
   private def hasDataFiles(s: org.apache.spark.sql.SparkSession,
                            d: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(d)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
-        fs.listStatus(st.getPath).exists { c =>
-          val cn = c.getPath.getName
-          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
-        })
-    }
+    Manifest.hasDataFiles(
+      p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
-  /** The processed-set (seen digests), manifest-filtered. */
+  /** The processed-set (seen digests), snapshot-isolated like the
+    * corpus ([[snapshotRead]]). */
   private def seen(s: org.apache.spark.sql.SparkSession, dir: String)
-      : Option[DataFrame] = {
-    if (!hasDataFiles(s, seenDir(dir))) None
-    else {
-      val raw = s.read.parquet(seenDir(dir))
-        .withColumn("batch_id", col("batch_id").cast("int"))
-      Some(Manifest.read(s, dir) match {
-        case None => raw
-        case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
-      })
-    }
-  }
+      : Option[DataFrame] =
+    snapshotRead(s, dir, seenDir(dir), asOfGen = None)
 }

@@ -66,8 +66,8 @@ object StreamIvf {
     // birth commit + same-batchId crash-retry wipe + ONE manifest read
     // shared by guard and commit ([[Manifest.enterBatch]] — the
     // protocol all three sinks share)
-    val (gen, manifest) = Manifest.enterBatch(spark, dir, batchId.toInt,
-      postingsDir(dir),
+    val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
+      batchId.toInt, postingsDir(dir),
       Seq(s"${postingsDir(dir)}/batch_id=${batchId.toInt}"))
     val fresh = (load(spark, dir, idCol, vecCol) match {
       case Some(idx) =>
@@ -81,17 +81,19 @@ object StreamIvf {
       // later action can see a file listing containing this batch's own
       // postings
       if (fresh.count() == 0) return
-      // COMMITTED partitions are immutable: a live batch id carrying
-      // unindexed vectors means a RESET checkpoint against an existing
-      // dir — appending would put rows into a committed partition
-      // (visible without a flip, leaking into pinned snapshots). A true
+      // COMMITTED partitions are immutable — including ones no longer
+      // live (older pinned generations still serve them): a batch id
+      // EVER referenced by a manifest generation, carrying unindexed
+      // vectors, means a RESET checkpoint against an existing dir —
+      // appending would put rows into a committed partition (visible
+      // without a flip, leaking into pinned snapshots). A true
       // re-delivery carries only indexed ids and returned above.
-      if (manifest.exists(_.contains(batchId.toInt)))
+      if (referenced.contains(batchId.toInt))
         throw new IllegalStateException(
-          s"batch $batchId is already committed in $dir but this " +
-            "delivery carries unindexed vectors — a restarted stream " +
-            "against an existing index needs batch ids above the live " +
-            "maximum (or a new index dir)")
+          s"batch $batchId was already committed in $dir (live or in " +
+            "time-travel history) but this delivery carries unindexed " +
+            "vectors — a restarted stream against an existing index " +
+            "needs batch ids above every id ever used (or a new dir)")
       val cPath = new org.apache.hadoop.fs.Path(centroidsDir(dir))
       // a centroid dir without its _SUCCESS job-commit marker is a
       // crashed training write — wipe and retrain (the quantizer is
@@ -120,10 +122,12 @@ object StreamIvf {
       // COMMIT (CAS on the generation read at entry): the batch's
       // postings become visible atomically; a concurrent maintenance
       // commit throws and the engine's batch retry re-runs fresh
+      // legacy adoption baseline from partition-NAME listing (no data
+      // read — the StreamBm25.everUsedIds discipline)
       val live = manifest.getOrElse(
-        spark.read.parquet(postingsDir(dir))
-          .select(col("batch_id").cast("int")).distinct()
-          .collect().map(_.getInt(0)).toSet - batchId.toInt)
+        fs.listStatus(new org.apache.hadoop.fs.Path(postingsDir(dir)))
+          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toInt).toSet - batchId.toInt)
       Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
@@ -194,36 +198,39 @@ object StreamIvf {
              asOfGen: Option[Int]): Option[Similarity.IvfIndex] = {
     val p = new org.apache.hadoop.fs.Path(postingsDir(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // a batch-0 crash can leave staged postings without a completed
-    // quantizer — the index exists only once both are committed. The
-    // postings dir must hold actual DATA files: after a crash-retry's
-    // wipe of the only staged partition the dir exists but is empty,
-    // and reading it would throw (bricking the retry loop) instead of
-    // meaning "index not born yet".
-    val hasPostings = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".") && (st.isFile ||
-        fs.listStatus(st.getPath).exists { c =>
-          val cn = c.getPath.getName
-          c.isFile && !cn.startsWith("_") && !cn.startsWith(".")
-        })
-    }
-    if (!hasPostings || !fs.exists(new org.apache.hadoop.fs.Path(
+    // the index exists only once the quantizer completed (a batch-0
+    // crash can leave staged postings without one)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
         centroidsDir(dir), "_SUCCESS"))) None
-    else {
-      val raw = s.read.parquet(postingsDir(dir))
-        .withColumn("batch_id", col("batch_id").cast("int"))
-      // manifest-mode dirs serve exactly the committed batch set — a
-      // partition staged by an in-flight append is invisible (the
-      // [[Manifest]] protocol; partition-pruned filter). Legacy dirs
-      // keep the listing behavior.
-      val postings = Manifest.readAt(s, dir, asOfGen) match {
-        case None => raw
-        case Some(live) => raw.filter(col("batch_id").isin(live.toSeq: _*))
-      }
-      Some(Similarity.IvfIndex(
-        centroids = s.read.parquet(centroidsDir(dir)),
-        postings = postings, idCol = idCol, vecCol = vecCol))
+    else Manifest.readAt(s, dir, asOfGen) match {
+      case Some(live) =>
+        // SNAPSHOT-ISOLATED read (the StreamBm25.loadAt discipline):
+        // the file list comes from the manifest — exactly the live
+        // partitions' paths, which are immutable — never a directory
+        // listing that would enumerate an in-flight append's staged
+        // partition (whose crash-retry wipe could vanish files
+        // mid-scan and kill a concurrent probe).
+        if (live.isEmpty) None // born (birth commit) but no batch yet
+        else {
+          val paths = live.toSeq.sorted
+            .map(id => s"${postingsDir(dir)}/batch_id=$id")
+          Some(Similarity.IvfIndex(
+            centroids = s.read.parquet(centroidsDir(dir)),
+            postings = s.read.option("basePath", postingsDir(dir))
+              .parquet(paths: _*)
+              .withColumn("batch_id", col("batch_id").cast("int")),
+            idCol = idCol, vecCol = vecCol))
+        }
+      case None =>
+        // legacy (pre-manifest) dir: single-writer — the listing IS
+        // the live set; an existing-but-empty postings dir means
+        // "index not born yet", not an unreadable-parquet error
+        if (!Manifest.hasDataFiles(fs, p)) None
+        else Some(Similarity.IvfIndex(
+          centroids = s.read.parquet(centroidsDir(dir)),
+          postings = s.read.parquet(postingsDir(dir))
+            .withColumn("batch_id", col("batch_id").cast("int")),
+          idCol = idCol, vecCol = vecCol))
     }
   }
 }

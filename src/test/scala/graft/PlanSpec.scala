@@ -189,10 +189,14 @@ class PlanSpec extends AnyFunSuite {
   test("x55 incremental overlap score joins the metadata index — no corpus-body rescan") {
     val p = plan("x55_incremental_dup_score")
     assert(!p.contains("CartesianProduct"))
-    // exactly ONE scan tokenizes text (the batch); the corpus side
-    // enters as the parquet-persisted (ng, ndocs) artifact
-    val textScans = "split".r.findAllIn(p).size
-    assert(textScans >= 1, "batch tokenize must be present")
+    // EXACTLY two scans of the documents table — both the BATCH slice
+    // (one feeds the gram-per-doc join, one the within-batch df
+    // aggregate). A regression to the full-scan x54 shape (index
+    // rebuilt inline from corpus bodies) adds its own documents scans
+    // on the index side and pushes the count past 2.
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 2,
+      s"expected exactly 2 batch-side documents scans, got $docScans")
     assert(p.contains("ndocs"), "index side must be the df artifact")
   }
 

@@ -311,6 +311,36 @@ class StreamBm25Spec extends AnyFunSuite {
     assert(StreamBm25.load(spark, dir).get.postings.count() == before)
   }
 
+  test("reset guard covers COMPACTED-AWAY ids: history partitions survive, time travel intact") {
+    import spark.implicits._
+    val dir = ingest(corpus.grouped(2).toSeq) // segs 0, 1, 2
+    val queries = queryDocs.toDF("doc_id", "text")
+    val genBefore = graft.streaming.Manifest.generations(spark, dir).last
+    def servedAt(g: Int) = searchRows(TextOps.bm25SearchSegmented(
+      StreamBm25.loadAt(spark, dir, Some(g)).get, queries,
+      "doc_id", "text", k = 3))
+    val historical = servedAt(genBefore)
+    StreamBm25.compactSet(spark, dir, Set(0, 1, 2), into = -1)
+    // seg 0 is no longer LIVE but history references it: a reset
+    // checkpoint re-delivering id 0 with NEW docs must refuse loudly
+    // BEFORE touching the committed partitions (a live-only guard would
+    // let the id through and enterBatch's wipe would have deleted
+    // seg 0's postings out of every pinned generation)
+    intercept[IllegalStateException] {
+      StreamBm25.appendBatch(dir,
+        Seq(901L -> "fresh unseen kumquats").toDF("doc_id", "text"),
+        0, "doc_id", "text")
+    }
+    // the pinned pre-compaction generation still serves bit-stable
+    assert(servedAt(genBefore) == historical)
+    // and re-delivery of seg 0's ORIGINAL docs (keys now live in the
+    // merged segment) stays a silent no-op
+    val n = StreamBm25.load(spark, dir).get.postings.count()
+    StreamBm25.appendBatch(dir, corpus.take(2).toDF("doc_id", "text"),
+      0, "doc_id", "text")
+    assert(StreamBm25.load(spark, dir).get.postings.count() == n)
+  }
+
   test("a first-batch crash whose retry wiped the staged partition does not brick the stream") {
     import spark.implicits._
     // crash state: birth manifest committed, postings dir exists but
