@@ -266,6 +266,27 @@ object ScaleStress {
         idx
       })
 
+    // x56_append_fixed: the maintained cluster table per multiplier
+    // (per-copy chain blocks — the realistic sharded-corpus shape; the
+    // one-shot CC build is excluded, it is x11's own cost)
+    val x56Idx = scala.collection.mutable.Map.empty[Int,
+      org.apache.spark.sql.DataFrame]
+    val x56Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def scaleChains(docs: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source", "copy").orderBy("doc_id")
+      docs.withColumn("prev", lag("doc_id", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id1"), col("doc_id").as("id2"))
+    }
+    def builtChainAssigned(m: Int): org.apache.spark.sql.DataFrame =
+      x56Idx.getOrElseUpdate(m, {
+        val a = Dedup.duplicateClusters(scaleChains(docsOf(m))).persist()
+        a.count()
+        a
+      })
+
     // x55_append_fixed: the maintained trigram-df index per multiplier
     // (same attribution split — the one-shot build is x54's scan shape)
     val x55Idx = scala.collection.mutable.Map.empty[Int,
@@ -919,6 +940,27 @@ object ScaleStress {
         graft.ext.Dedup.incrementalFingerprintDedup(idx, batchFp,
           "doc_id", "phash", maxHamming = 3).count()
       }),
+      Op("x56_append_fixed", m => {
+        // fixed new-edge batch against the maintained cluster table of
+        // the m× corpus: ~(n(1×)/11) fresh docs each bridging into an
+        // existing copy-0 component plus a fresh within-batch chain.
+        // The CC loop runs over the CONTRACTED root graph (≤ 2·edges
+        // nodes, constant in m); the relabel is one broadcast join over
+        // the (id, cluster_id) METADATA table — expect the x36 shape
+        // (sublinear metadata scan), never a corpus-graph CC re-run.
+        val assigned = builtChainAssigned(m)
+        val n = x56Ctr.incrementAndGet()
+        val off = 50000000000L + n * 1000000L
+        val base = docsOf(1).filter(col("doc_id") % 11 === 0)
+          .select("doc_id")
+        val newEdges = base
+          .select(col("doc_id").as("id1"),
+            (col("doc_id") + lit(off)).as("id2"))
+          .unionByName(base.select(
+            (col("doc_id") + lit(off)).as("id1"),
+            (col("doc_id") + lit(off) + 1L).as("id2")))
+        Dedup.incrementalClusters(assigned, newEdges).count()
+      }),
       Op("x55_append_fixed", m => {
         // steady-state overlap scoring of ONE fixed ~(n(1×)/4)-row batch
         // against the maintained trigram-df index of the m× corpus:
@@ -1139,6 +1181,8 @@ object ScaleStress {
     // this the m>min cells would pay the corpus build on first touch)
     if (ops0.exists(_.name == "m6_append_fixed")) mults.foreach(builtPhashIdx)
     if (ops0.exists(_.name == "x55_append_fixed")) mults.foreach(builtNgDfIdx)
+    if (ops0.exists(_.name == "x56_append_fixed"))
+      mults.foreach(builtChainAssigned)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

@@ -653,6 +653,55 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** INCREMENTAL cluster maintenance — [[duplicateClusters]]'s
+    * daily-increment form (the x36/x45/m6 pattern for the CLUSTER
+    * table, closing the dedup lifecycle: signatures already extend
+    * incrementally, now their transitive closure does too): the corpus
+    * side is ONLY the maintained (id, cluster_id) assignment table, and
+    * a batch of NEW candidate edges (within-batch + batch-vs-corpus)
+    * merges in WITHOUT re-running connected components over the corpus
+    * graph.
+    *
+    * Algorithm — component CONTRACTION: every committed component is
+    * one node, represented by its root (= its min id, which is what
+    * `cluster_id` holds). New edges map their endpoints to committed
+    * roots (identity for unseen docs), self-loops drop (an edge inside
+    * one committed component merges nothing), and the O(log diameter)
+    * CC loop runs over that contracted graph ONLY — nodes ≤ 2·|new
+    * edges|, never corpus-sized. Committed rows relabel through one
+    * broadcast-sized join (old root → merged root; untouched components
+    * pass through); unseen docs take their contracted label directly.
+    * Contraction is exact: committed components are closed equivalence
+    * classes and each root is its component's min, so the merged root
+    * is the true min of the merged component — the result equals
+    * [[duplicateClusters]] over the full edge union (spec-pinned, and
+    * x56's DuckDB oracle proves it on real data). Idempotent: replayed
+    * edges contract to self-loops and change nothing. */
+  def incrementalClusters(assigned: DataFrame, newPairs: DataFrame,
+                          idA: String = "id1", idB: String = "id2",
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val m = assigned.select(col("id"), col("cluster_id"))
+    val rootEdges = newPairs
+      .select(col(idA).as("__a"), col(idB).as("__b"))
+      .join(m.select(col("id").as("__a"), col("cluster_id").as("__ra")),
+        Seq("__a"), "left")
+      .join(m.select(col("id").as("__b"), col("cluster_id").as("__rb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as("id1"),
+        coalesce(col("__rb"), col("__b")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val rootCc = duplicateClusters(rootEdges, "id1", "id2", maxIter,
+      checkpointDir)
+    val relabeled = m
+      .join(rootCc.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__new_root")), Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__new_root"), col("cluster_id")).as("cluster_id"))
+    val newRows = rootCc.join(m.select("id"), Seq("id"), "left_anti")
+    relabeled.unionByName(newRows)
+  }
+
   /** SimHash near-dup pairs — completes the SimHash pipeline the way
     * [[minHashCandidates]] completes MinHash: fingerprints sharing any
     * (64/bands)-bit band are candidates (ONE equi-join on

@@ -21,13 +21,14 @@ object TextQ {
     * propagation — the hardest shape for the CC iteration — while the
     * oracle can compute the expected clusters independently as the blocks
     * themselves. Production use feeds x7's candidate pairs in instead. */
-  private def chainEdges(s: SparkSession, d: String): DataFrame = {
+  private def chainEdgesOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang", "source").orderBy("doc_id")
-    Tables.documents(s, d)
-      .withColumn("prev", lag("doc_id", 1).over(w))
+    docs.withColumn("prev", lag("doc_id", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("prev").as("id1"), col("doc_id").as("id2"))
   }
+  private def chainEdges(s: SparkSession, d: String): DataFrame =
+    chainEdgesOf(Tables.documents(s, d))
 
   /** x11 and x13 consume the SAME resolved cluster table — memoize it per
     * (session, sfDir) exactly like BacktestQ's intraday fold, instead of
@@ -48,6 +49,28 @@ object TextQ {
         val loaded = graft.ArtifactStore.dataFrame(s, d, "chainclusters",
           "v1 chainEdges") {
           Dedup.duplicateClusters(chainEdges(s, d))
+        }
+        val cc = loaded.persist()
+        cc.count() // materialize inside the lock (shared await)
+        cc
+      })
+    }
+
+  /** Memoized CORPUS-slice cluster table for x56 — the maintained
+    * (id, cluster_id) assignment artifact an incremental dedup loop
+    * carries between runs ([[graft.ext.Dedup.incrementalClusters]]
+    * extends it per batch): resolved once over the doc_id % 4 != 0
+    * slice's chain edges, persisted like [[chainClusters]]. */
+  private val corpusCcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def corpusClusterTable(s: SparkSession, d: String)
+      : DataFrame =
+    corpusCcCache.synchronized {
+      corpusCcCache.getOrElseUpdate((s, d), {
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "corpuscc",
+          "v1 chainEdges corpus=doc_id%4!=0") {
+          Dedup.duplicateClusters(chainEdgesOf(
+            Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)))
         }
         val cc = loaded.persist()
         cc.count() // materialize inside the lock (shared await)
@@ -328,7 +351,7 @@ object TextQ {
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
-    streamedCuration(s, d); ngramDfIndex(s, d); ()
+    streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d); ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -345,6 +368,8 @@ object TextQ {
     sigIdxCache.clear()
     ngDfIdxCache.values.foreach(_.unpersist())
     ngDfIdxCache.clear()
+    corpusCcCache.values.foreach(_.unpersist())
+    corpusCcCache.clear()
     segIdxCache.values.foreach { case (segs, pruned) =>
       segs.postings.unpersist(); segs.segStats.unpersist()
       segs.termDf.unpersist(); pruned.postings.unpersist()
@@ -497,6 +522,26 @@ object TextQ {
     // min-label propagation with pointer jumping) over the chain edges;
     // see [[chainEdges]]/[[chainClusters]] for the shape and sharing.
     "x11_dup_clusters" -> ((s, d) => chainClusters(s, d).orderBy("id")),
+
+    // X56 — INCREMENTAL cluster maintenance ([[Dedup
+    // .incrementalClusters]]): x11's transitive closure for an ARRIVING
+    // batch against the MAINTAINED (id, cluster_id) table — closing the
+    // dedup lifecycle's last batch-only stage (signatures extend
+    // incrementally via x45; now their clusters do too). The corpus
+    // side is ONLY the resolved assignment table (built from the
+    // doc_id % 4 != 0 slice, persisted); the batch's new edges contract
+    // committed components to their ROOT nodes, the O(log diameter) CC
+    // loop runs over that ≤ 2·|new-edges|-node graph, and one
+    // broadcast-sized relabel join updates affected rows. Output
+    // intentionally equals x11's full cluster table (same data,
+    // incremental construction — the x49-vs-x48 pattern), so the DuckDB
+    // compare IS the incremental ≡ scratch proof on real data.
+    "x56_incremental_clusters" -> ((s, d) => {
+      val newEdges = chainEdges(s, d)
+        .filter(col("id1") % 4 === 0 || col("id2") % 4 === 0)
+      Dedup.incrementalClusters(corpusClusterTable(s, d), newEdges)
+        .orderBy("id")
+    }),
 
     // X12 — repetition-based quality (the Gopher-style filter signals):
     // repeat_ratio = 1 − distinct/total tokens, top_tok_share = most
@@ -1751,6 +1796,13 @@ object TextQ {
          WHERE rk = 1 AND digest NOT IN (SELECT digest FROM corpus)
          ORDER BY doc_id""",
     "x11_dup_clusters" ->
+      """WITH g AS (SELECT lang, source FROM documents
+                    GROUP BY lang, source HAVING count(*) > 1)
+         SELECT d.doc_id AS id,
+           min(d.doc_id) OVER (PARTITION BY d.lang, d.source) AS cluster_id
+         FROM documents d JOIN g USING (lang, source)
+         ORDER BY id""",
+    "x56_incremental_clusters" ->
       """WITH g AS (SELECT lang, source FROM documents
                     GROUP BY lang, source HAVING count(*) > 1)
          SELECT d.doc_id AS id,
