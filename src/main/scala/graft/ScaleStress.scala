@@ -287,6 +287,28 @@ object ScaleStress {
         a
       })
 
+    // v30_append_fixed: the maintained semantic index per multiplier —
+    // the index-side vectors assigned under centroids trained ON the
+    // index (the frozen-quantizer v28 contract; nCells ~ √n so cell
+    // occupancy ~ √n). Build excluded from the append row (it is the
+    // IVF build, measured by its own rows).
+    val v30Idx = scala.collection.mutable.Map.empty[Int,
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    val v30Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtSemIdx(m: Int)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      v30Idx.getOrElseUpdate(m, {
+        val c = embsOf(m).filter(col("vec_id") % 4 =!= 0)
+          .select("vec_id", "vec")
+        val cells = math.max(16, math.sqrt(c.count().toDouble).toInt)
+        val cents = Similarity.ivfCentroids(c, "vec_id", "vec", cells)
+          .persist()
+        cents.count()
+        val idx = Similarity.assignTo(c, cents, "vec_id", "vec").persist()
+        idx.count()
+        (cents, idx)
+      })
+
     // x55_append_fixed: the maintained trigram-df index per multiplier
     // (same attribution split — the one-shot build is x54's scan shape)
     val x55Idx = scala.collection.mutable.Map.empty[Int,
@@ -961,6 +983,26 @@ object ScaleStress {
             (col("doc_id") + lit(off) + 1L).as("id2")))
         Dedup.incrementalClusters(assigned, newEdges).count()
       }),
+      Op("v30_append_fixed", m => {
+        // steady-state semantic-dedup cost of ONE fixed ~(n(1×)/4)-row
+        // vector batch against the maintained IVF-cell-blocked semantic
+        // index of the m× corpus: the batch assigns under the index's
+        // FROZEN centroids (the v28 add-after-train contract — both
+        // sides share one cell geometry), then one cell equi-join vs
+        // the index + one within-batch cell self-join. Per-batch cost ∝
+        // |batch| · cell occupancy ~ √n with the nCells ~ √n sizing —
+        // expect ~0.5 exponent, vs a scratch v10 re-run whose pair join
+        // re-pairs the whole corpus with itself every night.
+        val (cents, idx) = builtSemIdx(m)
+        val n = v30Ctr.incrementAndGet()
+        val off = 60000000000L + n * 1000000L
+        val batch = Similarity.assignTo(
+          embsOf(1).filter(col("vec_id") % 4 === 0)
+            .select((col("vec_id") + lit(off)).as("vec_id"), col("vec")),
+          cents, "vec_id", "vec")
+        Similarity.incrementalSemanticDedup(idx, batch, "vec_id", "vec",
+          "ivf_cell", threshold = 0.3).count()
+      }),
       Op("x55_append_fixed", m => {
         // steady-state overlap scoring of ONE fixed ~(n(1×)/4)-row batch
         // against the maintained trigram-df index of the m× corpus:
@@ -1181,6 +1223,7 @@ object ScaleStress {
     // this the m>min cells would pay the corpus build on first touch)
     if (ops0.exists(_.name == "m6_append_fixed")) mults.foreach(builtPhashIdx)
     if (ops0.exists(_.name == "x55_append_fixed")) mults.foreach(builtNgDfIdx)
+    if (ops0.exists(_.name == "v30_append_fixed")) mults.foreach(builtSemIdx)
     if (ops0.exists(_.name == "x56_append_fixed"))
       mults.foreach(builtChainAssigned)
 

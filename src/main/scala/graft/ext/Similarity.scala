@@ -736,6 +736,52 @@ object Similarity {
       .drop("ivf_cell")
   }
 
+  /** INCREMENTAL semantic dedup — [[semanticDedup]]'s daily-increment
+    * form (the x36/x45/m6/x56 maintained-index pattern applied to the
+    * EMBEDDING family, the last dedup flavor without an incremental
+    * member): the corpus side is ONLY the maintained
+    * (id, block, vector) index — committed vectors are never re-embedded
+    * or re-paired with each other — and a batch doc survives iff NO
+    * index vector in its block reaches `round(cos, 6) >= threshold` AND
+    * no EARLIER (smaller-id) batch doc in its block does. Committed
+    * docs dominate regardless of id (they arrived first — the m6
+    * contract: arrival time, not id, is seniority across the
+    * index/batch boundary; ids order only WITHIN the batch), so the
+    * index is append-only and the survivors ARE the rows the caller
+    * appends. Re-delivered ids (already present in the index) drop up
+    * front — an at-least-once re-crawl pays batch cost and appends
+    * nothing.
+    *
+    * Scale shape: one block equi-join batch × index plus one
+    * within-batch block self-join — cost ∝ |batch| · occupancy(block),
+    * never index × index. Block with a bounded metadata key on small
+    * corpora, or an IVF cell id assigned under the index's FROZEN
+    * centroids at 100 TB (the v28 add-after-train contract — both
+    * sides must share one cell geometry or blocks don't align), where
+    * occupancy ~ n/nCells is held ~√n by the nCells ~ √n sizing. */
+  def incrementalSemanticDedup(index: DataFrame, batch: DataFrame,
+                               idCol: String, vecCol: String,
+                               blockCol: String,
+                               threshold: Double): DataFrame = {
+    val fresh = batch.join(index.select(idCol), Seq(idCol), "left_anti")
+    val domIdx = fresh
+      .select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+        col(vecCol).as("__vb"))
+      .join(index.select(col(blockCol).as("__blk"), col(vecCol).as("__vi")),
+        "__blk")
+      .filter(round(cosine(col("__vb"), col("__vi")), 6) >= threshold)
+      .select(col("__id").as(idCol))
+    val domEarlier = fresh
+      .select(col(blockCol).as("__blk"), col(idCol).as("__id1"),
+        col(vecCol).as("__v1"))
+      .join(fresh.select(col(blockCol).as("__blk"), col(idCol).as("__id2"),
+        col(vecCol).as("__v2")), "__blk")
+      .filter(col("__id1") < col("__id2") &&
+        round(cosine(col("__v1"), col("__v2")), 6) >= threshold)
+      .select(col("__id2").as(idCol))
+    fresh.join(domIdx.union(domEarlier).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC cross-corpus decontamination audit — the embedding-space
     * member of the decontam family (x15/x17/x26/x29 are lexical):
     * per train vector, the max cosine against ANY benchmark vector,

@@ -571,13 +571,38 @@ object VectorQ {
       })
     }
 
+  /** Memoized EMBEDDING-slice index for v30 — the maintained
+    * (id, label, vector) artifact an incremental semantic-dedup loop
+    * carries between runs (the phashidx/corpuscc rationale for the
+    * embedding family): committed vectors are written once per corpus
+    * snapshot and every arriving batch block-joins against them WITHOUT
+    * re-pairing the corpus with itself. Index side = the
+    * vec_id % 4 != 0 slice; the % 4 == 0 slice plays the arriving
+    * batch. */
+  private val semIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def semanticIndex(s: SparkSession, d: String): DataFrame =
+    semIdxCache.synchronized {
+      semIdxCache.getOrElseUpdate((s, d), {
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "semidx",
+          "v1 corpus=vec_id%4!=0") {
+          corpus(s, d).filter(col("vec_id") % 4 =!= 0)
+            .select("vec_id", "label", "vec")
+        }
+        val idx = loaded.persist()
+        idx.count() // materialize inside the lock (shared await)
+        idx
+      })
+    }
+
   /** Bench hook: build the shared IVF indexes + PQ artifacts + hier tree
     * + retrieval artifacts up front (see BacktestQ.prewarm — same
     * attribution rationale). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     prebuiltIvf(s, d); prebuiltPq(s, d); prebuiltHier(s, d)
     prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d)
-    streamedIvf(s, d); prebuiltExactL2(s, d); prebuiltEvalExact(s, d); ()
+    streamedIvf(s, d); prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
+    semanticIndex(s, d); ()
   }
 
   /** Release the memoized IVF index + PQ artifacts (see
@@ -618,6 +643,8 @@ object VectorQ {
     evalExactCache.clear()
     streamIvfCache.values.foreach(_.centroids.unpersist())
     streamIvfCache.clear()
+    semIdxCache.values.foreach(_.unpersist())
+    semIdxCache.clear()
     tmpIvfDirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpIvfDirs.clear()
   }
@@ -1224,6 +1251,34 @@ object VectorQ {
         .orderBy("vec_id")
     }),
 
+    // V30 — INCREMENTAL semantic dedup ([[Similarity
+    // .incrementalSemanticDedup]]): v10's SemDeDup policy for an
+    // ARRIVING batch against the MAINTAINED (id, label, vector) index —
+    // the last dedup family without an incremental member (exact x36,
+    // MinHash x45, media m6, clusters x56, overlap x55; now
+    // embeddings). The corpus side is ONLY its persisted index (the
+    // vec_id % 4 != 0 slice; the carried artifact in production); the
+    // arriving batch = the % 4 == 0 slice PLUS a byte-identical
+    // RE-CRAWL of the % 11 == 0 vectors (re-keyed +10⁷ — cos 1.0 with
+    // their originals, so both dominance paths fire at every SF:
+    // originals with % 4 != 0 dominate from the INDEX, % 4 == 0
+    // originals dominate as EARLIER batch docs). A batch doc survives
+    // iff no index vector in its label block reaches cos 0.3 and no
+    // earlier batch doc does; survivors are the rows appended to the
+    // index. Label-blocked → fully SQL-expressible → oracle-exact (the
+    // v10 pattern; the 100 TB block key is an IVF cell under the
+    // index's frozen centroids).
+    "v30_semdedup_incremental" -> ((s, d) => {
+      val c = corpus(s, d)
+      val batch = c.filter(col("vec_id") % 4 === 0)
+        .unionByName(c.filter(col("vec_id") % 11 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000000L))
+      Similarity.incrementalSemanticDedup(semanticIndex(s, d), batch,
+          "vec_id", "vec", "label", threshold = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     // ST8 — the STREAM-MAINTAINED dense IVF index ([[streamedIvf]]:
     // 3-batch foreachBatch ingest, quantizer trained on batch 0 and
     // FROZEN, batches 1-2 appended as immutable on-disk partitions)
@@ -1351,6 +1406,24 @@ object VectorQ {
          FROM t CROSS JOIN b
          GROUP BY t.vec_id, t.label
          ORDER BY t.vec_id""",
+    "v30_semdedup_incremental" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         idx AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+         batch AS (SELECT * FROM e WHERE vec_id % 4 = 0
+                   UNION ALL
+                   SELECT vec_id + 10000000, label, v FROM e
+                   WHERE vec_id % 11 = 0),
+         dom AS (SELECT DISTINCT b.vec_id FROM batch b JOIN idx i
+                   ON b.label = i.label
+                 WHERE round(list_cosine_similarity(b.v, i.v), 6) >= 0.3
+                 UNION
+                 SELECT DISTINCT b2.vec_id FROM batch b1 JOIN batch b2
+                   ON b1.label = b2.label AND b1.vec_id < b2.vec_id
+                 WHERE round(list_cosine_similarity(b1.v, b2.v), 6) >= 0.3)
+         SELECT vec_id, label FROM batch
+         WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+         ORDER BY vec_id""",
     "st8_ivf_stream" ->
       """SELECT q_id, rank, c_id, round(cos, 6) AS cos,
            (c_id % 3 = 2) AS from_increment FROM (

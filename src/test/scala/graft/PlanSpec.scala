@@ -186,6 +186,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivors come from one left_anti")
   }
 
+  test("v30 incremental semantic dedup: blocked equi-joins + left_anti (no cartesian)") {
+    val p = plan("v30_semdedup_incremental")
+    assert(!p.contains("CartesianProduct"),
+      "batch×index and within-batch pairing must stay block equi-joins")
+    assert(p.contains("LeftAnti"), "survivors come from one left_anti")
+  }
+
   test("x55 incremental overlap score joins the metadata index — no corpus-body rescan") {
     val p = plan("x55_incremental_dup_score")
     assert(!p.contains("CartesianProduct"))
