@@ -682,6 +682,38 @@ object Dedup {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     val m = assigned.select(col("id"), col("cluster_id"))
+    val (newRows, rootDelta) = incrementalClusterParts(assigned, newPairs,
+      idA, idB, maxIter, checkpointDir)
+    val relabeled = m
+      .join(rootDelta.select(col("old_root").as("cluster_id"),
+        col("new_root").as("__new_root")), Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__new_root"), col("cluster_id")).as("cluster_id"))
+    relabeled.unionByName(newRows)
+  }
+
+  /** The two DELTAS a batch of new edges induces on a maintained
+    * cluster table, without touching committed rows — the storage-side
+    * split of [[incrementalClusters]] (the [[graft.streaming
+    * .StreamClusters]] sink applies them as a partition append + a
+    * metadata-overlay rewrite instead of a full-table relabel):
+    *
+    *   - `newMembers` — (id, cluster_id) rows for ids NOT in `assigned`
+    *     (their root is already final for this batch);
+    *   - `rootDelta` — (old_root, new_root) rows for every COMMITTED
+    *     root whose component merged into a smaller one — the
+    *     broadcast-sized relabel map. Identity rows are excluded;
+    *     values are final merged roots (the contracted CC loop is
+    *     complete, so one-step resolution holds).
+    *
+    * `incrementalClusters(assigned, pairs) ≡ assigned relabeled through
+    * rootDelta ∪ newMembers` — spec-pinned (IncrementalClusterSpec). */
+  def incrementalClusterParts(assigned: DataFrame, newPairs: DataFrame,
+                              idA: String = "id1", idB: String = "id2",
+                              maxIter: Int = 20,
+                              checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val m = assigned.select(col("id"), col("cluster_id"))
     val rootEdges = newPairs
       .select(col(idA).as("__a"), col(idB).as("__b"))
       .join(m.select(col("id").as("__a"), col("cluster_id").as("__ra")),
@@ -693,13 +725,14 @@ object Dedup {
       .filter(col("id1") =!= col("id2"))
     val rootCc = duplicateClusters(rootEdges, "id1", "id2", maxIter,
       checkpointDir)
-    val relabeled = m
-      .join(rootCc.select(col("id").as("cluster_id"),
-        col("cluster_id").as("__new_root")), Seq("cluster_id"), "left")
-      .select(col("id"),
-        coalesce(col("__new_root"), col("cluster_id")).as("cluster_id"))
-    val newRows = rootCc.join(m.select("id"), Seq("id"), "left_anti")
-    relabeled.unionByName(newRows)
+    val newMembers = rootCc.join(m.select("id"), Seq("id"), "left_anti")
+    // committed roots are m.cluster_id values; a rootCc node that IS one
+    // and maps to a different (smaller) root is a merge to record
+    val rootDelta = rootCc
+      .join(m.select(col("cluster_id").as("id")).distinct(), Seq("id"))
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as("old_root"), col("cluster_id").as("new_root"))
+    (newMembers, rootDelta)
   }
 
   /** SimHash near-dup pairs — completes the SimHash pipeline the way

@@ -348,10 +348,51 @@ object TextQ {
       })
     }
 
+  /** Memoized STREAM-MAINTAINED cluster table for st10 — the full chain
+    * graph ingested as 3 edge micro-batches through the
+    * [[graft.streaming.StreamClusters]] sink (members partitions + the
+    * root-map overlay, manifest-committed) and served from the
+    * disk-round-tripped state. Splitting edges by id2 % 3 scatters each
+    * chain across batches, so later batches BRIDGE committed components
+    * — the overlay path is load-bearing, not decorative. */
+  private val streamCcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val tmpSt10Dirs =
+    scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private def streamedClusters(s: SparkSession, d: String): DataFrame =
+    streamCcCache.synchronized {
+      streamCcCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches id2mod3 chainEdges"
+        def ingest(dir: String): Unit = {
+          val e = chainEdges(s, d)
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamClusters.appendBatch(dir,
+              e.filter(pmod(col("id2"), lit(3)) === i), i)
+          }
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st10cc", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            ingest(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st10-")
+            tmpSt10Dirs += p
+            ingest(p.toString)
+            p.toString
+        }
+        val t = graft.streaming.StreamClusters.load(s, dir).get.persist()
+        t.count() // materialize inside the lock (shared await)
+        t
+      })
+    }
+
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
-    streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d); ()
+    streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
+    streamedClusters(s, d); ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -381,6 +422,10 @@ object TextQ {
     st9Cache.clear()
     tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt9Dirs.clear()
+    streamCcCache.values.foreach(_.unpersist())
+    streamCcCache.clear()
+    tmpSt10Dirs.foreach(graft.ArtifactStore.deleteRecursively)
+    tmpSt10Dirs.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -542,6 +587,25 @@ object TextQ {
       Dedup.incrementalClusters(corpusClusterTable(s, d), newEdges)
         .orderBy("id")
     }),
+
+    // ST10 — the STREAM-MAINTAINED cluster table ([[streamedClusters]]:
+    // 3 edge micro-batches through the [[graft.streaming
+    // .StreamClusters]] sink — immutable member partitions + the
+    // metadata-sized root-map OVERLAY under one manifest, so a bridge
+    // edge relabels committed rows WITHOUT rewriting a single committed
+    // partition). Completes the streaming-ingest family's symmetry:
+    // every maintained dedup artifact now has an online form (st3
+    // digests, st5 signatures, st6/st7 sparse index, st8 dense index,
+    // st9 curated corpus — and now the transitive closure). Splitting
+    // by id2 % 3 scatters each chain across batches, so batches 1-2
+    // genuinely bridge committed components. Serve = the resolved
+    // members ⟕ overlay view from the disk-round-tripped state; output
+    // ≡ x11's full cluster table, so the DuckDB compare IS streamed ≡
+    // scratch for the cluster table THROUGH the disk round trip (the
+    // st6/st8 claim, closure side). StreamClustersSpec pins the merge
+    // shapes, re-delivery no-op, reset guard, time travel, compaction.
+    "st10_cluster_stream" -> ((s, d) =>
+      streamedClusters(s, d).orderBy("id")),
 
     // X12 — repetition-based quality (the Gopher-style filter signals):
     // repeat_ratio = 1 − distinct/total tokens, top_tok_share = most
@@ -1803,6 +1867,13 @@ object TextQ {
          FROM documents d JOIN g USING (lang, source)
          ORDER BY id""",
     "x56_incremental_clusters" ->
+      """WITH g AS (SELECT lang, source FROM documents
+                    GROUP BY lang, source HAVING count(*) > 1)
+         SELECT d.doc_id AS id,
+           min(d.doc_id) OVER (PARTITION BY d.lang, d.source) AS cluster_id
+         FROM documents d JOIN g USING (lang, source)
+         ORDER BY id""",
+    "st10_cluster_stream" ->
       """WITH g AS (SELECT lang, source FROM documents
                     GROUP BY lang, source HAVING count(*) > 1)
          SELECT d.doc_id AS id,

@@ -1,0 +1,231 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** STREAMING maintenance of the duplicate-CLUSTER table — the
+  * transitive-closure member of the streaming-ingest family (st6/st7
+  * sparse index, st8 dense index, st9 curated corpus): each micro-batch
+  * of new candidate edges merges into the maintained on-disk
+  * (id, cluster_id) assignment via [[graft.ext.Dedup
+  * .incrementalClusterParts]] — the CC loop runs over the CONTRACTED
+  * root graph (≤ 2·|edges| nodes, constant in corpus size), never the
+  * corpus graph.
+  *
+  * THE STORAGE PROBLEM this sink solves: unlike postings/corpus sinks,
+  * the cluster table is not append-only — a bridge edge RELABELS
+  * committed rows. Rewriting committed partitions per batch would be a
+  * corpus-sized copy-on-write every night. Instead the state is a
+  * union-find materialized as two tables under ONE manifest:
+  *
+  *   - `members/batch_id=N` — immutable (id, cluster_id) rows: the ids
+  *     first seen in batch N with their component root AT INSERT;
+  *   - `rootmap/batch_id=N` — the full ROOT-MAP OVERLAY as of batch N:
+  *     (old_root, new_root) for every root ever merged away. One row
+  *     per merged-away component — METADATA-sized (bounded by the
+  *     number of merges, not rows), so rewriting it whole per batch is
+  *     cheap at any corpus scale.
+  *
+  * The served view is `members LEFT JOIN overlay` with
+  * `coalesce(new_root, root_at_insert)` — committed member partitions
+  * are never rewritten (the Lucene/Iceberg immutability discipline),
+  * and a merge costs one overlay rewrite + one partition append. The
+  * overlay is kept ONE-STEP-RESOLVED (values are always currently-live
+  * roots: each batch composes the previous overlay through its delta
+  * before writing), so the read path is a single broadcast-sized join,
+  * never an iterative pointer chase. [[compact]] folds the overlay into
+  * a fresh resolved members partition (the negative-id namespace, the
+  * StreamBm25 merged-segment convention) when the overlay or partition
+  * count warrants it.
+  *
+  * Crash/concurrency contract = the shared [[Manifest]] protocol:
+  * batches stage into their own partition dirs (disjoint `_temporary`
+  * staging), become visible in one atomic manifest flip, re-delivered
+  * batches no-op (replayed edges contract to self-loops and vanish; no
+  * new members, no delta → no commit), a reset checkpoint carrying
+  * genuinely new edges on an ever-committed id fails loudly, and every
+  * un-vacuumed generation time-travels ([[loadAt]]).
+  */
+object StreamClusters {
+
+  private def membersDir(dir: String) = s"$dir/members"
+  private def rootmapDir(dir: String) = s"$dir/rootmap"
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Every batch id EVER written, from partition-DIR names (never a data
+    * read — the StreamBm25 listing discipline: name listings race
+    * nothing). */
+  private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
+    val fs = fsOf(s, dir)
+    Seq(membersDir(dir), rootmapDir(dir)).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toInt)
+    }.toSet
+  }
+
+  /** `foreachBatch` sink body: one micro-batch of candidate edges
+    * (`idA`, `idB` columns) merges into the maintained table. Appends
+    * the batch's NEW member rows as partition `batch_id=<batchId>`,
+    * rewrites the root-map overlay iff the batch bridged committed
+    * components, and flips the manifest once. A batch whose edges are
+    * all replays (every edge inside one committed component) commits
+    * nothing — not even a generation. */
+  def appendBatch(dir: String, edges: DataFrame, batchId: Long,
+                  idA: String = "id1", idB: String = "id2",
+                  checkpointDir: Option[String] = None): Unit = {
+    require(batchId >= 0, s"engine batch ids are non-negative (got " +
+      s"$batchId); negative ids are the compaction namespace")
+    val spark = edges.sparkSession
+    val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
+      batchId.toInt, membersDir(dir), Seq(
+        s"${membersDir(dir)}/batch_id=${batchId.toInt}",
+        s"${rootmapDir(dir)}/batch_id=${batchId.toInt}"))
+    val assigned = load(spark, dir).getOrElse(
+      // state not born yet: contract against an empty table — every
+      // edge node is a new member, the delta is empty
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType)))))
+    val (newMembers0, rootDelta0) = Dedup.incrementalClusterParts(
+      assigned, edges, idA, idB, checkpointDir = checkpointDir)
+    // ONE materialized snapshot drives the writes + the no-op decision
+    // (the shared sink discipline): the contracted CC ran once, and the
+    // member/overlay writes below cannot re-trigger it against state
+    // that already includes this batch's own partitions (snapshot reads
+    // list only LIVE partitions, so that race is structural anyway).
+    val newMembers = newMembers0.persist()
+    val rootDelta = rootDelta0.persist()
+    try {
+      val nNew = newMembers.count()
+      val nDelta = rootDelta.count()
+      // full re-delivery: replayed edges contract to self-loops and
+      // vanish — nothing new, nothing merged, NO new generation
+      if (nNew == 0 && nDelta == 0) return
+      if (referenced.contains(batchId.toInt))
+        throw new IllegalStateException(
+          s"batch $batchId was already committed in $dir (live or in " +
+            "time-travel history) but this delivery carries new edges — " +
+            "a restarted stream against existing state needs batch ids " +
+            "above every id ever used (or a new dir)")
+      // stage 1: the batch's new member rows — partition add, own dir
+      // as the job output root (disjoint staging, the StreamBm25 rule)
+      if (nNew > 0)
+        newMembers.select(col("id"), col("cluster_id"))
+          .write.mode("overwrite")
+          .parquet(s"${membersDir(dir)}/batch_id=${batchId.toInt}")
+      // stage 2: the composed overlay — ONLY when the batch merged
+      // something (an unchanged overlay is already served by the
+      // latest existing rootmap partition)
+      if (nDelta > 0) {
+        val prev = overlay(spark, dir, asOfGen = None)
+        val composed = (prev match {
+          case Some(r) => r
+            .join(rootDelta.select(col("old_root").as("new_root"),
+              col("new_root").as("__nn")), Seq("new_root"), "left")
+            .select(col("old_root"),
+              coalesce(col("__nn"), col("new_root")).as("new_root"))
+            .unionByName(rootDelta)
+          case None => rootDelta
+        })
+        composed.select(col("old_root"), col("new_root"))
+          .write.mode("overwrite")
+          .parquet(s"${rootmapDir(dir)}/batch_id=${batchId.toInt}")
+      }
+      val live = manifest.getOrElse(everUsedIds(spark, dir) - batchId.toInt)
+      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+    } finally { newMembers.unpersist(); rootDelta.unpersist() }
+  }
+
+  /** Fold the whole maintained table into ONE resolved members
+    * partition (`into` — a fresh NEGATIVE id, the merged-segment
+    * namespace) with an empty overlay: the copy-on-write step a real
+    * deployment runs when the overlay has grown past a threshold, so
+    * the serve join shrinks back to a bare scan. Stages, then one
+    * atomic flip; folded partitions stay as time-travel history (the
+    * compaction-only-stages-and-flips rule). */
+  def compact(s: SparkSession, dir: String, into: Int): Unit = {
+    require(into < 0, s"merged ids are negative (got into=$into); " +
+      "non-negative ids belong to the streaming engine's batch counter")
+    val everUsed = everUsedIds(s, dir)
+    require(!everUsed.contains(into),
+      s"into=$into was already used (ever-written ids: $everUsed)")
+    val st = Manifest.readWithGen(s, dir)
+    val resolved = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no cluster state at $dir"))
+    resolved.select(col("id"), col("cluster_id"))
+      .write.mode("overwrite")
+      .parquet(s"${membersDir(dir)}/batch_id=$into")
+    // CAS on the generation read before staging: an append landing
+    // mid-fold makes this throw instead of silently losing its batch
+    Manifest.commitAfter(s, dir, Set(into),
+      basedOn = st.map(_._1).getOrElse(-1))
+  }
+
+  /** The resolved cluster table (id, cluster_id) as committed so far;
+    * None before the first batch. */
+  def load(s: SparkSession, dir: String): Option[DataFrame] =
+    loadAt(s, dir, asOfGen = None)
+
+  /** TIME-TRAVEL read: the resolved table exactly as of a committed
+    * manifest generation — members partitions live at that generation,
+    * relabeled through the overlay as of that generation. */
+  def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
+      : Option[DataFrame] =
+    membersAt(s, dir, asOfGen).map { m =>
+      overlay(s, dir, asOfGen) match {
+        case Some(r) => m
+          .join(r.select(col("old_root").as("cluster_id"),
+            col("new_root").as("__nr")), Seq("cluster_id"), "left")
+          .select(col("id"),
+            coalesce(col("__nr"), col("cluster_id")).as("cluster_id"))
+        case None => m.select("id", "cluster_id")
+      }
+    }
+
+  /** Members rows live at a generation — snapshot-isolated manifest-path
+    * reads (the StreamBm25/StreamCurate discipline: live partitions'
+    * paths, never a directory listing). */
+  private def membersAt(s: SparkSession, dir: String, asOfGen: Option[Int])
+      : Option[DataFrame] =
+    Manifest.readAt(s, dir, asOfGen) match {
+      case Some(live) if live.nonEmpty =>
+        val fs = fsOf(s, dir)
+        val present = live.toSeq.sorted
+          .map(id => s"${membersDir(dir)}/batch_id=$id")
+          .filter(p => Manifest.hasDataFiles(fs,
+            new org.apache.hadoop.fs.Path(p)))
+        if (present.isEmpty) None
+        else Some(s.read.option("basePath", membersDir(dir))
+          .parquet(present: _*).select("id", "cluster_id"))
+      case _ => None
+    }
+
+  /** The root-map overlay current at a generation: each batch that
+    * merged components wrote the FULL composed overlay, so the overlay
+    * in force is the one of the LARGEST live batch id that has a
+    * rootmap partition (batches with no merges wrote none — the next
+    * older overlay is still exact); None = nothing ever merged (or
+    * everything folded by [[compact]]). */
+  private def overlay(s: SparkSession, dir: String, asOfGen: Option[Int])
+      : Option[DataFrame] =
+    Manifest.readAt(s, dir, asOfGen).flatMap { live =>
+      val fs = fsOf(s, dir)
+      live.toSeq.sorted.reverse
+        .map(id => s"${rootmapDir(dir)}/batch_id=$id")
+        .find(p => Manifest.hasDataFiles(fs,
+          new org.apache.hadoop.fs.Path(p)))
+        .map(p => s.read.option("basePath", rootmapDir(dir)).parquet(p)
+          .select("old_root", "new_root"))
+    }
+}
