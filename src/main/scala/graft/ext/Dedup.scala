@@ -577,6 +577,89 @@ object Dedup {
         .delete(hp, true)
     }
 
+  /** Exact connected components of a SMALL (metadata-sized) graph as ONE
+    * single-task Spark job: the deduped directed edge list coalesces to
+    * one partition and a classic union–find (path halving + union by
+    * size, O(E·α)) labels every node with its component's MIN id — the
+    * same canonical label the distributed loop's min-propagation
+    * converges to, so the two paths are interchangeable (DupClusterSpec
+    * pins them identical on random graphs).
+    *
+    * This runs on an EXECUTOR (mapPartitions), not the driver — no
+    * collect. Primitive-array storage (id→dense-index map + int
+    * parent/size arrays) keeps 8M nodes under ~400 MB. Only integral id
+    * types are accepted; the caller routes everything else to the loop. */
+  private def unionFindClusters(edges: DataFrame,
+                                idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    val rdd = edges.rdd.coalesce(1).mapPartitions { it =>
+      val index = new java.util.HashMap[java.lang.Long, Integer]()
+      var ids = new Array[Long](1024)
+      var parent = new Array[Int](1024)
+      var size = new Array[Int](1024)
+      var n = 0
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short   => s.longValue()
+        case b: java.lang.Byte    => b.longValue()
+        case other => throw new IllegalArgumentException(
+          s"non-integral cluster id: $other")
+      }
+      def nodeOf(v: Long): Int = {
+        val got = index.get(v)
+        if (got != null) got.intValue()
+        else {
+          if (n == ids.length) {
+            ids = java.util.Arrays.copyOf(ids, n * 2)
+            parent = java.util.Arrays.copyOf(parent, n * 2)
+            size = java.util.Arrays.copyOf(size, n * 2)
+          }
+          ids(n) = v; parent(n) = n; size(n) = 1
+          index.put(v, n); n += 1; n - 1
+        }
+      }
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      it.foreach { r =>
+        val ra = find(nodeOf(asLong(r.get(0))))
+        val rb = find(nodeOf(asLong(r.get(1))))
+        if (ra != rb) {
+          if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+          else { parent(ra) = rb; size(rb) += size(ra) }
+        }
+      }
+      // canonical label = min id per component (union-by-size roots are
+      // arbitrary; a second pass computes the min, exactly like the
+      // loop's min-label fixpoint)
+      val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        val r = Integer.valueOf(find(i))
+        val m = minOf.get(r)
+        if (m == null || ids(i) < m.longValue())
+          minOf.put(r, java.lang.Long.valueOf(ids(i)))
+        i += 1
+      }
+      (0 until n).iterator.map { j =>
+        org.apache.spark.sql.Row(ids(j), minOf.get(Integer.valueOf(find(j))).longValue())
+      }
+    }
+    val longSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType)))
+    val asLongDf = spark.createDataFrame(rdd, longSchema)
+    if (idType == org.apache.spark.sql.types.LongType) asLongDf
+    else asLongDf.select(col("id").cast(idType).as("id"),
+      col("cluster_id").cast(idType).as("cluster_id"))
+  }
+
   /** `checkpointDir`: when set, each round's labels are RELIABLY
     * checkpointed there (HDFS/object store on a cluster) instead of
     * `localCheckpoint` — local checkpoint blocks live on executors and an
@@ -585,15 +668,64 @@ object Dedup {
     * are deleted eagerly once round N is materialized (nothing reads them
     * again), so the dir holds at most two rounds of (id, label) pairs —
     * only the FINAL labels' files remain at return (DupClusterSpec
-    * asserts this), and those fall to the ContextCleaner. */
+    * asserts this), and those fall to the ContextCleaner.
+    *
+    * `smallGraphMax`: graphs whose deduped DIRECTED edge list (2× the
+    * undirected pairs) fits this row budget run as ONE single-task
+    * union–find job ([[unionFindClusters]]) instead of the multi-round
+    * distributed loop. The loop's per-round barriers (3 shuffles ×
+    * O(log diameter) rounds, each at full shuffle parallelism) are pure
+    * overhead on a metadata-sized graph — x56's CONTRACTED graph
+    * (≤ 2·|batch edges| nodes by construction) was paying 94.6 task-sec
+    * for work a single core does in milliseconds (VERDICT r9). The
+    * default (4M directed rows ⇒ ≤ 8M nodes, ≲ 400 MB of primitive
+    * arrays + id map) fits any reasonable executor; pass 0 to force the
+    * distributed loop (big-graph path — DupClusterSpec pins both paths
+    * identical). Non-integral id types always take the loop. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id1",
                         idB: String = "id2", maxIter: Int = 20,
-                        checkpointDir: Option[String] = None): DataFrame = {
+                        checkpointDir: Option[String] = None,
+                        smallGraphMax: Long = 4000000L): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One count materializes the persist (the loop's first round paid this
+    // anyway) and sizes the path choice; empty graphs return immediately —
+    // an incremental batch whose edges all landed inside committed
+    // components contracts to NOTHING, and the loop's fixed costs are
+    // pure waste there (VERDICT r9 early-exit ask).
+    val spark = pairs.sparkSession
+    val idType = edges.schema("src").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val nEdges = edges.count()
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (nEdges == 0L) {
+      edges.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+    if (integral && nEdges <= smallGraphMax) {
+      val labels0 = unionFindClusters(edges, idType)
+      // sever lineage + materialize before releasing the edge cache, so
+      // downstream consumers (x56 reads the labels twice) never re-run
+      // the union-find or re-shuffle the edges; reliable when a
+      // checkpoint dir is given (same policy as the loop's rounds)
+      val labels =
+        if (checkpointDir.isDefined) labels0.checkpoint()
+        else labels0.localCheckpoint(eager = true)
+      edges.unpersist()
+      return labels
+    }
     // Checkpoint (not persist) on each round's labels: persist caches DATA
     // but keeps the full logical plan, and the self-join doubles that plan
     // every round — exponential planner blowup by ~iteration 12.

@@ -224,7 +224,7 @@ object ExtQ {
     // kernel text SimHash uses ([[Dedup.fingerprintPairs]]): candidates
     // from 4 16-bit-band equi-joins (pigeonhole-exact to Hamming 3),
     // never O(n²). The corpus carries a planted RE-CRAWL slice
-    // (doc_id % 11 == 0 re-keyed +10⁷, byte-identical payloads — the
+    // (doc_id % 11 == 0 re-keyed +2·10¹⁰, past any real doc_id — the
     // realistic media-dup source), so every SF yields Hamming-0 pairs;
     // the gate-SF fixture has no native byte-dups. MultimodalSpec pins
     // the real-codec path: a one-pixel edit pairs at small Hamming, an
@@ -232,7 +232,7 @@ object ExtQ {
     "m5_media_phash_dup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val recrawl = docs.filter(col("doc_id") % 11 === 0)
-        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("doc_id", col("doc_id") + 20000000000L)
       graft.ext.Dedup.fingerprintPairs(
           Multimodal.perceptualHash(
             Multimodal.mediaTable(docs.unionByName(recrawl)),
@@ -248,7 +248,7 @@ object ExtQ {
     // corpus side is ONLY its persisted (doc_id, phash) index (built
     // from the doc_id % 4 != 0 slice; the carried artifact in
     // production); the arriving batch = the % 4 == 0 slice PLUS a
-    // byte-identical RE-CRAWL of the % 11 == 0 docs (re-keyed +10⁷ —
+    // byte-identical RE-CRAWL of the % 11 == 0 docs (re-keyed +2·10¹⁰ —
     // the realistic media-dup source). Only the BATCH decodes; a batch
     // doc survives iff within Hamming 3 of neither an index fingerprint
     // nor an earlier batch doc's. Output = the (doc_id) rows appended
@@ -260,7 +260,7 @@ object ExtQ {
       val docs = Tables.documents(s, d)
       val batchDocs = docs.filter(col("doc_id") % 4 === 0)
         .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
+          .withColumn("doc_id", col("doc_id") + 20000000000L))
       val batchFp = Multimodal.perceptualHash(
           Multimodal.mediaTable(batchDocs), new Multimodal.ImageIoAHash())
         .select("doc_id", "phash")
@@ -459,7 +459,7 @@ object ExtQ {
     "m5_media_phash_dup" ->
       """WITH u AS (SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 10000000 AS doc_id, text FROM documents
+           SELECT doc_id + 20000000000 AS doc_id, text FROM documents
            WHERE doc_id % 11 = 0),
          p AS (SELECT doc_id,
              CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
@@ -480,7 +480,7 @@ object ExtQ {
          b AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
            UNION ALL
-           SELECT doc_id + 10000000 AS doc_id, text FROM documents
+           SELECT doc_id + 20000000000 AS doc_id, text FROM documents
            WHERE doc_id % 11 = 0),
          bp AS (
            SELECT doc_id,

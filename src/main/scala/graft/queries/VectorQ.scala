@@ -595,6 +595,37 @@ object VectorQ {
       })
     }
 
+  /** Memoized IVF-CELL-blocked semantic index for v31 — [[semanticIndex]]
+    * promoted to its PRODUCTION block key (the v10→v14 pattern applied to
+    * the incremental member): centroids are trained ON the index slice
+    * and FROZEN (the v28 add-after-train contract), the index rows carry
+    * their cell assignment, and every arriving batch assigns under the
+    * SAME frozen centroids so the block equi-join aligns. nCells ~ √n
+    * holds cell occupancy ~√n, so the per-batch cost stays
+    * |batch|·occupancy at any corpus scale. */
+  private val semIvfIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def semanticIvfIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    semIvfIdxCache.synchronized {
+      semIvfIdxCache.getOrElseUpdate((s, d), {
+        val Seq(cents0, idx0) = graft.ArtifactStore.group(s, d, "semidxivf",
+          "v1 corpus=vec_id%4!=0 cells=sqrt refine=2",
+          Seq("centroids", "index")) {
+          val c = corpus(s, d).filter(col("vec_id") % 4 =!= 0)
+            .select("vec_id", "label", "vec")
+          val nCells = math.max(16, math.sqrt(c.count().toDouble).toInt)
+          val cents = Similarity.ivfCentroids(c, "vec_id", "vec", nCells)
+            .persist()
+          cents.count()
+          Seq(cents, Similarity.assignTo(c, cents, "vec_id", "vec"))
+        }
+        val cents = cents0.persist(); cents.count()
+        val idx = idx0.persist(); idx.count()
+        (cents, idx)
+      })
+    }
+
   /** Bench hook: build the shared IVF indexes + PQ artifacts + hier tree
     * + retrieval artifacts up front (see BacktestQ.prewarm — same
     * attribution rationale). */
@@ -602,7 +633,7 @@ object VectorQ {
     prebuiltIvf(s, d); prebuiltPq(s, d); prebuiltHier(s, d)
     prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d)
     streamedIvf(s, d); prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
-    semanticIndex(s, d); ()
+    semanticIndex(s, d); semanticIvfIndex(s, d); ()
   }
 
   /** Release the memoized IVF index + PQ artifacts (see
@@ -645,6 +676,10 @@ object VectorQ {
     streamIvfCache.clear()
     semIdxCache.values.foreach(_.unpersist())
     semIdxCache.clear()
+    semIvfIdxCache.values.foreach { case (c, i) =>
+      c.unpersist(); i.unpersist()
+    }
+    semIvfIdxCache.clear()
     tmpIvfDirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpIvfDirs.clear()
   }
@@ -1259,7 +1294,7 @@ object VectorQ {
     // embeddings). The corpus side is ONLY its persisted index (the
     // vec_id % 4 != 0 slice; the carried artifact in production); the
     // arriving batch = the % 4 == 0 slice PLUS a byte-identical
-    // RE-CRAWL of the % 11 == 0 vectors (re-keyed +10⁷ — cos 1.0 with
+    // RE-CRAWL of the % 11 == 0 vectors (re-keyed +2·10¹⁰, past any real vec_id — cos 1.0 with
     // their originals, so both dominance paths fire at every SF:
     // originals with % 4 != 0 dominate from the INDEX, % 4 == 0
     // originals dominate as EARLIER batch docs). A batch doc survives
@@ -1272,9 +1307,34 @@ object VectorQ {
       val c = corpus(s, d)
       val batch = c.filter(col("vec_id") % 4 === 0)
         .unionByName(c.filter(col("vec_id") % 11 === 0)
-          .withColumn("vec_id", col("vec_id") + 10000000L))
+          .withColumn("vec_id", col("vec_id") + 20000000000L))
       Similarity.incrementalSemanticDedup(semanticIndex(s, d), batch,
           "vec_id", "vec", "label", threshold = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
+    // V31 — incremental semantic dedup at its PRODUCTION block key
+    // (the v10→v14 promotion applied to v30): the maintained index
+    // carries an IVF-CELL assignment under centroids trained on the
+    // index and FROZEN (the v28 add-after-train contract), and the
+    // arriving batch (same % 4 == 0 + re-crawl composition as v30)
+    // assigns under those SAME frozen centroids before the block
+    // equi-join — both sides share one cell geometry, which is the
+    // whole contract at 100 TB where no bounded metadata label exists.
+    // Centroid-specific → gate-SF golden pin; SemDedupSpec audits every
+    // cell-blocked drop against a real in-cell dominator and pins
+    // v31 ⊇ v30-style label-blocked survivors semantics SF-independently.
+    "v31_semdedup_incr_ivf" -> ((s, d) => {
+      val (cents, idx) = semanticIvfIndex(s, d)
+      val c = corpus(s, d)
+      val batch0 = c.filter(col("vec_id") % 4 === 0)
+        .unionByName(c.filter(col("vec_id") % 11 === 0)
+          .withColumn("vec_id", col("vec_id") + 20000000000L))
+        .select("vec_id", "label", "vec")
+      val batch = Similarity.assignTo(batch0, cents, "vec_id", "vec")
+      Similarity.incrementalSemanticDedup(idx, batch,
+          "vec_id", "vec", "ivf_cell", threshold = 0.3)
         .select("vec_id", "label")
         .orderBy("vec_id")
     }),
@@ -1412,7 +1472,7 @@ object VectorQ {
          idx AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
          batch AS (SELECT * FROM e WHERE vec_id % 4 = 0
                    UNION ALL
-                   SELECT vec_id + 10000000, label, v FROM e
+                   SELECT vec_id + 20000000000, label, v FROM e
                    WHERE vec_id % 11 = 0),
          dom AS (SELECT DISTINCT b.vec_id FROM batch b JOIN idx i
                    ON b.label = i.label

@@ -30,11 +30,19 @@ class DupClusterSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  // checks BOTH execution paths: the default (small graphs take the
+  // single-task union-find job) and the forced distributed min-label loop
+  // (smallGraphMax = 0 — the big-graph path)
   private def check(edges: Seq[(Long, Long)], maxIter: Int = 20): Unit = {
     import spark.implicits._
-    val got = Dedup.duplicateClusters(edges.toDF("id1", "id2"), maxIter = maxIter)
+    val expect = unionFind(edges)
+    val fast = Dedup.duplicateClusters(edges.toDF("id1", "id2"), maxIter = maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == unionFind(edges))
+    assert(fast == expect)
+    val loop = Dedup.duplicateClusters(edges.toDF("id1", "id2"),
+        maxIter = maxIter, smallGraphMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == expect)
   }
 
   test("random graphs match union-find") {
@@ -45,6 +53,14 @@ class DupClusterSpec extends AnyFunSuite {
         .filter { case (a, b) => a != b }
       check(edges)
     }
+  }
+
+  test("empty edge set returns an empty cluster table (early exit)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(empty)
+    assert(got.columns.toSeq == Seq("id", "cluster_id"))
+    assert(got.count() == 0L)
   }
 
   test("long chain needs multi-hop propagation") {
@@ -77,8 +93,11 @@ class DupClusterSpec extends AnyFunSuite {
     val extra = Seq.fill(60)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter { case (a, b) => a != b }
     val edges = chain ++ extra
+    // force the distributed loop — the per-round reliable-checkpoint
+    // lifecycle under test here is the loop's; the single-task path has
+    // its own (one checkpoint, covered below)
     val got = Dedup.duplicateClusters(edges.toDF("id1", "id2"),
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), smallGraphMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == unionFind(edges))
     // the reliable path wrote checkpoint state, and eager cleanup left
@@ -92,5 +111,21 @@ class DupClusterSpec extends AnyFunSuite {
     val files = java.nio.file.Files.walk(rddDirs.head)
       .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
     assert(files > 0, "final checkpoint dir must hold the labels' files")
+  }
+
+  test("small-graph path with checkpointDir reliably checkpoints the labels") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_uf").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val got = Dedup.duplicateClusters(edges.toDF("id1", "id2"),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toList
+    assert(rddDirs.size == 1,
+      s"single-task path writes exactly one labels checkpoint, got $rddDirs")
   }
 }

@@ -98,4 +98,49 @@ class IncrementalSemDedupSpec extends AnyFunSuite {
     assert(incremental === scratch)
     assert(incremental.nonEmpty, "vacuous fixture split")
   }
+
+  test("v31 shape: IVF-cell-blocked drops justified by a real in-cell dominator under frozen centroids") {
+    // the production block key (v31): centroids trained on the INDEX
+    // slice and frozen; both sides assign under them; every cell-blocked
+    // drop must have a real dominator — an index vector in its cell or
+    // an earlier batch doc in its cell at round(cos,6) >= th
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    val idxSlice = corpus.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.ivfCentroids(idxSlice, "vec_id", "vec", 16)
+    def assigned(side: DataFrame): DataFrame =
+      Similarity.assignTo(side, cents, "vec_id", "vec")
+        .select(col("vec_id").as("id"), col("ivf_cell").as("blk"), col("vec"))
+    val index = assigned(idxSlice)
+    val batch = assigned(corpus.filter(col("vec_id") % 4 === 0))
+    val survivors = Similarity
+      .incrementalSemanticDedup(index, batch, "id", "vec", "blk", th)
+      .select("id").collect().map(_.getLong(0)).toSet
+    def rows(side: DataFrame): Array[(Long, Int, Array[Double])] =
+      side.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val idxRows = rows(index)
+    val batchRows = rows(batch)
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) Double.NaN
+      else BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val dropped = batchRows.map(_._1).toSet -- survivors
+    assert(dropped.nonEmpty, "vacuous: no cell-blocked drops at this SF")
+    batchRows.filter(r => dropped(r._1)).foreach { case (id, cell, v) =>
+      val fromIndex = idxRows.exists(i => i._2 == cell && {
+        val c = cos6(i._3, v); !c.isNaN && c >= th
+      })
+      val fromEarlier = batchRows.exists(b => b._1 < id && b._2 == cell && {
+        val c = cos6(b._3, v); !c.isNaN && c >= th
+      })
+      assert(fromIndex || fromEarlier,
+        s"batch vec $id dropped without an in-cell dominator (cell $cell)")
+    }
+  }
 }

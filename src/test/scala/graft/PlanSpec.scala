@@ -193,6 +193,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivors come from one left_anti")
   }
 
+  test("v31 cell-blocked incremental semantic dedup: block equi-joins + left_anti (no cartesian)") {
+    val p = plan("v31_semdedup_incr_ivf")
+    assert(!p.contains("CartesianProduct"),
+      "batch×index and within-batch pairing must stay cell equi-joins; " +
+        "the only row-multiplying join allowed is the broadcast 1-row " +
+        "centroid pack (BroadcastNestedLoopJoin)")
+    assert(p.contains("LeftAnti"), "survivors come from one left_anti")
+  }
+
   test("x55 incremental overlap score joins the metadata index — no corpus-body rescan") {
     val p = plan("x55_incremental_dup_score")
     assert(!p.contains("CartesianProduct"))

@@ -32,7 +32,10 @@ SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "v6_ivf_probe", "v7_ann_recall", "v9_ivf_sla",
                 "x17_decontam_minhash", "x23_simhash_pairs",
                 "x33_neardup_keep_one", "x45_incremental_neardup",
-                "x7_minhash_pairs", "x8_simhash"}
+                "x7_minhash_pairs", "x8_simhash",
+                # r10: v31 = v30 at its IVF-cell production block key
+                # (centroid-specific output, same determinism argument)
+                "v31_semdedup_incr_ivf"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 

@@ -14,10 +14,11 @@ NULL vs NaN matters: w1 carries the reference's faithful NaN balances
 price), so cells are emitted via fetchall (None -> NULL, float('nan') ->
 CAST('NaN' AS DOUBLE)) — never through pandas, which conflates the two.
 
-Usage: python3 tools/golden_oracle.py /tmp/verify_out
-Prints the Scala map entries to paste into queries/GoldenOracles.scala.
+Usage: python3 tools/golden_oracle.py /tmp/verify_out [name[:order_col] ...]
+Writes src/main/resources/goldens/<name>.sql (the runtime resources
+queries/GoldenOracles.scala loads) and refreshes goldens/index.txt.
 """
-import sys, duckdb, math
+import os, sys, duckdb, math
 
 
 def lit(v, col_type):
@@ -55,25 +56,21 @@ def emit(con, path, name, order_by):
     tail = f"\n         AS t({alias})"
     if order_by:
         tail += f" ORDER BY {quote(order_by)}"
-    # JVM limit: one string constant must stay under 64 KiB of UTF-8. For
-    # the big fold surfaces (r3's 2k-row blotter) emit chunked literals
-    # joined at RUNTIME (Seq(...).mkString — scalac constant-folds a
-    # literal "+" chain back into one oversized constant, mkString it is).
-    CHUNK = 300
-    if len(rows) <= CHUNK:
-        values = ",\n           ".join(rows)
-        sql = f"SELECT * FROM (VALUES\n           {values}){tail}"
-        print(f'    "{name}" ->\n      """{sql}""",\n')
-    else:
-        parts = ["SELECT * FROM (VALUES"]
-        for i in range(0, len(rows), CHUNK):
-            parts.append("           " +
-                         ",\n           ".join(rows[i:i + CHUNK]) +
-                         ("," if i + CHUNK < len(rows) else ")"))
-        parts[-1] += tail
-        body = ",\n        ".join(f'"""{p}"""' for p in parts)
-        print(f'    "{name}" ->\n      Seq(\n        {body})'
-              f'.mkString("\\n"),\n')
+    values = ",\n           ".join(rows)
+    sql = f"SELECT * FROM (VALUES\n           {values}){tail}"
+    res = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                       "resources", "goldens")
+    os.makedirs(res, exist_ok=True)
+    with open(os.path.join(res, f"{name}.sql"), "w") as f:
+        f.write(sql)
+    idx_path = os.path.join(res, "index.txt")
+    names = set()
+    if os.path.exists(idx_path):
+        names = {l.strip() for l in open(idx_path) if l.strip()}
+    names.add(name)
+    with open(idx_path, "w") as f:
+        f.write("\n".join(sorted(names)) + "\n")
+    print(f"wrote goldens/{name}.sql ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
