@@ -309,6 +309,20 @@ object ScaleStress {
         (cents, idx)
       })
 
+    // st10: prebuilt stream-maintained cluster dirs per multiplier — the
+    // m× corpus chain edges ingested as batch 0 (the one-shot ingest IS
+    // x11's CC build, measured by its own row); the timed rows are the
+    // fixed-batch APPEND and the overlay-read SERVE.
+    val st10Dirs = scala.collection.mutable.Map.empty[Int, String]
+    val st10Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtClusterDir(m: Int): String = st10Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-st10-m$m-").toString
+      graft.streaming.StreamClusters.appendBatch(dir,
+        scaleChains(docsOf(m)), 0L)
+      dir
+    })
+
     // x55_append_fixed: the maintained trigram-df index per multiplier
     // (same attribution split — the one-shot build is x54's scan shape)
     val x55Idx = scala.collection.mutable.Map.empty[Int,
@@ -983,6 +997,40 @@ object ScaleStress {
             (col("doc_id") + lit(off) + 1L).as("id2")))
         Dedup.incrementalClusters(assigned, newEdges).count()
       }),
+      Op("st10_append_fixed", m => {
+        // steady-state merge cost of ONE fixed edge batch (~n(1×)/11
+        // bridge edges into committed copy-0 components + a fresh chain
+        // per bridge) into the STREAM-maintained cluster table of the m×
+        // corpus: contracted CC + one member-partition append + one
+        // metadata-sized overlay rewrite + one manifest flip — never a
+        // corpus CC or a members rewrite (the x56 shape THROUGH the
+        // st10 disk sink, the st8-vs-v28 relationship).
+        val dir = builtClusterDir(m)
+        val n = st10Ctr.incrementAndGet()
+        val off = 70000000000L + n * 1000000L
+        val base = docsOf(1).filter(col("doc_id") % 11 === 0)
+          .select("doc_id")
+        val newEdges = base
+          .select(col("doc_id").as("id1"),
+            (col("doc_id") + lit(off)).as("id2"))
+          .unionByName(base.select(
+            (col("doc_id") + lit(off)).as("id1"),
+            (col("doc_id") + lit(off) + 1L).as("id2")))
+        graft.streaming.StreamClusters.appendBatch(dir, newEdges,
+          batchId = 100 + n)
+        graft.streaming.StreamClusters.load(spark, dir).get
+          .filter(col("id") >= 70000000000L).count()
+      }),
+      Op("st10_serve_overlay", m => {
+        // the overlay-read SERVE: a full resolved-table scan through the
+        // root-map join — the read path every consumer pays between
+        // compactions. Must stay ~linear in members (the scan) with the
+        // broadcast-sized overlay build side costing ~nothing; the
+        // needsCompaction share threshold is sized off this row vs a
+        // bare post-compact scan.
+        val dir = builtClusterDir(m)
+        graft.streaming.StreamClusters.load(spark, dir).get.count()
+      }),
       Op("v30_append_fixed", m => {
         // steady-state semantic-dedup cost of ONE fixed ~(n(1×)/4)-row
         // vector batch against the maintained IVF-cell-blocked semantic
@@ -1226,6 +1274,9 @@ object ScaleStress {
     if (ops0.exists(_.name == "v30_append_fixed")) mults.foreach(builtSemIdx)
     if (ops0.exists(_.name == "x56_append_fixed"))
       mults.foreach(builtChainAssigned)
+    if (ops0.exists(o => o.name == "st10_append_fixed" ||
+        o.name == "st10_serve_overlay"))
+      mults.foreach(builtClusterDir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

@@ -987,9 +987,13 @@ object Dedup {
     * 64-bit perceptual/SimHash fingerprints): the corpus side is ONLY
     * its maintained (id, fingerprint) index — bodies are never decoded
     * or rescanned — and a batch survives iff it is within `maxHamming`
-    * of neither an index fingerprint ([[fingerprintPairsAgainst]]) nor
-    * an earlier (smaller-id) batch fingerprint ([[fingerprintPairs]]
-    * within the batch). Returns the surviving (id, fingerprint) rows —
+    * of neither an index fingerprint nor an earlier (smaller-id) batch
+    * fingerprint — both candidate legs run the banded kernel under ONE
+    * keep-set capped on the COMBINED (batch + index) bucket occupancy,
+    * so the cap discipline matches a full-scan [[fingerprintPairs]]
+    * over index ∪ batch exactly (a straddling degenerate bucket drops
+    * the same candidates either way). Returns the surviving
+    * (id, fingerprint) rows —
     * exactly what the caller appends to the index, so a re-crawl pays
     * batch cost, not corpus cost (m6's contract; the media decode
     * happens once per NEW byte payload, ever). */
@@ -998,11 +1002,46 @@ object Dedup {
                                   maxHamming: Int = 3,
                                   maxBucketSize: Int = 10000,
                                   bands: Int = 4): DataFrame = {
-    val vsIndex = fingerprintPairsAgainst(batchFp, indexFp, idCol, fpCol,
-        maxHamming, maxBucketSize, bands)
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands ($bands) must be >= 2 and divide 64")
+    val a = batchFp.select(col(idCol), col(fpCol).as("fp"))
+    val b = indexFp.select(col(idCol), col(fpCol).as("fp"))
+    val bA = fpBands(a, idCol, bands)
+    val bB = fpBands(b, idCol, bands)
+    val cA = bA.groupBy("band", "band_val").agg(count(lit(1)).as("na"))
+    val cB = bB.groupBy("band", "band_val").agg(count(lit(1)).as("nb"))
+    // ONE keep-set from the COMBINED (batch + index) occupancy caps BOTH
+    // legs (ADVICE r9): the full-scan form — fingerprintPairs over
+    // index ∪ batch — sees one bucket mass per (band, value), so the
+    // incremental split must cap on that same number; a degenerate
+    // bucket whose mass straddles the two sides would otherwise drop
+    // different candidates here than the scan would (the batch-only
+    // count could sit under the cap while the union count is over it).
+    // Left join: a batch bucket with no index mass still self-joins.
+    val keep = cA.join(cB, Seq("band", "band_val"), "left")
+      .filter(col("na") + coalesce(col("nb"), lit(0L)) <= maxBucketSize)
+      .select("band", "band_val")
+    val keptA = bA.join(keep, Seq("band", "band_val"))
+    val vsIndex = keptA.select(col(idCol).as("id_a"), col("band"),
+        col("band_val"))
+      .join(bB.select(col(idCol).as("id_b"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .select("id_a", "id_b").distinct()
+      .join(a.select(col(idCol).as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(b.select(col(idCol).as("id_b"), col("fp").as("fp_b")), "id_b")
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int")
+        <= maxHamming)
       .select(col("id_a").as(idCol))
-    val laterTwins = fingerprintPairs(batchFp, idCol, fpCol, maxHamming,
-        maxBucketSize, bands)
+    val laterTwins = keptA.select(col(idCol).as("id1"), col("band"),
+        col("band_val"))
+      .join(keptA.select(col(idCol).as("id2"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .join(a.select(col(idCol).as("id1"), col("fp").as("fp1")), "id1")
+      .join(a.select(col(idCol).as("id2"), col("fp").as("fp2")), "id2")
+      .filter(bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("int")
+        <= maxHamming)
       .select(col("id2").as(idCol)) // id1 < id2: the earlier twin wins
     batchFp.join(vsIndex.union(laterTwins).distinct(), Seq(idCol),
       "left_anti")

@@ -110,13 +110,36 @@ object TextOps {
     * (union + one keyed sum; corpus bodies never move). Invariant
     * (spec-pinned): `ngramDfMerge(ngramDf(A), ngramDf(B)) ≡
     * ngramDf(A ∪ B)` for DISJOINT doc sets. The df table carries no doc
-    * ids, so re-delivery guarding is the CALLER's job (the composed
-    * ingest runs behind the seen-digest index — st9 — which is exactly
-    * that guard); merging the same batch twice double-counts. */
+    * ids, so this RAW fold double-counts a replayed batch — use
+    * [[ngramDfMergeSafe]] for at-least-once delivery, where the guard
+    * lives INSIDE the operator instead of in a caller contract. */
   def ngramDfMerge(idx: org.apache.spark.sql.DataFrame,
                    batchDf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     idx.unionByName(batchDf).groupBy("ng").agg(sum("ndocs").as("ndocs"))
+
+  /** REPLAY-SAFE index fold — [[ngramDfMerge]] with the re-delivery
+    * guard inside the operator (the m6/v30/x36 drop-up-front contract;
+    * r9's one maintained-index member whose replay safety was
+    * contractual rather than structural): the maintained artifact is
+    * the PAIR (df table, seen doc ids) and a batch contributes only
+    * docs whose id is NOT already committed, so folding the same batch
+    * twice ≡ folding it once (spec-pinned). Both frames stay
+    * metadata-sized (distinct grams; one id per doc — the st3 digest
+    * index shape), and the batch tokenizes once; committed bodies never
+    * rescan. Returns (updated df table, updated seen ids). */
+  def ngramDfMergeSafe(idx: org.apache.spark.sql.DataFrame,
+                       seenIds: org.apache.spark.sql.DataFrame,
+                       batch: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String, n: Int = 3)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val fresh = batch.join(seenIds.select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val newIdx = ngramDfMerge(idx, ngramDf(fresh, idCol, textCol, n))
+    val newSeen = seenIds.select("id")
+      .unionByName(fresh.select(col(idCol).as("id"))).distinct()
+    (newIdx, newSeen)
+  }
 
   /** INCREMENTAL corpus-overlap (memorization-risk) score — x54 against
     * a MAINTAINED [[ngramDf]] index: each batch doc's share of distinct

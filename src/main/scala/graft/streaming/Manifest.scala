@@ -179,6 +179,43 @@ object Manifest {
     commitAfter(s, root, live,
       basedOn = readWithGen(s, root).map(_._1).getOrElse(-1))
 
+  /** Per-dir cache of the EVER-REFERENCED id union: (identity of the
+    * generation files folded in, their union). Generations are
+    * immutable files, so the union is incremental — [[enterBatch]]
+    * parses only generations it hasn't folded yet instead of re-reading
+    * every manifest file on every micro-batch (per-commit I/O was
+    * growing linearly with generation count — quadratic cumulative over
+    * a long-running stream; ADVICE r9). A file's identity is
+    * (gen, length, mtime), not just its number: if the listed identity
+    * set is not a superset of the cached one — vacuumHistory pruned
+    * files, or a dir was deleted and re-created at the same path with
+    * DIFFERENT generation content — the entry is discarded and the
+    * union recomputed from the surviving files. Byte-identical
+    * semantics to the uncached form in every case. */
+  private val refUnionCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Set[(Int, Long, Long)], Set[Int])]
+
+  private def referencedUnion(fs: FileSystem, root: String): Set[Int] = {
+    val d = mdir(root)
+    val listed =
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(_.getPath.getName.matches("m-\\d{8,}"))
+        .map(st => ((st.getPath.getName.drop(2).toInt, st.getLen,
+          st.getModificationTime), st.getPath))
+    val listedKeys = listed.map(_._1).toSet
+    val (cachedKeys, cachedUnion) = refUnionCache.getOrElse(root,
+      (Set.empty[(Int, Long, Long)], Set.empty[Int]))
+    val (baseKeys, baseUnion) =
+      if (cachedKeys.subsetOf(listedKeys)) (cachedKeys, cachedUnion)
+      else (Set.empty[(Int, Long, Long)], Set.empty[Int]) // recompute
+    val union = listed.foldLeft(baseUnion) { case (acc, (k, p)) =>
+      if (baseKeys.contains(k)) acc else acc ++ parse(fs, p)
+    }
+    refUnionCache.put(root, (listedKeys, union))
+    union
+  }
+
   /** The shared sink-ENTRY protocol ([[StreamBm25]]/[[StreamIvf]]/
     * [[StreamCurate]] `appendBatch`): commit an empty manifest on a
     * virgin dir (manifest-mode from birth — even a batch-0 crash leaves
@@ -206,7 +243,7 @@ object Manifest {
     val st = readWithGen(s, root)
     val referenced =
       if (st.isEmpty) Set.empty[Int]
-      else allSets(s, root).foldLeft(Set.empty[Int])(_ ++ _)
+      else referencedUnion(fs, root)
     if (st.nonEmpty && !referenced.contains(batchId))
       stagedPartitions.foreach(p => fs.delete(new Path(p), true))
     (st.map(_._1).getOrElse(-1), st.map(_._2), referenced)

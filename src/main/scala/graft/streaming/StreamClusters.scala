@@ -147,12 +147,55 @@ object StreamClusters {
     } finally { newMembers.unpersist(); rootDelta.unpersist() }
   }
 
+  /** Compaction TRIGGER policy — the [[StreamBm25.compactionCandidates]]
+    * discipline applied to the overlay: fold when the overlay holds at
+    * least `minOverlayRows` rows AND has grown past `maxOverlayShare`
+    * of the member rows. Below the floor, the serve join is a
+    * broadcast-sized no-op and [[compact]]'s full members rewrite buys
+    * nothing; past the share, the overlay is no longer "metadata-sized
+    * relative to the table" and each serve pays a join whose build side
+    * scales with merge history.
+    *
+    * A third leg, `maxOverlayRows`, fires on ABSOLUTE overlay size
+    * regardless of share: the serve join is only cheap while the
+    * overlay BROADCASTS; past the autoBroadcast threshold (~10 MB ≈ a
+    * few million (long, long) rows) every serve becomes a corpus-wide
+    * shuffle join — the genuinely scale-killing knee at 10⁹+ members,
+    * where even a 1% share is far past broadcastable. Decision reads
+    * ROW COUNTS only (the overlay is merge-history-sized; the members
+    * count is a parquet metadata count — no data scan).
+    *
+    * Defaults are MEASURED ([[graft.OverlayBench]], 20M members on
+    * local[32] — SCALING.md r10): the serve is FLAT to ~1% share
+    * (0.6-1.0× the bare members scan; the broadcast build is free), and
+    * 2.4-3.7× bare once the overlay passes ~1M rows (share 5%+ at that
+    * scale) — the build side starts to bite just where broadcastability
+    * ends. So the 2% share trigger fires right at the measured knee,
+    * the row floor keeps nightly micro-merges from thrashing full
+    * rewrites, and the 2M-row ceiling catches the huge-corpus case
+    * where a tiny share is already past the knee (the forced-shuffle
+    * serve measures ~2× bare on TOP of losing the broadcast — per
+    * serve, forever, until compacted). */
+  def needsCompaction(s: SparkSession, dir: String,
+                      maxOverlayShare: Double = 0.02,
+                      minOverlayRows: Long = 4096,
+                      maxOverlayRows: Long = 2000000L): Boolean = {
+    val o = overlay(s, dir, asOfGen = None).map(_.count()).getOrElse(0L)
+    if (o < minOverlayRows) false
+    else if (o >= maxOverlayRows) true
+    else {
+      val m = membersAt(s, dir, asOfGen = None).map(_.count()).getOrElse(0L)
+      o >= maxOverlayShare * m
+    }
+  }
+
   /** Fold the whole maintained table into ONE resolved members
     * partition (`into` — a fresh NEGATIVE id, the merged-segment
     * namespace) with an empty overlay: the copy-on-write step a real
-    * deployment runs when the overlay has grown past a threshold, so
-    * the serve join shrinks back to a bare scan. Stages, then one
-    * atomic flip; folded partitions stay as time-travel history (the
+    * deployment runs when the overlay has grown past a threshold
+    * ([[needsCompaction]] is that policy), so the serve join shrinks
+    * back to a bare scan. Stages, then one atomic flip; folded
+    * partitions stay as time-travel history (the
     * compaction-only-stages-and-flips rule). */
   def compact(s: SparkSession, dir: String, into: Int): Unit = {
     require(into < 0, s"merged ids are negative (got into=$into); " +

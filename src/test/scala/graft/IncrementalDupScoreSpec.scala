@@ -79,4 +79,37 @@ class IncrementalDupScoreSpec extends AnyFunSuite {
     assert(merged == scratch)
     assert(merged.nonEmpty)
   }
+
+  test("ngramDfMergeSafe: folding the same batch twice ≡ folding it once (replay no-op inside the operator)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val b = docs.filter(col("doc_id") % 4 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val idx0 = TextOps.ngramDf(a, "doc_id", "text")
+    val seen0 = a.select(col("doc_id").as("id"))
+    val (idx1, seen1) = TextOps.ngramDfMergeSafe(idx0, seen0, b,
+      "doc_id", "text")
+    // once ≡ scratch over the union (the raw-merge invariant holds)
+    assert(rows(idx1) == rows(TextOps.ngramDf(docs, "doc_id", "text")))
+    // at-least-once re-delivery: the SAME batch folds again as a no-op —
+    // no caller-side guard involved
+    val (idx2, seen2) = TextOps.ngramDfMergeSafe(idx1, seen1, b,
+      "doc_id", "text")
+    assert(rows(idx2) == rows(idx1))
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.getLong(0)).toSet
+    assert(ids(seen2) == ids(seen1))
+    // a PARTIALLY novel re-delivery folds ONLY the novel docs: replayed
+    // b rows no-op, the re-keyed fresh rows (new ids) fold in
+    val fresh = b.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 20000000000L)
+    val (idx3, seen3) = TextOps.ngramDfMergeSafe(idx2, seen2,
+      b.unionByName(fresh), "doc_id", "text")
+    assert(rows(idx3) ==
+      rows(TextOps.ngramDfMerge(idx1,
+        TextOps.ngramDf(fresh, "doc_id", "text"))))
+    assert(ids(seen3) == ids(seen2) ++ ids(fresh.select(col("doc_id"))))
+  }
 }

@@ -259,4 +259,32 @@ class MultimodalSpec extends AnyFunSuite {
       index.unionByName(surv), batch, "doc_id", "phash", maxHamming = 3)
     assert(again.count() == 0)
   }
+
+  test("m6 kernel caps buckets on COMBINED occupancy — a straddling bucket drops what the full scan drops") {
+    import spark.implicits._
+    // all fingerprints EQUAL → every band bucket holds everyone. With
+    // cap 4: batch alone is 3 (under), batch+index is 5 (over) — the
+    // full-scan form (fingerprintPairs over the union) drops the bucket
+    // entirely, so the incremental split must too (ADVICE r9: a
+    // batch-only cap would keep the within-batch twins and diverge)
+    val fpv = 0x0f0f0f0f0f0f0f0fL
+    val index = Seq((1L, fpv), (2L, fpv)).toDF("doc_id", "phash")
+    val batch = Seq((11L, fpv), (12L, fpv), (13L, fpv))
+      .toDF("doc_id", "phash")
+    val full = graft.ext.Dedup.fingerprintPairs(
+      index.unionByName(batch), "doc_id", "phash",
+      maxHamming = 3, maxBucketSize = 4)
+    assert(full.count() == 0, "full scan: the degenerate bucket is capped")
+    val surv = graft.ext.Dedup.incrementalFingerprintDedup(
+      index, batch, "doc_id", "phash", maxHamming = 3, maxBucketSize = 4)
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 12L, 13L),
+      "combined cap: no candidates survive the capped bucket on either leg")
+    // and with the cap ABOVE the combined mass, everything pairs again:
+    // only the earliest batch doc survives (index twins dominate 11-13)
+    val survBig = graft.ext.Dedup.incrementalFingerprintDedup(
+      index, batch, "doc_id", "phash", maxHamming = 3, maxBucketSize = 100)
+    assert(survBig.count() == 0,
+      "uncapped: every batch doc is within Hamming 0 of an index twin")
+  }
 }

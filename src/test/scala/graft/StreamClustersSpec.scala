@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+import graft.streaming.{Manifest, StreamClusters}
+
+/** The streamed cluster-table sink (st10 — [[StreamClusters]]):
+  * immutable member partitions + the one-step-resolved root-map overlay
+  * under the manifest protocol. Pins the lifecycle (streamed ≡ scratch
+  * CC over the edge union), the immutability discipline (a bridge edge
+  * relabels WITHOUT touching committed partition files), re-delivery
+  * no-op, time travel across a merge, compact ≡ serve, and the
+  * [[StreamClusters.needsCompaction]] trigger policy (the overlay-share
+  * threshold — floor and share legs separately). */
+class StreamClustersSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streamclusters").getOrCreate()
+
+  private def edges(rows: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id1", "id2")
+  }
+
+  private def table(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("st10spec").toString
+
+  private def memberFiles(dir: String, batchId: Int): Set[(String, Long)] = {
+    val p = java.nio.file.Paths.get(s"$dir/members/batch_id=$batchId")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map(f => (f.toString, java.nio.file.Files.size(f))).toSet
+  }
+
+  test("streamed ingest ≡ scratch CC; bridge edge relabels without rewriting committed partitions") {
+    val dir = freshDir()
+    // batch 0: two components {1,2} and {10,11}
+    StreamClusters.appendBatch(dir, edges((1L, 2L), (10L, 11L)), 0L)
+    val files0 = memberFiles(dir, 0)
+    assert(table(StreamClusters.load(spark, dir).get) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // batch 1: a BRIDGE (2-10) merges them, plus a fresh component {20,21}
+    StreamClusters.appendBatch(dir, edges((2L, 10L), (20L, 21L)), 1L)
+    val got = table(StreamClusters.load(spark, dir).get)
+    val scratch = table(Dedup.duplicateClusters(
+      edges((1L, 2L), (10L, 11L), (2L, 10L), (20L, 21L))))
+    assert(got == scratch)
+    // the committed batch-0 partition files are BYTE-UNTOUCHED — the
+    // relabel rode the metadata overlay, not a partition rewrite
+    assert(memberFiles(dir, 0) == files0)
+  }
+
+  test("re-delivered batch is a no-op: no new manifest generation") {
+    val dir = freshDir()
+    StreamClusters.appendBatch(dir, edges((1L, 2L)), 0L)
+    StreamClusters.appendBatch(dir, edges((3L, 4L)), 1L)
+    val gens = Manifest.generations(spark, dir)
+    StreamClusters.appendBatch(dir, edges((3L, 4L)), 1L) // replay
+    assert(Manifest.generations(spark, dir) == gens)
+    assert(table(StreamClusters.load(spark, dir).get) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("reset-checkpoint guard: new edges on an ever-committed id refuse loudly") {
+    val dir = freshDir()
+    StreamClusters.appendBatch(dir, edges((1L, 2L)), 0L)
+    val e = intercept[IllegalStateException] {
+      StreamClusters.appendBatch(dir, edges((100L, 200L)), 0L)
+    }
+    assert(e.getMessage.contains("already committed"))
+  }
+
+  test("time travel: a pinned pre-merge generation serves the old labels bit-stable") {
+    val dir = freshDir()
+    StreamClusters.appendBatch(dir, edges((1L, 2L), (10L, 11L)), 0L)
+    val genBefore = Manifest.readWithGen(spark, dir).get._1
+    StreamClusters.appendBatch(dir, edges((2L, 10L)), 1L) // merge
+    val pinned = table(StreamClusters.loadAt(spark, dir, Some(genBefore)).get)
+    assert(pinned == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(table(StreamClusters.load(spark, dir).get) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
+  test("compact folds the overlay; serve identical; trigger resets") {
+    val dir = freshDir()
+    StreamClusters.appendBatch(dir, edges((1L, 2L), (10L, 11L)), 0L)
+    StreamClusters.appendBatch(dir, edges((2L, 10L)), 1L)
+    val before = table(StreamClusters.load(spark, dir).get)
+    // overlay holds 1 row (10 -> 1), members 4 rows: share 0.25
+    assert(StreamClusters.needsCompaction(spark, dir,
+      maxOverlayShare = 0.2, minOverlayRows = 1))
+    StreamClusters.compact(spark, dir, into = -1)
+    assert(table(StreamClusters.load(spark, dir).get) == before)
+    assert(!StreamClusters.needsCompaction(spark, dir,
+      maxOverlayShare = 0.2, minOverlayRows = 1),
+      "a compacted table has no overlay — the trigger must reset")
+  }
+
+  test("needsCompaction pins both legs: the row floor and the share threshold") {
+    val dir = freshDir()
+    StreamClusters.appendBatch(dir, edges((1L, 2L), (10L, 11L)), 0L)
+    StreamClusters.appendBatch(dir, edges((2L, 10L)), 1L)
+    // overlay = 1 row, members = 4 rows (share 0.25)
+    // floor leg: overlay below minOverlayRows never triggers, whatever
+    // the share (a micro-overlay join is a broadcast no-op; compaction
+    // is a full members rewrite)
+    assert(!StreamClusters.needsCompaction(spark, dir,
+      maxOverlayShare = 0.0001, minOverlayRows = 2))
+    // share leg: above the floor, the overlay/members ratio decides
+    assert(StreamClusters.needsCompaction(spark, dir,
+      maxOverlayShare = 0.25, minOverlayRows = 1))  // 0.25 >= 0.25
+    assert(!StreamClusters.needsCompaction(spark, dir,
+      maxOverlayShare = 0.26, minOverlayRows = 1))  // 0.25 < 0.26
+    // virgin dir: nothing to compact
+    assert(!StreamClusters.needsCompaction(spark, freshDir()))
+  }
+}
