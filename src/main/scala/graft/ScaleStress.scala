@@ -323,6 +323,21 @@ object ScaleStress {
       dir
     })
 
+    // st11: prebuilt streamed ngram-df dirs per multiplier — the m×
+    // corpus ingested as batch 0 (the one-shot build is x54's scan
+    // shape, excluded); the timed row is the fixed-batch APPEND through
+    // the sink (anti-join vs the ids guard + batch tokenize + delta
+    // write + manifest flip).
+    val st11Dirs = scala.collection.mutable.Map.empty[Int, String]
+    val st11Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtNgDfDir(m: Int): String = st11Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-st11-m$m-").toString
+      graft.streaming.StreamNgramDf.appendBatch(dir,
+        docsOf(m).select("doc_id", "text"), 0L)
+      dir
+    })
+
     // x55_append_fixed: the maintained trigram-df index per multiplier
     // (same attribution split — the one-shot build is x54's scan shape)
     val x55Idx = scala.collection.mutable.Map.empty[Int,
@@ -1031,6 +1046,25 @@ object ScaleStress {
         val dir = builtClusterDir(m)
         graft.streaming.StreamClusters.load(spark, dir).get.count()
       }),
+      Op("st11_append_fixed", m => {
+        // steady-state fold of ONE fixed ~(n(1×)/11)-doc batch (fresh
+        // ids) into the STREAM-maintained ngram-df index of the m×
+        // corpus: ids-only anti-join vs the seen-ids guard (the x36
+        // digest-index shape — the only m-growing term), one tokenize
+        // of the fixed batch, one immutable delta write, one manifest
+        // flip. The committed gram deltas are never re-read on append —
+        // expect the ids-scan exponent (~x36's 0.45), never a rescan of
+        // corpus bodies.
+        val dir = builtNgDfDir(m)
+        val n = st11Ctr.incrementAndGet()
+        val off = 80000000000L + n * 1000000L
+        val batch = docsOf(1).filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+        graft.streaming.StreamNgramDf.appendBatch(dir, batch,
+          batchId = 100 + n)
+        graft.streaming.StreamNgramDf.loadSeenIds(spark, dir).get
+          .filter(col("id") >= 80000000000L).count()
+      }),
       Op("v30_append_fixed", m => {
         // steady-state semantic-dedup cost of ONE fixed ~(n(1×)/4)-row
         // vector batch against the maintained IVF-cell-blocked semantic
@@ -1277,6 +1311,8 @@ object ScaleStress {
     if (ops0.exists(o => o.name == "st10_append_fixed" ||
         o.name == "st10_serve_overlay"))
       mults.foreach(builtClusterDir)
+    if (ops0.exists(_.name == "st11_append_fixed"))
+      mults.foreach(builtNgDfDir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

@@ -388,11 +388,56 @@ object TextQ {
       })
     }
 
+  /** Memoized STREAM-MAINTAINED n-gram-df index for st11 — x55's
+    * maintained overlap artifact ingested as 3 document micro-batches
+    * through the [[graft.streaming.StreamNgramDf]] sink (immutable
+    * per-batch (ng, ndocs) delta partitions + seen-ids guard
+    * partitions, manifest-committed; serve = keyed sum over live
+    * deltas), INCLUDING a full re-delivery of batch 1 — the replay
+    * guard is load-bearing in the gate: a double-counted delta would
+    * shift every shared gram's df and hash-fail the x55-identical
+    * oracle. */
+  private val streamNgDfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val tmpSt11Dirs =
+    scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private def streamedNgramDf(s: SparkSession, d: String): DataFrame =
+    streamNgDfCache.synchronized {
+      streamNgDfCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches docidmod3 corpus=doc_id%4!=0 n=3 replay1"
+        def ingest(dir: String): Unit = {
+          val docs = Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamNgramDf.appendBatch(dir,
+              docs.filter(pmod(col("doc_id"), lit(3)) === i), i)
+          }
+          // at-least-once re-delivery of a committed batch: must no-op
+          graft.streaming.StreamNgramDf.appendBatch(dir,
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1)
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st11ngdf", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            ingest(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st11-")
+            tmpSt11Dirs += p
+            ingest(p.toString)
+            p.toString
+        }
+        val t = graft.streaming.StreamNgramDf.load(s, dir).get.persist()
+        t.count() // materialize inside the lock (shared await)
+        t
+      })
+    }
+
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
     streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
-    streamedClusters(s, d); ()
+    streamedClusters(s, d); streamedNgramDf(s, d); ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -426,6 +471,10 @@ object TextQ {
     streamCcCache.clear()
     tmpSt10Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt10Dirs.clear()
+    streamNgDfCache.values.foreach(_.unpersist())
+    streamNgDfCache.clear()
+    tmpSt11Dirs.foreach(graft.ArtifactStore.deleteRecursively)
+    tmpSt11Dirs.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -893,6 +942,24 @@ object TextQ {
     // to the batch docs (index df + within-batch df IS the corpus df).
     "x55_incremental_dup_score" -> ((s, d) =>
       TextOps.dupScoreAgainst(ngramDfIndex(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
+    // ST11 — the STREAM-MAINTAINED n-gram-df index
+    // ([[streamedNgramDf]]: 3 document micro-batches + one full
+    // re-delivery through the [[graft.streaming.StreamNgramDf]] sink —
+    // immutable per-batch (ng, ndocs) DELTA partitions whose serve is
+    // the keyed sum, the LSM answer for a table that is neither
+    // append-only row-wise nor metadata-sized at scale; seen-ids guard
+    // partitions make replay a structural no-op). Output: x55's
+    // overlap score of the % 4 == 0 batch served FROM the streamed
+    // index — x55's SQL verbatim, so the DuckDB compare IS
+    // streamed ≡ scratch on real data, THROUGH the disk round trip and
+    // the re-delivery (a double-counted delta shifts shared grams' df
+    // and hash-fails).
+    "st11_ngramdf_stream" -> ((s, d) =>
+      TextOps.dupScoreAgainst(streamedNgramDf(s, d),
           Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")),
@@ -2202,6 +2269,22 @@ object TextQ {
          FROM g JOIN f USING (ng)
          GROUP BY 1 ORDER BY 1""",
     "x55_incremental_dup_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, len(toks) - 1)])) AS ng
+               FROM t WHERE len(toks) >= 3),
+         f AS (SELECT ng, count(*) AS ndocs FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+         FROM g JOIN f USING (ng)
+         WHERE g.doc_id % 4 = 0
+         GROUP BY 1 ORDER BY 1""",
+    "st11_ngramdf_stream" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),
          g AS (SELECT doc_id,

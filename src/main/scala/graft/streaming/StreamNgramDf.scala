@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+/** STREAMING maintenance of the n-gram DOCUMENT-FREQUENCY index — the
+  * online form of x55's overlap-score artifact ([[graft.ext.TextOps
+  * .ngramDf]]), completing the family banner: every maintained dedup /
+  * curation artifact has a streamed member (st3 digests, st5
+  * signatures, st6/st7 sparse postings, st8 dense index, st9 curated
+  * corpus, st10 cluster table — and now the overlap index).
+  *
+  * THE STORAGE SHAPE: a df table is not append-only row-wise — every
+  * batch increments `ndocs` for grams it shares with history, and at
+  * corpus scale the gram table is NOT metadata-sized (distinct n-grams
+  * grow with the corpus — Lee et al. scale), so the st10 rewrite-the-
+  * overlay trick doesn't transfer. The right layout is the LSM / tiered
+  * discipline already proven on the BM25 term-df segments: each batch
+  * appends an immutable (ng, ndocs) DELTA partition for its FRESH docs
+  * only, the served index is the keyed SUM over live deltas (one
+  * partial-aggregated groupBy — associative, so deltas never reorder),
+  * and [[compact]] folds deltas into one merged base partition (the
+  * negative-id namespace) when the live-partition count warrants it.
+  *
+  * REPLAY SAFETY is structural, not contractual (the r9→r10 upgrade
+  * that [[graft.ext.TextOps.ngramDfMergeSafe]] made in batch form): a
+  * `seenids/batch_id=N` partition rides next to every delta, arriving
+  * docs anti-join the committed ids INSIDE the sink, and a re-delivered
+  * batch contributes nothing — no delta, no generation. The guard data
+  * is one long per committed doc (the st3 digest-index shape).
+  *
+  * Crash/concurrency contract = the shared [[Manifest]] protocol:
+  * disjoint per-batch staging dirs, one atomic manifest flip, orphan
+  * wipe on same-id retry, loud refusal of NEW docs on an ever-committed
+  * id, snapshot-isolated reads (live partitions' paths, never a
+  * directory listing), time travel via [[loadAt]].
+  */
+object StreamNgramDf {
+
+  private def dfDir(dir: String) = s"$dir/dfparts"
+  private def idsDir(dir: String) = s"$dir/seenids"
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Every batch id EVER written, from partition-DIR names (the shared
+    * maintainer-side listing discipline — names race nothing). */
+  private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
+    val fs = fsOf(s, dir)
+    Seq(dfDir(dir), idsDir(dir)).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toInt)
+    }.toSet
+  }
+
+  /** `foreachBatch` sink body: one micro-batch of documents folds into
+    * the maintained index. Re-delivered doc ids drop against the
+    * committed seen-ids partitions; a batch with nothing fresh commits
+    * nothing — not even a generation. */
+  def appendBatch(dir: String, docs: DataFrame, batchId: Long,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  n: Int = 3): Unit = {
+    require(batchId >= 0, s"engine batch ids are non-negative (got " +
+      s"$batchId); negative ids are the compaction namespace")
+    val spark = docs.sparkSession
+    val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
+      batchId.toInt, dfDir(dir), Seq(
+        s"${dfDir(dir)}/batch_id=${batchId.toInt}",
+        s"${idsDir(dir)}/batch_id=${batchId.toInt}"))
+    val fresh0 = loadSeenIds(spark, dir) match {
+      case Some(seen) =>
+        docs.join(seen.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      case None => docs
+    }
+    val fresh = fresh0.persist()
+    try {
+      if (fresh.count() == 0) return // full replay: no delta, no commit
+      if (referenced.contains(batchId.toInt))
+        throw new IllegalStateException(
+          s"batch $batchId was already committed in $dir (live or in " +
+            "time-travel history) but this delivery carries new docs — " +
+            "a restarted stream against existing state needs batch ids " +
+            "above every id ever used (or a new dir)")
+      TextOps.ngramDf(fresh, idCol, textCol, n)
+        .write.mode("overwrite")
+        .parquet(s"${dfDir(dir)}/batch_id=${batchId.toInt}")
+      fresh.select(col(idCol).as("id"))
+        .write.mode("overwrite")
+        .parquet(s"${idsDir(dir)}/batch_id=${batchId.toInt}")
+      val live = manifest.getOrElse(everUsedIds(spark, dir) - batchId.toInt)
+      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+    } finally fresh.unpersist()
+  }
+
+  /** Fold every live delta into ONE merged base partition (`into` — a
+    * fresh negative id, the merged-segment namespace) for both the df
+    * table and the seen ids: the tiered-merge step that bounds the
+    * serve-time sum's fan-in. Stages, then one atomic flip; folded
+    * partitions stay as time-travel history. */
+  def compact(s: SparkSession, dir: String, into: Int): Unit = {
+    require(into < 0, s"merged ids are negative (got into=$into); " +
+      "non-negative ids belong to the streaming engine's batch counter")
+    val everUsed = everUsedIds(s, dir)
+    require(!everUsed.contains(into),
+      s"into=$into was already used (ever-written ids: $everUsed)")
+    val st = Manifest.readWithGen(s, dir)
+    val df = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no df state at $dir"))
+    val ids = loadSeenIds(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no seen-ids state at $dir"))
+    df.write.mode("overwrite").parquet(s"${dfDir(dir)}/batch_id=$into")
+    ids.write.mode("overwrite").parquet(s"${idsDir(dir)}/batch_id=$into")
+    Manifest.commitAfter(s, dir, Set(into),
+      basedOn = st.map(_._1).getOrElse(-1))
+  }
+
+  /** The served (ng, ndocs) index — the keyed sum over live delta
+    * partitions; None before the first batch. Feed it to [[graft.ext
+    * .TextOps.dupScoreAgainst]] exactly like a scratch [[graft.ext
+    * .TextOps.ngramDf]] table. */
+  def load(s: SparkSession, dir: String): Option[DataFrame] =
+    loadAt(s, dir, asOfGen = None)
+
+  /** TIME-TRAVEL read of the df index as of a committed generation. */
+  def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
+      : Option[DataFrame] =
+    livePaths(s, dir, dfDir(dir), asOfGen).map { paths =>
+      s.read.option("basePath", dfDir(dir)).parquet(paths: _*)
+        .groupBy("ng").agg(sum("ndocs").as("ndocs"))
+    }
+
+  /** The committed doc ids (the replay guard's view); None before the
+    * first batch. */
+  def loadSeenIds(s: SparkSession, dir: String): Option[DataFrame] =
+    livePaths(s, dir, idsDir(dir), asOfGen = None).map { paths =>
+      s.read.option("basePath", idsDir(dir)).parquet(paths: _*)
+        .select("id")
+    }
+
+  /** Snapshot-isolated live-partition paths (the manifest discipline:
+    * never a directory listing). */
+  private def livePaths(s: SparkSession, dir: String, sub: String,
+                        asOfGen: Option[Int]): Option[Seq[String]] =
+    Manifest.readAt(s, dir, asOfGen) match {
+      case Some(live) if live.nonEmpty =>
+        val fs = fsOf(s, dir)
+        val present = live.toSeq.sorted
+          .map(id => s"$sub/batch_id=$id")
+          .filter(p => Manifest.hasDataFiles(fs,
+            new org.apache.hadoop.fs.Path(p)))
+        if (present.isEmpty) None else Some(present)
+      case _ => None
+    }
+}

@@ -193,6 +193,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivors come from one left_anti")
   }
 
+  test("st11 streamed ngram-df serve: scores the batch against the summed deltas — no cartesian, no index-side body rescan") {
+    val p = plan("st11_ngramdf_stream")
+    assert(!p.contains("CartesianProduct"))
+    // EXACTLY two scans of documents — both the %4==0 BATCH slice (the
+    // gram join + the within-batch df aggregate); the index side reads
+    // only the streamed (ng, ndocs) delta partitions. An inline rebuild
+    // from corpus bodies would add documents scans past 2 (the x55
+    // gate's discipline applied to the streamed form).
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 2,
+      s"expected exactly 2 batch-side documents scans, got $docScans")
+  }
+
   test("v31 cell-blocked incremental semantic dedup: block equi-joins + left_anti (no cartesian)") {
     val p = plan("v31_semdedup_incr_ivf")
     assert(!p.contains("CartesianProduct"),

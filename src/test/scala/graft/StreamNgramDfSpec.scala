@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+import graft.streaming.{Manifest, StreamNgramDf}
+
+/** The streamed n-gram-df index (st11 — [[StreamNgramDf]]): immutable
+  * per-batch (ng, ndocs) delta partitions + seen-ids guard partitions
+  * under the manifest protocol, served as the keyed sum. Pins streamed
+  * ≡ scratch [[TextOps.ngramDf]] on the real fixture, the structural
+  * replay no-op (no generation), partial re-delivery folding only
+  * novel docs, the reset-checkpoint refusal, time travel, and
+  * compact ≡ serve with the replay guard surviving compaction. */
+class StreamNgramDfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streamngdf").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = Tables.documents(spark, sf)
+
+  private def rows(df: DataFrame): Set[(String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("st11spec").toString
+
+  test("3-batch streamed ingest + full re-delivery ≡ scratch ngramDf (real fixture)") {
+    val dir = freshDir()
+    (0 to 2).foreach { i =>
+      StreamNgramDf.appendBatch(dir,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), i)
+    }
+    val gens = Manifest.generations(spark, dir)
+    // full re-delivery of batch 1: structural no-op — no delta, no gen
+    StreamNgramDf.appendBatch(dir,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1)
+    assert(Manifest.generations(spark, dir) == gens)
+    val streamed = rows(StreamNgramDf.load(spark, dir).get)
+    val scratch = rows(TextOps.ngramDf(docs, "doc_id", "text"))
+    assert(streamed == scratch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("partial re-delivery folds ONLY the novel docs") {
+    val dir = freshDir()
+    val b0 = docs.filter(col("doc_id") < 100)
+    StreamNgramDf.appendBatch(dir, b0, 0)
+    // batch 1 = all of batch 0 replayed + genuinely new docs
+    val novel = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    StreamNgramDf.appendBatch(dir, b0.unionByName(novel), 1)
+    val streamed = rows(StreamNgramDf.load(spark, dir).get)
+    val scratch = rows(TextOps.ngramDf(docs.filter(col("doc_id") < 200),
+      "doc_id", "text"))
+    assert(streamed == scratch)
+  }
+
+  test("reset-checkpoint guard: new docs on an ever-committed id refuse loudly") {
+    val dir = freshDir()
+    StreamNgramDf.appendBatch(dir, docs.filter(col("doc_id") < 100), 0)
+    val e = intercept[IllegalStateException] {
+      StreamNgramDf.appendBatch(dir,
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), 0)
+    }
+    assert(e.getMessage.contains("already committed"))
+  }
+
+  test("time travel: a pinned generation serves the pre-append index bit-stable") {
+    val dir = freshDir()
+    StreamNgramDf.appendBatch(dir, docs.filter(col("doc_id") < 100), 0)
+    val genBefore = Manifest.readWithGen(spark, dir).get._1
+    StreamNgramDf.appendBatch(dir,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), 1)
+    val pinned = rows(StreamNgramDf.loadAt(spark, dir, Some(genBefore)).get)
+    assert(pinned == rows(TextOps.ngramDf(docs.filter(col("doc_id") < 100),
+      "doc_id", "text")))
+    assert(rows(StreamNgramDf.load(spark, dir).get) !=
+      pinned, "the append must be visible at latest")
+  }
+
+  test("compact folds deltas; serve identical; replay guard survives compaction") {
+    val dir = freshDir()
+    (0 to 2).foreach { i =>
+      StreamNgramDf.appendBatch(dir,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), i)
+    }
+    val before = rows(StreamNgramDf.load(spark, dir).get)
+    StreamNgramDf.compact(spark, dir, into = -1)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == before)
+    assert(Manifest.read(spark, dir).get == Set(-1))
+    // the seen-ids table rode the compaction: a replay of batch 0's
+    // docs (under a FRESH batch id) still contributes nothing
+    val gens = Manifest.generations(spark, dir)
+    StreamNgramDf.appendBatch(dir,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), 100)
+    assert(Manifest.generations(spark, dir) == gens)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == before)
+  }
+}
