@@ -175,7 +175,13 @@ object StreamClusters {
     * rewrites, and the 2M-row ceiling catches the huge-corpus case
     * where a tiny share is already past the knee (the forced-shuffle
     * serve measures ~2× bare on TOP of losing the broadcast — per
-    * serve, forever, until compacted). */
+    * serve, forever, until compacted).
+    *
+    * Run the background maintainer BEHIND this policy (or at least
+    * behind a ≥ 2-live-ids gate): an unconditional fold loop commits a
+    * generation per iteration and can STARVE concurrent appends' CAS
+    * indefinitely — observed live in the pounded StreamClustersSpec
+    * before the gate was added there. */
   def needsCompaction(s: SparkSession, dir: String,
                       maxOverlayShare: Double = 0.02,
                       minOverlayRows: Long = 4096,

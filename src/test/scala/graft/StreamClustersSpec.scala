@@ -105,6 +105,68 @@ class StreamClustersSpec extends AnyFunSuite {
       "a compacted table has no overlay — the trigger must reset")
   }
 
+  test("CONCURRENT edge append vs background compaction: pounded CAS, streamed ≡ scratch after the storm") {
+    // the StreamBm25 pounded contract on the cluster sink: an ingest
+    // thread appends bridging edge batches while a maintainer thread
+    // continuously folds the table; both race read→stage→commit on the
+    // shared manifest. The CAS must serialize them, disjoint staging
+    // must keep the parquet writes from interfering, and afterwards the
+    // resolved table must equal a scratch CC over every appended edge —
+    // a lost append shows as a missing component, a lost relabel as a
+    // stale root.
+    val dir = freshDir()
+    // chain batches add fresh components; every third batch is a PURE
+    // BRIDGE merging two committed components — so the storm races both
+    // write paths (member-partition add AND overlay rewrite)
+    def edgesFor(b: Int) =
+      if (b % 3 == 2) Seq(((b - 1) * 100L, (b - 2) * 100L))
+      else Seq((b * 100L, b * 100L + 1), (b * 100L + 1, b * 100L + 2))
+    StreamClusters.appendBatch(dir, edges(edgesFor(0): _*), 0L)
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintainerErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val nextNeg = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val maintainer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // fold only when there is something to fold (≥ 2 live ids) —
+          // the BM25 test's candidate gate: an unconditional compactor
+          // commits continuously and STARVES the appender's CAS
+          if (Manifest.read(spark, dir).exists(_.size >= 2))
+            StreamClusters.compact(spark, dir, nextNeg.getAndDecrement())
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            cme.incrementAndGet() // lost the CAS — retry on fresh state
+          case t: Throwable => maintainerErr.set(t); stop.set(true)
+        }
+      }
+    })
+    maintainer.start()
+    val lastBatch = 6
+    try {
+      (1 to lastBatch).foreach { b =>
+        var done = false
+        while (!done) {
+          try {
+            StreamClusters.appendBatch(dir, edges(edgesFor(b): _*), b.toLong)
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              cme.incrementAndGet() // the engine's batch retry, inlined
+          }
+        }
+      }
+    } finally { stop.set(true); maintainer.join() }
+    assert(maintainerErr.get() == null,
+      s"maintainer died: ${maintainerErr.get()}")
+    val all = (0 to lastBatch).flatMap(edgesFor)
+    val got = table(StreamClusters.load(spark, dir).get)
+    val scratch = table(Dedup.duplicateClusters(edges(all: _*)))
+    assert(got == scratch)
+    assert(got.nonEmpty)
+  }
+
   test("needsCompaction pins both legs: the row floor and the share threshold") {
     val dir = freshDir()
     StreamClusters.appendBatch(dir, edges((1L, 2L), (10L, 11L)), 0L)

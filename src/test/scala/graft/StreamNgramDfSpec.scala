@@ -83,6 +83,59 @@ class StreamNgramDfSpec extends AnyFunSuite {
       pinned, "the append must be visible at latest")
   }
 
+  test("CONCURRENT doc append vs background compaction: pounded CAS, streamed ≡ scratch after the storm") {
+    // the StreamBm25 pounded contract on the df sink: ingest appends
+    // fresh doc batches while a maintainer continuously folds every
+    // live delta; the CAS serializes commits and afterwards the summed
+    // index equals a scratch ngramDf over every appended doc — a lost
+    // delta shows as missing grams, a resurrected folded delta as a
+    // double-counted df.
+    val dir = freshDir()
+    def docsFor(b: Int): DataFrame =
+      docs.filter(col("doc_id") >= b * 50L && col("doc_id") < (b + 1) * 50L)
+    StreamNgramDf.appendBatch(dir, docsFor(0), 0L)
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintainerErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val nextNeg = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val maintainer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // fold only when ≥ 2 live deltas exist (the BM25 candidate
+          // gate): an unconditional compactor starves the appender
+          if (Manifest.read(spark, dir).exists(_.size >= 2))
+            StreamNgramDf.compact(spark, dir, nextNeg.getAndDecrement())
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            cme.incrementAndGet()
+          case t: Throwable => maintainerErr.set(t); stop.set(true)
+        }
+      }
+    })
+    maintainer.start()
+    val lastBatch = 5
+    try {
+      (1 to lastBatch).foreach { b =>
+        var done = false
+        while (!done) {
+          try { StreamNgramDf.appendBatch(dir, docsFor(b), b.toLong); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              cme.incrementAndGet()
+          }
+        }
+      }
+    } finally { stop.set(true); maintainer.join() }
+    assert(maintainerErr.get() == null,
+      s"maintainer died: ${maintainerErr.get()}")
+    val streamed = rows(StreamNgramDf.load(spark, dir).get)
+    val scratch = rows(TextOps.ngramDf(
+      docs.filter(col("doc_id") < (lastBatch + 1) * 50L), "doc_id", "text"))
+    assert(streamed == scratch)
+    assert(streamed.nonEmpty)
+  }
+
   test("compact folds deltas; serve identical; replay guard survives compaction") {
     val dir = freshDir()
     (0 to 2).foreach { i =>
