@@ -179,6 +179,41 @@ object Manifest {
     commitAfter(s, root, live,
       basedOn = readWithGen(s, root).map(_._1).getOrElse(-1))
 
+  /** Shared history reclamation for any manifest-committed partition
+    * layout (extracted from [[StreamBm25.vacuum]], now also behind
+    * [[StreamClusters.vacuum]] / [[StreamNgramDf.vacuum]]): under each
+    * `families` dir, delete partition dirs (`<prefix><id>`) whose id is
+    * NOT in the latest live set — by default only ids some generation
+    * referenced (crash orphans are left for `includeOrphans = true`,
+    * which a careful operator runs only with no writer in flight) —
+    * then collapse the manifest to its numerically-latest generation.
+    * Correctness never depends on running this; it trades time-travel
+    * depth for space, and a deployment picks its retention by how often
+    * it runs. No-op on legacy (manifest-less) dirs. */
+  def vacuumHistory(s: SparkSession, root: String, families: Seq[String],
+                    prefix: String, includeOrphans: Boolean = false): Unit =
+    read(s, root).foreach { live =>
+      val fs = fsOf(s, root)
+      val referenced = allSets(s, root).foldLeft(Set.empty[Int])(_ ++ _)
+      def reclaimable(id: Int): Boolean =
+        !live.contains(id) && (referenced.contains(id) || includeOrphans)
+      families.foreach { d =>
+        val p = new Path(d)
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(prefix) &&
+              scala.util.Try(n.stripPrefix(prefix).toInt).toOption
+                .exists(reclaimable))
+            fs.delete(st.getPath, true)
+        }
+      }
+      // gens() sorts NUMERICALLY (a lexical sort would keep
+      // m-99999999 over m-100000000 — the StreamBm25Spec pin)
+      gens(fs, root).dropRight(1).foreach { case (_, p) =>
+        fs.delete(p, false)
+      }
+    }
+
   /** Per-dir cache of the EVER-REFERENCED id union: (identity of the
     * generation files folded in, their union). Generations are
     * immutable files, so the union is incremental — [[enterBatch]]

@@ -442,32 +442,8 @@ object StreamBm25 {
     * it vacuums. No-op on legacy dirs. */
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false): Unit =
-    Manifest.read(s, dir).foreach { live =>
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val referenced = Manifest.allSets(s, dir).reduce(_ ++ _)
-      def reclaimable(id: Int): Boolean =
-        !live.contains(id) &&
-          (referenced.contains(id) || includeOrphans)
-      Seq(postingsDir(dir), termDfDir(dir)).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("seg_id=") &&
-              reclaimable(n.stripPrefix("seg_id=").toInt))
-            fs.delete(st.getPath, true)
-        }
-      }
-      val m = new org.apache.hadoop.fs.Path(s"$dir/manifest")
-      // {8,} + NUMERIC sort: past generation 10^8 the filename grows to
-      // 9 digits; a fixed-width match would skip it and a lexical sort
-      // would order m-100000000 before m-99999999 — either way vacuum
-      // would delete the LATEST generation instead of history.
-      val gens = fs.listStatus(m).map(_.getPath)
-        .filter(_.getName.matches("m-\\d{8,}"))
-        .sortBy(_.getName.drop(2).toInt)
-      gens.dropRight(1).foreach(fs.delete(_, false))
-    }
+    Manifest.vacuumHistory(s, dir, Seq(postingsDir(dir), termDfDir(dir)),
+      prefix = "seg_id=", includeOrphans = includeOrphans)
 
   /** The next free merged-segment id (negative namespace): one below
     * the most negative id ever written. Listing-based, like every

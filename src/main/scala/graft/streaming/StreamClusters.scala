@@ -221,6 +221,18 @@ object StreamClusters {
       basedOn = st.map(_._1).getOrElse(-1))
   }
 
+  /** Reclaim time-travel history ([[Manifest.vacuumHistory]] on this
+    * layout): member + rootmap partitions no generation will serve
+    * anymore are deleted and the manifest collapses to the latest
+    * commit — typically run after [[compact]], which is what strands
+    * the folded partitions. The [[StreamBm25.vacuum]] contract:
+    * correctness never depends on it; retention = how often you run
+    * it. */
+  def vacuum(s: SparkSession, dir: String,
+             includeOrphans: Boolean = false): Unit =
+    Manifest.vacuumHistory(s, dir, Seq(membersDir(dir), rootmapDir(dir)),
+      prefix = "batch_id=", includeOrphans = includeOrphans)
+
   /** The resolved cluster table (id, cluster_id) as committed so far;
     * None before the first batch. */
   def load(s: SparkSession, dir: String): Option[DataFrame] =

@@ -119,6 +119,17 @@ object StreamNgramDf {
       basedOn = st.map(_._1).getOrElse(-1))
   }
 
+  /** Reclaim time-travel history ([[Manifest.vacuumHistory]] on this
+    * layout): delta + seen-ids partitions no generation will serve
+    * anymore are deleted and the manifest collapses to the latest
+    * commit — typically run after [[compact]]. The merged base (live)
+    * partitions survive, INCLUDING the compacted seen-ids table, so the
+    * replay guard keeps holding after reclamation. */
+  def vacuum(s: SparkSession, dir: String,
+             includeOrphans: Boolean = false): Unit =
+    Manifest.vacuumHistory(s, dir, Seq(dfDir(dir), idsDir(dir)),
+      prefix = "batch_id=", includeOrphans = includeOrphans)
+
   /** The served (ng, ndocs) index — the keyed sum over live delta
     * partitions; None before the first batch. Feed it to [[graft.ext
     * .TextOps.dupScoreAgainst]] exactly like a scratch [[graft.ext

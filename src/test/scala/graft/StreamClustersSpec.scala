@@ -103,6 +103,21 @@ class StreamClustersSpec extends AnyFunSuite {
     assert(!StreamClusters.needsCompaction(spark, dir,
       maxOverlayShare = 0.2, minOverlayRows = 1),
       "a compacted table has no overlay — the trigger must reset")
+    // vacuum: folded member/rootmap partitions reclaimed, history
+    // collapsed to the latest generation, serve unchanged
+    val preGen = Manifest.readWithGen(spark, dir).get._1
+    StreamClusters.vacuum(spark, dir)
+    assert(table(StreamClusters.load(spark, dir).get) == before)
+    assert(Manifest.generations(spark, dir) == Seq(preGen))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/members/batch_id=0")),
+      "vacuum must reclaim the folded member partition")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/rootmap/batch_id=1")),
+      "vacuum must reclaim the folded rootmap partition")
+    intercept[IllegalArgumentException] {
+      StreamClusters.loadAt(spark, dir, Some(0)) // expired snapshot
+    }
   }
 
   test("CONCURRENT edge append vs background compaction: pounded CAS, streamed ≡ scratch after the storm") {

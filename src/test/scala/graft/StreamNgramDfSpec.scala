@@ -153,5 +153,21 @@ class StreamNgramDfSpec extends AnyFunSuite {
       docs.filter(pmod(col("doc_id"), lit(3)) === 0), 100)
     assert(Manifest.generations(spark, dir) == gens)
     assert(rows(StreamNgramDf.load(spark, dir).get) == before)
+    // vacuum: folded delta + seen-ids partitions reclaimed, history
+    // collapsed, serve unchanged — and the replay guard SURVIVES (the
+    // merged seen-ids base is live, so a post-vacuum replay still
+    // no-ops instead of double-counting)
+    StreamNgramDf.vacuum(spark, dir)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == before)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/dfparts/batch_id=0")),
+      "vacuum must reclaim the folded delta partition")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/seenids/batch_id=0")),
+      "vacuum must reclaim the folded seen-ids partition")
+    StreamNgramDf.appendBatch(dir,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), 101)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == before,
+      "post-vacuum replay must still no-op against the merged guard")
   }
 }
