@@ -108,6 +108,56 @@ object ExtQ {
       })
     }
 
+  /** Memoized TAKEDOWN-lifecycle index for x57 — the full
+    * delete-then-reclaim story on the streamed BM25 layout: ingest the
+    * x48 corpus (doc_id % 97 != 3) as 2 micro-batches, tombstone the
+    * doc_id % 10 == 0 slice ([[graft.streaming.StreamBm25.deleteDocs]]
+    * — Lucene liveDocs: masked immediately, df stale until merge), then
+    * a FULL compaction physically reclaims the deleted docs and
+    * re-derives df/stats from the survivors — after which the index is
+    * bit-equal to one never containing them, which is exactly what the
+    * DuckDB oracle recomputes. */
+  private val bm25TakedownCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ext.TextOps.Bm25Segments]
+  private def takedownBm25(s: SparkSession, d: String)
+      : graft.ext.TextOps.Bm25Segments =
+    bm25TakedownCache.synchronized {
+      bm25TakedownCache.getOrElseUpdate((s, d), {
+        val spec = "v1 2batches mod2 corpus=%97!=3 delete=%10==0 fullcompact"
+        def build(dir: String): Unit = {
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+            .filter(col("doc_id") % 97 =!= 3)
+          (0 to 1).foreach { i =>
+            graft.streaming.StreamBm25.appendBatch(dir,
+              docs.filter(col("doc_id") % 2 === i), i, "doc_id", "text")
+          }
+          graft.streaming.StreamBm25.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+            "doc_id")
+          graft.streaming.StreamBm25.compactSet(s, dir,
+            graft.streaming.Manifest.read(s, dir).get,
+            into = graft.streaming.StreamBm25.nextMergedId(s, dir))
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "x57segs", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x57-")
+            tmpSegDirs += p
+            build(p.toString)
+            p.toString
+        }
+        val segs = graft.streaming.StreamBm25.load(s, dir).get
+        val postings = segs.postings.persist(); postings.count()
+        val stats = segs.segStats.persist(); stats.count()
+        val termDf = segs.termDf.persist(); termDf.count()
+        graft.ext.TextOps.Bm25Segments(postings, stats, termDf)
+      })
+    }
+
   /** Memoized media FINGERPRINT index for m6 — the maintained
     * (doc_id, phash) artifact an incremental media-dedup loop carries
     * between crawls (the x45 signature-index rationale applied to the
@@ -140,7 +190,8 @@ object ExtQ {
   /** Bench hook: ingest + load the streamed segment indexes up front (the
     * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    streamedBm25(s, d); compactedBm25(s, d); mediaFingerprintIndex(s, d); ()
+    streamedBm25(s, d); compactedBm25(s, d); takedownBm25(s, d)
+    mediaFingerprintIndex(s, d); ()
   }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)
@@ -148,12 +199,14 @@ object ExtQ {
     * segment dirs stay — the next query RELOADS them instead of
     * re-ingesting. */
   private[graft] def clearCache(): Unit = bm25StreamCache.synchronized {
-    (bm25StreamCache.values ++ bm25CompactCache.values).foreach { segs =>
+    (bm25StreamCache.values ++ bm25CompactCache.values ++
+        bm25TakedownCache.values).foreach { segs =>
       segs.postings.unpersist(); segs.segStats.unpersist()
       segs.termDf.unpersist()
     }
     bm25StreamCache.clear()
     bm25CompactCache.clear()
+    bm25TakedownCache.clear()
     phashIdxCache.values.foreach(_.unpersist())
     phashIdxCache.clear()
     tmpSegDirs.foreach(graft.ArtifactStore.deleteRecursively)
@@ -359,9 +412,52 @@ object ExtQ {
         .select(col("q_id"), col("rank"), col("key"),
           round(col("score"), 6).as("score"))
         .orderBy("q_id", "rank")),
+
+    // X57 — TAKEDOWN lifecycle on the streamed index ([[takedownBm25]]:
+    // StreamBm25.deleteDocs + full compaction). Tombstoned docs are
+    // masked the instant the delete commits (Lucene liveDocs — df stays
+    // stale until merge, spec-pinned), re-crawls of taken-down keys stay
+    // out via the first-seen guard, and the full merge PHYSICALLY
+    // reclaims them, re-deriving df/stats from the survivors — so the
+    // served index is bit-equal to one that never contained the deleted
+    // docs, which is exactly what the oracle recomputes (x48's SQL with
+    // the deleted slice filtered out of the corpus CTE).
+    "x57_bm25_takedown" -> ((s, d) =>
+      graft.ext.TextOps.bm25SearchSegmented(takedownBm25(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 97 === 3),
+          "doc_id", "text", k = 10, rankRound = Some(6))
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")),
   )
 
   val oracles: Map[String, String] = Map(
+    "x57_bm25_takedown" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 97 <> 3 AND doc_id % 10 <> 0),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY round(score, 6) DESC, key) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
     // Scratch BM25 build over the FULL corpus (x48's arithmetic, no
     // holdout): the Spark side serves from three streamed, disk-round-
     // tripped segments with query-time df — the compare proves the

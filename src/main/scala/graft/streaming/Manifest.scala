@@ -190,14 +190,15 @@ object Manifest {
     * Correctness never depends on running this; it trades time-travel
     * depth for space, and a deployment picks its retention by how often
     * it runs. No-op on legacy (manifest-less) dirs. */
-  def vacuumHistory(s: SparkSession, root: String, families: Seq[String],
-                    prefix: String, includeOrphans: Boolean = false): Unit =
+  def vacuumHistory(s: SparkSession, root: String,
+                    families: Seq[(String, String)],
+                    includeOrphans: Boolean = false): Unit =
     read(s, root).foreach { live =>
       val fs = fsOf(s, root)
       val referenced = allSets(s, root).foldLeft(Set.empty[Int])(_ ++ _)
       def reclaimable(id: Int): Boolean =
         !live.contains(id) && (referenced.contains(id) || includeOrphans)
-      families.foreach { d =>
+      families.foreach { case (d, prefix) =>
         val p = new Path(d)
         if (fs.exists(p)) fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName

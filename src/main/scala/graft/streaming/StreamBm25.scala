@@ -34,6 +34,7 @@ object StreamBm25 {
   private def postingsDir(dir: String) = s"$dir/postings"
   private def statsDir(dir: String) = s"$dir/segstats"
   private def termDfDir(dir: String) = s"$dir/termdf"
+  private def tombDir(dir: String) = s"$dir/tombstones"
 
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -49,12 +50,38 @@ object StreamBm25 {
     * Stats]], which every writer runs first. */
   private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
     val fs = fsOf(s, dir)
-    val p = new org.apache.hadoop.fs.Path(statsDir(dir))
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("seg_id="))
-      .map(_.stripPrefix("seg_id=").toInt).toSet
+    def list(d: String, prefix: String): Set[Int] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toInt).toSet
+    }
+    // tombstone partitions share the id ledger: [[nextMergedId]]
+    // allocates both merged-segment and tombstone ids from this union,
+    // so the two maintainer families can never collide
+    list(statsDir(dir), "seg_id=") ++ list(tombDir(dir), "ts_id=")
   }
+
+  /** Live ids that are TOMBSTONE partitions (the takedown family) —
+    * distinguished by directory family, never by id arithmetic.
+    * Committed partitions never vanish before vacuum, so existence
+    * probes race nothing (the stats-leg discipline in [[loadAt]]). */
+  private def tombstoneIds(s: SparkSession, dir: String,
+                           live: Set[Int]): Set[Int] = {
+    val fs = fsOf(s, dir)
+    live.filter(id => Manifest.hasDataFiles(fs,
+      new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$id")))
+  }
+
+  /** The union of live tombstoned keys; None when nothing is deleted. */
+  private def tombstoneKeys(s: SparkSession, dir: String,
+                            tombIds: Set[Int]): Option[DataFrame] =
+    if (tombIds.isEmpty) None
+    else Some(s.read.option("basePath", tombDir(dir))
+      .parquet(tombIds.toSeq.sorted
+        .map(id => s"${tombDir(dir)}/ts_id=$id"): _*)
+      .select("key"))
 
   /** Upgrade-on-first-touch for the stats layout: dirs written before
     * the partition-dir layout carry flat files at the statsDir root
@@ -115,11 +142,24 @@ object StreamBm25 {
         s"${postingsDir(dir)}/seg_id=${batchId.toInt}",
         s"${termDfDir(dir)}/seg_id=${batchId.toInt}",
         s"${statsDir(dir)}/seg_id=${batchId.toInt}"))
-    val fresh = (load(spark, dir) match {
-      case Some(segs) =>
-        batch.join(segs.postings.select(col("key").as(idCol)).distinct(),
+    // first-seen guard counts TOMBSTONED keys as seen: load() masks
+    // them out of postings, so without this leg a re-crawl of a
+    // taken-down doc would re-index it — rows that cost storage but can
+    // never serve (the tombstone masks the key globally). Takedown
+    // semantics want the re-crawl OUT.
+    val tombstoned = tombstoneKeys(spark, dir,
+      tombstoneIds(spark, dir, manifest.getOrElse(Set.empty)))
+    val guarded = tombstoned match {
+      case Some(deleted) =>
+        batch.join(deleted.select(col("key").as(idCol)),
           Seq(idCol), "left_anti")
       case None => batch
+    }
+    val fresh = (load(spark, dir) match {
+      case Some(segs) =>
+        guarded.join(segs.postings.select(col("key").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      case None => guarded
     }).persist()
     try {
       // ONE materialized snapshot (persist + full count, not a
@@ -236,33 +276,41 @@ object StreamBm25 {
     val live = st.map(_._2).getOrElse(
       segs.segStats.select("seg_id").distinct()
         .collect().map(_.getInt(0)).toSet)
+    val tombIds = tombstoneIds(s, dir, live)
+    val segLive = live -- tombIds
     // ids already folded away (a repeated compact(upTo) range) simply
     // no longer exist — fold what is actually live, like the pre-
-    // manifest isin filter did
-    val segIds = segIds0.intersect(live)
+    // manifest isin filter did; tombstone partitions are never folded
+    val segIds = segIds0.intersect(segLive)
     if (segIds.isEmpty) return
     // a PREVIOUS crashed attempt at this same `into` can only have
     // staged uncommitted partitions (require above would fail if its
     // stats partition landed) — `overwrite` below wipes them
     val fold = col("seg_id").isin(segIds.toSeq: _*)
     // 1. STAGE the merged segment: postings partition (fresh seg_id dir
-    //    — collides with nothing), summed term dictionary, one summed
-    //    stats row (dead partitions are filtered by the manifest at
-    //    load). Each write targets its own partition directory as the
-    //    job's output root — disjoint `_temporary` staging from any
-    //    in-flight append's writes, so the two can no longer partially
-    //    delete each other's staged task files (see [[appendBatch]]).
-    //    Nothing staged here is readable yet.
+    //    — collides with nothing). `segs.postings` comes from [[load]],
+    //    which MASKS tombstoned keys — so the merge PHYSICALLY RECLAIMS
+    //    deleted docs (Lucene's merge-applies-deletes), and the merged
+    //    segment's dictionary + stats must therefore be RE-DERIVED from
+    //    the surviving rows (summing the folded metadata would carry the
+    //    deleted docs' df/dl forever). Without tombstones the re-derive
+    //    equals the old metadata sum exactly — keys are globally unique
+    //    across segments (first-seen guard), so df-from-postings =
+    //    sum-of-df. Each write targets its own partition directory as
+    //    the job's output root (disjoint `_temporary` staging from any
+    //    in-flight append — see [[appendBatch]]). Nothing staged here is
+    //    readable yet.
     segs.postings.filter(fold)
       .select(col("key"), col("tok"), col("tf"), col("dl"))
       .write.mode("overwrite").parquet(s"${postingsDir(dir)}/seg_id=$into")
-    segs.termDf.filter(fold)
-      .groupBy("tok").agg(sum("df").as("df"))
-      .select(col("tok"), col("df"))
+    val written = s.read
+      .parquet(s"${postingsDir(dir)}/seg_id=$into")
+      .select(lit(into).as("seg_id"), col("key"), col("tok"),
+        col("tf"), col("dl"))
+    val (mergedStats, mergedDf) = TextOps.segMetaFromPostings(written)
+    mergedDf.drop("seg_id")
       .write.mode("overwrite").parquet(s"${termDfDir(dir)}/seg_id=$into")
-    segs.segStats.filter(fold)
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      .select("n_docs", "sum_dl")
+    mergedStats.drop("seg_id")
       .write.mode("overwrite").parquet(s"${statsDir(dir)}/seg_id=$into")
     // 2. COMMIT: one atomic manifest flip — the merged segment becomes
     //    visible and the folded segments invisible in the same instant,
@@ -271,12 +319,76 @@ object StreamBm25 {
     //    compaction only stages and flips; every older generation stays
     //    time-travel-readable ([[Manifest.readAt]]) until [[vacuum]]
     //    reclaims — the Iceberg/Delta snapshot-then-expire layering.
+    //    Tombstones: a FULL fold (every live segment) leaves no masked
+    //    row anywhere, so the tombstone ids drop out of the live set in
+    //    the SAME flip (their partitions stay as time-travel history);
+    //    a partial fold keeps them — unfolded segments still need the
+    //    mask, and the merged segment's survivors don't match it.
     //    The commit is a CAS on the generation read above: if an append
     //    landed meanwhile, this throws instead of resurrecting the
     //    folded segments over the append's commit — the maintainer
     //    retries on fresh state.
-    Manifest.commitAfter(s, dir, live -- segIds + into,
+    val newLive =
+      if (segIds == segLive) Set(into)
+      else live -- segIds + into
+    Manifest.commitAfter(s, dir, newLive,
       basedOn = st.map(_._1).getOrElse(-1))
+  }
+
+  /** TAKEDOWN deletes — Lucene's liveDocs on this layout: `ids` become
+    * a tombstone partition (`tombstones/ts_id=<fresh negative id>`,
+    * committed in the SAME manifest live set as the segments — one
+    * commit point governs postings and deletes, so no reader can ever
+    * see a post-delete segment view with a pre-delete tombstone view).
+    * Effects:
+    *
+    *   - SERVE: tombstoned keys stop matching immediately ([[loadAt]]
+    *     anti-joins them out); df/corpus stats keep counting them until
+    *     a merge — exactly Lucene's deleted-docs semantics.
+    *   - RE-INGEST: [[appendBatch]]'s first-seen guard treats
+    *     tombstoned keys as seen, so a re-crawl of a taken-down doc
+    *     stays out (the takedown point) instead of resurrecting it.
+    *   - RECLAIM: [[compactSet]] folds merge only SURVIVING rows and
+    *     re-derive df/stats, so compaction physically forgets the
+    *     content; a full compaction clears the tombstones from the live
+    *     set in the same flip. After reclaim the key is genuinely gone
+    *     — a later crawl under that key is a NEW document (persistent
+    *     re-crawl suppression is a blocklist concern, not the index's).
+    *   - TIME TRAVEL: generations pinned before the delete still serve
+    *     the doc until [[vacuum]] expires them — retention policy
+    *     decides when a takedown becomes irreversible history removal.
+    *
+    * Deletes are scoped to currently-SERVED keys (unknown and
+    * already-deleted keys no-op; an empty effective set commits no
+    * generation). The scoping probe is the appendBatch first-seen shape
+    * — at test scale a postings-key distinct, at 100 TB the per-segment
+    * key-range/bloom metadata probe (same note as the ingest guard);
+    * takedown batches are human-complaint-sized, so even the scan form
+    * is a per-day cost, not a per-query one. CAS semantics match the
+    * other maintainers: a concurrent commit makes this throw
+    * ConcurrentModificationException — retry on fresh state. */
+  def deleteDocs(s: SparkSession, dir: String, ids: DataFrame,
+                 idCol: String): Unit = {
+    migrateLegacyStats(s, dir)
+    val segs = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no index at $dir"))
+    val st = Manifest.readWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(
+      segs.segStats.select("seg_id").distinct()
+        .collect().map(_.getInt(0)).toSet)
+    // effective deletes: keys the masked view still serves — re-deletes
+    // and never-indexed keys vanish here, making the op idempotent
+    val del = ids.select(col(idCol).as("key")).distinct()
+      .join(segs.postings.select("key").distinct(), Seq("key"), "left_semi")
+      .persist()
+    try {
+      if (del.count() == 0) return // nothing newly deleted: no commit
+      val tsId = nextMergedId(s, dir) // shared negative-id ledger
+      del.coalesce(1) // tombstones are takedown-sized, not corpus-sized
+        .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
+      Manifest.commitAfter(s, dir, live + tsId,
+        basedOn = st.map(_._1).getOrElse(-1))
+    } finally del.unpersist()
   }
 
   /** A tiered MERGE POLICY over the segment metadata (Lucene's
@@ -332,10 +444,17 @@ object StreamBm25 {
         // paths can never vanish under the read (until vacuum, which
         // requires the pinned generation to be expired anyway). This is
         // the Iceberg read discipline the manifest exists to provide.
-        if (live.isEmpty) None // born (birth commit) but no batch yet
+        // tombstone partitions ride the SAME live set (one commit point
+        // governs segments AND deletes — the Lucene commit-point idea;
+        // split manifests would open a resurrect window between a
+        // reader's two snapshot reads); they are recognized by directory
+        // family and excluded from every segment-family read below
+        val tombIds = tombstoneIds(s, dir, live)
+        val segLive = live -- tombIds
+        if (segLive.isEmpty) None // born (birth commit) but no batch yet
         else {
           def part(root: String) = {
-            val paths = live.toSeq.sorted.map(id => s"$root/seg_id=$id")
+            val paths = segLive.toSeq.sorted.map(id => s"$root/seg_id=$id")
             s.read.option("basePath", root).parquet(paths: _*)
               .withColumn("seg_id", col("seg_id").cast("int"))
           }
@@ -349,9 +468,9 @@ object StreamBm25 {
           // the flat files read by EXPLICIT path. dropDuplicates: a
           // migration crash can leave an id in both forms with
           // identical values.
-          val partIds = live.filter(id => fs.exists(
+          val partIds = segLive.filter(id => fs.exists(
             new org.apache.hadoop.fs.Path(s"${statsDir(dir)}/seg_id=$id")))
-          val flatIds = live -- partIds
+          val flatIds = segLive -- partIds
           val statsRoot = new org.apache.hadoop.fs.Path(statsDir(dir))
           val flatFiles =
             if (flatIds.isEmpty || !fs.exists(statsRoot)) Array.empty[String]
@@ -375,9 +494,19 @@ object StreamBm25 {
             }).flatten
           val segStats = legs.reduce(_ unionByName _)
             .dropDuplicates("seg_id")
+          // Lucene liveDocs semantics: tombstoned keys are MASKED out of
+          // the postings (they can never serve), while segStats/termDf
+          // keep counting them until a compaction physically reclaims —
+          // exactly deleted-docs-still-count-toward-df-until-merge
+          val postings0 = part(postingsDir(dir))
+            .select("seg_id", "key", "tok", "tf", "dl")
+          val postings = tombstoneKeys(s, dir, tombIds) match {
+            case Some(deleted) =>
+              postings0.join(deleted, Seq("key"), "left_anti")
+            case None => postings0
+          }
           Some(TextOps.Bm25Segments(
-            postings = part(postingsDir(dir))
-              .select("seg_id", "key", "tok", "tf", "dl"),
+            postings = postings,
             segStats = segStats,
             termDf = part(termDfDir(dir))
               .select("seg_id", "tok", "df")))
@@ -442,8 +571,10 @@ object StreamBm25 {
     * it vacuums. No-op on legacy dirs. */
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(postingsDir(dir), termDfDir(dir)),
-      prefix = "seg_id=", includeOrphans = includeOrphans)
+    Manifest.vacuumHistory(s, dir, Seq(
+        postingsDir(dir) -> "seg_id=", termDfDir(dir) -> "seg_id=",
+        tombDir(dir) -> "ts_id="),
+      includeOrphans = includeOrphans)
 
   /** The next free merged-segment id (negative namespace): one below
     * the most negative id ever written. Listing-based, like every

@@ -230,8 +230,9 @@ object StreamClusters {
     * it. */
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(membersDir(dir), rootmapDir(dir)),
-      prefix = "batch_id=", includeOrphans = includeOrphans)
+    Manifest.vacuumHistory(s, dir, Seq(
+        membersDir(dir) -> "batch_id=", rootmapDir(dir) -> "batch_id="),
+      includeOrphans = includeOrphans)
 
   /** The resolved cluster table (id, cluster_id) as committed so far;
     * None before the first batch. */

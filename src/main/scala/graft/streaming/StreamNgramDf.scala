@@ -127,8 +127,9 @@ object StreamNgramDf {
     * replay guard keeps holding after reclamation. */
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(dfDir(dir), idsDir(dir)),
-      prefix = "batch_id=", includeOrphans = includeOrphans)
+    Manifest.vacuumHistory(s, dir, Seq(
+        dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id="),
+      includeOrphans = includeOrphans)
 
   /** The served (ng, ndocs) index — the keyed sum over live delta
     * partitions; None before the first batch. Feed it to [[graft.ext

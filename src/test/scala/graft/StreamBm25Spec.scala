@@ -511,4 +511,95 @@ class StreamBm25Spec extends AnyFunSuite {
       searchRows(oneShot.select(col("q_id"), col("rank"), col("key"),
         round(col("score"), 6).as("score"))))
   }
+
+  test("takedown deletes: masked immediately, Lucene df semantics, physically reclaimed by full compaction") {
+    import spark.implicits._
+    val dir = ingest(Seq(corpus.take(2), corpus.slice(2, 4), corpus.drop(4)))
+    val queries = queryDocs.toDF("doc_id", "text")
+    def serve() = searchRows(TextOps.bm25SearchSegmented(
+      StreamBm25.load(spark, dir).get, queries, "doc_id", "text", k = 5))
+    val preGen = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+    val preStats = StreamBm25.load(spark, dir).get
+      .segStats.agg(sum("n_docs")).head.getLong(0)
+    // delete docs 2 and 5 (+ a never-indexed key: must no-op inside)
+    StreamBm25.deleteDocs(spark, dir, Seq(2L, 5L, 999L).toDF("doc_id"),
+      "doc_id")
+    // 1. masked IMMEDIATELY: no served hit and no postings row for 2/5
+    val served = serve()
+    assert(served.nonEmpty && !served.exists(r => r._3 == 2L || r._3 == 5L))
+    val segs = StreamBm25.load(spark, dir).get
+    assert(segs.postings.filter(col("key").isin(2L, 5L)).count() == 0)
+    // 2. Lucene semantics: df/corpus stats still count the deleted docs
+    //    until a merge (n_docs unchanged by the delete)
+    assert(segs.segStats.agg(sum("n_docs")).head.getLong(0) == preStats)
+    // 3. idempotent: re-deleting commits no generation
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    StreamBm25.deleteDocs(spark, dir, Seq(2L, 5L).toDF("doc_id"), "doc_id")
+    assert(graft.streaming.Manifest.generations(spark, dir) == gens)
+    // 4. re-ingest of a taken-down doc stays OUT (the first-seen guard
+    //    counts tombstoned keys as seen); the fresh doc in the same
+    //    batch lands
+    StreamBm25.appendBatch(dir,
+      Seq(2L -> "oranges oranges oranges", 7L -> "novel basket words")
+        .toDF("doc_id", "text"), 100L, "doc_id", "text")
+    val keys = StreamBm25.load(spark, dir).get
+      .postings.select("key").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys.contains(7L) && !keys.contains(2L))
+    // 5. time travel: the pre-delete generation still serves doc 2
+    val pinned = StreamBm25.loadAt(spark, dir, Some(preGen)).get
+    assert(pinned.postings.filter(col("key") === 2L).count() > 0)
+    // 6. FULL compaction physically reclaims: serve becomes bit-equal to
+    //    a scratch index over exactly the surviving corpus (df/stats
+    //    re-derived from surviving rows), and the tombstone ids leave
+    //    the live set in the same flip
+    StreamBm25.compactSet(spark, dir,
+      graft.streaming.Manifest.read(spark, dir).get,
+      into = StreamBm25.nextMergedId(spark, dir))
+    val remaining = (corpus.filter(d => d._1 != 2L && d._1 != 5L) :+
+      (7L -> "novel basket words"))
+    val scratch = searchRows(TextOps.bm25Search(
+      TextOps.bm25Index(remaining.toDF("doc_id", "text"), "doc_id", "text"),
+      queries, "doc_id", "text", k = 5))
+    assert(serve() == scratch)
+    val liveAfter = graft.streaming.Manifest.read(spark, dir).get
+    assert(liveAfter.size == 1, s"tombstones must clear on a full fold: $liveAfter")
+    assert(StreamBm25.load(spark, dir).get
+      .segStats.agg(sum("n_docs")).head.getLong(0) == remaining.size.toLong)
+    // 7. post-reclaim, the key is genuinely gone: a new crawl under it
+    //    is a new document (re-crawl suppression is a blocklist concern)
+    StreamBm25.appendBatch(dir,
+      Seq(2L -> "reborn doc").toDF("doc_id", "text"), 101L, "doc_id", "text")
+    assert(StreamBm25.load(spark, dir).get
+      .postings.filter(col("key") === 2L).count() > 0)
+    // 8. vacuum reclaims the folded segments AND the tombstone partition
+    StreamBm25.vacuum(spark, dir)
+    assert(!java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/tombstones"))
+      .iterator().hasNext, "vacuum must reclaim expired tombstone partitions")
+  }
+
+  test("PARTIAL compaction keeps the mask: unfolded segments still hide deleted keys") {
+    import spark.implicits._
+    val dir = ingest(Seq(corpus.take(2), corpus.slice(2, 4), corpus.drop(4)))
+    // delete doc 1 (lives in segment 0) and doc 6 (lives in segment 2)
+    StreamBm25.deleteDocs(spark, dir, Seq(1L, 6L).toDF("doc_id"), "doc_id")
+    // fold ONLY segments 0 and 1: doc 1 physically reclaimed by the
+    // merge; doc 6 still sits in unfolded segment 2 behind the mask
+    StreamBm25.compactSet(spark, dir, Set(0, 1),
+      into = StreamBm25.nextMergedId(spark, dir))
+    val segs = StreamBm25.load(spark, dir).get
+    val keys = segs.postings.select("key").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!keys.contains(1L) && !keys.contains(6L))
+    assert(keys.contains(2L) && keys.contains(5L))
+    // the tombstone must still be live (it masks segment 2), and the
+    // merged segment's stats no longer count the reclaimed doc
+    val live = graft.streaming.Manifest.read(spark, dir).get
+    assert(live.exists(_ < 0) && live.contains(2),
+      s"partial fold must keep unfolded segments + tombstones live: $live")
+    // merged stats drop the reclaimed doc 1 (n_docs 3: docs 2,3,4);
+    // UNFOLDED segment 2 still counts its deleted doc 6 (n_docs 2) —
+    // deleted docs leave the stats only when THEIR segment merges
+    assert(segs.segStats.agg(sum("n_docs")).head.getLong(0) == 5L)
+  }
 }
