@@ -296,49 +296,16 @@ object TextQ {
     st9Cache.synchronized {
       st9Cache.getOrElseUpdate((s, d), {
         val spec = "v1 3batches mod3 x53policy"
-        def ingest(dir: String): Unit = {
-          val docs = Tables.documents(s, d)
-          // static benchmark reference (the x15/x53 split), prepared once
-          val bench = docs.filter(col("doc_id") % 7 === 0)
-            .select(col("lang"), col("source"),
-              explode(array(floor(col("n_chars") / 20) - 1,
-                floor(col("n_chars") / 20),
-                floor(col("n_chars") / 20) + 1)).as("bkt"),
-              col("n_chars").as("nc2"),
-              array_distinct(TextOps.tokens(col("text"))).as("t2"))
-          def policy(batch: DataFrame): DataFrame = {
-            val kept = batch.filter(col("doc_id") % 7 =!= 0)
-              .filter(graft.streaming.StreamCurate.qualityOk(
-                col("text"), col("n_chars"), stops))
-            val a = kept.select(col("doc_id"), col("lang"), col("source"),
-              floor(col("n_chars") / 20).as("bkt"),
-              col("n_chars").as("nc1"),
-              array_distinct(TextOps.tokens(col("text"))).as("t1"))
-            val contaminated = a.join(bench, Seq("lang", "source", "bkt"))
-              .filter(abs(col("nc1") - col("nc2")) <= 20)
-              .filter(round(TextOps.jaccard(col("t1"), col("t2")), 6) >= 0.5)
-              .select("doc_id").distinct()
-            TextOps.stratifiedSample(
-                kept.join(contaminated, Seq("doc_id"), "left_anti"),
-                "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
-                defaultFraction = 0.8)
-              .select("doc_id", "lang", "source")
-          }
-          (0 to 2).foreach { i =>
-            graft.streaming.StreamCurate.appendBatch(dir,
-              docs.filter(col("doc_id") % 3 === i), i, policy)
-          }
-        }
         val dir = graft.ArtifactStore.dirArtifact(d, "st9cur", spec) match {
           case Some((p, true)) => p.toString
           case Some((p, false)) =>
-            ingest(p.toString)
+            ingestCuration(s, d, p.toString)
             graft.ArtifactStore.commitDir(p, spec)
             p.toString
           case None =>
             val p = java.nio.file.Files.createTempDirectory("graft-st9-")
             tmpSt9Dirs += p
-            ingest(p.toString)
+            ingestCuration(s, d, p.toString)
             p.toString
         }
         val out = graft.streaming.StreamCurate.load(s, dir).get
@@ -433,11 +400,92 @@ object TextQ {
       })
     }
 
+  /** The st9/x58 shared 3-batch curation ingest: quality filter +
+    * benchmark decontam + stratified sample (the x53 policy) through
+    * the [[graft.streaming.StreamCurate]] sink body. */
+  private def ingestCuration(s: SparkSession, d: String,
+                             dir: String): Unit = {
+    val docs = Tables.documents(s, d)
+    // static benchmark reference (the x15/x53 split), prepared once
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("lang"), col("source"),
+        explode(array(floor(col("n_chars") / 20) - 1,
+          floor(col("n_chars") / 20),
+          floor(col("n_chars") / 20) + 1)).as("bkt"),
+        col("n_chars").as("nc2"),
+        array_distinct(TextOps.tokens(col("text"))).as("t2"))
+    def policy(batch: DataFrame): DataFrame = {
+      val kept = batch.filter(col("doc_id") % 7 =!= 0)
+        .filter(graft.streaming.StreamCurate.qualityOk(
+          col("text"), col("n_chars"), stops))
+      val a = kept.select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 20).as("bkt"),
+        col("n_chars").as("nc1"),
+        array_distinct(TextOps.tokens(col("text"))).as("t1"))
+      val contaminated = a.join(bench, Seq("lang", "source", "bkt"))
+        .filter(abs(col("nc1") - col("nc2")) <= 20)
+        .filter(round(TextOps.jaccard(col("t1"), col("t2")), 6) >= 0.5)
+        .select("doc_id").distinct()
+      TextOps.stratifiedSample(
+          kept.join(contaminated, Seq("doc_id"), "left_anti"),
+          "lang", "doc_id", Map("en" -> 0.9, "de" -> 0.9),
+          defaultFraction = 0.8)
+        .select("doc_id", "lang", "source")
+    }
+    (0 to 2).foreach { i =>
+      graft.streaming.StreamCurate.appendBatch(dir,
+        docs.filter(col("doc_id") % 3 === i), i, policy)
+    }
+  }
+
+  /** Memoized TAKEDOWN-lifecycle curated corpus for x58 — the st9
+    * pipeline plus the delete verb on the sink that holds the BODIES:
+    * same 3-batch ingest and policy as [[streamedCuration]] (own dir),
+    * then [[graft.streaming.StreamCurate.deleteCurated]] tombstones the
+    * kept doc_id % 10 == 0 slice and [[graft.streaming.StreamCurate
+    * .compact]] physically reclaims it — the corpus a DuckDB oracle can
+    * recompute as "st9's output minus the deleted slice". The seen
+    * digest index survives both, so re-crawls of taken-down bytes stay
+    * out structurally (StreamCurationSpec pins the lifecycle). */
+  private val x58Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def takedownCuration(s: SparkSession, d: String): DataFrame =
+    x58Cache.synchronized {
+      x58Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 x53policy delete=%10==0 fullcompact"
+        def build(dir: String): Unit = {
+          ingestCuration(s, d, dir)
+          graft.streaming.StreamCurate.deleteCurated(s, dir,
+            Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+              .select("doc_id"))
+          graft.streaming.StreamCurate.compact(s, dir,
+            into = graft.streaming.StreamCurate.nextCompactId(s, dir))
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "x58cur", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x58-")
+            tmpSt9Dirs += p
+            build(p.toString)
+            p.toString
+        }
+        val out = graft.streaming.StreamCurate.load(s, dir).get
+          .select("doc_id", "lang", "source").persist()
+        out.count()
+        out
+      })
+    }
+
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
     streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
-    streamedClusters(s, d); streamedNgramDf(s, d); ()
+    streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
+    ()
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -465,6 +513,8 @@ object TextQ {
     bloomCache.clear() // plain driver arrays — no executor state to release
     st9Cache.values.foreach(_.unpersist())
     st9Cache.clear()
+    x58Cache.values.foreach(_.unpersist())
+    x58Cache.clear()
     tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt9Dirs.clear()
     streamCcCache.values.foreach(_.unpersist())
@@ -963,6 +1013,19 @@ object TextQ {
           Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")),
+
+    // X58 — TAKEDOWN on the curated corpus ([[takedownCuration]]:
+    // [[graft.streaming.StreamCurate.deleteCurated]] + compact): st9's
+    // streamed curation pipeline, then the kept doc_id % 10 == 0 slice
+    // tombstoned and PHYSICALLY reclaimed — the delete verb on the sink
+    // that holds the document BODIES, where a right-to-be-forgotten
+    // request actually lands. The seen digest index survives both
+    // delete and compaction, so a re-crawl of taken-down bytes stays
+    // out structurally. Oracle: st9's SQL with the deleted slice
+    // filtered out — the reclaimed corpus is exactly the one that never
+    // kept those docs.
+    "x58_curate_takedown" -> ((s, d) =>
+      takedownCuration(s, d).orderBy("doc_id")),
 
     // X27 — temperature-scaled mixture sampling (the multilingual
     // re-weighting step): per-lang keep rates computed FROM corpus counts
@@ -1861,6 +1924,53 @@ object TextQ {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN firstseen USING (doc_id)
          WHERE firstseen.rk = 1 AND d.doc_id % 7 <> 0
+           AND d.doc_id IN (SELECT doc_id FROM keep_q)
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+           AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0
+               < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END
+         ORDER BY d.doc_id""",
+    "x58_curate_takedown" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         firstseen AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id % 3, doc_id) AS rk
+               FROM documents)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN firstseen USING (doc_id)
+         WHERE firstseen.rk = 1 AND d.doc_id % 7 <> 0
+           AND d.doc_id % 10 <> 0
            AND d.doc_id IN (SELECT doc_id FROM keep_q)
            AND d.doc_id NOT IN (SELECT doc_id FROM bad)
            AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)

@@ -63,6 +63,120 @@ object StreamCurate {
 
   private def seenDir(dir: String) = s"$dir/seen"
   private def corpusDir(dir: String) = s"$dir/corpus"
+  private def tombDir(dir: String) = s"$dir/tombstones"
+
+  /** Tombstone partition ids present under the dir (the negative-id
+    * ledger leg the takedown family contributes). */
+  private def tombIds(s: org.apache.spark.sql.SparkSession,
+                      dir: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("ts_id="))
+      .map(_.stripPrefix("ts_id=").toInt).toSet
+  }
+
+  /** Live tombstoned keys as of a generation (None = none): one-column
+    * frame whose column NAME is the key column the deleter passed, so
+    * the mask join stays schema-agnostic (the corpus schema is
+    * caller-defined policy output). */
+  private def tombstoneKeys(s: org.apache.spark.sql.SparkSession,
+                            dir: String, asOfGen: Option[Int])
+      : Option[DataFrame] =
+    Manifest.readAt(s, dir, asOfGen).flatMap { live =>
+      val p0 = new org.apache.hadoop.fs.Path(tombDir(dir))
+      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val present = live.toSeq.sorted
+        .map(id => s"${tombDir(dir)}/ts_id=$id")
+        .filter(p => Manifest.hasDataFiles(fs,
+          new org.apache.hadoop.fs.Path(p)))
+      if (present.isEmpty) None
+      else Some(s.read.option("basePath", tombDir(dir))
+        .parquet(present: _*).drop("ts_id"))
+    }
+
+  /** The next free NEGATIVE id across every family (compacted base
+    * partitions and tombstones share the ledger — the StreamBm25
+    * nextMergedId discipline). */
+  def nextCompactId(s: org.apache.spark.sql.SparkSession,
+                    dir: String): Int = {
+    val used = partitionIds(s, seenDir(dir)) ++
+      partitionIds(s, corpusDir(dir)) ++ tombIds(s, dir)
+    if (used.isEmpty) -1 else math.min(0, used.min) - 1
+  }
+
+  /** TAKEDOWN on the curated corpus — the [[StreamBm25.deleteDocs]]
+    * pattern on the sink that holds the actual BODIES (where a
+    * right-to-be-forgotten request lands): `ids` become a tombstone
+    * partition committed in the SAME live set as the corpus batches
+    * (one commit point — no resurrect window), the serve masks them
+    * immediately ([[loadAt]] anti-joins), and [[compact]] physically
+    * reclaims. The SEEN digest index is deliberately untouched: a
+    * re-crawl of a taken-down document carries the same digest and the
+    * processed-set guard keeps it from re-entering the corpus — the
+    * takedown point, structurally. Scoped to currently-served keys
+    * (unknown/already-deleted ids no-op; an empty effective set commits
+    * no generation); CAS like every maintainer. */
+  def deleteCurated(s: org.apache.spark.sql.SparkSession, dir: String,
+                    ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    val corpus = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no curated state at $dir"))
+    val st = Manifest.readWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(
+      partitionIds(s, seenDir(dir)) ++ partitionIds(s, corpusDir(dir)))
+    val del = ids.select(col(idCol)).distinct()
+      .join(corpus.select(idCol), Seq(idCol), "left_semi")
+      .persist()
+    try {
+      if (del.count() == 0) return
+      val tsId = nextCompactId(s, dir)
+      del.coalesce(1) // takedown-sized, not corpus-sized
+        .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
+      Manifest.commitAfter(s, dir, live + tsId,
+        basedOn = st.map(_._1).getOrElse(-1))
+    } finally del.unpersist()
+  }
+
+  /** Fold the whole curated state into single base partitions (negative
+    * namespace): the masked corpus view and the seen-digest index each
+    * rewrite as one `batch_id=<into>` partition and the tombstones drop
+    * out of the live set in the same flip — PHYSICAL reclaim of every
+    * taken-down body. The seen index rides through, so the re-crawl
+    * guard survives compaction (the st11 invariant). Folded partitions
+    * stay as time-travel history until [[vacuum]]. */
+  def compact(s: org.apache.spark.sql.SparkSession, dir: String,
+              into: Int): Unit = {
+    require(into < 0, s"compacted ids are negative (got into=$into); " +
+      "non-negative ids belong to the streaming engine's batch counter")
+    val used = partitionIds(s, seenDir(dir)) ++
+      partitionIds(s, corpusDir(dir)) ++ tombIds(s, dir)
+    require(!used.contains(into),
+      s"into=$into was already used (ever-written ids: $used)")
+    val st = Manifest.readWithGen(s, dir)
+    val corpus = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no curated state at $dir"))
+    val seenD = seen(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no seen state at $dir"))
+    corpus.drop("batch_id").write.mode("overwrite")
+      .parquet(s"${corpusDir(dir)}/batch_id=$into")
+    seenD.drop("batch_id").write.mode("overwrite")
+      .parquet(s"${seenDir(dir)}/batch_id=$into")
+    Manifest.commitAfter(s, dir, Set(into),
+      basedOn = st.map(_._1).getOrElse(-1))
+  }
+
+  /** Reclaim time-travel history ([[Manifest.vacuumHistory]]): corpus,
+    * seen, and tombstone partitions no generation serves anymore are
+    * deleted — after a takedown + [[compact]], this is the step that
+    * removes the last readable copy of the taken-down bodies (retention
+    * policy decides when that happens). */
+  def vacuum(s: org.apache.spark.sql.SparkSession, dir: String,
+             includeOrphans: Boolean = false): Unit =
+    Manifest.vacuumHistory(s, dir, Seq(
+        corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
+        tombDir(dir) -> "ts_id="),
+      includeOrphans = includeOrphans)
 
   /** `foreachBatch` sink body: micro-batch → first-seen dedup against
     * the ON-DISK seen-digest index (within-batch keep-min first), then
@@ -164,7 +278,16 @@ object StreamCurate {
     * commit protocol. None = latest. */
   def loadAt(s: org.apache.spark.sql.SparkSession, dir: String,
              asOfGen: Option[Int]): Option[DataFrame] =
-    snapshotRead(s, dir, corpusDir(dir), asOfGen)
+    snapshotRead(s, dir, corpusDir(dir), asOfGen).map { corpus =>
+      // takedown mask ([[deleteCurated]]): tombstoned keys never serve;
+      // the tombstone frame's column name IS the key column, so the
+      // mask adapts to whatever schema the curation policy emits
+      tombstoneKeys(s, dir, asOfGen) match {
+        case Some(deleted) =>
+          corpus.join(deleted, Seq(deleted.columns.head), "left_anti")
+        case None => corpus
+      }
+    }
 
   /** SNAPSHOT-ISOLATED state read (the StreamBm25.loadAt discipline):
     * manifest mode reads exactly the live partitions' paths — immutable,

@@ -155,4 +155,69 @@ class StreamCurationSpec extends AnyFunSuite {
       Seq((300L, good + "legacy")).toDF("doc_id", "text"), 6, policy)
     assert(StreamCurate.load(spark, dir).get.count() == 2)
   }
+
+  test("takedown on the curated corpus: masked immediately, re-crawl blocked by digest, compact reclaims, vacuum forgets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_cur_td").toString
+    def policy(b: org.apache.spark.sql.DataFrame) =
+      b.filter(StreamCurate.qualityOk(col("text"), col("n_chars"), stops))
+        .select("doc_id", "text")
+    val good = "the data row holds a good long value " * 4
+    Seq(0, 1).foreach { i =>
+      val rows = Seq(
+        (i * 10L + 1, good + s"alpha$i", 200),
+        (i * 10L + 2, good + s"beta$i", 200))
+      StreamCurate.appendBatch(dir,
+        rows.toDF("doc_id", "text", "n_chars"), i.toLong, policy)
+    }
+    assert(StreamCurate.load(spark, dir).get.count() == 4)
+    val preGen = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+    // delete docs 1 and 11 (+ a never-kept id: no-ops inside)
+    StreamCurate.deleteCurated(spark, dir,
+      Seq(1L, 11L, 999L).toDF("doc_id"))
+    def keptIds() = StreamCurate.load(spark, dir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1. masked immediately
+    assert(keptIds() == Set(2L, 12L))
+    // 2. idempotent: re-deleting commits no generation
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    StreamCurate.deleteCurated(spark, dir, Seq(1L, 11L).toDF("doc_id"))
+    assert(graft.streaming.Manifest.generations(spark, dir) == gens)
+    // 3. a re-crawl of the taken-down BYTES never re-enters: the seen
+    //    digest index is untouched by the delete (the processed-set
+    //    guard IS the takedown re-crawl blocker)
+    StreamCurate.appendBatch(dir,
+      Seq((100L, good + "alpha0", 200)).toDF("doc_id", "text", "n_chars"),
+      5L, policy)
+    assert(keptIds() == Set(2L, 12L))
+    // 4. time travel: the pre-delete generation still serves doc 1
+    assert(StreamCurate.loadAt(spark, dir, Some(preGen)).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 11L, 12L))
+    // 5. compact: physical reclaim — one base partition, tombstones
+    //    cleared, serve unchanged; the re-crawl guard SURVIVES
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    assert(keptIds() == Set(2L, 12L))
+    assert(graft.streaming.Manifest.read(spark, dir).get.size == 1)
+    StreamCurate.appendBatch(dir,
+      Seq((101L, good + "alpha0", 200)).toDF("doc_id", "text", "n_chars"),
+      6L, policy)
+    assert(keptIds() == Set(2L, 12L),
+      "post-compact re-crawl must still hit the compacted seen index")
+    // 6. vacuum removes the last readable copy of the taken-down bodies
+    StreamCurate.vacuum(spark, dir)
+    assert(keptIds() == Set(2L, 12L))
+    intercept[IllegalArgumentException] {
+      StreamCurate.loadAt(spark, dir, Some(preGen))
+    }
+    import scala.jdk.CollectionConverters._
+    val survivorsOnDisk = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/corpus")).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    val served = spark.read.parquet(survivorsOnDisk.map(_.toString): _*)
+    assert(served.filter(col("doc_id").isin(1L, 11L)).count() == 0,
+      "after vacuum no on-disk corpus file may still hold a deleted body")
+  }
 }
