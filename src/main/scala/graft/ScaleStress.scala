@@ -338,6 +338,24 @@ object ScaleStress {
       dir
     })
 
+    // x57: prebuilt streamed BM25 dirs per multiplier for the takedown
+    // row — the m× corpus ingested as 2 segments (the one-shot build is
+    // x48/x51's own cost, excluded); the timed row is ONE deleteDocs
+    // call (tombstone write + manifest flip + the served-key scoping
+    // probe, which is the honest linear term at test scale).
+    val x57Dirs = scala.collection.mutable.Map.empty[Int, String]
+    val x57Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-x57-m$m-").toString
+      val docs = docsOf(m).select("doc_id", "text")
+      (0 to 1).foreach { i =>
+        graft.streaming.StreamBm25.appendBatch(dir,
+          docs.filter(col("doc_id") % 2 === i), i, "doc_id", "text")
+      }
+      dir
+    })
+
     // x55_append_fixed: the maintained trigram-df index per multiplier
     // (same attribution split — the one-shot build is x54's scan shape)
     val x55Idx = scala.collection.mutable.Map.empty[Int,
@@ -1046,6 +1064,23 @@ object ScaleStress {
         val dir = builtClusterDir(m)
         graft.streaming.StreamClusters.load(spark, dir).get.count()
       }),
+      Op("x57_delete_fixed", m => {
+        // ONE takedown batch (a fresh ~n(1×)/50 id slice per call — the
+        // scoping makes re-deleting the same ids a no-op, so repeated
+        // cells must rotate) against the m× streamed index: tombstone
+        // write + manifest flip are O(batch); the served-key scoping
+        // probe is the linear term at test scale (the documented
+        // deleteDocs caveat — at 100 TB it becomes the per-segment
+        // key-range/bloom metadata probe; this row MEASURES the honest
+        // scan form rather than asserting it away). Takedown batches
+        // are per-day events, not per-query ones.
+        val dir = builtTakedownDir(m)
+        val n = x57Ctr.incrementAndGet()
+        val ids = docsOf(1).select("doc_id")
+          .filter(col("doc_id") % 50 === n)
+        graft.streaming.StreamBm25.deleteDocs(spark, dir, ids, "doc_id")
+        graft.streaming.Manifest.read(spark, dir).get.size.toLong
+      }),
       Op("st11_append_fixed", m => {
         // steady-state fold of ONE fixed ~(n(1×)/11)-doc batch (fresh
         // ids) into the STREAM-maintained ngram-df index of the m×
@@ -1313,6 +1348,8 @@ object ScaleStress {
       mults.foreach(builtClusterDir)
     if (ops0.exists(_.name == "st11_append_fixed"))
       mults.foreach(builtNgDfDir)
+    if (ops0.exists(_.name == "x57_delete_fixed"))
+      mults.foreach(builtTakedownDir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s
