@@ -50,6 +50,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Manifest {
 
+  /** A committed live set with explicit partition FAMILIES: `data` ids
+    * are segment/batch partitions, `tombs` are takedown tombstone
+    * partitions ([[graft.streaming.StreamBm25.deleteDocs]]-style).
+    * `aux` ids are auxiliary metadata partitions that must SURVIVE
+    * compaction folds (e.g. [[StreamBm25]]'s persistent re-crawl
+    * blocklist), serialized with a `b` prefix. Recording the family IN
+    * the manifest (`t`/`b` prefixes on the id token) is what makes
+    * classification race-free: the old scheme inferred family from
+    * directory presence, and a crashed delete's orphaned `ts_id=` dir
+    * could permanently misclassify a LIVE merged segment as a tombstone
+    * — masking the whole index out of every read (ADVICE r10, high).
+    * Manifests written before this format carry every id as `data`;
+    * sink-side readers apply a conservative directory-probe fallback
+    * for those (biased to `data`, the non-catastrophic direction). */
+  case class Live(data: Set[Int], tombs: Set[Int],
+                  aux: Set[Int] = Set.empty) {
+    def all: Set[Int] = data ++ tombs ++ aux
+  }
+  object Live { val empty: Live = Live(Set.empty, Set.empty) }
+
   private def mdir(root: String) = new Path(s"$root/manifest")
 
   /** True iff `p` holds at least one real data file (directly, or one
@@ -84,14 +104,24 @@ object Manifest {
       .sortBy(_._1)
   }
 
-  private def parse(fs: FileSystem, p: Path): Set[Int] = {
+  private def parseLive(fs: FileSystem, p: Path): Live = {
     val in = fs.open(p)
     try {
       val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      if (txt.isEmpty) Set.empty[Int]
-      else txt.split(",").map(_.trim.toInt).toSet
+      if (txt.isEmpty) Live.empty
+      else {
+        val toks = txt.split(",").map(_.trim)
+        Live(
+          data = toks.filterNot(t => t.startsWith("t") || t.startsWith("b"))
+            .map(_.toInt).toSet,
+          tombs = toks.filter(_.startsWith("t")).map(_.drop(1).toInt).toSet,
+          aux = toks.filter(_.startsWith("b")).map(_.drop(1).toInt).toSet)
+      }
     } finally in.close()
   }
+
+  private def parse(fs: FileSystem, p: Path): Set[Int] =
+    parseLive(fs, p).all
 
   /** Latest committed live-segment set; None = legacy index (no
     * manifest was ever committed) → caller uses the directory listing. */
@@ -105,6 +135,29 @@ object Manifest {
   def readWithGen(s: SparkSession, root: String): Option[(Int, Set[Int])] = {
     val fs = fsOf(s, root)
     gens(fs, root).lastOption.map { case (g, p) => (g, parse(fs, p)) }
+  }
+
+  /** [[readWithGen]] with explicit partition families ([[Live]]) —
+    * the takedown sinks' entry read. */
+  def readLiveWithGen(s: SparkSession, root: String)
+      : Option[(Int, Live)] = {
+    val fs = fsOf(s, root)
+    gens(fs, root).lastOption.map { case (g, p) => (g, parseLive(fs, p)) }
+  }
+
+  /** [[readAt]] with explicit partition families. `gen = None` →
+    * latest; throws on a missing generation like [[readAt]]. */
+  def readLiveAt(s: SparkSession, root: String, gen: Option[Int])
+      : Option[Live] = {
+    val fs = fsOf(s, root)
+    val all = gens(fs, root)
+    val pick = gen match {
+      case None => all.lastOption
+      case Some(g) =>
+        Some(all.find(_._1 == g).getOrElse(throw new IllegalArgumentException(
+          s"no manifest generation $g at $root (have ${all.map(_._1)})")))
+    }
+    pick.map { case (_, p) => parseLive(fs, p) }
   }
 
   /** The live set AT a generation — TIME TRAVEL over the maintained
@@ -148,15 +201,36 @@ object Manifest {
     * engine's batch retry do it). This IS the visibility flip:
     * everything staged before this call becomes readable at once. */
   def commitAfter(s: SparkSession, root: String, live: Set[Int],
-                  basedOn: Int): Unit = {
+                  basedOn: Int): Unit =
+    commitLiveAfter(s, root, Live(live, Set.empty), basedOn)
+
+  /** [[commitAfter]] with explicit partition families: tombstone ids
+    * serialize with a `t` prefix so readers classify them from the
+    * manifest itself, never from directory probes. */
+  def commitLiveAfter(s: SparkSession, root: String, live: Live,
+                      basedOn: Int): Unit = {
     val fs = fsOf(s, root)
     val d = mdir(root)
-    if (!fs.exists(d)) fs.mkdirs(d)
+    if (!fs.exists(d)) {
+      fs.mkdirs(d)
+      // dir-identity nonce for [[referencedUnion]]'s cache: a manifest
+      // dir deleted and re-created at the same path must never serve a
+      // stale cached union even if its new generation files coincide in
+      // (gen, length, mtime) — plausible at millisecond mtime
+      // granularity in fast test loops (ADVICE r10, low). Exclusive
+      // create: of two concurrent birth commits exactly one writes it.
+      try fs.create(new Path(d, s"dirid-${java.util.UUID.randomUUID()}"),
+        false).close()
+      catch { case _: java.io.IOException => () } // racer won the birth
+    }
     val gen = basedOn + 1
+    val body = (live.data.toSeq.sorted.map(_.toString) ++
+      live.tombs.toSeq.sorted.map(i => s"t$i") ++
+      live.aux.toSeq.sorted.map(i => s"b$i")).mkString(",")
     val tmp = new Path(d, f"m-$gen%08d.tmp-${java.util.UUID.randomUUID()}")
     val fin = new Path(d, f"m-$gen%08d")
     val out = fs.create(tmp, true)
-    try out.write(live.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       d.toUri, s.sparkContext.hadoopConfiguration)
@@ -189,15 +263,38 @@ object Manifest {
     * then collapse the manifest to its numerically-latest generation.
     * Correctness never depends on running this; it trades time-travel
     * depth for space, and a deployment picks its retention by how often
-    * it runs. No-op on legacy (manifest-less) dirs. */
+    * it runs. No-op on legacy (manifest-less) dirs.
+    *
+    * TIME-BASED RETENTION (`retainMillis = Some(ms)`): generations
+    * whose manifest file is YOUNGER than the cutoff survive — their
+    * files stay, their referenced partitions stay, and [[readAt]] on
+    * them keeps working — so an operator can promise "any snapshot from
+    * the last N days is reproducible" while still reclaiming older
+    * history (the Delta/Iceberg `RETAIN n HOURS` contract). This is
+    * also the takedown story's legal dial: a taken-down document's
+    * pre-delete generations remain readable EXACTLY until retention
+    * expires them — [[vacuumHistory]] with the retention window is the
+    * step that makes forgetting irreversible, on a schedule the
+    * deployment chooses rather than as a side effect of maintenance.
+    * The latest generation always survives regardless of age. */
   def vacuumHistory(s: SparkSession, root: String,
                     families: Seq[(String, String)],
-                    includeOrphans: Boolean = false): Unit =
-    read(s, root).foreach { live =>
+                    includeOrphans: Boolean = false,
+                    retainMillis: Option[Long] = None): Unit =
+    read(s, root).foreach { _ =>
       val fs = fsOf(s, root)
+      val all = gens(fs, root)
+      val cutoff = retainMillis.map(System.currentTimeMillis() - _)
+      val kept = all.zipWithIndex.filter { case ((_, p), i) =>
+        i == all.size - 1 || // the latest always survives
+          cutoff.exists(c => fs.getFileStatus(p).getModificationTime >= c)
+      }.map(_._1)
+      val keptUnion = kept.map { case (_, p) => parse(fs, p) }
+        .foldLeft(Set.empty[Int])(_ ++ _)
       val referenced = allSets(s, root).foldLeft(Set.empty[Int])(_ ++ _)
       def reclaimable(id: Int): Boolean =
-        !live.contains(id) && (referenced.contains(id) || includeOrphans)
+        !keptUnion.contains(id) &&
+          (referenced.contains(id) || includeOrphans)
       families.foreach { case (d, prefix) =>
         val p = new Path(d)
         if (fs.exists(p)) fs.listStatus(p).foreach { st =>
@@ -210,8 +307,9 @@ object Manifest {
       }
       // gens() sorts NUMERICALLY (a lexical sort would keep
       // m-99999999 over m-100000000 — the StreamBm25Spec pin)
-      gens(fs, root).dropRight(1).foreach { case (_, p) =>
-        fs.delete(p, false)
+      val keptSet = kept.map(_._1).toSet
+      all.foreach { case (g, p) =>
+        if (!keptSet.contains(g)) fs.delete(p, false)
       }
     }
 
@@ -226,21 +324,32 @@ object Manifest {
     * set is not a superset of the cached one — vacuumHistory pruned
     * files, or a dir was deleted and re-created at the same path with
     * DIFFERENT generation content — the entry is discarded and the
-    * union recomputed from the surviving files. Byte-identical
-    * semantics to the uncached form in every case. */
+    * union recomputed from the surviving files. The cache key also
+    * carries the dir's identity NONCE (the `dirid-<uuid>` birth file
+    * [[commitLiveAfter]] creates with the manifest dir): a deleted and
+    * re-created dir whose new generation files COINCIDE in (gen, len,
+    * mtime) — millisecond granularity makes that plausible in fast test
+    * loops — gets a fresh nonce and therefore a cache miss instead of a
+    * stale union (ADVICE r10). Legacy dirs without a nonce use a
+    * sentinel; any re-creation goes through commitLiveAfter and gains
+    * one. Byte-identical semantics to the uncached form in every case. */
   private val refUnionCache = scala.collection.concurrent.TrieMap
     .empty[String, (Set[(Int, Long, Long)], Set[Int])]
 
   private def referencedUnion(fs: FileSystem, root: String): Set[Int] = {
     val d = mdir(root)
-    val listed =
-      if (!fs.exists(d)) Nil
-      else fs.listStatus(d).toSeq
-        .filter(_.getPath.getName.matches("m-\\d{8,}"))
-        .map(st => ((st.getPath.getName.drop(2).toInt, st.getLen,
-          st.getModificationTime), st.getPath))
+    val entries =
+      if (!fs.exists(d)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(d)
+    val nonce = entries.map(_.getPath.getName)
+      .filter(_.startsWith("dirid-")).sorted.headOption.getOrElse("legacy")
+    val cacheKey = s"$root#$nonce"
+    val listed = entries.toSeq
+      .filter(_.getPath.getName.matches("m-\\d{8,}"))
+      .map(st => ((st.getPath.getName.drop(2).toInt, st.getLen,
+        st.getModificationTime), st.getPath))
     val listedKeys = listed.map(_._1).toSet
-    val (cachedKeys, cachedUnion) = refUnionCache.getOrElse(root,
+    val (cachedKeys, cachedUnion) = refUnionCache.getOrElse(cacheKey,
       (Set.empty[(Int, Long, Long)], Set.empty[Int]))
     val (baseKeys, baseUnion) =
       if (cachedKeys.subsetOf(listedKeys)) (cachedKeys, cachedUnion)
@@ -248,8 +357,40 @@ object Manifest {
     val union = listed.foldLeft(baseUnion) { case (acc, (k, p)) =>
       if (baseKeys.contains(k)) acc else acc ++ parse(fs, p)
     }
-    refUnionCache.put(root, (listedKeys, union))
+    refUnionCache.put(cacheKey, (listedKeys, union))
     union
+  }
+
+  /** CLAIM a fresh NEGATIVE id from a shared per-index ledger — the
+    * allocation primitive for the maintainer namespace (merged
+    * segments, compacted bases, tombstone partitions). `usedIds` is the
+    * caller's listing-based view of every id ever written; the claim is
+    * an EXCLUSIVE file create under `root/idclaims/`, so two concurrent
+    * maintainers (a compaction and a takedown, or two takedowns) can
+    * NEVER be handed the same id — the race that previously let a
+    * losing deleteDocs overwrite a winner's tombstone partition, or a
+    * compaction and a delete stage different families under one id
+    * (ADVICE r10, high). A claim is permanent (ids are an infinite
+    * namespace; a crashed claimant just burns one), and [[vacuumHistory]]
+    * leaves the marker files alone — they are bytes-sized. Exclusive
+    * create is atomic on HDFS-like stores and the local FS; the object-
+    * store caveat is the same as the manifest CAS's (scaladoc above). */
+  def claimNegId(s: SparkSession, root: String, usedIds: Set[Int]): Int = {
+    val fs = fsOf(s, root)
+    val cdir = new Path(s"$root/idclaims")
+    if (!fs.exists(cdir)) fs.mkdirs(cdir)
+    val claimed = fs.listStatus(cdir).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toInt).toOption).toSet
+    var cand = math.min(0, (usedIds ++ claimed + 0).min) - 1
+    while (true) {
+      try {
+        fs.create(new Path(cdir, cand.toString), false).close()
+        return cand
+      } catch {
+        case _: java.io.IOException => cand -= 1 // lost the create race
+      }
+    }
+    cand // unreachable
   }
 
   /** The shared sink-ENTRY protocol ([[StreamBm25]]/[[StreamIvf]]/
@@ -271,12 +412,12 @@ object Manifest {
     * [[commitAfter]]. */
   def enterBatch(s: SparkSession, root: String, batchId: Int,
                  primaryDataDir: String, stagedPartitions: Seq[String])
-      : (Int, Option[Set[Int]], Set[Int]) = {
+      : (Int, Option[Live], Set[Int]) = {
     val fs = fsOf(s, root)
-    if (readWithGen(s, root).isEmpty &&
+    if (readLiveWithGen(s, root).isEmpty &&
         !fs.exists(new Path(primaryDataDir)))
       commitAfter(s, root, Set.empty, basedOn = -1)
-    val st = readWithGen(s, root)
+    val st = readLiveWithGen(s, root)
     val referenced =
       if (st.isEmpty) Set.empty[Int]
       else referencedUnion(fs, root)

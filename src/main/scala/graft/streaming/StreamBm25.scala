@@ -35,6 +35,7 @@ object StreamBm25 {
   private def statsDir(dir: String) = s"$dir/segstats"
   private def termDfDir(dir: String) = s"$dir/termdf"
   private def tombDir(dir: String) = s"$dir/tombstones"
+  private def blockDir(dir: String) = s"$dir/blocklist"
 
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -57,21 +58,33 @@ object StreamBm25 {
         .filter(_.startsWith(prefix))
         .map(_.stripPrefix(prefix).toInt).toSet
     }
-    // tombstone partitions share the id ledger: [[nextMergedId]]
-    // allocates both merged-segment and tombstone ids from this union,
-    // so the two maintainer families can never collide
-    list(statsDir(dir), "seg_id=") ++ list(tombDir(dir), "ts_id=")
+    // tombstone + blocklist partitions share the id ledger:
+    // [[nextMergedId]] allocates every maintainer family from this
+    // union (plus the claim markers), so families can never collide
+    list(statsDir(dir), "seg_id=") ++ list(tombDir(dir), "ts_id=") ++
+      list(blockDir(dir), "bl_id=")
   }
 
-  /** Live ids that are TOMBSTONE partitions (the takedown family) —
-    * distinguished by directory family, never by id arithmetic.
-    * Committed partitions never vanish before vacuum, so existence
-    * probes race nothing (the stats-leg discipline in [[loadAt]]). */
-  private def tombstoneIds(s: SparkSession, dir: String,
-                           live: Set[Int]): Set[Int] = {
+  /** Split a committed live set into (segment ids, tombstone ids). The
+    * family is DECLARED in the manifest ([[Manifest.Live]] — the r10
+    * fix: directory-presence classification let a crashed delete's
+    * orphaned `ts_id=` dir mask a live merged segment out of every
+    * read). Ids committed by pre-family manifests (all in `data`) fall
+    * back to a conservative probe: tombstones were always negative and
+    * never had a stats partition, so only a negative id with tombstone
+    * data AND no stats partition classifies as one — ambiguity resolves
+    * to SEGMENT, the direction that can't vanish the index. */
+  private def families(s: SparkSession, dir: String,
+                       live: Manifest.Live): (Set[Int], Set[Int]) = {
     val fs = fsOf(s, dir)
-    live.filter(id => Manifest.hasDataFiles(fs,
-      new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$id")))
+    val legacyTombs = live.data.filter { id =>
+      id < 0 &&
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(
+          s"${tombDir(dir)}/ts_id=$id")) &&
+        !Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(
+          s"${statsDir(dir)}/seg_id=$id"))
+    }
+    (live.data -- legacyTombs, live.tombs ++ legacyTombs)
   }
 
   /** The union of live tombstoned keys; None when nothing is deleted. */
@@ -81,6 +94,16 @@ object StreamBm25 {
     else Some(s.read.option("basePath", tombDir(dir))
       .parquet(tombIds.toSeq.sorted
         .map(id => s"${tombDir(dir)}/ts_id=$id"): _*)
+      .select("key"))
+
+  /** The union of live PERSISTENT-BLOCKLIST keys (the `aux` family —
+    * survives every compaction fold); None when nothing is blocked. */
+  private def blocklistKeys(s: SparkSession, dir: String,
+                            blIds: Set[Int]): Option[DataFrame] =
+    if (blIds.isEmpty) None
+    else Some(s.read.option("basePath", blockDir(dir))
+      .parquet(blIds.toSeq.sorted
+        .map(id => s"${blockDir(dir)}/bl_id=$id"): _*)
       .select("key"))
 
   /** Upgrade-on-first-touch for the stats layout: dirs written before
@@ -146,15 +169,18 @@ object StreamBm25 {
     // them out of postings, so without this leg a re-crawl of a
     // taken-down doc would re-index it — rows that cost storage but can
     // never serve (the tombstone masks the key globally). Takedown
-    // semantics want the re-crawl OUT.
+    // semantics want the re-crawl OUT. PERSISTENT-BLOCKLIST keys
+    // ([[deleteDocs]] with blockRecrawl) guard the same way — and
+    // unlike tombstones they survive the full fold, so a post-reclaim
+    // re-crawl stays out too (the x58 seen-digest semantics, brought to
+    // the index sink).
+    val liveNow = manifest.getOrElse(Manifest.Live.empty)
     val tombstoned = tombstoneKeys(spark, dir,
-      tombstoneIds(spark, dir, manifest.getOrElse(Set.empty)))
-    val guarded = tombstoned match {
-      case Some(deleted) =>
-        batch.join(deleted.select(col("key").as(idCol)),
-          Seq(idCol), "left_anti")
-      case None => batch
-    }
+      families(spark, dir, liveNow)._2)
+    val blockedKeys = blocklistKeys(spark, dir, liveNow.aux)
+    val guarded = Seq(tombstoned, blockedKeys).flatten
+      .foldLeft(batch)((b, deleted) =>
+        b.join(deleted.select(col("key").as(idCol)), Seq(idCol), "left_anti"))
     val fresh = (load(spark, dir) match {
       case Some(segs) =>
         guarded.join(segs.postings.select(col("key").as(idCol)).distinct(),
@@ -219,9 +245,18 @@ object StreamBm25 {
       // none; a concurrent maintenance commit makes this throw and the
       // engine's batch retry re-runs against fresh state. Legacy
       // (pre-manifest) dirs adopt their current listing as the baseline.
-      val live = manifest.getOrElse(
-        everUsedIds(spark, dir) - batchId.toInt)
-      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+      // legacy adoption splits by directory family (a manifest-less dir
+      // cannot carry tombstones — deleteDocs always commits — but the
+      // split costs nothing and can't misfile one)
+      val everUsed = everUsedIds(spark, dir) - batchId.toInt
+      val fs2 = fsOf(spark, dir)
+      val live = manifest.getOrElse {
+        val tombs = everUsed.filter(id => fs2.exists(
+          new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$id")))
+        Manifest.Live(everUsed -- tombs, tombs)
+      }
+      Manifest.commitLiveAfter(spark, dir,
+        live.copy(data = live.data + batchId.toInt), basedOn = gen)
     } finally fresh.unpersist()
   }
 
@@ -272,12 +307,11 @@ object StreamBm25 {
     val everUsed = everUsedIds(s, dir)
     require(!everUsed.contains(into),
       s"into=$into was already used (ever-written ids: $everUsed)")
-    val st = Manifest.readWithGen(s, dir)
-    val live = st.map(_._2).getOrElse(
+    val st = Manifest.readLiveWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(Manifest.Live(
       segs.segStats.select("seg_id").distinct()
-        .collect().map(_.getInt(0)).toSet)
-    val tombIds = tombstoneIds(s, dir, live)
-    val segLive = live -- tombIds
+        .collect().map(_.getInt(0)).toSet, Set.empty))
+    val (segLive, tombIds) = families(s, dir, live)
     // ids already folded away (a repeated compact(upTo) range) simply
     // no longer exist — fold what is actually live, like the pre-
     // manifest isin filter did; tombstone partitions are never folded
@@ -328,11 +362,24 @@ object StreamBm25 {
     //    landed meanwhile, this throws instead of resurrecting the
     //    folded segments over the append's commit — the maintainer
     //    retries on fresh state.
+    // the aux family (persistent blocklist) SURVIVES every fold — that
+    // is its contract: blocked keys stay blocked after reclaim
     val newLive =
-      if (segIds == segLive) Set(into)
-      else live -- segIds + into
-    Manifest.commitAfter(s, dir, newLive,
+      if (segIds == segLive) Manifest.Live(Set(into), Set.empty, live.aux)
+      else Manifest.Live(segLive -- segIds + into, tombIds, live.aux)
+    try Manifest.commitLiveAfter(s, dir, newLive,
       basedOn = st.map(_._1).getOrElse(-1))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // lost the CAS: reclaim the staged merged partitions so the
+        // orphan neither burns `into` in the listing ledger forever nor
+        // survives as an unreferenced dir (ADVICE r10 — the retry
+        // re-stages under a FRESH claimed id against fresh state)
+        val fs = fsOf(s, dir)
+        Seq(postingsDir(dir), termDfDir(dir), statsDir(dir)).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$d/seg_id=$into"), true))
+        throw e
+    }
   }
 
   /** TAKEDOWN deletes — Lucene's liveDocs on this layout: `ids` become
@@ -352,8 +399,12 @@ object StreamBm25 {
     *     re-derive df/stats, so compaction physically forgets the
     *     content; a full compaction clears the tombstones from the live
     *     set in the same flip. After reclaim the key is genuinely gone
-    *     — a later crawl under that key is a NEW document (persistent
-    *     re-crawl suppression is a blocklist concern, not the index's).
+    *     — a later crawl under that key is a NEW document, UNLESS the
+    *     delete was issued with `blockRecrawl = true`, which also
+    *     commits the keys to a PERSISTENT blocklist partition (the
+    *     `aux` manifest family, surviving every fold — the x58
+    *     seen-digest semantics brought to the index sink, so both
+    *     takedown sinks can mean the same thing by "forgotten").
     *   - TIME TRAVEL: generations pinned before the delete still serve
     *     the doc until [[vacuum]] expires them — retention policy
     *     decides when a takedown becomes irreversible history removal.
@@ -368,14 +419,14 @@ object StreamBm25 {
     * other maintainers: a concurrent commit makes this throw
     * ConcurrentModificationException — retry on fresh state. */
   def deleteDocs(s: SparkSession, dir: String, ids: DataFrame,
-                 idCol: String): Unit = {
+                 idCol: String, blockRecrawl: Boolean = false): Unit = {
     migrateLegacyStats(s, dir)
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
-    val st = Manifest.readWithGen(s, dir)
-    val live = st.map(_._2).getOrElse(
+    val st = Manifest.readLiveWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(Manifest.Live(
       segs.segStats.select("seg_id").distinct()
-        .collect().map(_.getInt(0)).toSet)
+        .collect().map(_.getInt(0)).toSet, Set.empty))
     // effective deletes: keys the masked view still serves — re-deletes
     // and never-indexed keys vanish here, making the op idempotent
     val del = ids.select(col(idCol).as("key")).distinct()
@@ -383,11 +434,40 @@ object StreamBm25 {
       .persist()
     try {
       if (del.count() == 0) return // nothing newly deleted: no commit
-      val tsId = nextMergedId(s, dir) // shared negative-id ledger
+      // CLAIMED id ([[Manifest.claimNegId]]): a concurrent compaction or
+      // second delete can never be handed the same id, so nobody can
+      // overwrite this staged partition or commit this id under the
+      // other family (ADVICE r10, high)
+      val tsId = nextMergedId(s, dir)
       del.coalesce(1) // tombstones are takedown-sized, not corpus-sized
         .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
-      Manifest.commitAfter(s, dir, live + tsId,
+      // optional persistent blocklist: its OWN claimed id + partition,
+      // committed in the SAME flip as the tombstone (atomic: a key is
+      // never blocked-but-not-deleted or deleted-but-not-blocked)
+      val blId =
+        if (!blockRecrawl) None
+        else {
+          val id = nextMergedId(s, dir)
+          del.coalesce(1).write.mode("overwrite")
+            .parquet(s"${blockDir(dir)}/bl_id=$id")
+          Some(id)
+        }
+      try Manifest.commitLiveAfter(s, dir,
+        live.copy(tombs = live.tombs + tsId,
+          aux = live.aux ++ blId),
         basedOn = st.map(_._1).getOrElse(-1))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the CAS: reclaim the staged partitions — the ids are
+          // uniquely ours (claimed), so this deletes nothing a winner
+          // committed; the retry re-scopes against fresh state
+          fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
+            s"${tombDir(dir)}/ts_id=$tsId"), true)
+          blId.foreach(id => fsOf(s, dir).delete(
+            new org.apache.hadoop.fs.Path(s"${blockDir(dir)}/bl_id=$id"),
+            true))
+          throw e
+      }
     } finally del.unpersist()
   }
 
@@ -432,7 +512,7 @@ object StreamBm25 {
   def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
       : Option[TextOps.Bm25Segments] = {
     val fs = fsOf(s, dir)
-    Manifest.readAt(s, dir, asOfGen) match {
+    Manifest.readLiveAt(s, dir, asOfGen) match {
       case Some(live) =>
         // SNAPSHOT-ISOLATED read: the file list comes FROM THE MANIFEST
         // — exactly the live partitions' paths — never the directory
@@ -447,10 +527,10 @@ object StreamBm25 {
         // tombstone partitions ride the SAME live set (one commit point
         // governs segments AND deletes — the Lucene commit-point idea;
         // split manifests would open a resurrect window between a
-        // reader's two snapshot reads); they are recognized by directory
-        // family and excluded from every segment-family read below
-        val tombIds = tombstoneIds(s, dir, live)
-        val segLive = live -- tombIds
+        // reader's two snapshot reads); the family is DECLARED in the
+        // manifest ([[families]] — probe fallback only for pre-family
+        // generations)
+        val (segLive, tombIds) = families(s, dir, live)
         if (segLive.isEmpty) None // born (birth commit) but no batch yet
         else {
           def part(root: String) = {
@@ -570,19 +650,22 @@ object StreamBm25 {
     * this; a deployment picks its time-travel retention by how often
     * it vacuums. No-op on legacy dirs. */
   def vacuum(s: SparkSession, dir: String,
-             includeOrphans: Boolean = false): Unit =
+             includeOrphans: Boolean = false,
+             retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
         postingsDir(dir) -> "seg_id=", termDfDir(dir) -> "seg_id=",
-        tombDir(dir) -> "ts_id="),
-      includeOrphans = includeOrphans)
+        tombDir(dir) -> "ts_id=", blockDir(dir) -> "bl_id="),
+      includeOrphans = includeOrphans, retainMillis = retainMillis)
 
-  /** The next free merged-segment id (negative namespace): one below
-    * the most negative id ever written. Listing-based, like every
-    * maintainer-side id read (see [[everUsedIds]]); migrates a legacy
-    * flat stats layout first so no pre-partition id is missed. */
+  /** ALLOCATE the next merged-segment/tombstone id (negative
+    * namespace): one below every id ever written or claimed, CLAIMED
+    * atomically via an exclusive marker create ([[Manifest.claimNegId]])
+    * — two concurrent maintainers are guaranteed DISTINCT ids, closing
+    * the allocation race where a compaction and a takedown staged
+    * different partition families under one id (ADVICE r10). Migrates a
+    * legacy flat stats layout first so no pre-partition id is missed. */
   def nextMergedId(s: SparkSession, dir: String): Int = {
     migrateLegacyStats(s, dir)
-    val everUsed = everUsedIds(s, dir)
-    if (everUsed.isEmpty) -1 else math.min(0, everUsed.min) - 1
+    Manifest.claimNegId(s, dir, everUsedIds(s, dir))
   }
 }

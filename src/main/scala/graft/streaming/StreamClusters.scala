@@ -51,24 +51,52 @@ object StreamClusters {
 
   private def membersDir(dir: String) = s"$dir/members"
   private def rootmapDir(dir: String) = s"$dir/rootmap"
+  private def tombDir(dir: String) = s"$dir/tombstones"
 
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Every batch id EVER written, from partition-DIR names (never a data
+  /** Every id EVER written, from partition-DIR names (never a data
     * read — the StreamBm25 listing discipline: name listings race
-    * nothing). */
+    * nothing). Tombstones share the ledger. */
   private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
     val fs = fsOf(s, dir)
-    Seq(membersDir(dir), rootmapDir(dir)).flatMap { d =>
+    Seq(membersDir(dir) -> "batch_id=", rootmapDir(dir) -> "batch_id=",
+      tombDir(dir) -> "ts_id=").flatMap { case (d, prefix) =>
       val p = new org.apache.hadoop.fs.Path(d)
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toInt)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toInt)
     }.toSet
   }
+
+  /** Split a live set into (data ids, tombstone ids) — manifest-declared
+    * families ([[Manifest.Live]]), with the conservative probe fallback
+    * for pre-family generations (the StreamBm25.families discipline). */
+  private def families(s: SparkSession, dir: String,
+                       live: Manifest.Live): (Set[Int], Set[Int]) = {
+    val fs = fsOf(s, dir)
+    val legacyTombs = live.data.filter { id =>
+      id < 0 &&
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(
+          s"${tombDir(dir)}/ts_id=$id")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${membersDir(dir)}/batch_id=$id"))
+    }
+    (live.data -- legacyTombs, live.tombs ++ legacyTombs)
+  }
+
+  /** The union of live tombstoned node ids (single `id` column); None
+    * when nothing is deleted. */
+  private def tombstoneKeys(s: SparkSession, dir: String,
+                            tombIds: Set[Int]): Option[DataFrame] =
+    if (tombIds.isEmpty) None
+    else Some(s.read.option("basePath", tombDir(dir))
+      .parquet(tombIds.toSeq.sorted
+        .map(id => s"${tombDir(dir)}/ts_id=$id"): _*)
+      .select("id"))
 
   /** `foreachBatch` sink body: one micro-batch of candidate edges
     * (`idA`, `idB` columns) merges into the maintained table. Appends
@@ -87,6 +115,20 @@ object StreamClusters {
       batchId.toInt, membersDir(dir), Seq(
         s"${membersDir(dir)}/batch_id=${batchId.toInt}",
         s"${rootmapDir(dir)}/batch_id=${batchId.toInt}"))
+    // takedown guard: an edge TOUCHING a tombstoned node is a
+    // derivative of forgotten content — dropping it keeps the deleted
+    // id from re-entering as a "new" member and keeps its connectivity
+    // from influencing future merges (the count-tombstoned-as-seen
+    // discipline, edge-shaped)
+    val tombstoned = tombstoneKeys(spark, dir,
+      families(spark, dir, manifest.getOrElse(Manifest.Live.empty))._2)
+    val edgesIn = tombstoned match {
+      case Some(deleted) =>
+        edges
+          .join(deleted.select(col("id").as(idA)), Seq(idA), "left_anti")
+          .join(deleted.select(col("id").as(idB)), Seq(idB), "left_anti")
+      case None => edges
+    }
     val assigned = load(spark, dir).getOrElse(
       // state not born yet: contract against an empty table — every
       // edge node is a new member, the delta is empty
@@ -98,7 +140,7 @@ object StreamClusters {
           org.apache.spark.sql.types.StructField("cluster_id",
             org.apache.spark.sql.types.LongType)))))
     val (newMembers0, rootDelta0) = Dedup.incrementalClusterParts(
-      assigned, edges, idA, idB, checkpointDir = checkpointDir)
+      assigned, edgesIn, idA, idB, checkpointDir = checkpointDir)
     // ONE materialized snapshot drives the writes + the no-op decision
     // (the shared sink discipline): the contracted CC ran once, and the
     // member/overlay writes below cannot re-trigger it against state
@@ -142,8 +184,10 @@ object StreamClusters {
           .write.mode("overwrite")
           .parquet(s"${rootmapDir(dir)}/batch_id=${batchId.toInt}")
       }
-      val live = manifest.getOrElse(everUsedIds(spark, dir) - batchId.toInt)
-      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+      val live = manifest.getOrElse(Manifest.Live(
+        everUsedIds(spark, dir) - batchId.toInt, Set.empty))
+      Manifest.commitLiveAfter(spark, dir,
+        live.copy(data = live.data + batchId.toInt), basedOn = gen)
     } finally { newMembers.unpersist(); rootDelta.unpersist() }
   }
 
@@ -209,16 +253,81 @@ object StreamClusters {
     val everUsed = everUsedIds(s, dir)
     require(!everUsed.contains(into),
       s"into=$into was already used (ever-written ids: $everUsed)")
-    val st = Manifest.readWithGen(s, dir)
+    val st = Manifest.readLiveWithGen(s, dir)
     val resolved = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no cluster state at $dir"))
-    resolved.select(col("id"), col("cluster_id"))
+    // RE-MIN the labels over the survivors: [[load]] already masks
+    // tombstoned members, and a deleted node that WAS a cluster's
+    // min-id label must not survive as one — relabeling at the fold is
+    // the closure-side physical reclaim (identity when nothing was
+    // deleted, because the label invariant IS min member id). One
+    // shuffle on cluster_id — a compaction is a rewrite anyway.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    resolved.select(col("id"), min("id").over(w).as("cluster_id"))
       .write.mode("overwrite")
       .parquet(s"${membersDir(dir)}/batch_id=$into")
     // CAS on the generation read before staging: an append landing
-    // mid-fold makes this throw instead of silently losing its batch
-    Manifest.commitAfter(s, dir, Set(into),
+    // mid-fold makes this throw instead of silently losing its batch;
+    // tombstones leave the live set in the SAME flip (their partitions
+    // stay as history until [[vacuum]])
+    try Manifest.commitLiveAfter(s, dir,
+      Manifest.Live(Set(into), Set.empty),
       basedOn = st.map(_._1).getOrElse(-1))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
+          s"${membersDir(dir)}/batch_id=$into"), true)
+        throw e
+    }
+  }
+
+  /** ALLOCATE the next maintainer id (negative namespace, atomically
+    * claimed — [[Manifest.claimNegId]] over the listing ledger). */
+  def nextCompactId(s: SparkSession, dir: String): Int =
+    Manifest.claimNegId(s, dir, everUsedIds(s, dir))
+
+  /** TAKEDOWN deletes on the cluster table — membership is a derivative
+    * of forgotten content, so the right-to-be-forgotten cascade reaches
+    * this sink too ([[StreamBm25.deleteDocs]] pattern): `ids` become a
+    * tombstone partition committed in the SAME live set (one commit
+    * point), the serve masks their membership rows immediately, edges
+    * touching them are dropped at ingest (the count-as-seen guard,
+    * edge-shaped), and [[compact]] physically reclaims — re-minning
+    * labels so a deleted id doesn't even survive as a cluster LABEL.
+    * Until that fold, labels may still name a deleted id — deliberately
+    * the Lucene stale-until-merge shape (the BM25 df parallel), pinned
+    * by StreamClustersSpec. NOTE the semantics: takedown forgets the
+    * NODE — it does not re-derive connectivity as if the node's edges
+    * never arrived (surviving members stay one cluster; a true
+    * edge-level re-derivation is the rebuild path, like the dense
+    * index's retrain). Scoped to current members (idempotent; empty
+    * effective set commits nothing); CAS + staged-cleanup like every
+    * maintainer. */
+  def deleteNodes(s: SparkSession, dir: String, ids: DataFrame,
+                  idCol: String = "id"): Unit = {
+    val resolved = load(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no cluster state at $dir"))
+    val st = Manifest.readLiveWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(Manifest.Live(
+      everUsedIds(s, dir), Set.empty))
+    val del = ids.select(col(idCol).as("id")).distinct()
+      .join(resolved.select("id"), Seq("id"), "left_semi")
+      .persist()
+    try {
+      if (del.count() == 0) return // nothing newly deleted: no commit
+      val tsId = Manifest.claimNegId(s, dir, everUsedIds(s, dir))
+      del.coalesce(1) // takedown-sized
+        .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
+      try Manifest.commitLiveAfter(s, dir,
+        live.copy(tombs = live.tombs + tsId),
+        basedOn = st.map(_._1).getOrElse(-1))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
+            s"${tombDir(dir)}/ts_id=$tsId"), true)
+          throw e
+      }
+    } finally del.unpersist()
   }
 
   /** Reclaim time-travel history ([[Manifest.vacuumHistory]] on this
@@ -229,10 +338,12 @@ object StreamClusters {
     * correctness never depends on it; retention = how often you run
     * it. */
   def vacuum(s: SparkSession, dir: String,
-             includeOrphans: Boolean = false): Unit =
+             includeOrphans: Boolean = false,
+             retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
-        membersDir(dir) -> "batch_id=", rootmapDir(dir) -> "batch_id="),
-      includeOrphans = includeOrphans)
+        membersDir(dir) -> "batch_id=", rootmapDir(dir) -> "batch_id=",
+        tombDir(dir) -> "ts_id="),
+      includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** The resolved cluster table (id, cluster_id) as committed so far;
     * None before the first batch. */
@@ -245,13 +356,24 @@ object StreamClusters {
   def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
       : Option[DataFrame] =
     membersAt(s, dir, asOfGen).map { m =>
-      overlay(s, dir, asOfGen) match {
+      val resolved = overlay(s, dir, asOfGen) match {
         case Some(r) => m
           .join(r.select(col("old_root").as("cluster_id"),
             col("new_root").as("__nr")), Seq("cluster_id"), "left")
           .select(col("id"),
             coalesce(col("__nr"), col("cluster_id")).as("cluster_id"))
         case None => m.select("id", "cluster_id")
+      }
+      // takedown mask ([[deleteNodes]]): a tombstoned node's MEMBERSHIP
+      // row never serves. Labels stay as-assigned until [[compact]]
+      // re-mins them over the survivors — deliberately the Lucene
+      // stale-until-merge shape (the BM25 sink's df has the same
+      // semantics between delete and merge).
+      val tombIds = Manifest.readLiveAt(s, dir, asOfGen)
+        .map(families(s, dir, _)._2).getOrElse(Set.empty)
+      tombstoneKeys(s, dir, tombIds) match {
+        case Some(deleted) => resolved.join(deleted, Seq("id"), "left_anti")
+        case None => resolved
       }
     }
 
@@ -260,10 +382,11 @@ object StreamClusters {
     * paths, never a directory listing). */
   private def membersAt(s: SparkSession, dir: String, asOfGen: Option[Int])
       : Option[DataFrame] =
-    Manifest.readAt(s, dir, asOfGen) match {
-      case Some(live) if live.nonEmpty =>
+    Manifest.readLiveAt(s, dir, asOfGen) match {
+      case Some(live0) if live0.all.nonEmpty =>
+        val (dataIds, _) = families(s, dir, live0)
         val fs = fsOf(s, dir)
-        val present = live.toSeq.sorted
+        val present = dataIds.toSeq.sorted
           .map(id => s"${membersDir(dir)}/batch_id=$id")
           .filter(p => Manifest.hasDataFiles(fs,
             new org.apache.hadoop.fs.Path(p)))
@@ -281,7 +404,8 @@ object StreamClusters {
     * everything folded by [[compact]]). */
   private def overlay(s: SparkSession, dir: String, asOfGen: Option[Int])
       : Option[DataFrame] =
-    Manifest.readAt(s, dir, asOfGen).flatMap { live =>
+    Manifest.readLiveAt(s, dir, asOfGen).map(families(s, dir, _)._1)
+      .flatMap { live =>
       val fs = fsOf(s, dir)
       live.toSeq.sorted.reverse
         .map(id => s"${rootmapDir(dir)}/batch_id=$id")

@@ -77,34 +77,62 @@ object StreamCurate {
       .map(_.stripPrefix("ts_id=").toInt).toSet
   }
 
-  /** Live tombstoned keys as of a generation (None = none): one-column
-    * frame whose column NAME is the key column the deleter passed, so
-    * the mask join stays schema-agnostic (the corpus schema is
-    * caller-defined policy output). */
-  private def tombstoneKeys(s: org.apache.spark.sql.SparkSession,
-                            dir: String, asOfGen: Option[Int])
-      : Option[DataFrame] =
-    Manifest.readAt(s, dir, asOfGen).flatMap { live =>
+  /** Split the live set at a generation into (data ids, tombstone ids).
+    * The family is DECLARED in the manifest ([[Manifest.Live]] — the
+    * r10 fix: directory presence let a losing compaction's stranded
+    * `batch_id=` orphan serve under a live tombstone id, duplicating
+    * every corpus row, and the reverse phantom-masked corpus keys).
+    * Pre-family generations (all ids in `data`) fall back to the
+    * conservative probe: tombstones were always negative and never had
+    * a corpus/seen partition — ambiguity resolves to DATA. */
+  private def liveFamilies(s: org.apache.spark.sql.SparkSession,
+                           dir: String, asOfGen: Option[Int])
+      : Option[(Set[Int], Set[Int])] =
+    Manifest.readLiveAt(s, dir, asOfGen).map { live =>
+      val p0 = new org.apache.hadoop.fs.Path(dir)
+      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val legacyTombs = live.data.filter { id =>
+        id < 0 &&
+          Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(
+            s"${tombDir(dir)}/ts_id=$id")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(
+            s"${corpusDir(dir)}/batch_id=$id")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(
+            s"${seenDir(dir)}/batch_id=$id"))
+      }
+      (live.data -- legacyTombs, live.tombs ++ legacyTombs)
+    }
+
+  /** Live tombstone masks as of a generation: each partition read
+    * SEPARATELY, one single-column frame per distinct key-column name.
+    * Two deletes with different `idCol`s write different schemas; a
+    * merged read would silently resolve to one of them and RESURRECT
+    * the other's deleted keys (ADVICE r10, low) — per-partition reads
+    * (takedown-sized frames) make mixed schemas structurally safe. */
+  private def tombstoneMasks(s: org.apache.spark.sql.SparkSession,
+                             dir: String, asOfGen: Option[Int])
+      : Seq[DataFrame] =
+    liveFamilies(s, dir, asOfGen).map { case (_, tombs) =>
       val p0 = new org.apache.hadoop.fs.Path(tombDir(dir))
       val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val present = live.toSeq.sorted
+      val frames = tombs.toSeq.sorted
         .map(id => s"${tombDir(dir)}/ts_id=$id")
         .filter(p => Manifest.hasDataFiles(fs,
           new org.apache.hadoop.fs.Path(p)))
-      if (present.isEmpty) None
-      else Some(s.read.option("basePath", tombDir(dir))
-        .parquet(present: _*).drop("ts_id"))
-    }
+        .map(p => s.read.parquet(p))
+      frames.groupBy(_.columns.head).map { case (_, fs) =>
+        fs.reduce(_ unionByName _)
+      }.toSeq
+    }.getOrElse(Nil)
 
-  /** The next free NEGATIVE id across every family (compacted base
-    * partitions and tombstones share the ledger — the StreamBm25
-    * nextMergedId discipline). */
+  /** ALLOCATE the next NEGATIVE id across every family — CLAIMED
+    * atomically ([[Manifest.claimNegId]]) so a concurrent compaction
+    * and takedown can never share an id (the StreamBm25.nextMergedId
+    * discipline). */
   def nextCompactId(s: org.apache.spark.sql.SparkSession,
-                    dir: String): Int = {
-    val used = partitionIds(s, seenDir(dir)) ++
-      partitionIds(s, corpusDir(dir)) ++ tombIds(s, dir)
-    if (used.isEmpty) -1 else math.min(0, used.min) - 1
-  }
+                    dir: String): Int =
+    Manifest.claimNegId(s, dir, partitionIds(s, seenDir(dir)) ++
+      partitionIds(s, corpusDir(dir)) ++ tombIds(s, dir))
 
   /** TAKEDOWN on the curated corpus — the [[StreamBm25.deleteDocs]]
     * pattern on the sink that holds the actual BODIES (where a
@@ -122,19 +150,31 @@ object StreamCurate {
                     ids: DataFrame, idCol: String = "doc_id"): Unit = {
     val corpus = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no curated state at $dir"))
-    val st = Manifest.readWithGen(s, dir)
-    val live = st.map(_._2).getOrElse(
-      partitionIds(s, seenDir(dir)) ++ partitionIds(s, corpusDir(dir)))
+    val st = Manifest.readLiveWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(Manifest.Live(
+      partitionIds(s, seenDir(dir)) ++ partitionIds(s, corpusDir(dir)),
+      Set.empty))
     val del = ids.select(col(idCol)).distinct()
       .join(corpus.select(idCol), Seq(idCol), "left_semi")
       .persist()
     try {
       if (del.count() == 0) return
-      val tsId = nextCompactId(s, dir)
+      val tsId = nextCompactId(s, dir) // claimed — uniquely ours
       del.coalesce(1) // takedown-sized, not corpus-sized
         .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
-      Manifest.commitAfter(s, dir, live + tsId,
+      try Manifest.commitLiveAfter(s, dir,
+        live.copy(tombs = live.tombs + tsId),
         basedOn = st.map(_._1).getOrElse(-1))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the CAS: reclaim the staged tombstone (claimed id —
+          // deletes nothing a winner committed); retry re-scopes fresh
+          new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$tsId")
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(
+              s"${tombDir(dir)}/ts_id=$tsId"), true)
+          throw e
+      }
     } finally del.unpersist()
   }
 
@@ -162,8 +202,17 @@ object StreamCurate {
       .parquet(s"${corpusDir(dir)}/batch_id=$into")
     seenD.drop("batch_id").write.mode("overwrite")
       .parquet(s"${seenDir(dir)}/batch_id=$into")
-    Manifest.commitAfter(s, dir, Set(into),
+    try Manifest.commitAfter(s, dir, Set(into),
       basedOn = st.map(_._1).getOrElse(-1))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // lost the CAS: reclaim the staged base partitions (claimed id)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(corpusDir(dir), seenDir(dir)).foreach(d => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"), true))
+        throw e
+    }
   }
 
   /** Reclaim time-travel history ([[Manifest.vacuumHistory]]): corpus,
@@ -172,11 +221,12 @@ object StreamCurate {
     * removes the last readable copy of the taken-down bodies (retention
     * policy decides when that happens). */
   def vacuum(s: org.apache.spark.sql.SparkSession, dir: String,
-             includeOrphans: Boolean = false): Unit =
+             includeOrphans: Boolean = false,
+             retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
         corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
         tombDir(dir) -> "ts_id="),
-      includeOrphans = includeOrphans)
+      includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** `foreachBatch` sink body: micro-batch → first-seen dedup against
     * the ON-DISK seen-digest index (within-batch keep-min first), then
@@ -260,10 +310,11 @@ object StreamCurate {
       // unreachable None after entry-time adoption (every path above
       // leaves a committed manifest); the listing fallback stays as
       // belt-and-braces with this batch's just-staged partitions excluded
-      val live = manifest.getOrElse(
+      val live = manifest.getOrElse(Manifest.Live(
         (partitionIds(spark, seenDir(dir)) ++
-          partitionIds(spark, corpusDir(dir))) - batchId.toInt)
-      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+          partitionIds(spark, corpusDir(dir))) - batchId.toInt, Set.empty))
+      Manifest.commitLiveAfter(spark, dir,
+        live.copy(data = live.data + batchId.toInt), basedOn = gen)
     } finally fresh.unpersist()
   }
 
@@ -279,14 +330,12 @@ object StreamCurate {
   def loadAt(s: org.apache.spark.sql.SparkSession, dir: String,
              asOfGen: Option[Int]): Option[DataFrame] =
     snapshotRead(s, dir, corpusDir(dir), asOfGen).map { corpus =>
-      // takedown mask ([[deleteCurated]]): tombstoned keys never serve;
-      // the tombstone frame's column name IS the key column, so the
-      // mask adapts to whatever schema the curation policy emits
-      tombstoneKeys(s, dir, asOfGen) match {
-        case Some(deleted) =>
-          corpus.join(deleted, Seq(deleted.columns.head), "left_anti")
-        case None => corpus
-      }
+      // takedown masks ([[deleteCurated]]): tombstoned keys never
+      // serve; each tombstone frame's column name IS the key column it
+      // masks, and frames with DIFFERENT key columns anti-join
+      // independently ([[tombstoneMasks]] — mixed idCols are safe)
+      tombstoneMasks(s, dir, asOfGen).foldLeft(corpus)((c, m) =>
+        c.join(m, Seq(m.columns.head), "left_anti"))
     }
 
   /** SNAPSHOT-ISOLATED state read (the StreamBm25.loadAt discipline):
@@ -298,11 +347,15 @@ object StreamCurate {
   private def snapshotRead(s: org.apache.spark.sql.SparkSession,
                            dir: String, dataDir: String,
                            asOfGen: Option[Int]): Option[DataFrame] =
-    Manifest.readAt(s, dir, asOfGen) match {
-      case Some(live) =>
-        if (live.isEmpty) None
+    liveFamilies(s, dir, asOfGen) match {
+      case Some((dataIds, _)) =>
+        // DATA-family ids only: a tombstone id must never be probed
+        // against this table — a losing compaction's stranded
+        // batch_id=<id> orphan under a live tombstone id would serve
+        // (every corpus row duplicated; ADVICE r10, medium)
+        if (dataIds.isEmpty) None
         else {
-          val paths = live.toSeq.sorted.map(id => s"$dataDir/batch_id=$id")
+          val paths = dataIds.toSeq.sorted.map(id => s"$dataDir/batch_id=$id")
           // a batch id live in the manifest may have no partition under
           // THIS table (a batch whose survivors were empty writes seen
           // but an empty corpus partition dir may not materialize) —

@@ -51,6 +51,52 @@ object StreamIvf {
 
   private def centroidsDir(dir: String) = s"$dir/centroids"
   private def postingsDir(dir: String) = s"$dir/postings"
+  private def tombDir(dir: String) = s"$dir/tombstones"
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Split a live set into (postings-partition ids, tombstone ids) —
+    * the manifest-declared family ([[Manifest.Live]]), with the
+    * conservative directory-probe fallback for pre-family generations
+    * (the StreamBm25.families discipline: ambiguity resolves to DATA). */
+  private def families(s: SparkSession, dir: String,
+                       live: Manifest.Live): (Set[Int], Set[Int]) = {
+    val fs = fsOf(s, dir)
+    val legacyTombs = live.data.filter { id =>
+      id < 0 &&
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(
+          s"${tombDir(dir)}/ts_id=$id")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${postingsDir(dir)}/batch_id=$id"))
+    }
+    (live.data -- legacyTombs, live.tombs ++ legacyTombs)
+  }
+
+  /** The union of live tombstoned vector ids (fixed column name `key`);
+    * None when nothing is deleted. */
+  private def tombstoneKeys(s: SparkSession, dir: String,
+                            tombIds: Set[Int]): Option[DataFrame] =
+    if (tombIds.isEmpty) None
+    else Some(s.read.option("basePath", tombDir(dir))
+      .parquet(tombIds.toSeq.sorted
+        .map(id => s"${tombDir(dir)}/ts_id=$id"): _*)
+      .select("key"))
+
+  /** Every id EVER written across both partition families — the
+    * listing-based ledger [[Manifest.claimNegId]] seeds from. */
+  private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
+    val fs = fsOf(s, dir)
+    def list(d: String, prefix: String): Set[Int] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toInt).toSet
+    }
+    list(postingsDir(dir), "batch_id=") ++ list(tombDir(dir), "ts_id=")
+  }
 
   /** `foreachBatch` sink body: micro-batch `batchId` → one immutable
     * on-disk postings partition (`batch_id=<batchId>`), training the
@@ -69,11 +115,23 @@ object StreamIvf {
     val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
       batchId.toInt, postingsDir(dir),
       Seq(s"${postingsDir(dir)}/batch_id=${batchId.toInt}"))
-    val fresh = (load(spark, dir, idCol, vecCol) match {
-      case Some(idx) =>
-        batch.join(idx.postings.select(col(idCol)).distinct(),
+    // first-seen guard counts TOMBSTONED ids as seen (the StreamBm25
+    // discipline): load() masks them out of the postings, so without
+    // this leg a re-crawl of a taken-down vector would re-index rows
+    // the mask makes unservable
+    val tombstoned = tombstoneKeys(spark, dir,
+      families(spark, dir, manifest.getOrElse(Manifest.Live.empty))._2)
+    val guarded = tombstoned match {
+      case Some(deleted) =>
+        batch.join(deleted.select(col("key").as(idCol)),
           Seq(idCol), "left_anti")
       case None => batch
+    }
+    val fresh = (load(spark, dir, idCol, vecCol) match {
+      case Some(idx) =>
+        guarded.join(idx.postings.select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      case None => guarded
     }).select(col(idCol), col(vecCol)).persist()
     try {
       // one materialized snapshot drives the (possible) train AND the
@@ -124,11 +182,13 @@ object StreamIvf {
       // commit throws and the engine's batch retry re-runs fresh
       // legacy adoption baseline from partition-NAME listing (no data
       // read — the StreamBm25.everUsedIds discipline)
-      val live = manifest.getOrElse(
+      val live = manifest.getOrElse(Manifest.Live(
         fs.listStatus(new org.apache.hadoop.fs.Path(postingsDir(dir)))
           .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-          .map(_.stripPrefix("batch_id=").toInt).toSet - batchId.toInt)
-      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+          .map(_.stripPrefix("batch_id=").toInt).toSet - batchId.toInt,
+        Set.empty))
+      Manifest.commitLiveAfter(spark, dir,
+        live.copy(data = live.data + batchId.toInt), basedOn = gen)
     } finally fresh.unpersist()
   }
 
@@ -180,6 +240,96 @@ object StreamIvf {
     * streaming engine's (≥ 0) batch-id namespace. */
   val RetrainBatchId: Long = -1L
 
+  /** TAKEDOWN deletes on the dense index — the [[StreamBm25.deleteDocs]]
+    * pattern for the vector derivative of forgotten content: a deleted
+    * document's EMBEDDINGS are as much its content as its postings, so
+    * a right-to-be-forgotten cascade must reach this sink too. `ids`
+    * become a tombstone partition (`tombstones/ts_id=<claimed negative
+    * id>`) committed in the SAME manifest live set as the postings (one
+    * commit point — no resurrect window). Effects mirror the sparse
+    * sink: the serve masks tombstoned vectors immediately (in EVERY
+    * cell they were assigned to — nAssign can be > 1); the ingest guard
+    * counts them as seen so a re-crawl stays out; [[compactAll]]
+    * physically reclaims and clears the tombstones in one flip; pinned
+    * pre-delete generations time-travel until [[vacuum]]. Scoped to
+    * currently-served ids (idempotent; empty effective set commits no
+    * generation); CAS + staged-cleanup like every maintainer. */
+  def deleteVecs(s: SparkSession, dir: String, ids: DataFrame,
+                 idCol: String, vecCol: String = "vec"): Unit = {
+    val idx = load(s, dir, idCol, vecCol).getOrElse(
+      throw new IllegalArgumentException(s"no index at $dir"))
+    val st = Manifest.readLiveWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(Manifest.Live(
+      everUsedIds(s, dir), Set.empty))
+    val del = ids.select(col(idCol).as("key")).distinct()
+      .join(idx.postings.select(col(idCol).as("key")).distinct(),
+        Seq("key"), "left_semi")
+      .persist()
+    try {
+      if (del.count() == 0) return // nothing newly deleted: no commit
+      val tsId = Manifest.claimNegId(s, dir, everUsedIds(s, dir))
+      del.coalesce(1) // takedown-sized, not index-sized
+        .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
+      try Manifest.commitLiveAfter(s, dir,
+        live.copy(tombs = live.tombs + tsId),
+        basedOn = st.map(_._1).getOrElse(-1))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
+            s"${tombDir(dir)}/ts_id=$tsId"), true)
+          throw e
+      }
+    } finally del.unpersist()
+  }
+
+  /** ALLOCATE the next maintainer id (negative namespace, atomically
+    * claimed — [[Manifest.claimNegId]] over the listing ledger). */
+  def nextCompactId(s: SparkSession, dir: String): Int =
+    Manifest.claimNegId(s, dir, everUsedIds(s, dir))
+
+  /** Fold every live postings partition into ONE base partition
+    * (`into` — a fresh claimed NEGATIVE id) holding only SURVIVING
+    * rows: the physical reclaim of [[deleteVecs]]' tombstones, which
+    * drop out of the live set in the same atomic flip. Cell
+    * assignments are preserved verbatim (the quantizer is frozen —
+    * this is a rewrite, not a retrain), so the serve is bit-invariant
+    * when nothing was deleted. Folded partitions stay as time-travel
+    * history until [[vacuum]]. */
+  def compactAll(s: SparkSession, dir: String, into: Int,
+                 idCol: String, vecCol: String): Unit = {
+    require(into < 0, s"compacted ids are negative (got into=$into); " +
+      "non-negative ids belong to the streaming engine's batch counter")
+    val everUsed = everUsedIds(s, dir)
+    require(!everUsed.contains(into),
+      s"into=$into was already used (ever-written ids: $everUsed)")
+    val st = Manifest.readLiveWithGen(s, dir)
+    val idx = load(s, dir, idCol, vecCol).getOrElse(
+      throw new IllegalArgumentException(s"no index at $dir"))
+    idx.postings.select(col(idCol), col(vecCol), col("ivf_cell"))
+      .write.mode("overwrite")
+      .parquet(s"${postingsDir(dir)}/batch_id=$into")
+    try Manifest.commitLiveAfter(s, dir,
+      Manifest.Live(Set(into), Set.empty),
+      basedOn = st.map(_._1).getOrElse(-1))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
+          s"${postingsDir(dir)}/batch_id=$into"), true)
+        throw e
+    }
+  }
+
+  /** Reclaim time-travel history ([[Manifest.vacuumHistory]]): postings
+    * and tombstone partitions no generation serves anymore are deleted
+    * — after [[deleteVecs]] + [[compactAll]], the step that removes the
+    * last readable copy of the taken-down vectors. */
+  def vacuum(s: SparkSession, dir: String,
+             includeOrphans: Boolean = false,
+             retainMillis: Option[Long] = None): Unit =
+    Manifest.vacuumHistory(s, dir, Seq(
+        postingsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
+      includeOrphans = includeOrphans, retainMillis = retainMillis)
+
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.Similarity.probeIvf]]; audit with
     * [[graft.ext.Similarity.ivfDriftReport]]. The `batch_id` partition
@@ -202,23 +352,34 @@ object StreamIvf {
     // crash can leave staged postings without one)
     if (!fs.exists(new org.apache.hadoop.fs.Path(
         centroidsDir(dir), "_SUCCESS"))) None
-    else Manifest.readAt(s, dir, asOfGen) match {
-      case Some(live) =>
+    else Manifest.readLiveAt(s, dir, asOfGen) match {
+      case Some(live0) =>
         // SNAPSHOT-ISOLATED read (the StreamBm25.loadAt discipline):
         // the file list comes from the manifest — exactly the live
         // partitions' paths, which are immutable — never a directory
         // listing that would enumerate an in-flight append's staged
         // partition (whose crash-retry wipe could vanish files
         // mid-scan and kill a concurrent probe).
-        if (live.isEmpty) None // born (birth commit) but no batch yet
+        val (dataIds, tombIds) = families(s, dir, live0)
+        if (dataIds.isEmpty) None // born (birth commit) but no batch yet
         else {
-          val paths = live.toSeq.sorted
+          val paths = dataIds.toSeq.sorted
             .map(id => s"${postingsDir(dir)}/batch_id=$id")
+          val postings0 = s.read.option("basePath", postingsDir(dir))
+            .parquet(paths: _*)
+            .withColumn("batch_id", col("batch_id").cast("int"))
+          // takedown mask ([[deleteVecs]] — Lucene liveDocs): a
+          // tombstoned vector never scores, in ANY of its assigned
+          // cells; physical reclaim happens at [[compactAll]]
+          val postings = tombstoneKeys(s, dir, tombIds) match {
+            case Some(deleted) =>
+              postings0.join(deleted.select(col("key").as(idCol)),
+                Seq(idCol), "left_anti")
+            case None => postings0
+          }
           Some(Similarity.IvfIndex(
             centroids = s.read.parquet(centroidsDir(dir)),
-            postings = s.read.option("basePath", postingsDir(dir))
-              .parquet(paths: _*)
-              .withColumn("batch_id", col("batch_id").cast("int")),
+            postings = postings,
             idCol = idCol, vecCol = vecCol))
         }
       case None =>

@@ -92,7 +92,8 @@ object StreamNgramDf {
       fresh.select(col(idCol).as("id"))
         .write.mode("overwrite")
         .parquet(s"${idsDir(dir)}/batch_id=${batchId.toInt}")
-      val live = manifest.getOrElse(everUsedIds(spark, dir) - batchId.toInt)
+      val live = manifest.map(_.all).getOrElse(
+        everUsedIds(spark, dir) - batchId.toInt)
       Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
     } finally fresh.unpersist()
   }
@@ -126,10 +127,11 @@ object StreamNgramDf {
     * partitions survive, INCLUDING the compacted seen-ids table, so the
     * replay guard keeps holding after reclamation. */
   def vacuum(s: SparkSession, dir: String,
-             includeOrphans: Boolean = false): Unit =
+             includeOrphans: Boolean = false,
+             retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
         dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id="),
-      includeOrphans = includeOrphans)
+      includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** The served (ng, ndocs) index — the keyed sum over live delta
     * partitions; None before the first batch. Feed it to [[graft.ext

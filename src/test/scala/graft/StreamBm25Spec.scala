@@ -602,4 +602,47 @@ class StreamBm25Spec extends AnyFunSuite {
     // deleted docs leave the stats only when THEIR segment merges
     assert(segs.segStats.agg(sum("n_docs")).head.getLong(0) == 5L)
   }
+
+  test("blockRecrawl: the blocklist survives the full fold — a post-reclaim re-crawl stays out") {
+    import spark.implicits._
+    val dir = ingest(Seq(corpus.take(3), corpus.drop(3)))
+    def servedKeys() = StreamBm25.load(spark, dir).get
+      .postings.select("key").distinct().collect().map(_.getLong(0)).toSet
+    // takedown WITH the persistent blocklist
+    StreamBm25.deleteDocs(spark, dir, Seq(2L).toDF("doc_id"), "doc_id",
+      blockRecrawl = true)
+    assert(!servedKeys().contains(2L))
+    // FULL fold: physical reclaim clears the tombstone, but the
+    // blocklist (aux family) rides through the flip
+    StreamBm25.compactSet(spark, dir,
+      graft.streaming.Manifest.read(spark, dir).get,
+      into = StreamBm25.nextMergedId(spark, dir))
+    val live = graft.streaming.Manifest.readLiveWithGen(spark, dir).get._2
+    assert(live.tombs.isEmpty && live.aux.nonEmpty,
+      s"full fold must clear tombstones and keep the blocklist: $live")
+    // the post-reclaim re-crawl: WITHOUT the blocklist this key would be
+    // a NEW document (the step-7 pin in the takedown test); with it, it
+    // stays out — while a genuinely fresh doc in the same batch lands
+    StreamBm25.appendBatch(dir,
+      Seq(2L -> "reborn doc words", 42L -> "genuinely fresh doc")
+        .toDF("doc_id", "text"), 100L, "doc_id", "text")
+    val keys = servedKeys()
+    assert(keys.contains(42L) && !keys.contains(2L),
+      s"blocked key must stay out after reclaim, got $keys")
+    // second fold: blocklist STILL survives (not a one-fold fluke)
+    StreamBm25.compactSet(spark, dir,
+      graft.streaming.Manifest.read(spark, dir).get,
+      into = StreamBm25.nextMergedId(spark, dir))
+    StreamBm25.appendBatch(dir,
+      Seq(2L -> "reborn again").toDF("doc_id", "text"), 101L,
+      "doc_id", "text")
+    assert(!servedKeys().contains(2L))
+    // vacuum never reclaims a live blocklist partition
+    StreamBm25.vacuum(spark, dir)
+    assert(!servedKeys().contains(2L))
+    StreamBm25.appendBatch(dir,
+      Seq(2L -> "reborn thrice").toDF("doc_id", "text"), 102L,
+      "doc_id", "text")
+    assert(!servedKeys().contains(2L))
+  }
 }

@@ -200,4 +200,48 @@ class StreamClustersSpec extends AnyFunSuite {
     // virgin dir: nothing to compact
     assert(!StreamClusters.needsCompaction(spark, freshDir()))
   }
+
+  test("takedown deletes: membership masked, label stale until the re-min fold, edges of the dead dropped") {
+    import spark.implicits._
+    val dir = freshDir()
+    // one chain 1-2-3 (label 1) and a pair {10,11}
+    StreamClusters.appendBatch(dir, edges((1L, 2L), (2L, 3L), (10L, 11L)), 0L)
+    val preGen = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+    // delete node 1 — the cluster's own min-id LABEL (+ unknown id: no-op)
+    StreamClusters.deleteNodes(spark, dir, Seq(1L, 999L).toDF("id"))
+    // 1. membership masked immediately; label STALE (still 1) until the
+    //    fold — deliberately the Lucene stale-until-merge shape
+    assert(table(StreamClusters.load(spark, dir).get) ==
+      Map(2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // 2. idempotent: re-delete commits no generation
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    StreamClusters.deleteNodes(spark, dir, Seq(1L).toDF("id"))
+    assert(graft.streaming.Manifest.generations(spark, dir) == gens)
+    // 3. an arriving edge touching the dead node is DROPPED whole: node
+    //    1 must not re-enter, and 20 must not be pulled into cluster 1
+    //    through forgotten connectivity; the untouched edge still lands
+    StreamClusters.appendBatch(dir, edges((1L, 20L), (20L, 21L)), 1L)
+    assert(table(StreamClusters.load(spark, dir).get) ==
+      Map(2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // 4. time travel: the pre-delete generation still has node 1
+    assert(table(StreamClusters.loadAt(spark, dir, Some(preGen)).get)
+      .contains(1L))
+    // 5. compact RE-MINS over survivors: the deleted id vanishes even
+    //    as a label; tombstones clear in the same flip
+    StreamClusters.compact(spark, dir,
+      into = StreamClusters.nextCompactId(spark, dir))
+    assert(table(StreamClusters.load(spark, dir).get) ==
+      Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(graft.streaming.Manifest.read(spark, dir).get.size == 1)
+    // 6. vacuum removes the last on-disk membership row of the deleted
+    StreamClusters.vacuum(spark, dir)
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/members")).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    val served = spark.read.parquet(onDisk.map(_.toString): _*)
+    assert(served.filter(col("id") === 1L).count() == 0,
+      "after vacuum no on-disk members file may hold the deleted node")
+  }
 }

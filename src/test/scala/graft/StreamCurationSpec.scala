@@ -220,4 +220,26 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(served.filter(col("doc_id").isin(1L, 11L)).count() == 0,
       "after vacuum no on-disk corpus file may still hold a deleted body")
   }
+
+  test("mixed-idCol takedowns: each tombstone masks on ITS key column; neither resurfaces") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_cur_mix").toString
+    val good = "the data row holds a good long value " * 4
+    def policy(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id"), col("text"),
+        substring(col("text"), -6, 6).as("source"))
+    StreamCurate.appendBatch(dir, Seq(
+        (1L, good + "alpha0", 200), (2L, good + "beta00", 200),
+        (3L, good + "gamma0", 200)).toDF("doc_id", "text", "n_chars"),
+      0L, policy)
+    // delete #1 by doc_id, then a second takedown by a DIFFERENT key
+    // column (source) — the r10 merged read silently resolved the two
+    // tombstone schemas to one and let the earlier delete resurface
+    StreamCurate.deleteCurated(spark, dir, Seq(1L).toDF("doc_id"))
+    StreamCurate.deleteCurated(spark, dir,
+      Seq("beta00").toDF("source"), idCol = "source")
+    val kept = StreamCurate.load(spark, dir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"both masks must apply, got $kept")
+  }
 }

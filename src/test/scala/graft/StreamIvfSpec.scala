@@ -227,4 +227,59 @@ class StreamIvfSpec extends AnyFunSuite {
     assert(pinned.postings.count() == nRetrained)
     assert(partIds(pinned) == Set(StreamIvf.RetrainBatchId.toInt))
   }
+
+  test("takedown deletes: masked in every cell, re-ingest blocked, compactAll reclaims, vacuum forgets") {
+    import spark.implicits._
+    val dir = ingest()
+    val preGen = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+    def idx = StreamIvf.load(spark, dir, "vec_id", "vec").get
+    def servedIds = idx.postings.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val victims = servedIds.toSeq.sorted.take(3)
+    val keep = servedIds -- victims
+    // delete 3 indexed vectors (+ a never-indexed id: no-ops inside)
+    StreamIvf.deleteVecs(spark, dir,
+      (victims :+ 99999999L).toDF("vec_id"), "vec_id")
+    // 1. masked immediately — no postings row in ANY assigned cell
+    assert(servedIds == keep)
+    // 2. full-depth probe == brute force over the SURVIVING corpus
+    val qs = corpus.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rank"), col("c_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(qs,
+      corpus.filter(col("vec_id").isin(keep.toSeq: _*)),
+      "vec_id", "vec_id", "vec", k = 8))
+    assert(rows(Similarity.probeIvf(idx, qs, "vec_id",
+      nProbe = NCells, k = 8)) == brute)
+    // 3. idempotent: re-delete commits no generation
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    StreamIvf.deleteVecs(spark, dir, victims.toDF("vec_id"), "vec_id")
+    assert(graft.streaming.Manifest.generations(spark, dir) == gens)
+    // 4. a re-crawl of a taken-down vector stays OUT (count-as-seen)
+    StreamIvf.appendBatch(dir,
+      corpus.filter(col("vec_id") === victims.head), 50L, "vec_id", "vec",
+      nCells = NCells)
+    assert(servedIds == keep)
+    // 5. time travel: the pre-delete generation still serves the victims
+    assert(StreamIvf.loadAt(spark, dir, "vec_id", "vec", Some(preGen)).get
+      .postings.filter(col("vec_id") === victims.head).count() > 0)
+    // 6. compactAll physically reclaims; tombstones clear in the flip;
+    //    serve unchanged; cell assignments preserved verbatim
+    val preSet = postingSet(idx)
+    StreamIvf.compactAll(spark, dir,
+      StreamIvf.nextCompactId(spark, dir), "vec_id", "vec")
+    assert(graft.streaming.Manifest.read(spark, dir).get.size == 1)
+    assert(postingSet(idx) == preSet)
+    // 7. vacuum removes the last on-disk copy of the deleted vectors
+    StreamIvf.vacuum(spark, dir)
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/postings")).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    val served = spark.read.parquet(onDisk.map(_.toString): _*)
+    assert(served.filter(col("vec_id").isin(victims: _*)).count() == 0,
+      "after vacuum no on-disk postings file may hold a deleted vector")
+  }
 }
