@@ -79,6 +79,15 @@ object ScaleStress {
 
     // ---- timed pipelines (same shapes as x1/x7/x8/v2/v4/v5)
     case class Op(name: String, run: Int => Long)
+
+    // deterministic zipf(s ≈ 1.1) key via the inverse-CDF of the Pareto
+    // tail: P(Z ≥ z) ≈ z^(1-s)… here Z = ⌊u^(-1/1.1)⌋ clamped to 5000,
+    // which puts ~53% of rows on z=1, ~17% on z=2 — the heavy-hitter
+    // head the skew rows exist to plant
+    def zipfKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(floor(pow(
+          (pmod(xxhash64(c), lit(100000)) + 1) / lit(100000.0),
+          lit(-1.0 / 1.1))), lit(5000.0)).cast("long")
     def docsOf(m: Int): DataFrame = spark.read.parquet(s"$out/m$m/documents.parquet")
     def embsOf(m: Int): DataFrame = spark.read.parquet(s"$out/m$m/embeddings.parquet")
 
@@ -395,6 +404,57 @@ object ScaleStress {
               x => concat(x, lit("#"), col("copy"))).as("sh"))
         Dedup.minHashCandidates(sh, "doc_id", "sh", k = 32, bands = 16)
           .filter(col("est_jaccard") >= 0.25).count()
+      }),
+      // ---- zipf-skew rows (z ≈ 1.1): ScaleStress data is salted-uniform
+      // by construction (the documented near-identical-copy pitfall), so
+      // these rows plant the OPPOSITE pathology — a zipf head where one
+      // key/bucket holds ~half the corpus — and pin that the engine's
+      // skew defenses (LSH occupancy caps, partial aggregation, AQE
+      // skew-join) keep the exponent ~linear anyway.
+      Op("x7_zipf_bucket", m => {
+        // boilerplate-template skew: zipf(1.1) template id; the head
+        // templates' docs carry IDENTICAL shingle sets (the "legal
+        // boilerplate page" mega-bucket from the maxBucketSize
+        // scaladoc) — template 1 alone covers ~53% of the corpus, so
+        // without the occupancy cap one bucket would emit ~(0.53·n)²/2
+        // pairs and the run would go quadratic BY CONSTRUCTION. The cap
+        // drops the head buckets (boilerplate is dedup noise, the
+        // documented trade) and the tail's salted within-copy structure
+        // keeps the op honest work.
+        val docs = docsOf(m)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("z", zipfKey(col("doc_id")))
+          .select(col("doc_id"),
+            when(col("z") <= 3,
+              transform(sequence(lit(0), lit(29)),
+                i => concat(lit("tpl"), col("z"), lit("#"), i)))
+              .otherwise(transform(TextOps.shingles(col("toks"), 3),
+                x => concat(x, lit("#"), col("copy")))).as("sh"))
+        Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 16)
+          .filter(col("est_jaccard") >= 0.25).count()
+      }),
+      Op("groupby_zipf", m =>
+        // one group holds ~53% of all rows: map-side partial
+        // aggregation is the defense — the hot reduce key receives one
+        // partial row per map partition, not half the corpus
+        docsOf(m).withColumn("z", zipfKey(col("doc_id")))
+          .groupBy("z")
+          .agg(sum(length(col("text"))).as("chars"), count(lit(1)).as("n"))
+          .filter(col("chars") >= 0).count()),
+      Op("skewjoin_zipf", m => {
+        // fact-to-dim equi-join on the zipf key with broadcast DISABLED
+        // (forcing the shuffled-join shape a 100 TB dim side implies):
+        // one shuffle partition would carry ~53% of the fact rows; AQE
+        // skew-join splits it (spark.sql.adaptive.skewJoin, on by
+        // default) so the exponent stays ~linear
+        val dim = spark.range(1, 5001).select(col("id").as("z"),
+          md5(col("id").cast("string")).as("payload"))
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try docsOf(m).withColumn("z", zipfKey(col("doc_id")))
+          .join(dim, Seq("z"))
+          .filter(length(col("payload")) > 0).count()
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       }),
       Op("x8_simhash", m =>
         // filter on the fingerprint so count() can't prune the computation

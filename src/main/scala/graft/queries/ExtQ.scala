@@ -158,6 +158,62 @@ object ExtQ {
       })
     }
 
+  /** Memoized BLOCKLIST-lifecycle index for x60 — x57's takedown with
+    * `blockRecrawl = true`, then the part x57 cannot promise: after the
+    * FULL fold physically reclaimed the deleted docs (tombstones
+    * cleared), the exact keys are RE-DELIVERED as a fresh crawl batch —
+    * and stay out, because the blocklist partition rides the manifest's
+    * `aux` family through every fold (the x58 seen-digest semantics
+    * brought to the index sink, closing the r10 x57/x58 asymmetry).
+    * The served index is therefore bit-equal to one that never
+    * contained the deleted docs even though their bytes arrived twice,
+    * which is exactly what the oracle recomputes. */
+  private val bm25BlocklistCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ext.TextOps.Bm25Segments]
+  private def blocklistBm25(s: SparkSession, d: String)
+      : graft.ext.TextOps.Bm25Segments =
+    bm25BlocklistCache.synchronized {
+      bm25BlocklistCache.getOrElseUpdate((s, d), {
+        val spec =
+          "v1 2batches mod2 corpus=%97!=3 block=%10==0 fullcompact recrawl"
+        def build(dir: String): Unit = {
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+            .filter(col("doc_id") % 97 =!= 3)
+          (0 to 1).foreach { i =>
+            graft.streaming.StreamBm25.appendBatch(dir,
+              docs.filter(col("doc_id") % 2 === i), i, "doc_id", "text")
+          }
+          graft.streaming.StreamBm25.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+            "doc_id", blockRecrawl = true)
+          graft.streaming.StreamBm25.compactSet(s, dir,
+            graft.streaming.Manifest.read(s, dir).get,
+            into = graft.streaming.StreamBm25.nextMergedId(s, dir))
+          // the re-crawl AFTER reclaim: same keys, same bytes — the
+          // blocklist (not the long-gone tombstone) keeps them out
+          graft.streaming.StreamBm25.appendBatch(dir,
+            docs.filter(col("doc_id") % 10 === 0), 5, "doc_id", "text")
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "x60segs", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x60-")
+            tmpSegDirs += p
+            build(p.toString)
+            p.toString
+        }
+        val segs = graft.streaming.StreamBm25.load(s, dir).get
+        val postings = segs.postings.persist(); postings.count()
+        val stats = segs.segStats.persist(); stats.count()
+        val termDf = segs.termDf.persist(); termDf.count()
+        graft.ext.TextOps.Bm25Segments(postings, stats, termDf)
+      })
+    }
+
   /** Memoized media FINGERPRINT index for m6 — the maintained
     * (doc_id, phash) artifact an incremental media-dedup loop carries
     * between crawls (the x45 signature-index rationale applied to the
@@ -191,7 +247,7 @@ object ExtQ {
     * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     streamedBm25(s, d); compactedBm25(s, d); takedownBm25(s, d)
-    mediaFingerprintIndex(s, d); ()
+    blocklistBm25(s, d); mediaFingerprintIndex(s, d); ()
   }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)
@@ -200,13 +256,15 @@ object ExtQ {
     * re-ingesting. */
   private[graft] def clearCache(): Unit = bm25StreamCache.synchronized {
     (bm25StreamCache.values ++ bm25CompactCache.values ++
-        bm25TakedownCache.values).foreach { segs =>
-      segs.postings.unpersist(); segs.segStats.unpersist()
-      segs.termDf.unpersist()
-    }
+        bm25TakedownCache.values ++ bm25BlocklistCache.values)
+      .foreach { segs =>
+        segs.postings.unpersist(); segs.segStats.unpersist()
+        segs.termDf.unpersist()
+      }
     bm25StreamCache.clear()
     bm25CompactCache.clear()
     bm25TakedownCache.clear()
+    bm25BlocklistCache.clear()
     phashIdxCache.values.foreach(_.unpersist())
     phashIdxCache.clear()
     tmpSegDirs.foreach(graft.ArtifactStore.deleteRecursively)
@@ -429,6 +487,23 @@ object ExtQ {
         .select(col("q_id"), col("rank"), col("key"),
           round(col("score"), 6).as("score"))
         .orderBy("q_id", "rank")),
+
+    // X60 — PERSISTENT-BLOCKLIST takedown ([[blocklistBm25]]: x57's
+    // lifecycle with blockRecrawl=true, a FULL physical reclaim, and
+    // then the deleted keys RE-DELIVERED as a fresh crawl). The
+    // blocklist rides the manifest's aux family through the fold, so
+    // the re-crawl appends nothing — the served index equals one that
+    // never contained the deleted docs even though their bytes arrived
+    // twice (the x58 seen-digest guarantee, now on the index sink; the
+    // r10 x57/x58 "forgotten means different things" asymmetry closed).
+    // Same oracle SHAPE as x57 over a disjoint query slice.
+    "x60_bm25_blocklist" -> ((s, d) =>
+      graft.ext.TextOps.bm25SearchSegmented(blocklistBm25(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 89 === 5),
+          "doc_id", "text", k = 8, rankRound = Some(6))
+        .select(col("q_id"), col("rank"), col("key"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +533,34 @@ object ExtQ {
          SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
            round(score, 6) AS score
          FROM r WHERE rank <= 10 ORDER BY q_id, rank""",
+    // x60: identical recompute shape — the corpus never contains the
+    // blocked slice, however many times it was crawled.
+    "x60_bm25_blocklist" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 97 <> 3 AND doc_id % 10 <> 0),
+         qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 = 5),
+         t AS (SELECT doc_id AS key,
+                 unnest(string_split_regex(text, '\s+')) AS tok FROM corpus),
+         tf AS (SELECT key, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT key, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS corpus_n, avg(dl) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT q_id, tok FROM
+                 (SELECT doc_id AS q_id,
+                    unnest(string_split_regex(text, '\s+')) AS tok FROM qs)),
+         sc AS (SELECT qt.q_id, tf.key,
+             sum(ln(1 + (st.corpus_n - dfx.df + 0.5) / (dfx.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM qt JOIN tf USING (tok) JOIN dfx USING (tok)
+           JOIN dl ON tf.key = dl.key CROSS JOIN st
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, key, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY round(score, 6) DESC, key) AS rank FROM sc)
+         SELECT q_id, CAST(rank AS INTEGER) AS rank, key,
+           round(score, 6) AS score
+         FROM r WHERE rank <= 8 ORDER BY q_id, rank""",
     // Scratch BM25 build over the FULL corpus (x48's arithmetic, no
     // holdout): the Spark side serves from three streamed, disk-round-
     // tripped segments with query-time df — the compare proves the

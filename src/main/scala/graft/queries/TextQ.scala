@@ -355,6 +355,55 @@ object TextQ {
       })
     }
 
+  /** Memoized TAKEDOWN-lifecycle cluster table for st12 — the closure
+    * leg of the cascading right-to-be-forgotten (x57 postings, x58
+    * bodies, v32 vectors, x59 signatures — and membership here): the
+    * st10 ingest, then [[graft.streaming.StreamClusters.deleteNodes]]
+    * tombstones the doc_id % 10 == 0 slice (membership masked at once;
+    * labels stale until the fold — the Lucene stale-until-merge shape)
+    * and [[graft.streaming.StreamClusters.compact]] physically reclaims,
+    * RE-MINNING labels over the survivors so a deleted id doesn't even
+    * survive as a cluster label. Masking semantics, deliberately: the
+    * node is forgotten, connectivity derived while it existed is not
+    * re-derived (that is the rebuild path) — so surviving members of a
+    * chain stay one cluster, which is exactly what the oracle computes
+    * (st10's blocks minus the deleted slice, min over survivors). */
+  private val takedownCcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def takedownClusters(s: SparkSession, d: String): DataFrame =
+    takedownCcCache.synchronized {
+      takedownCcCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches id2mod3 chainEdges delete=%10==0 compact"
+        def build(dir: String): Unit = {
+          val e = chainEdges(s, d)
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamClusters.appendBatch(dir,
+              e.filter(pmod(col("id2"), lit(3)) === i), i)
+          }
+          graft.streaming.StreamClusters.deleteNodes(s, dir,
+            Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+              .select(col("doc_id").as("id")))
+          graft.streaming.StreamClusters.compact(s, dir,
+            into = graft.streaming.StreamClusters.nextCompactId(s, dir))
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st12cc", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st12-")
+            tmpSt10Dirs += p
+            build(p.toString)
+            p.toString
+        }
+        val t = graft.streaming.StreamClusters.load(s, dir).get.persist()
+        t.count() // materialize inside the lock (shared await)
+        t
+      })
+    }
+
   /** Memoized STREAM-MAINTAINED n-gram-df index for st11 — x55's
     * maintained overlap artifact ingested as 3 document micro-batches
     * through the [[graft.streaming.StreamNgramDf]] sink (immutable
@@ -705,6 +754,18 @@ object TextQ {
     // shapes, re-delivery no-op, reset guard, time travel, compaction.
     "st10_cluster_stream" -> ((s, d) =>
       streamedClusters(s, d).orderBy("id")),
+
+    // ST12 — TAKEDOWN on the streamed cluster table ([[takedown
+    // Clusters]]: StreamClusters.deleteNodes + the re-min compact).
+    // Membership is a derivative of forgotten content: the deleted
+    // slice's rows stop serving at the delete commit, arriving edges
+    // touching them are dropped, and the fold re-mins labels over the
+    // survivors — so the served table equals st10's blocks minus the
+    // deleted docs with min-surviving-id labels, which is exactly what
+    // the oracle computes. StreamClustersSpec pins the lifecycle
+    // (mask, stale-label window, edge guard, re-min fold, vacuum).
+    "st12_cluster_takedown" -> ((s, d) =>
+      takedownClusters(s, d).orderBy("id")),
 
     // X12 — repetition-based quality (the Gopher-style filter signals):
     // repeat_ratio = 1 − distinct/total tokens, top_tok_share = most
@@ -1434,6 +1495,32 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X59 — TAKEDOWN cascaded to the SIGNATURE index (the x45
+    // maintained artifact): a deleted document's MinHash signatures are
+    // derivatives of its content, so the forget must reach them — and
+    // because the index is id-keyed, the cascade is one anti-join
+    // (predicate-masked serve or an O(index) rewrite at the next
+    // snapshot; never a re-shingle of anything). Semantics pinned by
+    // the output: after the delete, a batch doc whose ONLY near-dup
+    // partner was a deleted index doc now SURVIVES into the corpus —
+    // forgetting the content means the guard no longer knows it, the
+    // deliberate contrast with x58's exact-bytes digest blocker (ids
+    // and digests are not the content; signatures are). Golden-pinned
+    // at the gate SF (the x45 hash-family precedent);
+    // IncrementalNearDupSpec pins the family's drop/idempotence
+    // semantics SF-independently.
+    "x59_sig_takedown" -> ((s, d) => {
+      val idx = corpusSigIndex(s, d).filter(col("doc_id") % 10 =!= 0)
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 0)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+      Dedup.incrementalNearDup(idx, batch,
+          "doc_id", "sh", k = 32, bands = 16, threshold = 0.25)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // X37 — training-shard manifests: the deterministic "global shuffle"
     // a data loader consumes ([[TextOps.trainingShards]] — md5-derived
     // shard + salted within-shard order, both scan-side; the physical
@@ -2057,6 +2144,15 @@ object TextQ {
            min(d.doc_id) OVER (PARTITION BY d.lang, d.source) AS cluster_id
          FROM documents d JOIN g USING (lang, source)
          ORDER BY id""",
+    "st12_cluster_takedown" ->
+      """WITH g AS (SELECT lang, source FROM documents
+                    GROUP BY lang, source HAVING count(*) > 1),
+         m AS (SELECT d.doc_id AS id, d.lang, d.source
+               FROM documents d JOIN g USING (lang, source)
+               WHERE d.doc_id % 10 <> 0)
+         SELECT id,
+           min(id) OVER (PARTITION BY lang, source) AS cluster_id
+         FROM m ORDER BY id""",
     "x12_repetition" ->
       """WITH t AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

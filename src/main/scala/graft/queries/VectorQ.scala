@@ -571,6 +571,55 @@ object VectorQ {
       })
     }
 
+  /** Memoized TAKEDOWN-lifecycle dense index for v32 — the cascading
+    * right-to-be-forgotten story on the vector derivative: the same
+    * 3-batch streamed ingest as st8, then
+    * [[graft.streaming.StreamIvf.deleteVecs]] tombstones the
+    * vec_id % 10 == 0 slice (masked in every assigned cell the instant
+    * the delete commits), and [[graft.streaming.StreamIvf.compactAll]]
+    * physically reclaims — after which the index holds only surviving
+    * vectors under the SAME frozen quantizer, which is exactly what the
+    * DuckDB brute-force oracle recomputes (st8's SQL with the deleted
+    * slice filtered from the corpus). A deleted document's embeddings
+    * are its content as much as its postings — x57/x58 forget the index
+    * and the bodies; v32 forgets the vectors. */
+  private val takedownIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Similarity.IvfIndex]
+  private def takedownIvf(s: SparkSession, d: String): Similarity.IvfIndex =
+    takedownIvfCache.synchronized {
+      takedownIvfCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 nCells=16 delete=%10==0 compactAll"
+        def build(dir: String): Unit = {
+          val c = corpus(s, d).select("vec_id", "vec")
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamIvf.appendBatch(dir,
+              c.filter(col("vec_id") % 3 === i), i, "vec_id", "vec",
+              nCells = 16)
+          }
+          graft.streaming.StreamIvf.deleteVecs(s, dir,
+            c.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id")
+          graft.streaming.StreamIvf.compactAll(s, dir,
+            graft.streaming.StreamIvf.nextCompactId(s, dir),
+            "vec_id", "vec")
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "v32ivf", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-v32-")
+            tmpIvfDirs += p
+            build(p.toString)
+            p.toString
+        }
+        val idx = graft.streaming.StreamIvf.load(s, dir, "vec_id", "vec").get
+        val cents = idx.centroids.persist(); cents.count()
+        idx.copy(centroids = cents)
+      })
+    }
+
   /** Memoized EMBEDDING-slice index for v30 — the maintained
     * (id, label, vector) artifact an incremental semantic-dedup loop
     * carries between runs (the phashidx/corpuscc rationale for the
@@ -632,7 +681,8 @@ object VectorQ {
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     prebuiltIvf(s, d); prebuiltPq(s, d); prebuiltHier(s, d)
     prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d)
-    streamedIvf(s, d); prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
+    streamedIvf(s, d); takedownIvf(s, d)
+    prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
     semanticIndex(s, d); semanticIvfIndex(s, d); ()
   }
 
@@ -674,6 +724,8 @@ object VectorQ {
     evalExactCache.clear()
     streamIvfCache.values.foreach(_.centroids.unpersist())
     streamIvfCache.clear()
+    takedownIvfCache.values.foreach(_.centroids.unpersist())
+    takedownIvfCache.clear()
     semIdxCache.values.foreach(_.unpersist())
     semIdxCache.clear()
     semIvfIdxCache.values.foreach { case (c, i) =>
@@ -1359,6 +1411,25 @@ object VectorQ {
           (col("c_id") % 3 === 2).as("from_increment"))
         .orderBy("q_id", "rank")
     }),
+
+    // V32 — TAKEDOWN on the dense index ([[takedownIvf]]:
+    // StreamIvf.deleteVecs + compactAll — the vector leg of the
+    // cascading right-to-be-forgotten, next to x57's postings and x58's
+    // bodies). Tombstoned vectors stop scoring in every assigned cell
+    // the instant the delete commits; the fold physically reclaims them
+    // under the frozen quantizer — so the full-depth probe is exact
+    // top-k over exactly the surviving corpus, which is what the
+    // brute-force oracle recomputes (st8's SQL, deleted slice filtered
+    // from the corpus). StreamIvfSpec pins the lifecycle (mask in every
+    // cell, count-as-seen re-ingest guard, time travel, vacuum).
+    "v32_ivf_takedown" -> ((s, d) => {
+      val idx = takedownIvf(s, d)
+      val qs = corpus(s, d).filter(col("vec_id") < 5).select("vec_id", "vec")
+      Similarity.probeIvf(idx, qs, "vec_id", nProbe = 16, k = 8)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1495,6 +1566,18 @@ object VectorQ {
                                                CAST(c.embedding AS DOUBLE[])) DESC,
                         c.vec_id) AS rank
            FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
+         WHERE rank <= 8 ORDER BY q_id, rank""",
+    "v32_ivf_takedown" ->
+      """SELECT q_id, rank, c_id, round(cos, 6) AS cos FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+           FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0) c
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
          WHERE rank <= 8 ORDER BY q_id, rank""",
     "v1_cosine_scores" ->

@@ -35,7 +35,10 @@ SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "x7_minhash_pairs", "x8_simhash",
                 # r10: v31 = v30 at its IVF-cell production block key
                 # (centroid-specific output, same determinism argument)
-                "v31_semdedup_incr_ivf"}
+                "v31_semdedup_incr_ivf",
+                # r11: x45's index after a cascaded takedown (same
+                # hash-family determinism argument)
+                "x59_sig_takedown"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 
