@@ -417,10 +417,15 @@ object ScaleStress {
         // boilerplate page" mega-bucket from the maxBucketSize
         // scaladoc) — template 1 alone covers ~53% of the corpus, so
         // without the occupancy cap one bucket would emit ~(0.53·n)²/2
-        // pairs and the run would go quadratic BY CONSTRUCTION. The cap
-        // drops the head buckets (boilerplate is dedup noise, the
-        // documented trade) and the tail's salted within-copy structure
-        // keeps the op honest work.
+        // pairs and the run would go quadratic BY CONSTRUCTION. The
+        // cap is set BELOW every head bucket at every multiplier
+        // (z=3 ≈ 8% of the base corpus is the smallest head), so the
+        // row isolates the engine behavior under a capped hot key:
+        // output = the tail's salted within-copy natural pairs only,
+        // runtime ~linear in the corpus, however heavy the head. (An
+        // under-cap bucket legitimately emits its full clique — cost
+        // tracking emitted pairs is the data's quadratic, not the
+        // engine's; the first run of this row measured exactly that.)
         val docs = docsOf(m)
           .withColumn("toks", TextOps.tokens(col("text")))
           .withColumn("z", zipfKey(col("doc_id")))
@@ -430,7 +435,8 @@ object ScaleStress {
                 i => concat(lit("tpl"), col("z"), lit("#"), i)))
               .otherwise(transform(TextOps.shingles(col("toks"), 3),
                 x => concat(x, lit("#"), col("copy")))).as("sh"))
-        Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 16)
+        Dedup.minHashCandidates(docs, "doc_id", "sh", k = 32, bands = 16,
+            maxBucketSize = 256)
           .filter(col("est_jaccard") >= 0.25).count()
       }),
       Op("groupby_zipf", m =>

@@ -449,6 +449,54 @@ object TextQ {
       })
     }
 
+  /** Memoized TAKEDOWN-lifecycle ngram-df index for st13 — the last
+    * derivative in the forget cascade (x57 postings, x58 bodies, v32
+    * vectors, x59 signatures, st12 membership — and now the overlap
+    * index): st11's ingest, then [[graft.streaming.StreamNgramDf
+    * .deleteDocs]] subtracts the doc_id % 10 == 0 slice as a NEGATIVE
+    * LSM delta (an index of SUMS can't tombstone-mask — a deleted doc's
+    * contribution is spread across every gram it shared; the negated
+    * ngramDf is its exact inverse), and [[graft.streaming.StreamNgramDf
+    * .compact]] absorbs it physically. Serve nets to bit-equality with
+    * an index that never saw the docs — which is what the oracle
+    * recomputes. */
+  private val takedownNgDfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def takedownNgramDf(s: SparkSession, d: String): DataFrame =
+    takedownNgDfCache.synchronized {
+      takedownNgDfCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches docidmod3 corpus=doc_id%4!=0 n=3 " +
+          "delete=%10==0 compact"
+        def build(dir: String): Unit = {
+          val docs = Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamNgramDf.appendBatch(dir,
+              docs.filter(pmod(col("doc_id"), lit(3)) === i), i)
+          }
+          graft.streaming.StreamNgramDf.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 10 === 0))
+          graft.streaming.StreamNgramDf.compact(s, dir,
+            into = graft.streaming.Manifest.claimNegId(s, dir,
+              graft.streaming.Manifest.read(s, dir).get))
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st13ngdf", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st13-")
+            tmpSt11Dirs += p
+            build(p.toString)
+            p.toString
+        }
+        val t = graft.streaming.StreamNgramDf.load(s, dir).get.persist()
+        t.count() // materialize inside the lock (shared await)
+        t
+      })
+    }
+
   /** The st9/x58 shared 3-batch curation ingest: quality filter +
     * benchmark decontam + stratified sample (the x53 policy) through
     * the [[graft.streaming.StreamCurate]] sink body. */
@@ -534,6 +582,7 @@ object TextQ {
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
     streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
     streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
+    takedownClusters(s, d); takedownNgramDf(s, d)
     ()
   }
 
@@ -572,6 +621,10 @@ object TextQ {
     tmpSt10Dirs.clear()
     streamNgDfCache.values.foreach(_.unpersist())
     streamNgDfCache.clear()
+    takedownCcCache.values.foreach(_.unpersist())
+    takedownCcCache.clear()
+    takedownNgDfCache.values.foreach(_.unpersist())
+    takedownNgDfCache.clear()
     tmpSt11Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt11Dirs.clear()
   }
@@ -1071,6 +1124,21 @@ object TextQ {
     // and hash-fails).
     "st11_ngramdf_stream" -> ((s, d) =>
       TextOps.dupScoreAgainst(streamedNgramDf(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
+    // ST13 — TAKEDOWN on the streamed ngram-df index ([[takedown
+    // NgramDf]]: StreamNgramDf.deleteDocs + compact). The delete is a
+    // NEGATIVE LSM delta — the only forget that works on an index whose
+    // rows are SUMS (a tombstone can't mask a contribution spread
+    // across shared grams); the serve's keyed sum nets it out and the
+    // fold absorbs it. Needs the deleted bodies, which is the
+    // cascade-order contract: forget the derivatives while the corpus
+    // still holds the texts, then forget the texts (x58). Oracle =
+    // st11's SQL with the deleted docs excluded from the df side.
+    "st13_ngramdf_takedown" -> ((s, d) =>
+      TextOps.dupScoreAgainst(takedownNgramDf(s, d),
           Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")),
@@ -2477,6 +2545,25 @@ object TextQ {
     "x55_incremental_dup_score" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, len(toks) - 1)])) AS ng
+               FROM t WHERE len(toks) >= 3),
+         f AS (SELECT ng, count(*) AS ndocs FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+         FROM g JOIN f USING (ng)
+         WHERE g.doc_id % 4 = 0
+         GROUP BY 1 ORDER BY 1""",
+    // st13: st11's recompute with the taken-down docs excluded from the
+    // df side (the index never saw them), batch side unchanged
+    "st13_ngramdf_takedown" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents
+                    WHERE doc_id % 4 = 0 OR doc_id % 10 <> 0),
          g AS (SELECT doc_id,
                  unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                    FOR i IN range(1, len(toks) - 1)])) AS ng

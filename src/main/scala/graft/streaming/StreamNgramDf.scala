@@ -40,22 +40,101 @@ object StreamNgramDf {
 
   private def dfDir(dir: String) = s"$dir/dfparts"
   private def idsDir(dir: String) = s"$dir/seenids"
+  private def delDir(dir: String) = s"$dir/delids"
 
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Every batch id EVER written, from partition-DIR names (the shared
+  /** Every id EVER written, from partition-DIR names (the shared
     * maintainer-side listing discipline — names race nothing). */
   private def everUsedIds(s: SparkSession, dir: String): Set[Int] = {
     val fs = fsOf(s, dir)
-    Seq(dfDir(dir), idsDir(dir)).flatMap { d =>
+    Seq(dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id=",
+      delDir(dir) -> "del_id=").flatMap { case (d, prefix) =>
       val p = new org.apache.hadoop.fs.Path(d)
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toInt)
+        .filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toInt)
     }.toSet
+  }
+
+  /** The union of deleted doc ids (the `aux` family — survives every
+    * fold, keeping re-deletes idempotent forever); None when nothing
+    * was ever deleted. */
+  private def deletedIds(s: SparkSession, dir: String,
+                         aux: Set[Int]): Option[DataFrame] = {
+    val fs = fsOf(s, dir)
+    val present = aux.toSeq.sorted
+      .map(id => s"${delDir(dir)}/del_id=$id")
+      .filter(p => Manifest.hasDataFiles(fs,
+        new org.apache.hadoop.fs.Path(p)))
+    if (present.isEmpty) None
+    else Some(s.read.option("basePath", delDir(dir))
+      .parquet(present: _*).select("id"))
+  }
+
+  /** TAKEDOWN deletes — the LSM answer for an index whose rows are
+    * SUMS, not documents (x57's tombstone-mask doesn't transfer: a
+    * deleted doc's contribution is spread across every gram it
+    * shared): the delete is a NEGATIVE DELTA — `ngramDf` of the deleted
+    * docs with `ndocs` negated, appended as one more immutable delta
+    * partition. The serve's keyed sum nets it out immediately (grams
+    * netting to 0 drop — bit-equal to an index never containing the
+    * docs), and [[compact]]'s fold ABSORBS it physically. Needs the
+    * deleted docs' TEXTS: the cascade-order contract — forget the
+    * derivatives while the corpus sink ([[StreamCurate]]) still holds
+    * the bodies, then forget the bodies.
+    *
+    * Deleted ids are recorded in a `delids` partition under the
+    * manifest's persistent `aux` family: deletes are scoped to
+    * seen-minus-deleted (a re-delete of the same id subtracts NOTHING —
+    * double-subtraction would corrupt every shared gram's df), and the
+    * record survives every fold. The seen-ids guard is deliberately
+    * untouched, so a re-crawl of a deleted doc stays out (the x58
+    * blocker semantics — this index's guard is id-based). Atomic: the
+    * negative delta and the deleted-ids record commit in ONE flip; both
+    * staged partitions are reclaimed if the CAS loses. */
+  def deleteDocs(s: SparkSession, dir: String, docs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 n: Int = 3): Unit = {
+    val st = Manifest.readLiveWithGen(s, dir)
+    val live = st.map(_._2).getOrElse(Manifest.Live(
+      everUsedIds(s, dir), Set.empty))
+    val seen = loadSeenIds(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no index state at $dir"))
+    val scoped0 = docs
+      .join(seen.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val scoped = (deletedIds(s, dir, live.aux) match {
+      case Some(del) =>
+        scoped0.join(del.select(col("id").as(idCol)), Seq(idCol),
+          "left_anti")
+      case None => scoped0
+    }).persist()
+    try {
+      if (scoped.count() == 0) return // re-deletes/unknown ids: no commit
+      val negId = Manifest.claimNegId(s, dir, everUsedIds(s, dir))
+      val delId = Manifest.claimNegId(s, dir, everUsedIds(s, dir))
+      TextOps.ngramDf(scoped, idCol, textCol, n)
+        .select(col("ng"), (-col("ndocs")).as("ndocs"))
+        .write.mode("overwrite")
+        .parquet(s"${dfDir(dir)}/batch_id=$negId")
+      scoped.select(col(idCol).as("id")).coalesce(1) // takedown-sized
+        .write.mode("overwrite").parquet(s"${delDir(dir)}/del_id=$delId")
+      try Manifest.commitLiveAfter(s, dir,
+        live.copy(data = live.data + negId, aux = live.aux + delId),
+        basedOn = st.map(_._1).getOrElse(-1))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          val fs = fsOf(s, dir)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${dfDir(dir)}/batch_id=$negId"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${delDir(dir)}/del_id=$delId"), true)
+          throw e
+      }
+    } finally scoped.unpersist()
   }
 
   /** `foreachBatch` sink body: one micro-batch of documents folds into
@@ -92,9 +171,10 @@ object StreamNgramDf {
       fresh.select(col(idCol).as("id"))
         .write.mode("overwrite")
         .parquet(s"${idsDir(dir)}/batch_id=${batchId.toInt}")
-      val live = manifest.map(_.all).getOrElse(
-        everUsedIds(spark, dir) - batchId.toInt)
-      Manifest.commitAfter(spark, dir, live + batchId.toInt, basedOn = gen)
+      val live = manifest.getOrElse(Manifest.Live(
+        everUsedIds(spark, dir) - batchId.toInt, Set.empty))
+      Manifest.commitLiveAfter(spark, dir,
+        live.copy(data = live.data + batchId.toInt), basedOn = gen)
     } finally fresh.unpersist()
   }
 
@@ -109,15 +189,30 @@ object StreamNgramDf {
     val everUsed = everUsedIds(s, dir)
     require(!everUsed.contains(into),
       s"into=$into was already used (ever-written ids: $everUsed)")
-    val st = Manifest.readWithGen(s, dir)
+    val st = Manifest.readLiveWithGen(s, dir)
+    // load() nets negative takedown deltas and drops zero-sum grams, so
+    // the merged base PHYSICALLY forgets deleted contributions
     val df = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no df state at $dir"))
     val ids = loadSeenIds(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no seen-ids state at $dir"))
     df.write.mode("overwrite").parquet(s"${dfDir(dir)}/batch_id=$into")
     ids.write.mode("overwrite").parquet(s"${idsDir(dir)}/batch_id=$into")
-    Manifest.commitAfter(s, dir, Set(into),
+    // the aux family (deleted-ids records) survives the fold — that is
+    // what keeps re-deletes idempotent after physical reclaim
+    try Manifest.commitLiveAfter(s, dir,
+      Manifest.Live(Set(into), Set.empty,
+        st.map(_._2.aux).getOrElse(Set.empty)),
       basedOn = st.map(_._1).getOrElse(-1))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        val fs = fsOf(s, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${dfDir(dir)}/batch_id=$into"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${idsDir(dir)}/batch_id=$into"), true)
+        throw e
+    }
   }
 
   /** Reclaim time-travel history ([[Manifest.vacuumHistory]] on this
@@ -130,7 +225,8 @@ object StreamNgramDf {
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
-        dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id="),
+        dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id=",
+        delDir(dir) -> "del_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** The served (ng, ndocs) index — the keyed sum over live delta
@@ -140,12 +236,16 @@ object StreamNgramDf {
   def load(s: SparkSession, dir: String): Option[DataFrame] =
     loadAt(s, dir, asOfGen = None)
 
-  /** TIME-TRAVEL read of the df index as of a committed generation. */
+  /** TIME-TRAVEL read of the df index as of a committed generation.
+    * The keyed sum nets [[deleteDocs]]' negative deltas; grams netting
+    * to zero DROP — the served table is bit-equal to one over a corpus
+    * that never contained the deleted docs. */
   def loadAt(s: SparkSession, dir: String, asOfGen: Option[Int])
       : Option[DataFrame] =
     livePaths(s, dir, dfDir(dir), asOfGen).map { paths =>
       s.read.option("basePath", dfDir(dir)).parquet(paths: _*)
         .groupBy("ng").agg(sum("ndocs").as("ndocs"))
+        .filter(col("ndocs") > 0)
     }
 
   /** The committed doc ids (the replay guard's view); None before the
@@ -157,13 +257,14 @@ object StreamNgramDf {
     }
 
   /** Snapshot-isolated live-partition paths (the manifest discipline:
-    * never a directory listing). */
+    * never a directory listing) — DATA-family ids only: the aux family
+    * (deleted-ids records) never reads as a delta. */
   private def livePaths(s: SparkSession, dir: String, sub: String,
                         asOfGen: Option[Int]): Option[Seq[String]] =
-    Manifest.readAt(s, dir, asOfGen) match {
-      case Some(live) if live.nonEmpty =>
+    Manifest.readLiveAt(s, dir, asOfGen) match {
+      case Some(live) if live.all.nonEmpty =>
         val fs = fsOf(s, dir)
-        val present = live.toSeq.sorted
+        val present = live.data.toSeq.sorted
           .map(id => s"$sub/batch_id=$id")
           .filter(p => Manifest.hasDataFiles(fs,
             new org.apache.hadoop.fs.Path(p)))

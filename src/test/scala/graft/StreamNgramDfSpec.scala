@@ -170,4 +170,44 @@ class StreamNgramDfSpec extends AnyFunSuite {
     assert(rows(StreamNgramDf.load(spark, dir).get) == before,
       "post-vacuum replay must still no-op against the merged guard")
   }
+
+  test("takedown by NEGATIVE DELTA: netted immediately, idempotent, absorbed by compact, re-crawl blocked") {
+    val dir = freshDir()
+    (0 to 2).foreach { i =>
+      StreamNgramDf.appendBatch(dir,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), i)
+    }
+    val preGen = Manifest.readWithGen(spark, dir).get._1
+    val deleted = docs.filter(col("doc_id") % 10 === 0)
+    val survivors = docs.filter(col("doc_id") % 10 =!= 0)
+    val scratchAfter = rows(TextOps.ngramDf(survivors, "doc_id", "text"))
+    StreamNgramDf.deleteDocs(spark, dir, deleted)
+    // 1. netted IMMEDIATELY: the served sum equals a scratch index that
+    //    never saw the deleted docs (zero-sum grams dropped)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter)
+    // 2. idempotent: a re-delete subtracts NOTHING (double-subtraction
+    //    would corrupt every shared gram's df) and commits no generation
+    val gens = Manifest.generations(spark, dir)
+    StreamNgramDf.deleteDocs(spark, dir, deleted)
+    assert(Manifest.generations(spark, dir) == gens)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter)
+    // 3. re-crawl of a deleted doc stays OUT (the seen-ids guard is
+    //    untouched by the delete — x58 blocker semantics, id-shaped)
+    StreamNgramDf.appendBatch(dir, deleted.limit(5), 50)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter)
+    // 4. time travel: the pre-delete generation still counts them
+    assert(rows(StreamNgramDf.loadAt(spark, dir, Some(preGen)).get) ==
+      rows(TextOps.ngramDf(docs, "doc_id", "text")))
+    // 5. compact ABSORBS the negative delta (physical reclaim); serve
+    //    unchanged; the deleted-ids record survives the fold, so a
+    //    post-compact re-delete STILL subtracts nothing
+    StreamNgramDf.compact(spark, dir, into = -10)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter)
+    StreamNgramDf.deleteDocs(spark, dir, deleted)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter,
+      "a post-reclaim re-delete must not subtract again")
+    // 6. vacuum removes the folded negative delta; serve unchanged
+    StreamNgramDf.vacuum(spark, dir)
+    assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter)
+  }
 }
