@@ -382,6 +382,29 @@ object ExtQ {
         .orderBy("doc_id")
     }),
 
+    // M7 — TAKEDOWN cascaded to the media-fingerprint index (m6's
+    // maintained artifact; the x59 pattern on the perceptual-hash
+    // family): the index is id-keyed, so the cascade is one anti-join —
+    // no payload is re-decoded. Semantics pinned by the output: a batch
+    // image whose ONLY Hamming-3 partner was a deleted index doc now
+    // survives into the corpus — perceptual similarity to forgotten
+    // media is itself forgotten. Oracle = m6's SQL with the deleted
+    // slice excluded from the index CTE.
+    "m7_phash_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 20000000000L))
+      val batchFp = Multimodal.perceptualHash(
+          Multimodal.mediaTable(batchDocs), new Multimodal.ImageIoAHash())
+        .select("doc_id", "phash")
+      graft.ext.Dedup.incrementalFingerprintDedup(
+          mediaFingerprintIndex(s, d).filter(col("doc_id") % 10 =!= 0),
+          batchFp, "doc_id", "phash", maxHamming = 3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ST1 — event-time tumbling window aggregation (Structured Streaming's
     // window() primitive, batch-executed; epoch-aligned 6h windows).
     "st1_tumbling_window" -> ((s, d) =>
@@ -670,6 +693,34 @@ object ExtQ {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY id1, id2""",
+    // m7: m6's recompute with the taken-down slice excluded from the
+    // index side (the batch side unchanged — only the INDEX forgot)
+    "m7_phash_takedown" ->
+      """WITH idx AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
+           FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 10 <> 0),
+         b AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 20000000000 AS doc_id, text FROM documents
+           WHERE doc_id % 11 = 0),
+         bp AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
+           FROM b),
+         dropped AS (
+           SELECT a.doc_id FROM bp a JOIN idx i
+             ON bit_count(xor(a.hi, i.hi)) + bit_count(xor(a.lo, i.lo)) <= 3
+           UNION
+           SELECT a2.doc_id FROM bp a1 JOIN bp a2
+             ON a1.doc_id < a2.doc_id
+            AND bit_count(xor(a1.hi, a2.hi)) + bit_count(xor(a1.lo, a2.lo)) <= 3)
+         SELECT doc_id FROM bp
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id""",
     "m6_media_phash_increment" ->
       """WITH idx AS (
            SELECT doc_id,

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The operator-facing right-to-be-forgotten verb: ONE call fans a
+  * delete across every maintained artifact that derives from the
+  * forgotten content — a takedown that stops at the postings is not a
+  * forget (the doc's vectors, signatures, cluster membership, overlap
+  * contributions, and body are all its content). Two phases:
+  *
+  *   - [[forget]] — logical deletes on every configured sink, in the
+  *     CASCADE ORDER the derivatives require: the ngram-df sink needs
+  *     the deleted TEXTS (its delete is a negative delta,
+  *     [[StreamNgramDf.deleteDocs]]), so it runs FIRST, resolving the
+  *     bodies from the curated corpus while that sink still serves
+  *     them; the id-keyed derivatives (postings, vectors, membership)
+  *     follow in any order; the CORPUS — the bodies themselves — goes
+  *     LAST. Each sink's delete is the sink's own idempotent,
+  *     CAS-committed verb; a crash mid-cascade leaves a PREFIX of sinks
+  *     deleted and the call safe to re-run (already-deleted sinks
+  *     no-op).
+  *   - [[reclaim]] — the physical pass: fold every configured sink
+  *     (merges absorb masks/negative deltas and re-derive metadata from
+  *     survivors) and vacuum its history under one retention window —
+  *     the step after which no on-disk file holds the forgotten
+  *     content. Retention is the legal dial ([[Manifest.vacuumHistory]]
+  *     scaladoc): run reclaim on the schedule that matches the
+  *     deployment's "forgetting becomes irreversible after N days"
+  *     promise.
+  *
+  * Deliberately NOT atomic across sinks: each sink keeps its own
+  * one-commit-point guarantee, and the cascade is an at-least-once
+  * retry loop over idempotent verbs — the same availability trade
+  * every multi-store deletion pipeline makes (there is no cross-store
+  * transaction to borrow). TakedownSpec drives the full cascade over
+  * all five sinks and asserts every derivative forgot.
+  */
+object Takedown {
+
+  /** The configured sink set one logical corpus maintains. Every field
+    * None/empty = that sink is not deployed; `forget`/`reclaim` skip it. */
+  case class Sinks(
+      /** Curated-corpus dir ([[StreamCurate]]) — the BODIES. Also the
+        * source the ngram-df cascade resolves deleted texts from. */
+      curateDir: Option[String] = None,
+      /** BM25 index dir ([[StreamBm25]]); blockRecrawl opts into the
+        * persistent re-crawl blocklist. */
+      bm25Dir: Option[String] = None,
+      bm25BlockRecrawl: Boolean = false,
+      /** Dense IVF index: (dir, idCol, vecCol) ([[StreamIvf]]). */
+      ivf: Option[(String, String, String)] = None,
+      /** Cluster-table dir ([[StreamClusters]]). */
+      clustersDir: Option[String] = None,
+      /** N-gram df index: (dir, n) ([[StreamNgramDf]]) — requires
+        * `curateDir` (the negative delta needs the bodies). */
+      ngramDf: Option[(String, Int)] = None,
+      /** The corpus key column (and the text column for the ngram-df
+        * leg). */
+      idCol: String = "doc_id",
+      textCol: String = "text")
+
+  /** Phase 1 — logical deletes everywhere, derivatives first, bodies
+    * last. `ids` is a one-column frame of `sinks.idCol` keys. Safe to
+    * re-run after a partial failure (every leg is idempotent). */
+  def forget(s: SparkSession, ids: DataFrame, sinks: Sinks): Unit = {
+    val keys = ids.select(col(sinks.idCol)).distinct()
+    // 1. the text-derived index FIRST, while the corpus still serves
+    //    the bodies it needs (cascade-order contract)
+    sinks.ngramDf.foreach { case (dir, n) =>
+      val corpusDir = sinks.curateDir.getOrElse(
+        throw new IllegalArgumentException(
+          "the ngram-df cascade needs the deleted texts: configure " +
+            "curateDir (run forget BEFORE the bodies are reclaimed)"))
+      StreamCurate.load(s, corpusDir).foreach { corpus =>
+        val docs = corpus.join(keys, Seq(sinks.idCol), "left_semi")
+          .select(col(sinks.idCol), col(sinks.textCol))
+        StreamNgramDf.deleteDocs(s, dir, docs, sinks.idCol, sinks.textCol, n)
+      }
+    }
+    // 2. id-keyed derivatives, any order
+    sinks.bm25Dir.foreach(d => StreamBm25.deleteDocs(s, d, keys,
+      sinks.idCol, blockRecrawl = sinks.bm25BlockRecrawl))
+    sinks.ivf.foreach { case (d, idCol, vecCol) =>
+      StreamIvf.deleteVecs(s, d,
+        keys.select(col(sinks.idCol).as(idCol)), idCol, vecCol)
+    }
+    sinks.clustersDir.foreach(d => StreamClusters.deleteNodes(s, d,
+      keys.select(col(sinks.idCol).as("id"))))
+    // 3. the bodies LAST
+    sinks.curateDir.foreach(d => StreamCurate.deleteCurated(s, d,
+      keys, sinks.idCol))
+  }
+
+  /** Phase 2 — physical reclaim: fold every configured sink (the merge
+    * absorbs masks and negative deltas) and vacuum its history under
+    * `retainMillis` (None = expire everything but the latest snapshot
+    * — forgetting is immediately irreversible). */
+  def reclaim(s: SparkSession, sinks: Sinks,
+              retainMillis: Option[Long] = None): Unit = {
+    sinks.ngramDf.foreach { case (dir, _) =>
+      StreamNgramDf.compact(s, dir,
+        Manifest.claimNegId(s, dir, Manifest.read(s, dir).getOrElse(Set())))
+      StreamNgramDf.vacuum(s, dir, retainMillis = retainMillis)
+    }
+    sinks.bm25Dir.foreach { d =>
+      StreamBm25.compactSet(s, d, Manifest.read(s, d).getOrElse(Set()),
+        into = StreamBm25.nextMergedId(s, d))
+      StreamBm25.vacuum(s, d, retainMillis = retainMillis)
+    }
+    sinks.ivf.foreach { case (d, idCol, vecCol) =>
+      StreamIvf.compactAll(s, d, StreamIvf.nextCompactId(s, d),
+        idCol, vecCol)
+      StreamIvf.vacuum(s, d, retainMillis = retainMillis)
+    }
+    sinks.clustersDir.foreach { d =>
+      StreamClusters.compact(s, d, StreamClusters.nextCompactId(s, d))
+      StreamClusters.vacuum(s, d, retainMillis = retainMillis)
+    }
+    sinks.curateDir.foreach { d =>
+      StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d))
+      StreamCurate.vacuum(s, d, retainMillis = retainMillis)
+    }
+  }
+}

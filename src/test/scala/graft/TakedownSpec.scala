@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+import graft.streaming._
+
+/** The one-call right-to-be-forgotten cascade ([[Takedown]]): forget()
+  * fans a delete across every configured sink in cascade order
+  * (text-derived index first — it needs the bodies — corpus last),
+  * reclaim() folds and vacuums everything. The end state the law cares
+  * about: every serve forgot, and NO on-disk file under ANY sink still
+  * holds the deleted content. Also pins the crash-mid-cascade contract:
+  * re-running forget() after a partial pass is a no-op on the
+  * already-deleted prefix. */
+class TakedownSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-takedown").getOrCreate()
+
+  test("forget + reclaim across all five sinks: every derivative forgets; no on-disk copy survives") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("takedown").toString
+    val sinks = Takedown.Sinks(
+      curateDir = Some(s"$root/corpus"),
+      bm25Dir = Some(s"$root/bm25"),
+      bm25BlockRecrawl = true,
+      ivf = Some((s"$root/ivf", "doc_id", "vec")),
+      clustersDir = Some(s"$root/cc"),
+      ngramDf = Some((s"$root/ngdf", 3)))
+
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    val docs = (1L to 12L).map(i => (i, body + s"marker$i tail$i", 200))
+      .toDF("doc_id", "text", "n_chars")
+    def policy(b: org.apache.spark.sql.DataFrame) =
+      b.select("doc_id", "text")
+    // ingest every sink from the same corpus (2 batches each)
+    (0 to 1).foreach { i =>
+      val slice = docs.filter(col("doc_id") % 2 === i)
+      StreamCurate.appendBatch(sinks.curateDir.get, slice, i.toLong, policy)
+      StreamBm25.appendBatch(sinks.bm25Dir.get,
+        slice.select("doc_id", "text"), i.toLong, "doc_id", "text")
+      StreamNgramDf.appendBatch(sinks.ngramDf.get._1,
+        slice.select("doc_id", "text"), i.toLong)
+      StreamIvf.appendBatch(sinks.ivf.get._1,
+        slice.select(col("doc_id"),
+          array((0 to 3).map(j => pmod(col("doc_id") * (j + 3), lit(7))
+            .cast("double") + 0.1): _*).as("vec")),
+        i.toLong, "doc_id", "vec", nCells = 2)
+      StreamClusters.appendBatch(sinks.clustersDir.get,
+        slice.select(col("doc_id").as("id1"),
+          (col("doc_id") % 3 + 100L).as("id2")), i.toLong)
+    }
+    val victims = Seq(3L, 4L)
+    Takedown.forget(spark, victims.toDF("doc_id"), sinks)
+
+    // every serve forgot
+    assert(!StreamCurate.load(spark, sinks.curateDir.get).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .exists(victims.contains), "corpus must forget")
+    assert(StreamBm25.load(spark, sinks.bm25Dir.get).get
+      .postings.filter(col("key").isin(victims: _*)).count() == 0,
+      "bm25 postings must forget")
+    assert(StreamIvf.load(spark, sinks.ivf.get._1, "doc_id", "vec").get
+      .postings.filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "ivf postings must forget")
+    assert(StreamClusters.load(spark, sinks.clustersDir.get).get
+      .filter(col("id").isin(victims: _*)).count() == 0,
+      "cluster membership must forget")
+    // the ngram-df netted the victims' contributions: equal to a
+    // scratch index over the survivors
+    val survivors = docs.filter(!col("doc_id").isin(victims: _*))
+    def dfRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dfRows(StreamNgramDf.load(spark, sinks.ngramDf.get._1).get) ==
+      dfRows(TextOps.ngramDf(survivors.select("doc_id", "text"),
+        "doc_id", "text")), "ngram-df must net out the victims")
+
+    // crash-mid-cascade contract: a second forget() is a full no-op
+    val gens = Seq(sinks.curateDir.get, sinks.bm25Dir.get,
+      sinks.ivf.get._1, sinks.clustersDir.get, sinks.ngramDf.get._1)
+      .map(Manifest.generations(spark, _))
+    Takedown.forget(spark, victims.toDF("doc_id"), sinks)
+    assert(Seq(sinks.curateDir.get, sinks.bm25Dir.get, sinks.ivf.get._1,
+      sinks.clustersDir.get, sinks.ngramDf.get._1)
+      .map(Manifest.generations(spark, _)) == gens,
+      "re-running forget must commit nothing anywhere")
+
+    // physical reclaim, no retention: forgetting becomes irreversible
+    Takedown.reclaim(spark, sinks)
+    // a re-crawl of a victim stays out everywhere it can be guarded:
+    // the corpus digest guard, the bm25 blocklist, the ngram-df seen ids
+    StreamCurate.appendBatch(sinks.curateDir.get,
+      docs.filter(col("doc_id") === 3L), 10L, policy)
+    StreamBm25.appendBatch(sinks.bm25Dir.get,
+      docs.filter(col("doc_id") === 3L).select("doc_id", "text"), 10L,
+      "doc_id", "text")
+    StreamNgramDf.appendBatch(sinks.ngramDf.get._1,
+      docs.filter(col("doc_id") === 3L).select("doc_id", "text"), 10L)
+    assert(!StreamCurate.load(spark, sinks.curateDir.get).get
+      .select("doc_id").collect().map(_.getLong(0)).contains(3L))
+    assert(StreamBm25.load(spark, sinks.bm25Dir.get).get
+      .postings.filter(col("key") === 3L).count() == 0)
+    assert(dfRows(StreamNgramDf.load(spark, sinks.ngramDf.get._1).get) ==
+      dfRows(TextOps.ngramDf(survivors.select("doc_id", "text"),
+        "doc_id", "text")))
+
+    // the legal end state: no parquet file under the whole root still
+    // holds a victim's marker token
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toList
+    val leaked = files.filter { f =>
+      val df = spark.read.parquet(f)
+      val textish = df.schema.fields
+        .filter(c => c.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name)
+      textish.nonEmpty && df.filter(textish.map(c =>
+          col(c).contains("marker3") || col(c).contains("marker4"))
+        .reduce(_ || _)).count() > 0
+    }
+    assert(leaked.isEmpty,
+      s"no on-disk file may hold deleted content after reclaim: $leaked")
+  }
+}
