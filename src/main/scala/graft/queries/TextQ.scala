@@ -476,8 +476,7 @@ object TextQ {
           graft.streaming.StreamNgramDf.deleteDocs(s, dir,
             docs.filter(col("doc_id") % 10 === 0))
           graft.streaming.StreamNgramDf.compact(s, dir,
-            into = graft.streaming.Manifest.claimNegId(s, dir,
-              graft.streaming.Manifest.read(s, dir).get))
+            into = graft.streaming.StreamNgramDf.nextCompactId(s, dir))
         }
         val dir = graft.ArtifactStore.dirArtifact(d, "st13ngdf", spec) match {
           case Some((p, true)) => p.toString

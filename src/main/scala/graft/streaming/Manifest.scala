@@ -387,7 +387,14 @@ object Manifest {
         fs.create(new Path(cdir, cand.toString), false).close()
         return cand
       } catch {
-        case _: java.io.IOException => cand -= 1 // lost the create race
+        // ONLY an actually-claimed marker means the race was lost; any
+        // other I/O failure (deleted claims dir, read-only FS, quota,
+        // safe mode) must propagate — retrying it would spin forever
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          cand -= 1
+        case e: java.io.IOException =>
+          if (fs.exists(new Path(cdir, cand.toString))) cand -= 1
+          else throw e
       }
     }
     cand // unreachable

@@ -245,15 +245,23 @@ object StreamBm25 {
       // none; a concurrent maintenance commit makes this throw and the
       // engine's batch retry re-runs against fresh state. Legacy
       // (pre-manifest) dirs adopt their current listing as the baseline.
-      // legacy adoption splits by directory family (a manifest-less dir
-      // cannot carry tombstones — deleteDocs always commits — but the
-      // split costs nothing and can't misfile one)
+      // legacy adoption splits by directory family with the same
+      // conservative DATA-FILE probes as [[families]] (a manifest-less
+      // dir cannot carry tombstones — deleteDocs always commits — but a
+      // crashed pre-upgrade delete can leave an EMPTY ts dir, and a
+      // bare-existence probe would adopt it as a live tombstone whose
+      // empty partition then breaks every read; r11 self-review #3).
+      // Ids with no data files in either family are orphans — dropped,
+      // not adopted.
       val everUsed = everUsedIds(spark, dir) - batchId.toInt
       val fs2 = fsOf(spark, dir)
       val live = manifest.getOrElse {
-        val tombs = everUsed.filter(id => fs2.exists(
-          new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$id")))
-        Manifest.Live(everUsed -- tombs, tombs)
+        val data = everUsed.filter(id => Manifest.hasDataFiles(fs2,
+          new org.apache.hadoop.fs.Path(s"${statsDir(dir)}/seg_id=$id")))
+        val tombs = (everUsed -- data).filter(id =>
+          Manifest.hasDataFiles(fs2, new org.apache.hadoop.fs.Path(
+            s"${tombDir(dir)}/ts_id=$id")))
+        Manifest.Live(data, tombs)
       }
       Manifest.commitLiveAfter(spark, dir,
         live.copy(data = live.data + batchId.toInt), basedOn = gen)
@@ -429,31 +437,50 @@ object StreamBm25 {
         .collect().map(_.getInt(0)).toSet, Set.empty))
     // effective deletes: keys the masked view still serves — re-deletes
     // and never-indexed keys vanish here, making the op idempotent
-    val del = ids.select(col(idCol).as("key")).distinct()
+    val req = ids.select(col(idCol).as("key")).distinct().persist()
+    val del = req
       .join(segs.postings.select("key").distinct(), Seq("key"), "left_semi")
       .persist()
+    // blocklist additions scope on the BLOCKLIST, not the served view:
+    // an already-tombstoned (or long-reclaimed) key must still be
+    // blockable — the whole point of blockRecrawl is keys the index no
+    // longer serves (a served-view scope silently dropped them, r11
+    // self-review finding #1)
+    val blockAdds =
+      if (!blockRecrawl) None
+      else Some((blocklistKeys(s, dir, live.aux) match {
+        case Some(blocked) => req.join(blocked, Seq("key"), "left_anti")
+        case None => req
+      }).persist())
     try {
-      if (del.count() == 0) return // nothing newly deleted: no commit
-      // CLAIMED id ([[Manifest.claimNegId]]): a concurrent compaction or
-      // second delete can never be handed the same id, so nobody can
-      // overwrite this staged partition or commit this id under the
+      val nDel = del.count()
+      val nBlock = blockAdds.map(_.count()).getOrElse(0L)
+      if (nDel == 0 && nBlock == 0) return // nothing new: no commit
+      // CLAIMED ids ([[Manifest.claimNegId]]): a concurrent compaction
+      // or second delete can never be handed the same id, so nobody can
+      // overwrite these staged partitions or commit an id under the
       // other family (ADVICE r10, high)
-      val tsId = nextMergedId(s, dir)
-      del.coalesce(1) // tombstones are takedown-sized, not corpus-sized
-        .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
-      // optional persistent blocklist: its OWN claimed id + partition,
-      // committed in the SAME flip as the tombstone (atomic: a key is
-      // never blocked-but-not-deleted or deleted-but-not-blocked)
-      val blId =
-        if (!blockRecrawl) None
+      val tsId =
+        if (nDel == 0) None
         else {
           val id = nextMergedId(s, dir)
-          del.coalesce(1).write.mode("overwrite")
+          del.coalesce(1) // tombstones are takedown-sized
+            .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$id")
+          Some(id)
+        }
+      // persistent blocklist: its OWN claimed id + partition, committed
+      // in the SAME flip as the tombstone (atomic: a key is never
+      // blocked-but-not-deleted or deleted-but-not-blocked)
+      val blId =
+        if (nBlock == 0) None
+        else {
+          val id = nextMergedId(s, dir)
+          blockAdds.get.coalesce(1).write.mode("overwrite")
             .parquet(s"${blockDir(dir)}/bl_id=$id")
           Some(id)
         }
       try Manifest.commitLiveAfter(s, dir,
-        live.copy(tombs = live.tombs + tsId,
+        live.copy(tombs = live.tombs ++ tsId,
           aux = live.aux ++ blId),
         basedOn = st.map(_._1).getOrElse(-1))
       catch {
@@ -461,14 +488,17 @@ object StreamBm25 {
           // lost the CAS: reclaim the staged partitions — the ids are
           // uniquely ours (claimed), so this deletes nothing a winner
           // committed; the retry re-scopes against fresh state
-          fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
-            s"${tombDir(dir)}/ts_id=$tsId"), true)
+          tsId.foreach(id => fsOf(s, dir).delete(
+            new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$id"),
+            true))
           blId.foreach(id => fsOf(s, dir).delete(
             new org.apache.hadoop.fs.Path(s"${blockDir(dir)}/bl_id=$id"),
             true))
           throw e
       }
-    } finally del.unpersist()
+    } finally {
+      del.unpersist(); req.unpersist(); blockAdds.foreach(_.unpersist())
+    }
   }
 
   /** A tiered MERGE POLICY over the segment metadata (Lucene's

@@ -104,7 +104,10 @@ object StreamNgramDf {
       everUsedIds(s, dir), Set.empty))
     val seen = loadSeenIds(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index state at $dir"))
-    val scoped0 = docs
+    // one row per id (caller contract: one body per id) — duplicate
+    // rows would subtract a doc's gram contributions TWICE and corrupt
+    // every shared gram's df (r11 self-review #4)
+    val scoped0 = docs.dropDuplicates(idCol)
       .join(seen.select(col("id").as(idCol)), Seq(idCol), "left_semi")
     val scoped = (deletedIds(s, dir, live.aux) match {
       case Some(del) =>
@@ -177,6 +180,13 @@ object StreamNgramDf {
         live.copy(data = live.data + batchId.toInt), basedOn = gen)
     } finally fresh.unpersist()
   }
+
+  /** ALLOCATE the next maintainer id (negative namespace, atomically
+    * claimed over the LISTING-based ledger — [[Manifest.claimNegId]]'s
+    * documented seed; the live set alone would miss on-disk non-live
+    * partitions). */
+  def nextCompactId(s: SparkSession, dir: String): Int =
+    Manifest.claimNegId(s, dir, everUsedIds(s, dir))
 
   /** Fold every live delta into ONE merged base partition (`into` — a
     * fresh negative id, the merged-segment namespace) for both the df

@@ -72,10 +72,24 @@ object Takedown {
         throw new IllegalArgumentException(
           "the ngram-df cascade needs the deleted texts: configure " +
             "curateDir (run forget BEFORE the bodies are reclaimed)"))
-      StreamCurate.load(s, corpusDir).foreach { corpus =>
-        val docs = corpus.join(keys, Seq(sinks.idCol), "left_semi")
-          .select(col(sinks.idCol), col(sinks.textCol))
-        StreamNgramDf.deleteDocs(s, dir, docs, sinks.idCol, sinks.textCol, n)
+      StreamCurate.load(s, corpusDir) match {
+        case Some(corpus) =>
+          val docs = corpus.join(keys, Seq(sinks.idCol), "left_semi")
+            .select(col(sinks.idCol), col(sinks.textCol))
+          StreamNgramDf.deleteDocs(s, dir, docs, sinks.idCol,
+            sinks.textCol, n)
+        case None =>
+          // a configured corpus with NO committed state cannot resolve
+          // the bodies — if the ngram sink HAS state, skipping would
+          // report a forget that silently never reached it (the
+          // contributions would survive forever, unrecoverably once
+          // the bodies are gone). Fail loudly instead.
+          if (StreamNgramDf.load(s, dir).nonEmpty)
+            throw new IllegalStateException(
+              s"ngram-df index at $dir has state but the corpus at " +
+                s"$corpusDir has none — the deleted texts cannot be " +
+                "resolved, so the ngram-df cascade cannot run (forget " +
+                "must run while the corpus still serves the bodies)")
       }
     }
     // 2. id-keyed derivatives, any order
@@ -99,8 +113,7 @@ object Takedown {
   def reclaim(s: SparkSession, sinks: Sinks,
               retainMillis: Option[Long] = None): Unit = {
     sinks.ngramDf.foreach { case (dir, _) =>
-      StreamNgramDf.compact(s, dir,
-        Manifest.claimNegId(s, dir, Manifest.read(s, dir).getOrElse(Set())))
+      StreamNgramDf.compact(s, dir, StreamNgramDf.nextCompactId(s, dir))
       StreamNgramDf.vacuum(s, dir, retainMillis = retainMillis)
     }
     sinks.bm25Dir.foreach { d =>

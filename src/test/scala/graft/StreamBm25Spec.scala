@@ -644,5 +644,26 @@ class StreamBm25Spec extends AnyFunSuite {
       Seq(2L -> "reborn thrice").toDF("doc_id", "text"), 102L,
       "doc_id", "text")
     assert(!servedKeys().contains(2L))
+    // an UNSERVED key is still blockable (the legal-order-arrives-late
+    // case): doc 3 was never deleted; doc 1 was... delete 1 plainly,
+    // then blockRecrawl BOTH — the already-tombstoned 1 and a fully
+    // reclaimed key would previously be silently dropped from the
+    // blocklist (r11 self-review #1)
+    StreamBm25.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    StreamBm25.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"), "doc_id",
+      blockRecrawl = true)
+    StreamBm25.compactSet(spark, dir,
+      graft.streaming.Manifest.read(spark, dir).get,
+      into = StreamBm25.nextMergedId(spark, dir))
+    StreamBm25.appendBatch(dir,
+      Seq(1L -> "one reborn").toDF("doc_id", "text"), 103L,
+      "doc_id", "text")
+    assert(!servedKeys().contains(1L),
+      "a key blocked AFTER its tombstone must still stay out post-fold")
+    // blocking the same key twice commits nothing new
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    StreamBm25.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"), "doc_id",
+      blockRecrawl = true)
+    assert(graft.streaming.Manifest.generations(spark, dir) == gens)
   }
 }

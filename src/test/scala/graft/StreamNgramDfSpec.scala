@@ -181,7 +181,8 @@ class StreamNgramDfSpec extends AnyFunSuite {
     val deleted = docs.filter(col("doc_id") % 10 === 0)
     val survivors = docs.filter(col("doc_id") % 10 =!= 0)
     val scratchAfter = rows(TextOps.ngramDf(survivors, "doc_id", "text"))
-    StreamNgramDf.deleteDocs(spark, dir, deleted)
+    // duplicate rows per id must subtract ONCE (r11 self-review #4)
+    StreamNgramDf.deleteDocs(spark, dir, deleted.unionByName(deleted))
     // 1. netted IMMEDIATELY: the served sum equals a scratch index that
     //    never saw the deleted docs (zero-sum grams dropped)
     assert(rows(StreamNgramDf.load(spark, dir).get) == scratchAfter)
