@@ -354,6 +354,8 @@ object ScaleStress {
     // probe, which is the honest linear term at test scale).
     val x57Dirs = scala.collection.mutable.Map.empty[Int, String]
     val x57Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    val v32Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    val st13Ctr = new java.util.concurrent.atomic.AtomicLong(0)
     def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-x57-m$m-").toString
@@ -1147,6 +1149,35 @@ object ScaleStress {
         graft.streaming.StreamBm25.deleteDocs(spark, dir, ids, "doc_id")
         graft.streaming.Manifest.read(spark, dir).get.size.toLong
       }),
+      Op("v32_delete_fixed", m => {
+        // ONE takedown batch (fresh rotating 1×-range vec ids) against
+        // the m× streamed IVF index: tombstone write + flip are
+        // O(batch); the served-id scoping probe (postings ids distinct)
+        // is the honest linear term at test scale — at 100 TB it is the
+        // per-partition id-range/bloom metadata probe, same note as
+        // x57_delete_fixed.
+        val dir = builtStreamDir(m)
+        val n = v32Ctr.incrementAndGet()
+        val ids = embsOf(1).select("vec_id")
+          .filter(col("vec_id") % 50 === n)
+        graft.streaming.StreamIvf.deleteVecs(spark, dir, ids,
+          "vec_id", "vec")
+        graft.streaming.Manifest.read(spark, dir).get.size.toLong
+      }),
+      Op("st13_delete_fixed", m => {
+        // ONE negative-delta takedown (fresh rotating 1×-range doc ids,
+        // with texts) against the m× streamed ngram-df index: one
+        // tokenize of the takedown batch + one delta write + one flip;
+        // the m-growing terms are the seen-ids semi-join and the
+        // deleted-ids anti-join (both ids-only — bodies of the
+        // committed corpus are never read).
+        val dir = builtNgDfDir(m)
+        val n = st13Ctr.incrementAndGet()
+        val docs = docsOf(1).select("doc_id", "text")
+          .filter(col("doc_id") % 50 === n)
+        graft.streaming.StreamNgramDf.deleteDocs(spark, dir, docs)
+        graft.streaming.Manifest.read(spark, dir).get.size.toLong
+      }),
       Op("st11_append_fixed", m => {
         // steady-state fold of ONE fixed ~(n(1×)/11)-doc batch (fresh
         // ids) into the STREAM-maintained ngram-df index of the m×
@@ -1416,6 +1447,10 @@ object ScaleStress {
       mults.foreach(builtNgDfDir)
     if (ops0.exists(_.name == "x57_delete_fixed"))
       mults.foreach(builtTakedownDir)
+    if (ops0.exists(_.name == "v32_delete_fixed"))
+      mults.foreach(builtStreamDir)
+    if (ops0.exists(_.name == "st13_delete_fixed"))
+      mults.foreach(builtNgDfDir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s
