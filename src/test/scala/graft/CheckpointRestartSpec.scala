@@ -137,4 +137,47 @@ class CheckpointRestartSpec extends AnyFunSuite {
     assert(keys == corpus.map(_._1).toSet,
       s"replayed batch must land exactly once, got $keys")
   }
+
+  test("StreamCurate through a checkpointed crash/restart: corpus and seen index land exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_cur").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_curloc").toString
+    val good = "the data row holds a good long value " * 4
+    def policy(b: org.apache.spark.sql.DataFrame) =
+      b.select("doc_id", "text")
+    val dieOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      graft.streaming.StreamCurate.appendBatch(dir, batch, id, policy)
+      if (id == 1L && dieOnce.getAndSet(false))
+        throw new RuntimeException("injected crash after sink commit")
+    }
+    val input = MemoryStream[(Long, String, Int)]
+    def start() = input.toDS().toDF("doc_id", "text", "n_chars")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(sink _).start()
+
+    val q1 = start()
+    input.addData((1L, good + "a", 200), (2L, good + "b", 200))
+    q1.processAllAvailable()
+    input.addData((3L, good + "c", 200))
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(!q1.isActive)
+
+    val q2 = start()
+    q2.processAllAvailable() // Spark replays batch 1 with the same id
+    input.addData((4L, good + "d", 200))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = graft.streaming.StreamCurate.load(spark, dir).get
+    assert(kept.count() == 4, "each doc must land exactly once")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // the seen index didn't double either: a re-crawl of batch-1 bytes
+    // under a new id stays out
+    graft.streaming.StreamCurate.appendBatch(dir,
+      Seq((30L, good + "c", 200)).toDF("doc_id", "text", "n_chars"),
+      9L, policy)
+    assert(graft.streaming.StreamCurate.load(spark, dir).get.count() == 4)
+  }
 }
