@@ -603,6 +603,104 @@ class StreamBm25Spec extends AnyFunSuite {
     assert(segs.segStats.agg(sum("n_docs")).head.getLong(0) == 5L)
   }
 
+  test("THREE-ACTOR storm: appends vs compactions vs takedowns — claimed ids + declared families hold") {
+    // the r11 contract under fire: an ingest thread appends, a
+    // maintainer folds, and a TAKEDOWN thread deletes a deterministic
+    // slice — all racing read→stage→commit on one manifest. Claimed ids
+    // mean no two maintainers ever share a partition id (the r10
+    // overwrite race); declared families mean a tombstone committed mid
+    // -fold can never misclassify a merged segment. End state must be
+    // bit-equal to scratch over exactly (appended − deleted).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_bm25_storm3").toString
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def docsFor(b: Int): Seq[(Long, String)] =
+      (0 until 4).map(i =>
+        (b * 100L + i, s"${words(i % 6)} ${words((i + b) % 6)} tok${b}x$i"))
+    val lastBatch = 7
+    val victimIds = (0 to lastBatch).map(b => b * 100L) // first doc per batch
+    (0 to 1).foreach(b => StreamBm25.appendBatch(dir,
+      docsFor(b).toDF("doc_id", "text"), b, "doc_id", "text"))
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    val actorErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def actor(body: () => Unit) = new Thread(() => {
+      while (!stop.get()) {
+        try body()
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            cme.incrementAndGet()
+          case t: Throwable => actorErr.set(t); stop.set(true)
+        }
+      }
+    })
+    val maintainer = actor { () =>
+      val cand = StreamBm25.compactionCandidates(spark, dir, smallFrac = 1.1)
+      if (cand.size >= 2)
+        StreamBm25.compactSet(spark, dir, cand,
+          into = StreamBm25.nextMergedId(spark, dir))
+    }
+    val deleter = actor { () =>
+      // re-deletes no-op; ids whose batch hasn't landed yet are out of
+      // scope this pass and caught by the final deterministic sweep
+      StreamBm25.deleteDocs(spark, dir, victimIds.toDF("doc_id"), "doc_id")
+    }
+    maintainer.start(); deleter.start()
+    try {
+      (2 to lastBatch).foreach { b =>
+        var done = false
+        while (!done) {
+          try {
+            StreamBm25.appendBatch(dir, docsFor(b).toDF("doc_id", "text"),
+              b, "doc_id", "text")
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              cme.incrementAndGet()
+          }
+        }
+      }
+    } finally { stop.set(true); maintainer.join(); deleter.join() }
+    assert(actorErr.get() == null, s"an actor died: ${actorErr.get()}")
+    // final deterministic sweep (every victim's batch has landed now)
+    var swept = false
+    while (!swept) {
+      try {
+        StreamBm25.deleteDocs(spark, dir, victimIds.toDF("doc_id"), "doc_id")
+        swept = true
+      } catch {
+        case _: java.util.ConcurrentModificationException => ()
+      }
+    }
+    val survivors = (0 to lastBatch).flatMap(docsFor)
+      .filterNot(d => victimIds.contains(d._1))
+    def servedKeySet(): Set[Long] = StreamBm25.load(spark, dir).get
+      .postings.select("key").distinct().collect().map(_.getLong(0)).toSet
+    // pre-fold: the MASK is exact (keys = survivors), while df/stats
+    // may still count deleted docs from unfolded segments — the
+    // documented Lucene stale-until-merge semantics, so no score
+    // comparison yet
+    assert(servedKeySet() == survivors.map(_._1).toSet,
+      "served keys must be exactly the survivors after the storm")
+    // full physical reclaim after the storm → bit-equality with scratch
+    StreamBm25.compactSet(spark, dir,
+      graft.streaming.Manifest.read(spark, dir).get,
+      into = StreamBm25.nextMergedId(spark, dir))
+    assert(servedKeySet() == survivors.map(_._1).toSet)
+    val queries = Seq(100L -> "alpha delta", 101L -> "zeta beta")
+      .toDF("doc_id", "text")
+    assert(searchRows(TextOps.bm25SearchSegmented(
+        StreamBm25.load(spark, dir).get, queries,
+        "doc_id", "text", k = 5)) ==
+      searchRows(TextOps.bm25Search(
+        TextOps.bm25Index(survivors.toDF("doc_id", "text"),
+          "doc_id", "text"),
+        queries, "doc_id", "text", k = 5)),
+      "post-fold serve must be bit-equal to scratch over the survivors")
+    assert(cme.get() > 0, "the storm should actually contend at least once")
+  }
+
   test("blockRecrawl: the blocklist survives the full fold — a post-reclaim re-crawl stays out") {
     import spark.implicits._
     val dir = ingest(Seq(corpus.take(3), corpus.drop(3)))
