@@ -356,6 +356,32 @@ object ScaleStress {
     val x57Ctr = new java.util.concurrent.atomic.AtomicLong(0)
     val v32Ctr = new java.util.concurrent.atomic.AtomicLong(0)
     val st13Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    // DEDICATED dirs for the delete rows (the x57 discipline): the
+    // shared st8/st11 dirs are mutated by their own rows' warmups
+    // (extra segments/batches land before the timed cells), which
+    // distorted the m=min cells of the first v32/st13 measurements
+    // (r11 second-review #4)
+    val v32Dirs = scala.collection.mutable.Map.empty[Int, String]
+    def builtV32Dir(m: Int): String = v32Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-v32-m$m-").toString
+      val c = embsOf(m)
+      val cells = math.max(16, math.sqrt(c.count().toDouble).toInt)
+      (0 to 2).foreach { i =>
+        graft.streaming.StreamIvf.appendBatch(dir,
+          c.filter(col("vec_id") % 3 === i).select("vec_id", "vec"),
+          i, "vec_id", "vec", nCells = cells)
+      }
+      dir
+    })
+    val st13Dirs = scala.collection.mutable.Map.empty[Int, String]
+    def builtSt13Dir(m: Int): String = st13Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-st13-m$m-").toString
+      graft.streaming.StreamNgramDf.appendBatch(dir,
+        docsOf(m).select("doc_id", "text"), 0L)
+      dir
+    })
     def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-x57-m$m-").toString
@@ -1156,7 +1182,7 @@ object ScaleStress {
         // is the honest linear term at test scale — at 100 TB it is the
         // per-partition id-range/bloom metadata probe, same note as
         // x57_delete_fixed.
-        val dir = builtStreamDir(m)
+        val dir = builtV32Dir(m)
         val n = v32Ctr.incrementAndGet()
         val ids = embsOf(1).select("vec_id")
           .filter(col("vec_id") % 50 === n)
@@ -1171,7 +1197,7 @@ object ScaleStress {
         // the m-growing terms are the seen-ids semi-join and the
         // deleted-ids anti-join (both ids-only — bodies of the
         // committed corpus are never read).
-        val dir = builtNgDfDir(m)
+        val dir = builtSt13Dir(m)
         val n = st13Ctr.incrementAndGet()
         val docs = docsOf(1).select("doc_id", "text")
           .filter(col("doc_id") % 50 === n)
@@ -1448,9 +1474,9 @@ object ScaleStress {
     if (ops0.exists(_.name == "x57_delete_fixed"))
       mults.foreach(builtTakedownDir)
     if (ops0.exists(_.name == "v32_delete_fixed"))
-      mults.foreach(builtStreamDir)
+      mults.foreach(builtV32Dir)
     if (ops0.exists(_.name == "st13_delete_fixed"))
-      mults.foreach(builtNgDfDir)
+      mults.foreach(builtSt13Dir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

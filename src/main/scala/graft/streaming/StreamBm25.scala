@@ -429,9 +429,15 @@ object StreamBm25 {
   def deleteDocs(s: SparkSession, dir: String, ids: DataFrame,
                  idCol: String, blockRecrawl: Boolean = false): Unit = {
     migrateLegacyStats(s, dir)
+    // read the COMMIT BASE generation BEFORE the postings snapshot: a
+    // key appended between the two reads then makes the CAS fail (the
+    // appender committed past our base) instead of being silently
+    // scoped out of the delete against an older postings view (r11
+    // second-review #1 — the postings-first order let a concurrent
+    // append's key slip through a successful commit)
+    val st = Manifest.readLiveWithGen(s, dir)
     val segs = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
-    val st = Manifest.readLiveWithGen(s, dir)
     val live = st.map(_._2).getOrElse(Manifest.Live(
       segs.segStats.select("seg_id").distinct()
         .collect().map(_.getInt(0)).toSet, Set.empty))
@@ -469,8 +475,11 @@ object StreamBm25 {
           Some(id)
         }
       // persistent blocklist: its OWN claimed id + partition, committed
-      // in the SAME flip as the tombstone (atomic: a key is never
-      // blocked-but-not-deleted or deleted-but-not-blocked)
+      // in the SAME flip as any tombstone from this call — one commit
+      // point per deleteDocs invocation. (Across calls the two states
+      // are independent by design: a block-later call commits
+      // block-only, and a plain delete leaves keys deletable-but-
+      // unblocked — the legal-order-arrives-late lifecycle.)
       val blId =
         if (nBlock == 0) None
         else {

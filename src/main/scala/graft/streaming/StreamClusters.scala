@@ -305,9 +305,12 @@ object StreamClusters {
     * maintainer. */
   def deleteNodes(s: SparkSession, dir: String, ids: DataFrame,
                   idCol: String = "id"): Unit = {
+    // commit-base generation BEFORE the members snapshot (the
+    // StreamBm25.deleteDocs ordering): a concurrent append between the
+    // reads fails our CAS instead of slipping its key past the scope
+    val st = Manifest.readLiveWithGen(s, dir)
     val resolved = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no cluster state at $dir"))
-    val st = Manifest.readLiveWithGen(s, dir)
     val live = st.map(_._2).getOrElse(Manifest.Live(
       everUsedIds(s, dir), Set.empty))
     val del = ids.select(col(idCol).as("id")).distinct()

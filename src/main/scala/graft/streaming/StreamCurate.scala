@@ -148,9 +148,12 @@ object StreamCurate {
     * no generation); CAS like every maintainer. */
   def deleteCurated(s: org.apache.spark.sql.SparkSession, dir: String,
                     ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    // commit-base generation BEFORE the corpus snapshot (the
+    // StreamBm25.deleteDocs ordering): a concurrent append between the
+    // reads fails our CAS instead of slipping its key past the scope
+    val st = Manifest.readLiveWithGen(s, dir)
     val corpus = load(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no curated state at $dir"))
-    val st = Manifest.readLiveWithGen(s, dir)
     val live = st.map(_._2).getOrElse(Manifest.Live(
       partitionIds(s, seenDir(dir)) ++ partitionIds(s, corpusDir(dir)),
       Set.empty))

@@ -256,9 +256,12 @@ object StreamIvf {
     * generation); CAS + staged-cleanup like every maintainer. */
   def deleteVecs(s: SparkSession, dir: String, ids: DataFrame,
                  idCol: String, vecCol: String = "vec"): Unit = {
+    // commit-base generation BEFORE the postings snapshot (the
+    // StreamBm25.deleteDocs ordering): a concurrent append between the
+    // reads fails our CAS instead of slipping its key past the scope
+    val st = Manifest.readLiveWithGen(s, dir)
     val idx = load(s, dir, idCol, vecCol).getOrElse(
       throw new IllegalArgumentException(s"no index at $dir"))
-    val st = Manifest.readLiveWithGen(s, dir)
     val live = st.map(_._2).getOrElse(Manifest.Live(
       everUsedIds(s, dir), Set.empty))
     val del = ids.select(col(idCol).as("key")).distinct()

@@ -100,8 +100,12 @@ object StreamNgramDf {
                  idCol: String = "doc_id", textCol: String = "text",
                  n: Int = 3): Unit = {
     val st = Manifest.readLiveWithGen(s, dir)
-    val live = st.map(_._2).getOrElse(Manifest.Live(
-      everUsedIds(s, dir), Set.empty))
+    // no listing fallback here: a manifest-less dir has nothing this
+    // sink ever committed (loadSeenIds would throw below anyway), and a
+    // listing-derived Live would misfile del_id aux partitions into the
+    // data family (r11 second-review #6) — fail loudly instead
+    val live = st.map(_._2).getOrElse(throw new IllegalArgumentException(
+      s"no manifest at $dir — nothing committed to delete from"))
     val seen = loadSeenIds(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no index state at $dir"))
     // one row per id (caller contract: one body per id) — duplicate
@@ -256,6 +260,19 @@ object StreamNgramDf {
       s.read.option("basePath", dfDir(dir)).parquet(paths: _*)
         .groupBy("ng").agg(sum("ndocs").as("ndocs"))
         .filter(col("ndocs") > 0)
+    }
+
+  /** Ids whose gram contributions the index still COUNTS (seen minus
+    * already-deleted) — the set a takedown cascade must be able to
+    * resolve bodies for ([[Takedown.forget]]'s loud-failure guard);
+    * None before the first batch. */
+  def countedIds(s: SparkSession, dir: String): Option[DataFrame] =
+    loadSeenIds(s, dir).map { seen =>
+      Manifest.readLiveWithGen(s, dir).map(_._2)
+        .flatMap(l => deletedIds(s, dir, l.aux)) match {
+        case Some(del) => seen.join(del, Seq("id"), "left_anti")
+        case None => seen
+      }
     }
 
   /** The committed doc ids (the replay guard's view); None before the

@@ -74,9 +74,30 @@ object Takedown {
             "curateDir (run forget BEFORE the bodies are reclaimed)"))
       StreamCurate.load(s, corpusDir) match {
         case Some(corpus) =>
-          val docs = corpus.join(keys, Seq(sinks.idCol), "left_semi")
+          val resolved = corpus.join(keys, Seq(sinks.idCol), "left_semi")
             .select(col(sinks.idCol), col(sinks.textCol))
-          StreamNgramDf.deleteDocs(s, dir, docs, sinks.idCol,
+          // PER-KEY loud-failure guard: a requested key the ngram sink
+          // still COUNTS (seen minus already-deleted) but whose body
+          // the corpus cannot resolve (policy-rejected, tombstoned
+          // outside the cascade) would be silently un-forgettable —
+          // its gram contributions would survive forever once the
+          // bodies are gone. Refuse instead (r11 second-review #2).
+          StreamNgramDf.countedIds(s, dir).foreach { counted =>
+            val unresolved = keys
+              .join(counted.select(col("id").as(sinks.idCol)),
+                Seq(sinks.idCol), "left_semi")
+              .join(resolved.select(sinks.idCol), Seq(sinks.idCol),
+                "left_anti")
+              .limit(5).collect().map(_.get(0))
+            if (unresolved.nonEmpty)
+              throw new IllegalStateException(
+                s"ngram-df index at $dir still counts keys whose bodies " +
+                  s"the corpus at $corpusDir cannot resolve " +
+                  s"(${unresolved.mkString(", ")}…) — their negative " +
+                  "deltas cannot be derived, so the cascade refuses " +
+                  "rather than silently leaving their contributions")
+          }
+          StreamNgramDf.deleteDocs(s, dir, resolved, sinks.idCol,
             sinks.textCol, n)
         case None =>
           // a configured corpus with NO committed state cannot resolve
