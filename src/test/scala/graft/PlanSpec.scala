@@ -206,6 +206,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 2 batch-side documents scans, got $docScans")
   }
 
+  test("takedown family serves stay cartesian-free (v32/st12/st13/x59/x60/m7)") {
+    Seq("v32_ivf_takedown", "st12_cluster_takedown",
+        "st13_ngramdf_takedown", "x59_sig_takedown",
+        "x60_bm25_blocklist", "m7_phash_takedown").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the post-takedown serve must keep the family's banded/" +
+          "blocked equi-join shape — forgetting must not cost the plan")
+    }
+  }
+
+  test("st13 takedown serve: batch scores against the netted deltas — no index-side body rescan") {
+    val p = plan("st13_ngramdf_takedown")
+    // the st11 gate's discipline on the post-takedown form: exactly two
+    // batch-side documents scans; the index side reads only the merged
+    // (ng, ndocs) base (negative deltas already absorbed by the fold)
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 2,
+      s"expected exactly 2 batch-side documents scans, got $docScans")
+  }
+
   test("v31 cell-blocked incremental semantic dedup: block equi-joins + left_anti (no cartesian)") {
     val p = plan("v31_semdedup_incr_ivf")
     assert(!p.contains("CartesianProduct"),
