@@ -38,6 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object Takedown {
 
+  /** Takedown batches above this size resolve bodies via a semi-join
+    * instead of a pushed-down isin predicate (a literal list this long
+    * stops being a planning win). */
+  val MaxPushdownKeys = 100000
+
   /** The configured sink set one logical corpus maintains. Every field
     * None/empty = that sink is not deployed; `forget`/`reclaim` skip it. */
   case class Sinks(
@@ -74,8 +79,20 @@ object Takedown {
             "curateDir (run forget BEFORE the bodies are reclaimed)"))
       StreamCurate.load(s, corpusDir) match {
         case Some(corpus) =>
-          val resolved = corpus.join(keys, Seq(sinks.idCol), "left_semi")
-            .select(col(sinks.idCol), col(sinks.textCol))
+          // resolve the deleted BODIES with a pushed-down id predicate
+          // when the takedown batch is driver-small (they are
+          // human-complaint-sized by nature): an isin filter reaches
+          // the parquet scan and prunes row groups by the id column's
+          // min/max stats, so resolving 100 bodies never scans the
+          // corpus's text column end-to-end — the semi-join fallback
+          // (which does) only engages past the cap
+          val keyVals = keys.limit(MaxPushdownKeys + 1).collect()
+            .map(_.get(0))
+          val resolved = (
+            if (keyVals.length <= MaxPushdownKeys)
+              corpus.filter(col(sinks.idCol).isInCollection(keyVals))
+            else corpus.join(keys, Seq(sinks.idCol), "left_semi")
+          ).select(col(sinks.idCol), col(sinks.textCol))
           // PER-KEY loud-failure guard: a requested key the ngram sink
           // still COUNTS (seen minus already-deleted) but whose body
           // the corpus cannot resolve (policy-rejected, tombstoned
