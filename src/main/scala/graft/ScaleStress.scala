@@ -356,6 +356,7 @@ object ScaleStress {
     val x57Ctr = new java.util.concurrent.atomic.AtomicLong(0)
     val v32Ctr = new java.util.concurrent.atomic.AtomicLong(0)
     val st13Ctr = new java.util.concurrent.atomic.AtomicLong(0)
+    val tdCtr = new java.util.concurrent.atomic.AtomicLong(0)
     // DEDICATED dirs for the delete rows (the x57 discipline): the
     // shared st8/st11 dirs are mutated by their own rows' warmups
     // (extra segments/batches land before the timed cells), which
@@ -382,6 +383,41 @@ object ScaleStress {
         docsOf(m).select("doc_id", "text"), 0L)
       dir
     })
+
+    // the FULL forget cascade per multiplier: all five sinks fed from
+    // the m× corpus, prebuilt outside the timed cells (the one-shot
+    // build is each family's own measured ingest cost); the timed row
+    // is ONE Takedown.forget call — the operator's per-complaint price
+    val cascadeSinks =
+      scala.collection.mutable.Map.empty[Int, graft.streaming.Takedown.Sinks]
+    def builtCascade(m: Int): graft.streaming.Takedown.Sinks =
+      cascadeSinks.getOrElseUpdate(m, {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-td-m$m-").toString
+        val sinks = graft.streaming.Takedown.Sinks(
+          curateDir = Some(s"$root/corpus"),
+          bm25Dir = Some(s"$root/bm25"),
+          bm25BlockRecrawl = true,
+          ivf = Some((s"$root/ivf", "vec_id", "vec")),
+          clustersDir = Some(s"$root/cc"),
+          ngramDf = Some((s"$root/ngdf", 3)))
+        val docs = docsOf(m)
+        graft.streaming.StreamCurate.appendBatch(sinks.curateDir.get,
+          docs.select("doc_id", "text", "n_chars"), 0L,
+          b => b.select("doc_id", "text"))
+        graft.streaming.StreamBm25.appendBatch(sinks.bm25Dir.get,
+          docs.select("doc_id", "text"), 0L, "doc_id", "text")
+        graft.streaming.StreamNgramDf.appendBatch(sinks.ngramDf.get._1,
+          docs.select("doc_id", "text"), 0L)
+        val c = embsOf(m)
+        graft.streaming.StreamIvf.appendBatch(sinks.ivf.get._1,
+          c.select("vec_id", "vec"), 0L, "vec_id", "vec",
+          nCells = math.max(16, math.sqrt(c.count().toDouble).toInt))
+        graft.streaming.StreamClusters.appendBatch(sinks.clustersDir.get,
+          docs.select(col("doc_id").as("id1"),
+            (pmod(col("doc_id"), lit(9973)) + 30000000000L).as("id2")), 0L)
+        sinks
+      })
     def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-x57-m$m-").toString
@@ -1190,6 +1226,19 @@ object ScaleStress {
           "vec_id", "vec")
         graft.streaming.Manifest.read(spark, dir).get.size.toLong
       }),
+      Op("takedown_forget_fixed", m => {
+        // ONE Takedown.forget across ALL FIVE sinks of the m× corpus
+        // (fresh rotating 1×-range ids): the operator's per-complaint
+        // cascade price. Body resolution is an isin-pruned corpus read,
+        // the ngram leg tokenizes only the takedown batch, every other
+        // leg is an ids-only probe + O(batch) write — expect flat.
+        val sinks = builtCascade(m)
+        val n = tdCtr.incrementAndGet()
+        val ids = docsOf(1).select("doc_id")
+          .filter(col("doc_id") % 50 === n)
+        graft.streaming.Takedown.forget(spark, ids, sinks)
+        ids.count()
+      }),
       Op("st13_delete_fixed", m => {
         // ONE negative-delta takedown (fresh rotating 1×-range doc ids,
         // with texts) against the m× streamed ngram-df index: one
@@ -1477,6 +1526,8 @@ object ScaleStress {
       mults.foreach(builtV32Dir)
     if (ops0.exists(_.name == "st13_delete_fixed"))
       mults.foreach(builtSt13Dir)
+    if (ops0.exists(_.name == "takedown_forget_fixed"))
+      mults.foreach(builtCascade)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s
