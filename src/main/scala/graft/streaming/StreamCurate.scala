@@ -64,6 +64,7 @@ object StreamCurate {
   private def seenDir(dir: String) = s"$dir/seen"
   private def corpusDir(dir: String) = s"$dir/corpus"
   private def tombDir(dir: String) = s"$dir/tombstones"
+  private def digestMapDir(dir: String) = s"$dir/digestmap"
 
   /** Tombstone partition ids present under the dir (the negative-id
     * ledger leg the takedown family contributes). */
@@ -205,6 +206,10 @@ object StreamCurate {
       .parquet(s"${corpusDir(dir)}/batch_id=$into")
     seenD.drop("batch_id").write.mode("overwrite")
       .parquet(s"${seenDir(dir)}/batch_id=$into")
+    // the content-address map rides through like the seen index (absent
+    // on dirs whose batches all predate it)
+    digestMap(s, dir).foreach(_.drop("batch_id").write.mode("overwrite")
+      .parquet(s"${digestMapDir(dir)}/batch_id=$into"))
     try Manifest.commitAfter(s, dir, Set(into),
       basedOn = st.map(_._1).getOrElse(-1))
     catch {
@@ -212,11 +217,68 @@ object StreamCurate {
         // lost the CAS: reclaim the staged base partitions (claimed id)
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq(corpusDir(dir), seenDir(dir)).foreach(d => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"), true))
+        Seq(corpusDir(dir), seenDir(dir), digestMapDir(dir)).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"),
+            true))
         throw e
     }
   }
+
+  /** CONTENT-ADDRESSED takedown: forget by the BYTES, not by internal
+    * ids — the shape a DMCA/right-to-be-forgotten request actually
+    * arrives in. `texts` rows are digested (the same md5 the seen index
+    * keys on), resolved to corpus ids through the maintained
+    * content-address map ([[appendBatch]]'s `digestmap` table), and
+    * handed to [[deleteCurated]] — everything downstream (mask,
+    * re-crawl blocking via the untouched seen index, compaction
+    * reclaim, vacuum) is the by-id lifecycle.
+    *
+    * LOUD per-digest guard: a requested digest the seen index KNOWS but
+    * the map cannot resolve means the doc entered before the map
+    * existed (a pre-upgrade batch) — silently skipping would report a
+    * forget that never happened, so the call refuses and names the
+    * digests; the operator deletes those by id (the map covers
+    * everything ingested since). Digests never seen at all are no-ops
+    * (unknown content). */
+  def deleteCuratedByContent(s: org.apache.spark.sql.SparkSession,
+                             dir: String, texts: DataFrame,
+                             textCol: String = "text"): Unit =
+    resolveContentIds(s, dir, texts, textCol).foreach(ids =>
+      deleteCurated(s, dir, ids, "doc_id"))
+
+  /** Resolve content (bytes) to the corpus ids that carry it — the
+    * content-addressed entry point [[deleteCuratedByContent]] and
+    * [[Takedown.forgetByContent]] share. Returns a one-column
+    * (`doc_id`) frame; None = nothing ever ingested. Throws the
+    * pre-map loud refusal described on [[deleteCuratedByContent]]. */
+  private[streaming] def resolveContentIds(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      texts: DataFrame, textCol: String): Option[DataFrame] = {
+    val digests = texts.select(md5(col(textCol)).as("digest")).distinct()
+    val known = seen(s, dir) match {
+      case Some(sd) => digests.join(sd.select("digest"), Seq("digest"),
+        "left_semi")
+      case None => return None // nothing ever ingested
+    }
+    val mapped = digestMap(s, dir).map(m =>
+      known.join(m.select("digest", "id"), Seq("digest"), "left"))
+      .getOrElse(known.withColumn("id", lit(null).cast("long")))
+    val unresolved = mapped.filter(col("id").isNull)
+      .select("digest").limit(5).collect().map(_.getString(0))
+    if (unresolved.nonEmpty)
+      throw new IllegalStateException(
+        s"content known to $dir but ingested before the digest map " +
+          s"existed (${unresolved.mkString(", ")}…) — content-addressed " +
+          "takedown cannot resolve their ids; delete those by id")
+    Some(mapped.select(col("id").as("doc_id")))
+  }
+
+  /** The maintained (digest, id) content-address map, snapshot-isolated
+    * like every state table; None when no live batch has one (all
+    * batches predate the map). */
+  private def digestMap(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[DataFrame] =
+    snapshotRead(s, dir, digestMapDir(dir), asOfGen = None)
 
   /** Reclaim time-travel history ([[Manifest.vacuumHistory]]): corpus,
     * seen, and tombstone partitions no generation serves anymore are
@@ -228,7 +290,7 @@ object StreamCurate {
              retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
         corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
-        tombDir(dir) -> "ts_id="),
+        digestMapDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** `foreachBatch` sink body: micro-batch → first-seen dedup against
@@ -276,7 +338,8 @@ object StreamCurate {
     val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
       batchId.toInt, seenDir(dir), Seq(
         s"${seenDir(dir)}/batch_id=${batchId.toInt}",
-        s"${corpusDir(dir)}/batch_id=${batchId.toInt}"))
+        s"${corpusDir(dir)}/batch_id=${batchId.toInt}",
+        s"${digestMapDir(dir)}/batch_id=${batchId.toInt}"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__digest").orderBy(col("doc_id"))
     val firstInBatch = batch.withColumn("__digest", md5(col("text")))
@@ -305,6 +368,17 @@ object StreamCurate {
       fresh.select(lit(batchId.toInt).as("batch_id"),
           col("__digest").as("digest"))
         .write.mode("append").partitionBy("batch_id").parquet(seenDir(dir))
+      // the CONTENT-ADDRESS map (digest → id), written going forward
+      // next to the seen index as its OWN table — content-addressed
+      // takedown ([[deleteCuratedByContent]]) resolves ids from it.
+      // A separate family instead of a seen-schema change: no
+      // mixed-schema partition reads, no migration; pre-upgrade batches
+      // simply have no map partition and content-deleting their docs
+      // fails loudly (the by-id verb still covers them).
+      fresh.select(lit(batchId.toInt).as("batch_id"),
+          col("__digest").as("digest"), col("doc_id").as("id"))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(digestMapDir(dir))
       val survivors = curate(fresh.drop("__digest"))
       survivors.select(lit(batchId.toInt).as("batch_id") +:
           survivors.columns.map(col): _*)

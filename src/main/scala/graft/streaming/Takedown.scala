@@ -144,6 +144,27 @@ object Takedown {
       keys, sinks.idCol))
   }
 
+  /** [[forget]] addressed by CONTENT instead of ids — the shape a
+    * DMCA/right-to-be-forgotten request actually arrives in: the bytes
+    * are digested and resolved to corpus ids through the curation
+    * sink's content-address map ([[StreamCurate.deleteCuratedByContent]]
+    * semantics, including the loud pre-map refusal), then the full
+    * id-keyed cascade runs. Requires `curateDir` (the map lives there). */
+  def forgetByContent(s: SparkSession, texts: DataFrame, sinks: Sinks,
+                      textCol: String = "text"): Unit = {
+    val corpusDir = sinks.curateDir.getOrElse(
+      throw new IllegalArgumentException(
+        "content-addressed forget resolves ids through the curation " +
+          "sink's digest map: configure curateDir"))
+    StreamCurate.resolveContentIds(s, corpusDir, texts, textCol)
+      .foreach { ids =>
+        val keyed =
+          if (sinks.idCol == "doc_id") ids
+          else ids.select(col("doc_id").as(sinks.idCol))
+        forget(s, keyed, sinks)
+      }
+  }
+
   /** Phase 2 — physical reclaim: fold every configured sink (the merge
     * absorbs masks and negative deltas) and vacuum its history under
     * `retainMillis` (None = expire everything but the latest snapshot

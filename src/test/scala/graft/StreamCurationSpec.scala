@@ -221,6 +221,52 @@ class StreamCurationSpec extends AnyFunSuite {
       "after vacuum no on-disk corpus file may still hold a deleted body")
   }
 
+  test("content-addressed takedown: forget by BYTES via the digest map; pre-map content refuses loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_cur_bytes").toString
+    val good = "the data row holds a good long value " * 4
+    def policy(b: org.apache.spark.sql.DataFrame) =
+      b.select("doc_id", "text")
+    // a PRE-UPGRADE deployment: seen + corpus partitions on disk, no
+    // digest map, no manifest (adopted on first touch)
+    Seq((0, good + "legacy")).toDF("batch_id", "text")
+      .select(col("batch_id"), md5(col("text")).as("digest"))
+      .write.partitionBy("batch_id").parquet(s"$dir/seen")
+    Seq((0, 100L, good + "legacy")).toDF("batch_id", "doc_id", "text")
+      .write.partitionBy("batch_id").parquet(s"$dir/corpus")
+    StreamCurate.appendBatch(dir, Seq(
+        (1L, good + "alpha", 200), (2L, good + "beta", 200))
+      .toDF("doc_id", "text", "n_chars"), 5L, policy)
+    def kept() = StreamCurate.load(spark, dir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept() == Set(100L, 1L, 2L))
+    // forget by bytes: the post-upgrade doc resolves through the map
+    StreamCurate.deleteCuratedByContent(spark, dir,
+      Seq(good + "alpha").toDF("text"))
+    assert(kept() == Set(100L, 2L))
+    // idempotent + unknown content no-ops (no new generation)
+    val gens = graft.streaming.Manifest.generations(spark, dir)
+    StreamCurate.deleteCuratedByContent(spark, dir,
+      Seq(good + "alpha", "never ingested bytes").toDF("text"))
+    assert(graft.streaming.Manifest.generations(spark, dir) == gens)
+    // pre-map content is KNOWN to seen but unresolvable — loud refusal,
+    // never a silent skip (the by-id verb still covers it)
+    val e = intercept[IllegalStateException] {
+      StreamCurate.deleteCuratedByContent(spark, dir,
+        Seq(good + "legacy").toDF("text"))
+    }
+    assert(e.getMessage.contains("digest map"))
+    StreamCurate.deleteCurated(spark, dir, Seq(100L).toDF("doc_id"))
+    assert(kept() == Set(2L))
+    // the map rides compaction: content-deleting post-fold still works
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    StreamCurate.deleteCuratedByContent(spark, dir,
+      Seq(good + "beta").toDF("text"))
+    assert(kept().isEmpty)
+  }
+
   test("mixed-idCol takedowns: each tombstone masks on ITS key column; neither resurfaces") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream_cur_mix").toString

@@ -128,4 +128,40 @@ class TakedownSpec extends AnyFunSuite {
     assert(leaked.isEmpty,
       s"no on-disk file may hold deleted content after reclaim: $leaked")
   }
+
+  test("forgetByContent: the DMCA shape — bytes in, full cascade out") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("takedown_c").toString
+    val sinks = Takedown.Sinks(
+      curateDir = Some(s"$root/corpus"),
+      bm25Dir = Some(s"$root/bm25"),
+      ngramDf = Some((s"$root/ngdf", 3)))
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    val docs = (1L to 6L).map(i => (i, body + s"marker$i", 200))
+      .toDF("doc_id", "text", "n_chars")
+    StreamCurate.appendBatch(sinks.curateDir.get, docs, 0L,
+      b => b.select("doc_id", "text"))
+    StreamBm25.appendBatch(sinks.bm25Dir.get,
+      docs.select("doc_id", "text"), 0L, "doc_id", "text")
+    StreamNgramDf.appendBatch(sinks.ngramDf.get._1,
+      docs.select("doc_id", "text"), 0L)
+    // the complaint arrives as BYTES (doc 3's exact text), not an id
+    Takedown.forgetByContent(spark,
+      Seq(body + "marker3").toDF("text"), sinks)
+    assert(!StreamCurate.load(spark, sinks.curateDir.get).get
+      .select("doc_id").collect().map(_.getLong(0)).contains(3L))
+    assert(StreamBm25.load(spark, sinks.bm25Dir.get).get
+      .postings.filter(col("key") === 3L).count() == 0)
+    val survivors = docs.filter(col("doc_id") =!= 3L)
+    assert(StreamNgramDf.load(spark, sinks.ngramDf.get._1).get
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      graft.ext.TextOps.ngramDf(survivors.select("doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // unknown bytes: a clean no-op across the cascade
+    val gens = Manifest.generations(spark, sinks.curateDir.get)
+    Takedown.forgetByContent(spark,
+      Seq("bytes never ingested").toDF("text"), sinks)
+    assert(Manifest.generations(spark, sinks.curateDir.get) == gens)
+  }
 }
