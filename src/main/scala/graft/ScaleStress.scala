@@ -418,6 +418,29 @@ object ScaleStress {
             (pmod(col("doc_id"), lit(9973)) + 30000000000L).as("id2")), 0L)
         sinks
       })
+    // st14: curated dirs per multiplier — batch 0 = the m× corpus,
+    // batch 1 = a FIXED fresh-id/fresh-text delta, then a FIXED-size
+    // takedown (copy-0 ids only) — so the diff window (gen after batch
+    // 0 → latest) stays constant-size while the shared history grows m×
+    val st14Dirs = scala.collection.mutable.Map.empty[Int, (String, Int)]
+    def builtDiffDir(m: Int): (String, Int) = st14Dirs.getOrElseUpdate(m, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-st14-m$m-").toString
+      val docs = docsOf(m).select("doc_id", "text")
+      graft.streaming.StreamCurate.appendBatch(dir, docs, 0L,
+        b => b.select("doc_id"))
+      val genA = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+      val delta = docsOf(1).filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 90000000000L).as("doc_id"),
+          concat(lit("delta "), col("text")).as("text"))
+      graft.streaming.StreamCurate.appendBatch(dir, delta, 1L,
+        b => b.select("doc_id"))
+      graft.streaming.StreamCurate.deleteCurated(spark, dir,
+        docs.select("doc_id")
+          .filter(col("doc_id") < 10000000L && col("doc_id") % 101 === 7))
+      (dir, genA)
+    })
+
     def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-x57-m$m-").toString
@@ -1194,6 +1217,34 @@ object ScaleStress {
         val dir = builtClusterDir(m)
         graft.streaming.StreamClusters.load(spark, dir).get.count()
       }),
+      Op("x61_containment", m => {
+        // asymmetric containment: per-copy token salt (cross-copy
+        // shingle sharing removed — the x7 discipline, token-level here
+        // because the kernel tokenizes internally), so rare-shingle df
+        // stays at its 1× value per copy and candidate pairs must grow
+        // exactly linearly; superlinear wall = the df cap failing.
+        val salted = docsOf(m).select(col("doc_id"),
+          concat_ws(" ", transform(TextOps.tokens(col("text")),
+            t => concat(t, lit("#"), col("copy")))).as("text"))
+        Dedup.containmentPairs(salted, "doc_id", "text", n = 5,
+          maxDf = 20, threshold = 0.4).count()
+      }),
+      Op("st14_diff_fixed", m => {
+        // snapshot diff over a FIXED window (one fresh-id delta batch +
+        // one fixed copy-0 takedown) as the shared history grows m×:
+        // the fast path reads the delta partitions and probes A with a
+        // pushed-down isin — expect the wall to track the delta, not
+        // the corpus (row-group pruning carries the m-growth).
+        val (dir, genA) = builtDiffDir(m)
+        graft.streaming.StreamCurate.diffSnapshots(spark, dir,
+          Some(genA), None, "doc_id").count()
+      }),
+      Op("x62_fingerprint", m => {
+        // order-invariant corpus checksum: one scan, map-side-combined
+        // XOR — the audit that must stay a single cheap pass at 100 TB.
+        TextOps.corpusFingerprint(docsOf(m), Seq("doc_id", "text"),
+          Seq("lang")).count()
+      }),
       Op("x57_delete_fixed", m => {
         // ONE takedown batch (a fresh ~n(1×)/50 id slice per call — the
         // scoping makes re-deleting the same ids a no-op, so repeated
@@ -1528,6 +1579,8 @@ object ScaleStress {
       mults.foreach(builtSt13Dir)
     if (ops0.exists(_.name == "takedown_forget_fixed"))
       mults.foreach(builtCascade)
+    if (ops0.exists(_.name == "st14_diff_fixed"))
+      mults.foreach(builtDiffDir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

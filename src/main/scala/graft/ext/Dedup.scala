@@ -313,6 +313,77 @@ object Dedup {
           .as("contam_frac"))
   }
 
+  /** ASYMMETRIC containment near-dup — the "small doc quoted inside a
+    * big one" detector the symmetric MinHash family structurally misses:
+    * containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| stays 1.0 when A's
+    * shingles all appear in a much larger B, while symmetric Jaccard
+    * |A∩B|/|A∪B| → |A|/|B| → 0 (so x7/x19/x23's thresholds never fire).
+    * The classic curation case: a license block, a syndicated article, a
+    * benchmark prompt embedded verbatim in a longer crawl page.
+    *
+    * Candidates come from RARE shingles (corpus df ≤ `maxDf`): a
+    * contained doc shares ALL its shingles with its container, so any
+    * rare shingle of the contained side lights the pair — no all-pairs
+    * comparison at any scale, and each rare shingle contributes at most
+    * df²/2 ≤ maxDf²/2 pairs (the bucket-cap discipline; a doc NONE of
+    * whose shingles are rare — pure boilerplate at corpus scale — is the
+    * documented recall envelope, and is exactly what [[segmentDedup]] /
+    * [[boilerplateRemove]] already handle). Exact containment is then
+    * computed per candidate pair from the two docs' full shingle sets
+    * (one candidate-sized join each side; bodies never shuffle — only
+    * shingle arrays of candidate docs).
+    *
+    * Direction: the side with FEWER distinct shingles (ties → smaller
+    * id) is reported as contained. Output:
+    * (id_contained, id_container, containment ≥ `threshold`).
+    *
+    * Scale shape: one tokenize scan, one df groupBy on shingle text, one
+    * bounded equi-join on rare shingles, one candidate-sized exact
+    * recheck. The shingle table is referenced three times (df, join
+    * legs, exact sets) — persisted for the call like
+    * [[minHashCandidates]]'s signature table (ContextCleaner reclaims
+    * when the plan is dropped). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, maxDf: Int = 20,
+                       threshold: Double = 0.8): DataFrame = {
+    // materialized `toks` under the shingle lambda (the x26 HOF rule)
+    val sets = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("__cid"),
+        TextOps.shingles(col("__toks"), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .persist()
+    val posting = sets.select(col("__cid"), explode(col("__sh")).as("ng"))
+    val rareNg = posting.groupBy("ng").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("ng")
+    val rare = posting.join(rareNg, Seq("ng"))
+    val cand = rare.select(col("ng"), col("__cid").as("id_a"))
+      .join(rare.select(col("ng"), col("__cid").as("id_b")), Seq("ng"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val contained = cand
+      .join(sets.select(col("__cid").as("id_a"), col("__sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("__cid").as("id_b"), col("__sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("__a_small",
+        size(col("sh_a")) < size(col("sh_b")) ||
+          (size(col("sh_a")) === size(col("sh_b")) &&
+            col("id_a") < col("id_b")))
+      .select(
+        when(col("__a_small"), col("id_a")).otherwise(col("id_b"))
+          .as("id_contained"),
+        when(col("__a_small"), col("id_b")).otherwise(col("id_a"))
+          .as("id_container"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 6)
+          .as("containment"))
+    contained.filter(col("containment") >= threshold)
+  }
+
   /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" shape
     * adapted to untokenized text: chop each document into non-overlapping
     * `segTokens`-token segments, keep only the globally FIRST occurrence

@@ -802,6 +802,79 @@ object TextOps {
     when(uni === 0, lit(null)).otherwise(inter / uni)
   }
 
+  /** ORDER-INVARIANT corpus fingerprint — the reproducibility checksum
+    * two sites (or two snapshots) compare to verify they hold the
+    * IDENTICAL corpus without moving a byte of it: per group, the XOR of
+    * a 60-bit md5 prefix over the concatenated key columns, plus the row
+    * count. XOR is commutative/associative, so the fingerprint is
+    * partition-, order- and engine-invariant (the DuckDB oracle
+    * replicates it bit-for-bit), and any changed, missing or extra row
+    * flips it; an exact-duplicate row pair cancels in the XOR but moves
+    * the count (both must match). Collision space is 2⁶⁰ per group —
+    * fine for an audit, not a cryptographic commitment.
+    *
+    * Scale shape: one scan + one partial-aggregated groupBy (XOR
+    * map-side-combines), so the 100 TB fingerprint costs one pass and
+    * shuffles only group keys. Compaction/replication invariance of a
+    * maintained corpus snapshot follows for free (FingerprintSpec pins
+    * it across [[graft.streaming.StreamCurate.compact]]). */
+  def corpusFingerprint(df: org.apache.spark.sql.DataFrame,
+                        keyCols: Seq[String],
+                        groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val h = conv(substring(md5(concat_ws("|", keyCols.map(col): _*)),
+      1, 15), 16, 10).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), bit_xor(h).as("fingerprint"))
+  }
+
+  /** POPULATION-STABILITY-INDEX drift between a reference corpus slice
+    * and a new batch over a binned feature — the pipeline monitor that
+    * answers "does today's crawl still look like the corpus?" before the
+    * batch is allowed in. PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) over
+    * the shared bins, with add-one (Laplace) smoothing so an empty bin
+    * on either side contributes a finite, honest penalty instead of ∞.
+    * Conventional read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 act.
+    *
+    * Output: one row per bin (smoothed shares + signed contribution,
+    * round 6) plus a `bin = -1` summary row carrying the total PSI in
+    * `contrib` — the number a monitor alerts on. Scale shape: two
+    * scans' worth of partial-agg groupBy on the bin key (metadata-sized
+    * from there) — no joins wider than nBins rows, nothing shuffles but
+    * bin counts. */
+  def psiDrift(ref: org.apache.spark.sql.DataFrame,
+               cur: org.apache.spark.sql.DataFrame,
+               bin: Column, nBins: Int): org.apache.spark.sql.DataFrame = {
+    def shares(df: org.apache.spark.sql.DataFrame, share: String)
+        : org.apache.spark.sql.DataFrame = {
+      val counts = df.select(bin.cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("__tot"))
+      // all nBins bins exist on both sides (Laplace-smoothed), so the
+      // join below never drops a bin observed on only one side
+      val allBins = ref.sparkSession.range(nBins)
+        .select(col("id").as("bin"))
+      allBins.join(counts, Seq("bin"), "left")
+        .crossJoin(broadcast(total)) // 1 row: the total
+        .select(col("bin"),
+          ((coalesce(col("n"), lit(0L)) + lit(1.0)) /
+            (col("__tot") + lit(nBins.toDouble))).as(share))
+    }
+    val joined = shares(ref, "p_ref").join(shares(cur, "p_cur"), Seq("bin"))
+      .withColumn("contrib",
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+    val bins = joined.select(col("bin"),
+      round(col("p_ref"), 6).as("p_ref"),
+      round(col("p_cur"), 6).as("p_cur"),
+      round(col("contrib"), 6).as("contrib"))
+    // total PSI summed over the ROUNDED contributions (both engines sum
+    // the same 6-dp values — sum-order float drift can't reach 6 dp on
+    // nBins terms)
+    val total = bins.agg(round(sum(col("contrib")), 6).as("contrib"))
+      .select(lit(-1L).as("bin"), lit(1.0).as("p_ref"),
+        lit(1.0).as("p_cur"), col("contrib"))
+    bins.unionByName(total)
+  }
+
   /** Deterministic uniform [0,1) from a row id — md5-prefix, NOT
     * `rand()`: reproducible across runs, engines and partitionings (the
     * DuckDB oracles replicate it bit-for-bit — the hashedTfIdf

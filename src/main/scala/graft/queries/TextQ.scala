@@ -545,9 +545,11 @@ object TextQ {
     * out structurally (StreamCurationSpec pins the lifecycle). */
   private val x58Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def takedownCuration(s: SparkSession, d: String): DataFrame =
-    x58Cache.synchronized {
-      x58Cache.getOrElseUpdate((s, d), {
+  private val x58DirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def takedownCurationDir(s: SparkSession, d: String): String =
+    x58DirCache.synchronized {
+      x58DirCache.getOrElseUpdate((s, d), {
         val spec = "v1 3batches mod3 x53policy delete=%10==0 fullcompact"
         def build(dir: String): Unit = {
           ingestCuration(s, d, dir)
@@ -557,7 +559,7 @@ object TextQ {
           graft.streaming.StreamCurate.compact(s, dir,
             into = graft.streaming.StreamCurate.nextCompactId(s, dir))
         }
-        val dir = graft.ArtifactStore.dirArtifact(d, "x58cur", spec) match {
+        graft.ArtifactStore.dirArtifact(d, "x58cur", spec) match {
           case Some((p, true)) => p.toString
           case Some((p, false)) =>
             build(p.toString)
@@ -569,6 +571,12 @@ object TextQ {
             build(p.toString)
             p.toString
         }
+      })
+    }
+  private def takedownCuration(s: SparkSession, d: String): DataFrame =
+    x58Cache.synchronized {
+      x58Cache.getOrElseUpdate((s, d), {
+        val dir = takedownCurationDir(s, d)
         val out = graft.streaming.StreamCurate.load(s, dir).get
           .select("doc_id", "lang", "source").persist()
         out.count()
@@ -1155,6 +1163,33 @@ object TextQ {
     "x58_curate_takedown" -> ((s, d) =>
       takedownCuration(s, d).orderBy("doc_id")),
 
+    // ST14 — CROSS-GENERATION SNAPSHOT DIFF, the reproducibility-audit
+    // verb ([[graft.streaming.StreamCurate.diffSnapshots]]): exactly
+    // which rows the corpus a reader pinned to snapshot B serves that
+    // snapshot A's reader did not, and vice versa. Runs on x58's
+    // lifecycle dir — A = the second commit (arrival batches 0-1),
+    // B = latest (batch 2 + the %10 takedown + physical reclaim) — so
+    // added = batch-2 survivors not taken down, removed = batch-0/1
+    // rows the takedown forgot. The window crosses a compaction fold,
+    // exercising the general EXCEPT path; SnapshotDiffSpec pins the
+    // partition-pruned fast path (forward-only windows read only the
+    // delta) ≡ general. Oracle = st9's kept-set SQL split by arrival
+    // batch (doc_id % 3) and the takedown slice (doc_id % 10).
+    "st14_corpus_diff" -> ((s, d) => {
+      val dir = takedownCurationDir(s, d)
+      // A = the commit at which exactly arrival batches 0 and 1 are
+      // live (self-describing — the manifest also carries a gen-0
+      // birth commit, so positional indexing would be off by one)
+      val genA = graft.streaming.Manifest.generations(s, dir).find { g =>
+        graft.streaming.Manifest.readLiveAt(s, dir, Some(g))
+          .exists(l => l.data == Set(0, 1) && l.tombs.isEmpty)
+      }.getOrElse(sys.error(s"no batches-0-1 generation at $dir"))
+      graft.streaming.StreamCurate.diffSnapshots(s, dir,
+          Some(genA), None, "doc_id")
+        .select("change", "doc_id", "lang", "source")
+        .orderBy("change", "doc_id")
+    }),
+
     // X27 — temperature-scaled mixture sampling (the multilingual
     // re-weighting step): per-lang keep rates computed FROM corpus counts
     // with τ=0.5 — en (44% of the fixture) flattens to ~35% of the
@@ -1177,6 +1212,61 @@ object TextQ {
       Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
           segTokens = 10)
         .orderBy("doc_id")),
+
+    // X62 — ORDER-INVARIANT corpus fingerprint
+    // ([[TextOps.corpusFingerprint]]): per-lang XOR of a 60-bit md5
+    // prefix + row count — the reproducibility checksum two sites (or
+    // two snapshots: FingerprintSpec pins invariance across compaction)
+    // compare to verify they hold the identical corpus without moving
+    // it. One scan, map-side-combined, shuffles only group keys.
+    "x62_corpus_fingerprint" -> ((s, d) =>
+      TextOps.corpusFingerprint(Tables.documents(s, d),
+          keyCols = Seq("doc_id", "text"), groupCols = Seq("lang"))
+        .orderBy("lang")),
+
+    // X64 — per-SHARD fingerprints ([[TextOps.corpusFingerprint]] over
+    // x37's shard assignment): the checksums a training job records
+    // next to its shard manifests and verifies at data-load time —
+    // any swapped, truncated or re-written shard fails its checksum
+    // before a single step trains on it. Same one-scan map-side XOR.
+    "x64_shard_fingerprint" -> ((s, d) =>
+      TextOps.corpusFingerprint(
+          TextOps.trainingShards(Tables.documents(s, d), "doc_id",
+            nShards = 8),
+          keyCols = Seq("doc_id", "text"), groupCols = Seq("shard"))
+        .orderBy("shard")),
+
+    // X63 — PSI drift monitor ([[TextOps.psiDrift]]): population
+    // stability index of the newest arrival batch (doc_id % 3 == 2, the
+    // st9 batch framing) against the already-ingested slice, over
+    // doc-length decile bins — "does today's crawl still look like the
+    // corpus?" before the batch is admitted. Laplace-smoothed shares
+    // (empty bins contribute a finite penalty), per-bin contributions +
+    // the bin=-1 total row a monitor alerts on (<0.1 stable, >0.25 act).
+    // Two partial-agg groupBys on the bin key; nothing wider than
+    // nBins rows ever joins or shuffles.
+    "x63_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.psiDrift(
+          docs.filter(col("doc_id") % 3 =!= 2),
+          docs.filter(col("doc_id") % 3 === 2),
+          least(floor(col("n_chars") / 100), lit(9)), nBins = 10)
+        .orderBy("bin")
+    }),
+
+    // X61 — ASYMMETRIC containment near-dup ([[Dedup.containmentPairs]]):
+    // C(A→B) = |S(A)∩S(B)|/|S(A)| over distinct 5-gram shingles — the
+    // "small doc embedded verbatim in a big one" detector symmetric
+    // Jaccard structurally misses (|A∩B|/|A∪B| → |A|/|B| → 0 as the
+    // container grows, so x7/x19/x23 never fire). Candidates from RARE
+    // shingles only (df ≤ 20 — a contained doc shares ALL its shingles,
+    // so any rare one lights the pair; ≤ df²/2 pairs per shingle keeps
+    // candidate generation bounded at any corpus size), then exact
+    // containment on the candidate pairs' full shingle sets.
+    "x61_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 5, maxDf = 20, threshold = 0.4)
+        .orderBy("id_contained", "id_container")),
 
     // X29 — segment-overlap decontamination via a broadcast BLOOM
     // prefilter: train docs (doc_id % 7 != 0) sharing ANY 10-token
@@ -2131,6 +2221,58 @@ object TextQ {
                / 16777216.0
                < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END
          ORDER BY d.doc_id""",
+    "st14_corpus_diff" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         firstseen AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id % 3, doc_id) AS rk
+               FROM documents),
+         kept AS (
+           SELECT d.doc_id, d.lang, d.source
+           FROM documents d JOIN firstseen USING (doc_id)
+           WHERE firstseen.rk = 1 AND d.doc_id % 7 <> 0
+             AND d.doc_id IN (SELECT doc_id FROM keep_q)
+             AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+             AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+                 / 16777216.0
+                 < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END)
+         SELECT 'added' AS change, doc_id, lang, source FROM kept
+         WHERE doc_id % 3 = 2 AND doc_id % 10 <> 0
+         UNION ALL
+         SELECT 'removed' AS change, doc_id, lang, source FROM kept
+         WHERE doc_id % 3 <> 2 AND doc_id % 10 = 0
+         ORDER BY change, doc_id""",
     "x53_incremental_curation" ->
       """WITH t AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
@@ -2605,6 +2747,76 @@ object TextQ {
            round(count(b.ng) / CAST(count(*) AS DOUBLE), 6) AS contam_frac
          FROM g LEFT JOIN b USING (ng) WHERE g.doc_id % 7 <> 0
          GROUP BY 1 ORDER BY 1""",
+    "x62_corpus_fingerprint" ->
+      """SELECT lang, count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "x64_shard_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+           CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                           AS INTEGER) / 16777216.0 * 8) AS INTEGER) AS shard
+         FROM documents)
+         SELECT shard, count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
+         FROM t GROUP BY shard ORDER BY shard""",
+    "x63_drift_psi" ->
+      """WITH rb AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin
+                     FROM documents WHERE doc_id % 3 <> 2),
+         cb AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin
+                FROM documents WHERE doc_id % 3 = 2),
+         bins AS (SELECT unnest(range(0, 10)) AS bin),
+         rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+         cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+         rt AS (SELECT count(*) AS t FROM rb),
+         ct AS (SELECT count(*) AS t FROM cb),
+         p AS (SELECT bins.bin,
+                 (COALESCE(rc.n, 0) + 1.0) / (rt.t + 10.0) AS p_ref,
+                 (COALESCE(cc.n, 0) + 1.0) / (ct.t + 10.0) AS p_cur
+               FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+               CROSS JOIN rt CROSS JOIN ct),
+         b AS (SELECT bin, round(p_ref, 6) AS p_ref,
+                 round(p_cur, 6) AS p_cur,
+                 round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS contrib
+               FROM p)
+         SELECT bin, p_ref, p_cur, contrib FROM b
+         UNION ALL
+         SELECT -1 AS bin, 1.0 AS p_ref, 1.0 AS p_cur,
+           round(sum(contrib), 6) AS contrib FROM b
+         ORDER BY bin""",
+    "x61_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] || ' ' || toks[i+4]
+                   FOR i IN range(1, len(toks) - 3)]) AS sh
+               FROM t WHERE len(toks) >= 5),
+         s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         g AS (SELECT doc_id, unnest(sh) AS ng FROM s2),
+         rare AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= 20),
+         rg AS (SELECT g.doc_id, g.ng FROM g JOIN rare USING (ng)),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM rg a JOIN rg b USING (ng) WHERE a.doc_id < b.doc_id),
+         x AS (SELECT ia, ib, sa.sh AS sha, sb.sh AS shb
+               FROM cand
+               JOIN s2 sa ON sa.doc_id = cand.ia
+               JOIN s2 sb ON sb.doc_id = cand.ib),
+         d AS (SELECT
+                 CASE WHEN len(sha) < len(shb)
+                        OR (len(sha) = len(shb) AND ia < ib)
+                   THEN ia ELSE ib END AS id_contained,
+                 CASE WHEN len(sha) < len(shb)
+                        OR (len(sha) = len(shb) AND ia < ib)
+                   THEN ib ELSE ia END AS id_container,
+                 round(len(list_intersect(sha, shb))
+                   / CAST(least(len(sha), len(shb)) AS DOUBLE), 6)
+                   AS containment
+               FROM x)
+         SELECT id_contained, id_container, containment FROM d
+         WHERE containment >= 0.4
+         ORDER BY id_contained, id_container""",
     "x27_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS pn FROM c),

@@ -61,6 +61,11 @@ object StreamCurate {
   // family's member of the maintained-artifact streaming set (st6/st7
   // sparse index, st8 dense index, st9 curated corpus).
 
+  /** [[Takedown.MaxPushdownKeys]]'s rationale: key sets at or below
+    * this size reach scans as isin predicates (row-group pruning);
+    * larger ones fall back to a semi-join. */
+  private val maxPushdownKeys = 100000
+
   private def seenDir(dir: String) = s"$dir/seen"
   private def corpusDir(dir: String) = s"$dir/corpus"
   private def tombDir(dir: String) = s"$dir/tombstones"
@@ -113,18 +118,27 @@ object StreamCurate {
   private def tombstoneMasks(s: org.apache.spark.sql.SparkSession,
                              dir: String, asOfGen: Option[Int])
       : Seq[DataFrame] =
-    liveFamilies(s, dir, asOfGen).map { case (_, tombs) =>
-      val p0 = new org.apache.hadoop.fs.Path(tombDir(dir))
-      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val frames = tombs.toSeq.sorted
-        .map(id => s"${tombDir(dir)}/ts_id=$id")
-        .filter(p => Manifest.hasDataFiles(fs,
-          new org.apache.hadoop.fs.Path(p)))
-        .map(p => s.read.parquet(p))
-      frames.groupBy(_.columns.head).map { case (_, fs) =>
-        fs.reduce(_ unionByName _)
-      }.toSeq
-    }.getOrElse(Nil)
+    liveFamilies(s, dir, asOfGen)
+      .map { case (_, tombs) => maskFrames(s, dir, tombs) }
+      .getOrElse(Nil)
+
+  /** Mask frames for an EXPLICIT tombstone-id set (one frame per
+    * distinct key-column name — the mixed-idCol discipline above);
+    * [[diffSnapshots]] feeds it the tombstone DELTA between two
+    * generations. */
+  private def maskFrames(s: org.apache.spark.sql.SparkSession,
+                         dir: String, tombs: Set[Int]): Seq[DataFrame] = {
+    val p0 = new org.apache.hadoop.fs.Path(tombDir(dir))
+    val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val frames = tombs.toSeq.sorted
+      .map(id => s"${tombDir(dir)}/ts_id=$id")
+      .filter(p => Manifest.hasDataFiles(fs,
+        new org.apache.hadoop.fs.Path(p)))
+      .map(p => s.read.parquet(p))
+    frames.groupBy(_.columns.head).map { case (_, fs) =>
+      fs.reduce(_ unionByName _)
+    }.toSeq
+  }
 
   /** ALLOCATE the next NEGATIVE id across every family — CLAIMED
     * atomically ([[Manifest.claimNegId]]) so a concurrent compaction
@@ -293,6 +307,122 @@ object StreamCurate {
         digestMapDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
+  /** CROSS-GENERATION SNAPSHOT DIFF — the reproducibility-audit verb
+    * ("what changed between the corpus snapshot run A trained on and
+    * the one run B did?"): every row a reader pinned to `genB` serves
+    * that a reader pinned to `genA` did not (`change = 'added'`) and
+    * vice versa (`'removed'`), at full-row SET granularity — a
+    * re-ingested changed body shows as an `added` row next to its
+    * still-served predecessor, a takedown as `removed`. `None` = the
+    * latest generation; diffing B→A inverts the labels exactly.
+    *
+    * Scale shape (the reason this is a sink verb and not
+    * `a.except(b)` homework): when the audited window is FORWARD-ONLY
+    * — every data partition and tombstone live at A is still live at B,
+    * i.e. the window saw appends and new deletes but no compaction fold
+    * — immutable partitions make the diff computable from the DELTA:
+    * `added` reads exactly the new data partitions (masked by B's
+    * tombstones, then verified against A restricted to the candidate
+    * keys — pushed into the scan as an isin predicate below the
+    * [[Takedown.MaxPushdownKeys]] cap, so row-group stats prune the
+    * shared history to ~nothing; never a corpus shuffle), and `removed`
+    * probes A the same way once per NEW mask (no A read at all when no
+    * tombstone was added). Every shuffle in the fast path is
+    * delta-sized. A compaction inside the window rewrites partition
+    * ids, so the general path runs instead: `EXCEPT` both ways — always
+    * correct, but it shuffles both snapshots. At 100 TB you schedule
+    * audits between folds, not across them. */
+  def diffSnapshots(s: org.apache.spark.sql.SparkSession, dir: String,
+                    genA: Option[Int], genB: Option[Int],
+                    idCol: String = "doc_id"): DataFrame = {
+    val a = loadAt(s, dir, genA)
+    val b = loadAt(s, dir, genB)
+    def payloadOf(df: DataFrame): Seq[String] =
+      df.columns.filterNot(_ == "batch_id").toSeq
+    def tag(df: DataFrame, label: String, payload: Seq[String]): DataFrame =
+      df.select(lit(label).as("change") +: payload.map(col): _*)
+    (a, b) match {
+      case (None, None) => throw new IllegalArgumentException(
+        s"no curated state at $dir in either generation")
+      case (None, Some(bb)) =>
+        tag(bb.dropDuplicates(payloadOf(bb)), "added", payloadOf(bb))
+      case (Some(aa), None) =>
+        tag(aa.dropDuplicates(payloadOf(aa)), "removed", payloadOf(aa))
+      case (Some(aa), Some(bb)) =>
+        val payload = payloadOf(bb)
+        require(payloadOf(aa).sorted == payload.sorted,
+          s"snapshot schemas differ: ${payloadOf(aa)} vs $payload")
+        require(payload.contains(idCol),
+          s"key column $idCol not in the corpus schema $payload")
+        val pa = aa.select(payload.map(col): _*)
+        val pb = bb.select(payload.map(col): _*)
+        val fast = (liveFamilies(s, dir, genA),
+          liveFamilies(s, dir, genB)) match {
+          case (Some((dA, tA)), Some((dB, tB)))
+              if dA.subsetOf(dB) && tA.subsetOf(tB) =>
+            // A-side probes push the (delta-sized) key set into the
+            // scan as an isin predicate when it is driver-small — the
+            // Takedown.MaxPushdownKeys discipline: parquet row-group
+            // stats on the key column prune the shared history to
+            // ~nothing; the semi-join fallback engages past the cap
+            def probeA(keys: DataFrame, key: String): DataFrame = {
+              val vals = keys.select(key).distinct()
+                .limit(maxPushdownKeys + 1).collect().map(_.get(0))
+              if (vals.length <= maxPushdownKeys)
+                pa.filter(col(key).isInCollection(vals))
+              else pa.join(broadcast(keys.select(key).distinct()),
+                Seq(key), "left_semi")
+            }
+            val masksB = maskFrames(s, dir, tB)
+            val added = readDataPartitions(s, corpusDir(dir), dB -- dA)
+              .map { raw =>
+                val cand = masksB
+                  .foldLeft(raw.select(payload.map(col): _*))((c, m) =>
+                    c.join(broadcast(m), Seq(m.columns.head), "left_anti"))
+                  .dropDuplicates(payload)
+                  .persist() // delta-sized; probed twice (keys + anti)
+                // SET correctness vs A (a changed body can re-ingest a
+                // payload-identical row): A probed once, column-pruned
+                // and key-pruned; the matches are delta-sized
+                cand.join(broadcast(probeA(cand, idCol)), payload,
+                  "left_anti")
+              }
+            val removed = maskFrames(s, dir, tB -- tA).map { m =>
+              probeA(m, m.columns.head).dropDuplicates(payload)
+            }
+            val legs = added.map(tag(_, "added", payload)).toSeq ++
+              removed.map(tag(_, "removed", payload))
+            Some(
+              if (legs.isEmpty) tag(pb.limit(0), "added", payload)
+              else legs.reduce(_ unionByName _))
+          case _ => None
+        }
+        // general path: EXCEPT both ways — any two generations,
+        // including across a compaction fold (ids rewritten wholesale)
+        fast.getOrElse(
+          tag(pb.except(pa), "added", payload)
+            .unionByName(tag(pa.except(pb), "removed", payload)))
+    }
+  }
+
+  /** The general (EXCEPT-both-ways) diff path unconditionally — the
+    * spec's fast ≡ general parity pin calls this next to
+    * [[diffSnapshots]] on a forward-only window. */
+  private[graft] def diffSnapshotsGeneral(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      genA: Option[Int], genB: Option[Int]): DataFrame = {
+    val aa = loadAt(s, dir, genA).getOrElse(
+      throw new IllegalArgumentException(s"no curated state at $dir"))
+    val bb = loadAt(s, dir, genB).getOrElse(
+      throw new IllegalArgumentException(s"no curated state at $dir"))
+    val payload = bb.columns.filterNot(_ == "batch_id").toSeq
+    val pa = aa.select(payload.map(col): _*)
+    val pb = bb.select(payload.map(col): _*)
+    def tag(df: DataFrame, label: String): DataFrame =
+      df.select(lit(label).as("change") +: payload.map(col): _*)
+    tag(pb.except(pa), "added").unionByName(tag(pa.except(pb), "removed"))
+  }
+
   /** `foreachBatch` sink body: micro-batch → first-seen dedup against
     * the ON-DISK seen-digest index (within-batch keep-min first), then
     * the caller's curation stage (quality → decontam → sample — the
@@ -430,26 +560,33 @@ object StreamCurate {
         // against this table — a losing compaction's stranded
         // batch_id=<id> orphan under a live tombstone id would serve
         // (every corpus row duplicated; ADVICE r10, medium)
-        if (dataIds.isEmpty) None
-        else {
-          val paths = dataIds.toSeq.sorted.map(id => s"$dataDir/batch_id=$id")
-          // a batch id live in the manifest may have no partition under
-          // THIS table (a batch whose survivors were empty writes seen
-          // but an empty corpus partition dir may not materialize) —
-          // keep only the paths that exist (committed dirs never vanish)
-          val p0 = new org.apache.hadoop.fs.Path(dataDir)
-          val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val present = paths.filter(p =>
-            Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p)))
-          if (present.isEmpty) None
-          else Some(s.read.option("basePath", dataDir)
-            .parquet(present: _*)
-            .withColumn("batch_id", col("batch_id").cast("int")))
-        }
+        readDataPartitions(s, dataDir, dataIds)
       case None =>
         if (!hasDataFiles(s, dataDir)) None
         else Some(s.read.parquet(dataDir)
           .withColumn("batch_id", col("batch_id").cast("int")))
+    }
+
+  /** Read an EXPLICIT set of `batch_id=` partitions under a state table
+    * — the shared core of [[snapshotRead]] and [[diffSnapshots]]'s
+    * partition-pruned fast path (which reads only the data DELTA
+    * between two generations). Ids with no partition dir are skipped
+    * (a batch whose survivors were empty writes seen but may not
+    * materialize a corpus partition); None = nothing readable. */
+  private def readDataPartitions(s: org.apache.spark.sql.SparkSession,
+                                 dataDir: String, ids: Set[Int])
+      : Option[DataFrame] =
+    if (ids.isEmpty) None
+    else {
+      val paths = ids.toSeq.sorted.map(id => s"$dataDir/batch_id=$id")
+      val p0 = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val present = paths.filter(p =>
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p)))
+      if (present.isEmpty) None
+      else Some(s.read.option("basePath", dataDir)
+        .parquet(present: _*)
+        .withColumn("batch_id", col("batch_id").cast("int")))
     }
 
   /** `batch_id=` partition ids present under `d` (empty if the dir
