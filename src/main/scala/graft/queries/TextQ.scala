@@ -584,12 +584,49 @@ object TextQ {
       })
     }
 
+  /** Memoized MAINTAINED-FINGERPRINT curation dir for st15 — the st9
+    * pipeline + the %10 takedown, NO compaction: the fingerprint is
+    * served from the per-batch partials and the delete's NEGATIVE
+    * partial alone ([[graft.streaming.StreamCurate.fingerprintState]]),
+    * so the driver query proves the metadata-sized serve equals a
+    * DuckDB recomputation of the whole kept-set checksum. */
+  private val st15Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fpCuration(s: SparkSession, d: String): DataFrame =
+    st15Cache.synchronized {
+      st15Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 x53policy delete=%10==0 fpstate"
+        def build(dir: String): Unit = {
+          ingestCuration(s, d, dir)
+          graft.streaming.StreamCurate.deleteCurated(s, dir,
+            Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+              .select("doc_id"))
+        }
+        val dir = graft.ArtifactStore.dirArtifact(d, "st15fp", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st15-")
+            tmpSt9Dirs += p
+            build(p.toString)
+            p.toString
+        }
+        val out = graft.streaming.StreamCurate.fingerprintState(s, dir)
+          .get.persist()
+        out.count()
+        out
+      })
+    }
+
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
     corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
     streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
     streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
-    takedownClusters(s, d); takedownNgramDf(s, d)
+    takedownClusters(s, d); takedownNgramDf(s, d); fpCuration(s, d)
     ()
   }
 
@@ -620,6 +657,8 @@ object TextQ {
     st9Cache.clear()
     x58Cache.values.foreach(_.unpersist())
     x58Cache.clear()
+    st15Cache.values.foreach(_.unpersist())
+    st15Cache.clear()
     tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt9Dirs.clear()
     streamCcCache.values.foreach(_.unpersist())
@@ -1223,6 +1262,17 @@ object TextQ {
       TextOps.corpusFingerprint(Tables.documents(s, d),
           keyCols = Seq("doc_id", "text"), groupCols = Seq("lang"))
         .orderBy("lang")),
+
+    // ST15 — the MAINTAINED corpus fingerprint
+    // ([[graft.streaming.StreamCurate.fingerprintState]]): the x62
+    // checksum served from METADATA-SIZED state — every append commits
+    // a one-row XOR partial of its just-written partition, the %10
+    // takedown commits the removed rows' NEGATIVE partial in the same
+    // flip (XOR is self-inverse), and the serve folds one row per live
+    // id. No corpus scan anywhere in the serve; the DuckDB oracle
+    // recomputes the whole kept-set checksum from the raw documents —
+    // hash equality IS "the O(1)-state audit equals the full scan".
+    "st15_fingerprint_stream" -> ((s, d) => fpCuration(s, d)),
 
     // X64 — per-SHARD fingerprints ([[TextOps.corpusFingerprint]] over
     // x37's shard assignment): the checksums a training job records
@@ -2752,6 +2802,58 @@ object TextQ {
            bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
              || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
          FROM documents GROUP BY lang ORDER BY lang""",
+    "st15_fingerprint_stream" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1 - count(*) / CAST(sum(n) AS DOUBLE) AS repeat_ratio,
+             max(n) / CAST(sum(n) AS DOUBLE) AS top_share
+           FROM c GROUP BY 1),
+         q AS (SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) AS stop_ratio,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM documents),
+         keep_q AS (
+           SELECT d.doc_id
+           FROM documents d JOIN rep USING (doc_id) JOIN q USING (doc_id)
+           WHERE (least(CAST(q.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + q.stop_ratio * 0.4 + (1.0 - q.punct_ratio) * 0.3) >= 0.5
+             AND rep.repeat_ratio <= 0.8 AND rep.top_share <= 0.3
+             AND d.n_chars >= 50),
+         tt AS (SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\s+')) AS toks
+           FROM documents),
+         bad AS (
+           SELECT DISTINCT a.doc_id
+           FROM tt a JOIN tt b ON a.lang = b.lang AND a.source = b.source
+           WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+             AND abs(a.n_chars - b.n_chars) <= 20
+             AND round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5),
+         firstseen AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id % 3, doc_id) AS rk
+               FROM documents),
+         kept AS (
+           SELECT d.doc_id, d.lang, d.source
+           FROM documents d JOIN firstseen USING (doc_id)
+           WHERE firstseen.rk = 1 AND d.doc_id % 7 <> 0
+             AND d.doc_id % 10 <> 0
+             AND d.doc_id IN (SELECT doc_id FROM keep_q)
+             AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+             AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+                 / 16777216.0
+                 < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END)
+         SELECT count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             || '|' || lang || '|' || source), 1, 15)) AS BIGINT))
+             AS fingerprint
+         FROM kept""",
     "x64_shard_fingerprint" ->
       """WITH t AS (SELECT doc_id, text,
            CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))

@@ -70,6 +70,26 @@ object StreamCurate {
   private def corpusDir(dir: String) = s"$dir/corpus"
   private def tombDir(dir: String) = s"$dir/tombstones"
   private def digestMapDir(dir: String) = s"$dir/digestmap"
+  private def fpDir(dir: String) = s"$dir/fpstate"
+
+  /** The per-row 60-bit hash under the MAINTAINED fingerprint state
+    * ([[fingerprintState]]) — [[graft.ext.TextOps.corpusFingerprint]]'s
+    * md5-prefix over the payload columns in SORTED-NAME order (the
+    * order must be a pure function of the schema: append partials,
+    * delete partials and the compaction base all have to hash the same
+    * row identically). */
+  private def fpRowHash(payload: Seq[String]): Column =
+    conv(substring(md5(concat_ws("|", payload.sorted.map(col): _*)),
+      1, 15), 16, 10).cast("long")
+
+  /** One signed fingerprint partial over `df`: (n·sign, XOR of row
+    * hashes). XOR is its own inverse, so a delete's partial is just
+    * another row in the fold; `sign = -1` keeps the COUNT honest too. */
+  private def fpPartial(df: DataFrame, sign: Int): DataFrame = {
+    val payload = df.columns.filterNot(_ == "batch_id").toSeq
+    df.agg((count(lit(1)) * sign).as("n"),
+      bit_xor(fpRowHash(payload)).as("fp"))
+  }
 
   /** Tombstone partition ids present under the dir (the negative-id
     * ledger leg the takedown family contributes). */
@@ -180,17 +200,28 @@ object StreamCurate {
       val tsId = nextCompactId(s, dir) // claimed — uniquely ours
       del.coalesce(1) // takedown-sized, not corpus-sized
         .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
+      // NEGATIVE fingerprint partial ([[fingerprintState]]): the rows
+      // this delete removes from the serve, XORed out and counted out
+      // — committed in the SAME flip as the tombstone, keyed by its id
+      // (cleared together at compaction, reclaimed together at vacuum)
+      fpPartial(corpus.join(del, Seq(idCol), "left_semi")
+          .drop("batch_id"), sign = -1)
+        .select(lit(tsId).as("batch_id"), col("n"), col("fp"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
       try Manifest.commitLiveAfter(s, dir,
         live.copy(tombs = live.tombs + tsId),
         basedOn = st.map(_._1).getOrElse(-1))
       catch {
         case e: java.util.ConcurrentModificationException =>
-          // lost the CAS: reclaim the staged tombstone (claimed id —
-          // deletes nothing a winner committed); retry re-scopes fresh
-          new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$tsId")
+          // lost the CAS: reclaim the staged tombstone AND its
+          // fingerprint partial (claimed id — deletes nothing a winner
+          // committed); retry re-scopes fresh
+          val fs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
-            .delete(new org.apache.hadoop.fs.Path(
-              s"${tombDir(dir)}/ts_id=$tsId"), true)
+          Seq(s"${tombDir(dir)}/ts_id=$tsId",
+            s"${fpDir(dir)}/batch_id=$tsId").foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p), true))
           throw e
       }
     } finally del.unpersist()
@@ -224,6 +255,14 @@ object StreamCurate {
     // on dirs whose batches all predate it)
     digestMap(s, dir).foreach(_.drop("batch_id").write.mode("overwrite")
       .parquet(s"${digestMapDir(dir)}/batch_id=$into"))
+    // fresh EXACT fingerprint base ([[fingerprintState]]) computed from
+    // the folded corpus itself (not from the partials) — this is also
+    // the migration path: a dir with pre-upgrade batches becomes
+    // incrementally fingerprintable at its first fold
+    fpPartial(corpus.drop("batch_id"), sign = 1)
+      .select(lit(into).as("batch_id"), col("n"), col("fp"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
     try Manifest.commitAfter(s, dir, Set(into),
       basedOn = st.map(_._1).getOrElse(-1))
     catch {
@@ -231,9 +270,10 @@ object StreamCurate {
         // lost the CAS: reclaim the staged base partitions (claimed id)
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq(corpusDir(dir), seenDir(dir), digestMapDir(dir)).foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"),
-            true))
+        Seq(corpusDir(dir), seenDir(dir), digestMapDir(dir), fpDir(dir))
+          .foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"),
+              true))
         throw e
     }
   }
@@ -304,7 +344,8 @@ object StreamCurate {
              retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
         corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
-        digestMapDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
+        digestMapDir(dir) -> "batch_id=", fpDir(dir) -> "batch_id=",
+        tombDir(dir) -> "ts_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** CROSS-GENERATION SNAPSHOT DIFF — the reproducibility-audit verb
@@ -405,6 +446,48 @@ object StreamCurate {
     }
   }
 
+  /** The MAINTAINED corpus fingerprint — [[graft.ext.TextOps
+    * .corpusFingerprint]] of the SERVED corpus answered from
+    * METADATA-SIZED state, never a corpus scan: every append commits a
+    * one-row (n, xor) partial computed from its just-written partition,
+    * every takedown commits the removed rows' NEGATIVE partial in the
+    * same flip (XOR is its own inverse — a delete is just another fold
+    * row), and every compaction writes a fresh exact base (which is
+    * also the migration path for pre-upgrade dirs). Serve = sum/xor
+    * over one row per live id. The audit that lets a training job
+    * verify "this is byte-for-byte the corpus snapshot X" in
+    * milliseconds at any corpus size.
+    *
+    * Returns a 1-row (n_rows, fingerprint) frame — equal by
+    * construction to `corpusFingerprint(load(dir), sortedPayloadCols,
+    * Seq())` (FingerprintStateSpec pins it at every lifecycle point).
+    * None when coverage is unprovable: some live batch or tombstone
+    * predates the fingerprint state (ingested before this upgrade) —
+    * fall back to the scan form, or compact once to mint a base.
+    * Assumes a stable corpus schema across batches (the row hash is
+    * over sorted column names; a schema evolution mid-stream needs a
+    * fold to re-base). */
+  def fingerprintState(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Option[DataFrame] =
+    liveFamilies(s, dir, None).flatMap { case (data, tombs) =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def has(d: String) =
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(d))
+      val dataUncovered = data.exists(id =>
+        has(s"${corpusDir(dir)}/batch_id=$id") &&
+          !has(s"${fpDir(dir)}/batch_id=$id"))
+      val tombUncovered = tombs.exists(id =>
+        has(s"${tombDir(dir)}/ts_id=$id") &&
+          !has(s"${fpDir(dir)}/batch_id=$id"))
+      val paths = (data ++ tombs).toSeq.sorted
+        .map(id => s"${fpDir(dir)}/batch_id=$id").filter(has)
+      if (dataUncovered || tombUncovered || paths.isEmpty) None
+      else Some(s.read.option("basePath", fpDir(dir)).parquet(paths: _*)
+        .agg(sum(col("n")).as("n_rows"),
+          bit_xor(coalesce(col("fp"), lit(0L))).as("fingerprint")))
+    }
+
   /** The general (EXCEPT-both-ways) diff path unconditionally — the
     * spec's fast ≡ general parity pin calls this next to
     * [[diffSnapshots]] on a forward-only window. */
@@ -469,7 +552,8 @@ object StreamCurate {
       batchId.toInt, seenDir(dir), Seq(
         s"${seenDir(dir)}/batch_id=${batchId.toInt}",
         s"${corpusDir(dir)}/batch_id=${batchId.toInt}",
-        s"${digestMapDir(dir)}/batch_id=${batchId.toInt}"))
+        s"${digestMapDir(dir)}/batch_id=${batchId.toInt}",
+        s"${fpDir(dir)}/batch_id=${batchId.toInt}"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__digest").orderBy(col("doc_id"))
     val firstInBatch = batch.withColumn("__digest", md5(col("text")))
@@ -514,6 +598,20 @@ object StreamCurate {
           survivors.columns.map(col): _*)
         .write.mode("append").partitionBy("batch_id")
         .parquet(corpusDir(dir))
+      // MAINTAINED fingerprint partial ([[fingerprintState]]): one
+      // (n, xor) row per batch, computed from the JUST-WRITTEN corpus
+      // partition (byte-identical to what will serve — never a
+      // re-evaluation of the policy plan); empty-survivor batches
+      // write the identity partial so coverage stays provable
+      val writtenPath = s"${corpusDir(dir)}/batch_id=${batchId.toInt}"
+      val fpSrc =
+        if (hasDataFiles(spark, writtenPath))
+          fpPartial(spark.read.parquet(writtenPath), sign = 1)
+        else spark.range(1).select(lit(0L).as("n"),
+          lit(null).cast("long").as("fp"))
+      fpSrc.select(lit(batchId.toInt).as("batch_id"), col("n"), col("fp"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
       // unreachable None after entry-time adoption (every path above
       // leaves a committed manifest); the listing fallback stays as
       // belt-and-braces with this batch's just-staged partitions excluded

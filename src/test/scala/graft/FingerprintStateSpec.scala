@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+import graft.streaming.StreamCurate
+
+/** The MAINTAINED corpus fingerprint
+  * ([[StreamCurate.fingerprintState]]): metadata-sized state (one XOR
+  * partial per append, a NEGATIVE partial per takedown, an exact base at
+  * compaction) must equal the full-scan [[TextOps.corpusFingerprint]] of
+  * the served corpus at EVERY lifecycle point — append, empty-survivor
+  * batch, delete, compact, vacuum — and must refuse (None) when coverage
+  * is unprovable (a live batch predating the fingerprint state), with
+  * compaction as the migration path that mints a base. */
+class FingerprintStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-fpstate").getOrCreate()
+
+  private val good = "the data row holds a good long value " * 4
+
+  private def policy(b: DataFrame): DataFrame =
+    b.filter(length(col("text")) >= 50).select("doc_id", "text")
+
+  private def append(dir: String, id: Long,
+                     rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    StreamCurate.appendBatch(dir, rows.toDF("doc_id", "text"), id, policy)
+  }
+
+  /** (n_rows, fingerprint) from the maintained state. */
+  private def state(dir: String): Option[(Long, Long)] =
+    StreamCurate.fingerprintState(spark, dir).map { df =>
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** (n_rows, fingerprint) from a full scan of the served corpus —
+    * sorted payload column order, matching the state's row hash. */
+  private def scan(dir: String): (Long, Long) = {
+    val served = StreamCurate.load(spark, dir).get.drop("batch_id")
+    val r = TextOps.corpusFingerprint(served,
+      served.columns.sorted.toSeq, Seq.empty).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("state equals scan at every lifecycle point") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpstate").toString
+    append(dir, 0L, Seq(1L -> (good + "a"), 2L -> (good + "b")))
+    assert(state(dir).contains(scan(dir)), "after first append")
+    append(dir, 1L, Seq(3L -> (good + "c"), 4L -> (good + "d")))
+    assert(state(dir).contains(scan(dir)), "after second append")
+    // empty-survivor batch: fresh digests, all policy-rejected -> the
+    // identity partial keeps coverage provable
+    append(dir, 2L, Seq(9L -> "short"))
+    assert(state(dir).contains(scan(dir)), "after empty-survivor batch")
+    // takedown: the NEGATIVE partial folds the deleted rows out
+    StreamCurate.deleteCurated(spark, dir, Seq(2L, 3L).toDF("doc_id"))
+    assert(state(dir).contains(scan(dir)), "after delete")
+    assert(state(dir).get._1 == 2L, "count reflects the takedown")
+    // a second delete stacked on the first
+    StreamCurate.deleteCurated(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(state(dir).contains(scan(dir)), "after second delete")
+    // compaction mints a fresh exact base; serve unchanged
+    val pre = state(dir).get
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    assert(state(dir).contains(pre), "compact must not move the state")
+    assert(state(dir).contains(scan(dir)))
+    // vacuum reclaims history; the live base still serves
+    StreamCurate.vacuum(spark, dir)
+    assert(state(dir).contains(pre), "vacuum must not move the state")
+    // and appends keep folding on top of the base
+    append(dir, 7L, Seq(11L -> (good + "k")))
+    assert(state(dir).contains(scan(dir)), "append after compact+vacuum")
+  }
+
+  test("pre-upgrade coverage refused; compaction is the migration path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpstate_mig").toString
+    append(dir, 0L, Seq(1L -> (good + "a")))
+    append(dir, 1L, Seq(2L -> (good + "b")))
+    // simulate a batch ingested before the fingerprint state existed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/fpstate/batch_id=0"),
+      true)
+    assert(state(dir).isEmpty,
+      "unprovable coverage must refuse, not serve a wrong checksum")
+    // one fold re-bases from the corpus itself
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    assert(state(dir).contains(scan(dir)), "compaction mints the base")
+  }
+}
