@@ -313,6 +313,36 @@ object Dedup {
           .as("contam_frac"))
   }
 
+  /** LEAKAGE-FREE train/val split — the eval-integrity move: a document
+    * and every EXACT duplicate of its content land on the SAME side of
+    * the split, so a val example can never leak into train through a
+    * re-crawled copy (the classic held-out-contamination hole a plain
+    * per-doc random split leaves open). The split coin is flipped once
+    * per CONTENT GROUP (md5 digest), keyed by the group's first-seen
+    * representative (min id) through the deterministic [[TextOps
+    * .md5Uniform]] — reproducible across runs, engines and partition
+    * layouts. Near-dup-aware splitting is the same call over
+    * [[duplicateClusters]] labels instead of digests (x33's table).
+    *
+    * Scale shape: one digest groupBy on (digest, id) — bodies never
+    * shuffle — and one broadcast-ready rep join back; the split itself
+    * is a scan-side filter. Output: every input row + its `rep` and
+    * `split` ('train' | 'val'). */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+                    trainFrac: Double): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac must be in (0,1), got $trainFrac")
+    val reps = docs
+      .select(col(idCol), md5(col(textCol)).as("__digest"))
+      .groupBy("__digest").agg(min(col(idCol)).as("rep"))
+    docs.withColumn("__digest", md5(col(textCol)))
+      .join(reps, Seq("__digest"))
+      .withColumn("split",
+        when(TextOps.md5Uniform(col("rep")) < trainFrac, "train")
+          .otherwise("val"))
+      .drop("__digest")
+  }
+
   /** ASYMMETRIC containment near-dup — the "small doc quoted inside a
     * big one" detector the symmetric MinHash family structurally misses:
     * containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| stays 1.0 when A's

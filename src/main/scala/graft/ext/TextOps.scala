@@ -1200,6 +1200,48 @@ object TextOps {
       .drop("__u", "__rk", "__off", "__bkt")
   }
 
+  /** GLOBAL curriculum rank + phase WITHOUT a global sort — the
+    * curriculum-learning / staged-training move ("train on easy/clean
+    * docs first, hard ones last"): every row gets its exact global rank
+    * under (`order` asc, `idCol` asc) and a phase 0..nPhases-1 =
+    * ⌊nPhases·(rank−1)/n⌋. A naive `row_number().over(orderBy(order))`
+    * is a SINGLE-PARTITION sort at any scale; this is the x46 two-phase
+    * shape instead: range-bucket the order value (one tiny min/max agg
+    * sizes the envelope), per-bucket counts → broadcast prefix offsets,
+    * rank = offset + within-bucket row_number — one corpus shuffle, the
+    * global sequencing travels through nBuckets metadata rows.
+    * Integer-exact (rank arithmetic, no float thresholds), so the
+    * DuckDB oracle is a plain ORDER BY window. Rows with a NULL order
+    * value are excluded. Degenerate case: a single distinct order value
+    * collapses to one bucket (= the naive sort); pick an order with
+    * spread or raise nBuckets for heavy ties. */
+  def curriculumPhases(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       order: Column, nPhases: Int,
+                       nBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(nPhases > 0, s"nPhases must be positive, got $nPhases")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val vals = df.withColumn("__v", order.cast("double"))
+      .filter(col("__v").isNotNull)
+    val head = vals.agg(min(col("__v")), max(col("__v")),
+      count(lit(1))).head()
+    val (lo, hi, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    val span = if (hi > lo) hi - lo else 1.0
+    val bucketed = vals.withColumn("__bkt",
+      least(floor((col("__v") - lit(lo)) / lit(span) * nBuckets),
+        lit((nBuckets - 1).toLong)).cast("int"))
+    val offsets = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn("rank", col("__off") + row_number().over(
+        Window.partitionBy("__bkt").orderBy(col("__v"), col(idCol))))
+      .withColumn("phase",
+        floor(lit(nPhases.toLong) * (col("rank") - 1) / lit(n)).cast("int"))
+      .drop("__v", "__bkt", "__off")
+  }
+
   /** Deterministic per-key CAP — the per-domain/per-source quota move
     * (a handful of mega-domains must not dominate the corpus): keep at
     * most `n` rows per key, picked in [[md5Uniform]] order (a reproducible

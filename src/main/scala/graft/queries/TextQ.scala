@@ -1263,6 +1263,30 @@ object TextQ {
           keyCols = Seq("doc_id", "text"), groupCols = Seq("lang"))
         .orderBy("lang")),
 
+    // X66 — LEAKAGE-FREE train/val split ([[Dedup.leakFreeSplit]]):
+    // the split coin is flipped once per CONTENT group (md5 digest,
+    // keyed by the group's min-id representative), so a doc and every
+    // exact copy of its bytes land on the same side — a val example
+    // can never leak into train through a re-crawled duplicate. One
+    // digest groupBy (ids only) + a rep join; deterministic md5 coin.
+    "x66_leakage_split" -> ((s, d) =>
+      Dedup.leakFreeSplit(Tables.documents(s, d), "doc_id", "text",
+          trainFrac = 0.9)
+        .select(col("doc_id"), col("lang"), col("rep"), col("split"))
+        .orderBy("doc_id")),
+
+    // X65 — curriculum phase assignment ([[TextOps.curriculumPhases]]):
+    // exact global rank by (quality asc, doc_id) and phase 0-3 =
+    // ⌊4·(rank−1)/n⌋ — staged training ("clean docs first") WITHOUT a
+    // global sort: range-bucketed order values, broadcast prefix
+    // offsets, within-bucket windows (the x46 two-phase shape). Ranks
+    // are integer-exact, so the oracle is a plain ORDER BY window.
+    "x65_curriculum" -> ((s, d) =>
+      TextOps.curriculumPhases(docSignals(s, d), "doc_id",
+          col("quality"), nPhases = 4)
+        .select(col("doc_id"), col("lang"), col("rank"), col("phase"))
+        .orderBy("doc_id")),
+
     // ST15 — the MAINTAINED corpus fingerprint
     // ([[graft.streaming.StreamCurate.fingerprintState]]): the x62
     // checksum served from METADATA-SIZED state — every append commits
@@ -2802,6 +2826,33 @@ object TextQ {
            bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
              || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
          FROM documents GROUP BY lang ORDER BY lang""",
+    "x66_leakage_split" ->
+      """WITH g AS (SELECT doc_id, lang, md5(text) AS digest
+                    FROM documents),
+         reps AS (SELECT digest, min(doc_id) AS rep FROM g GROUP BY 1)
+         SELECT g.doc_id, g.lang, reps.rep,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(reps.rep AS VARCHAR)), 1, 6))
+                      AS INTEGER) / 16777216.0 < 0.9
+             THEN 'train' ELSE 'val' END AS split
+         FROM g JOIN reps USING (digest)
+         ORDER BY g.doc_id""",
+    "x65_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3
+             + CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) * 0.4
+             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text)) * 0.3 AS quality
+           FROM documents),
+         r AS (SELECT doc_id, lang, quality,
+                 row_number() OVER (ORDER BY quality, doc_id) AS rank,
+                 count(*) OVER () AS n
+               FROM t)
+         SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank,
+           CAST(floor(4 * (rank - 1) / CAST(n AS DOUBLE)) AS INTEGER) AS phase
+         FROM r ORDER BY doc_id""",
     "st15_fingerprint_stream" ->
       """WITH t AS (SELECT doc_id,
              unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** Leakage-free train/val split (Dedup.leakFreeSplit; query
+  * x66_leakage_split): a document and every exact copy of its content
+  * must land on the SAME side — the val-contamination hole a per-doc
+  * coin leaves open. Pins: planted duplicates never straddle the split,
+  * every row is labeled, the representative is the content group's min
+  * id, the coin is deterministic and partition-invariant, and the
+  * train fraction lands near its target on unique content. */
+class LeakSplitSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-leaksplit").getOrCreate()
+
+  test("planted duplicates never straddle the split; reps are min-id; all rows labeled") {
+    import spark.implicits._
+    val uniq = (1L to 200L).map(i => (i, s"unique document body $i"))
+    // copies of docs 1..40 under high ids (re-crawls)
+    val dups = (1L to 40L).map(i => (i + 1000L, s"unique document body $i"))
+    val d = (uniq ++ dups).toDF("doc_id", "text")
+    val out = Dedup.leakFreeSplit(d, "doc_id", "text", trainFrac = 0.5)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 240, "every row labeled")
+    val byRep = out.groupBy(_._2)
+    byRep.foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSet.size == 1,
+        s"content group ${rows.map(_._1).toSeq} straddles the split")
+    }
+    // dup of doc i has rep i (the min id of its content group)
+    out.filter(_._1 > 1000L).foreach { case (id, rep, _) =>
+      assert(rep == id - 1000L, s"dup $id must point at rep ${id - 1000L}")
+    }
+    // the coin is per-GROUP: with 200 distinct contents at 0.5, both
+    // sides are populated and the train share is near the target
+    val groups = out.groupBy(_._2).map(_._2.head._3).toSeq
+    val trainShare = groups.count(_ == "train").toDouble / groups.size
+    assert(trainShare > 0.35 && trainShare < 0.65, s"share $trainShare")
+  }
+
+  test("deterministic and partition-invariant") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, s"body $i word " * 3)).toDF("doc_id", "text")
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Dedup.leakFreeSplit(df, "doc_id", "text", 0.9)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(d)
+    assert(a == splits(d.repartition(13)) && a == splits(d.coalesce(1)))
+  }
+}
