@@ -332,10 +332,15 @@ object Dedup {
                     trainFrac: Double): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1,
       s"trainFrac must be in (0,1), got $trainFrac")
-    val reps = docs
-      .select(col(idCol), md5(col(textCol)).as("__digest"))
-      .groupBy("__digest").agg(min(col(idCol)).as("rep"))
-    docs.withColumn("__digest", md5(col(textCol)))
+    // content groups = [[exactGroups]] (ONE definition of "same bytes"
+    // for x1 and x66); the join key coalesces the NULL-text digest to a
+    // sentinel so null-bodied rows form their own group instead of
+    // silently vanishing through a null-unsafe equi-join
+    val nullKey = lit("__null_text__")
+    val reps = exactGroups(docs, idCol, textCol)
+      .select(coalesce(col("digest"), nullKey).as("__digest"),
+        col("keep_id").as("rep"))
+    docs.withColumn("__digest", coalesce(md5(col(textCol)), nullKey))
       .join(reps, Seq("__digest"))
       .withColumn("split",
         when(TextOps.md5Uniform(col("rep")) < trainFrac, "train")

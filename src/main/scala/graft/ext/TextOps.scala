@@ -820,11 +820,23 @@ object TextOps {
     * it across [[graft.streaming.StreamCurate.compact]]). */
   def corpusFingerprint(df: org.apache.spark.sql.DataFrame,
                         keyCols: Seq[String],
-                        groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val h = conv(substring(md5(concat_ws("|", keyCols.map(col): _*)),
-      1, 15), 16, 10).cast("long")
+                        groupCols: Seq[String]): org.apache.spark.sql.DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), bit_xor(h).as("fingerprint"))
+      .agg(count(lit(1)).as("n_rows"),
+        bit_xor(fingerprintHash(keyCols)).as("fingerprint"))
+
+  /** The row hash under [[corpusFingerprint]] (shared with
+    * [[graft.streaming.StreamCurate]]'s maintained partials): each key
+    * column is md5'd SEPARATELY (fixed 32-hex width, so no
+    * concatenation ambiguity — `('a|b','c')` vs `('a','b|c')` hash
+    * differently, unlike a raw `concat_ws`) with NULL mapped to a
+    * sentinel outside the hex alphabet (so (a,NULL) ≠ (a,'n') and NULL
+    * columns aren't silently skipped), then the digest of the digests
+    * is truncated to 60 bits. */
+  private[graft] def fingerprintHash(keyCols: Seq[String]): Column = {
+    val parts = keyCols.map(c =>
+      coalesce(md5(col(c).cast("string")), lit("n")))
+    conv(substring(md5(concat(parts: _*)), 1, 15), 16, 10).cast("long")
   }
 
   /** POPULATION-STABILITY-INDEX drift between a reference corpus slice
@@ -846,11 +858,20 @@ object TextOps {
                bin: Column, nBins: Int): org.apache.spark.sql.DataFrame = {
     def shares(df: org.apache.spark.sql.DataFrame, share: String)
         : org.apache.spark.sql.DataFrame = {
-      val counts = df.select(bin.cast("long").as("bin"))
+      // bins are CLAMPED into [0, nBins): an unclamped caller expression
+      // must not silently drop tail mass from the shares (out-of-range
+      // counts would still inflate the total while vanishing from the
+      // per-bin join — deflating every share and hiding tail drift)
+      val counts = df.select(
+          least(greatest(bin.cast("long"), lit(0L)), lit(nBins - 1L))
+            .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum("n").as("__tot"))
+      val total = counts.agg(coalesce(sum("n"), lit(0L)).as("__tot"))
       // all nBins bins exist on both sides (Laplace-smoothed), so the
-      // join below never drops a bin observed on only one side
+      // join below never drops a bin observed on only one side; an
+      // EMPTY side degrades to the uniform smoothed prior (total
+      // coalesced to 0), never to NULL shares — a monitor comparing
+      // the summary against 0.25 must fire, not get null
       val allBins = ref.sparkSession.range(nBins)
         .select(col("id").as("bin"))
       allBins.join(counts, Seq("bin"), "left")
@@ -1211,8 +1232,9 @@ object TextOps {
     * rank = offset + within-bucket row_number — one corpus shuffle, the
     * global sequencing travels through nBuckets metadata rows.
     * Integer-exact (rank arithmetic, no float thresholds), so the
-    * DuckDB oracle is a plain ORDER BY window. Rows with a NULL order
-    * value are excluded. Degenerate case: a single distinct order value
+    * DuckDB oracle is a plain ORDER BY window. Rows with a NULL or NaN
+    * order value are excluded; an empty (or fully excluded) input
+    * returns an empty frame. Degenerate case: a single distinct order value
     * collapses to one bucket (= the naive sort); pick an order with
     * spread or raise nBuckets for heavy ties. */
   def curriculumPhases(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -1220,11 +1242,19 @@ object TextOps {
                        nBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     require(nPhases > 0, s"nPhases must be positive, got $nPhases")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // NULL and NaN order values are EXCLUDED (a NaN would poison the
+    // min/max envelope and bucket to 0 while the global sort order puts
+    // NaN last — exclusion is the only assignment that stays consistent
+    // with "rank under (order, id)" for the rows that have an order)
     val vals = df.withColumn("__v", order.cast("double"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
     val head = vals.agg(min(col("__v")), max(col("__v")),
       count(lit(1))).head()
-    val (lo, hi, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    val n = head.getLong(2)
+    if (n == 0L)
+      return df.filter(lit(false))
+        .withColumn("rank", lit(0L)).withColumn("phase", lit(0))
+    val (lo, hi) = (head.getDouble(0), head.getDouble(1))
     val span = if (hi > lo) hi - lo else 1.0
     val bucketed = vals.withColumn("__bkt",
       least(floor((col("__v") - lit(lo)) / lit(span) * nBuckets),

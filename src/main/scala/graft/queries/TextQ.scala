@@ -595,7 +595,9 @@ object TextQ {
   private def fpCuration(s: SparkSession, d: String): DataFrame =
     st15Cache.synchronized {
       st15Cache.getOrElseUpdate((s, d), {
-        val spec = "v1 3batches mod3 x53policy delete=%10==0 fpstate"
+        // v2: per-column row hash (the r11 session-2 review fix) — a v1
+        // dir's partials carry the old concat_ws hash and must rebuild
+        val spec = "v2 3batches mod3 x53policy delete=%10==0 fpstate"
         def build(dir: String): Unit = {
           ingestCuration(s, d, dir)
           graft.streaming.StreamCurate.deleteCurated(s, dir,
@@ -661,6 +663,10 @@ object TextQ {
     st15Cache.clear()
     tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt9Dirs.clear()
+    // AFTER the temp dirs are gone: a memoized dir path may point into
+    // tmpSt9Dirs — clearing the frame caches but not the dir memo would
+    // hand the next x58/st14 call a deleted directory
+    x58DirCache.clear()
     streamCcCache.values.foreach(_.unpersist())
     streamCcCache.clear()
     tmpSt10Dirs.foreach(graft.ArtifactStore.deleteRecursively)
@@ -2823,8 +2829,9 @@ object TextQ {
          GROUP BY 1 ORDER BY 1""",
     "x62_corpus_fingerprint" ->
       """SELECT lang, count(*) AS n_rows,
-           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-             || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
+           bit_xor(CAST(('0x' || substr(md5(
+             md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))
+             AS BIGINT)) AS fingerprint
          FROM documents GROUP BY lang ORDER BY lang""",
     "x66_leakage_split" ->
       """WITH g AS (SELECT doc_id, lang, md5(text) AS digest
@@ -2901,9 +2908,9 @@ object TextQ {
                  / 16777216.0
                  < CASE d.lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.9 ELSE 0.8 END)
          SELECT count(*) AS n_rows,
-           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-             || '|' || lang || '|' || source), 1, 15)) AS BIGINT))
-             AS fingerprint
+           bit_xor(CAST(('0x' || substr(md5(
+             md5(CAST(doc_id AS VARCHAR)) || md5(lang) || md5(source)),
+             1, 15)) AS BIGINT)) AS fingerprint
          FROM kept""",
     "x64_shard_fingerprint" ->
       """WITH t AS (SELECT doc_id, text,
@@ -2911,8 +2918,9 @@ object TextQ {
                            AS INTEGER) / 16777216.0 * 8) AS INTEGER) AS shard
          FROM documents)
          SELECT shard, count(*) AS n_rows,
-           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-             || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
+           bit_xor(CAST(('0x' || substr(md5(
+             md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))
+             AS BIGINT)) AS fingerprint
          FROM t GROUP BY shard ORDER BY shard""",
     "x63_drift_psi" ->
       """WITH rb AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin

@@ -74,13 +74,13 @@ object StreamCurate {
 
   /** The per-row 60-bit hash under the MAINTAINED fingerprint state
     * ([[fingerprintState]]) — [[graft.ext.TextOps.corpusFingerprint]]'s
-    * md5-prefix over the payload columns in SORTED-NAME order (the
-    * order must be a pure function of the schema: append partials,
-    * delete partials and the compaction base all have to hash the same
-    * row identically). */
+    * row hash (per-column md5, no concatenation ambiguity, NULL-safe)
+    * over the payload columns in SORTED-NAME order (the order must be
+    * a pure function of the schema: append partials, delete partials
+    * and the compaction base all have to hash the same row
+    * identically). */
   private def fpRowHash(payload: Seq[String]): Column =
-    conv(substring(md5(concat_ws("|", payload.sorted.map(col): _*)),
-      1, 15), 16, 10).cast("long")
+    graft.ext.TextOps.fingerprintHash(payload.sorted)
 
   /** One signed fingerprint partial over `df`: (n·sign, XOR of row
     * hashes). XOR is its own inverse, so a delete's partial is just
@@ -428,9 +428,15 @@ object StreamCurate {
                 cand.join(broadcast(probeA(cand, idCol)), payload,
                   "left_anti")
               }
-            val removed = maskFrames(s, dir, tB -- tA).map { m =>
-              probeA(m, m.columns.head).dropDuplicates(payload)
-            }
+            // removed legs dedupe ACROSS mask frames (two new masks
+            // with different key columns can cover the same A row —
+            // e.g. a delete by text and a delete by id — and the
+            // general EXCEPT path's set semantics must hold)
+            val removedFrames = maskFrames(s, dir, tB -- tA)
+              .map(m => probeA(m, m.columns.head))
+            val removed = removedFrames
+              .reduceOption(_ unionByName _)
+              .map(_.dropDuplicates(payload))
             val legs = added.map(tag(_, "added", payload)).toSeq ++
               removed.map(tag(_, "removed", payload))
             Some(
@@ -601,12 +607,19 @@ object StreamCurate {
       // MAINTAINED fingerprint partial ([[fingerprintState]]): one
       // (n, xor) row per batch, computed from the JUST-WRITTEN corpus
       // partition (byte-identical to what will serve — never a
-      // re-evaluation of the policy plan); empty-survivor batches
-      // write the identity partial so coverage stays provable
+      // re-evaluation of the policy plan) WITH the current tombstone
+      // masks applied — [[loadAt]] masks tombstoned keys against EVERY
+      // live partition, so a batch re-ingesting a previously-deleted
+      // key (fresh digest, same key) appends a row that never serves;
+      // hashing it in would make the state diverge from the serve with
+      // no refusal. Empty-survivor batches write the identity partial
+      // so coverage stays provable.
       val writtenPath = s"${corpusDir(dir)}/batch_id=${batchId.toInt}"
       val fpSrc =
         if (hasDataFiles(spark, writtenPath))
-          fpPartial(spark.read.parquet(writtenPath), sign = 1)
+          fpPartial(tombstoneMasks(spark, dir, asOfGen = None)
+            .foldLeft(spark.read.parquet(writtenPath))((c, m) =>
+              c.join(m, Seq(m.columns.head), "left_anti")), sign = 1)
         else spark.range(1).select(lit(0L).as("n"),
           lit(null).cast("long").as("fp"))
       fpSrc.select(lit(batchId.toInt).as("batch_id"), col("n"), col("fp"))

@@ -53,6 +53,26 @@ class CurriculumSpec extends AnyFunSuite {
     assert(a == b && a == c)
   }
 
+  test("empty input (or all-NULL/NaN order) returns an empty frame, not an NPE") {
+    val empty = docs.filter(lit(false))
+    val out = TextOps.curriculumPhases(empty, "doc_id", col("v"), 4)
+    assert(out.count() == 0 &&
+      out.columns.contains("rank") && out.columns.contains("phase"))
+    val allNaN = docs.withColumn("v", lit(Double.NaN))
+    assert(TextOps.curriculumPhases(allNaN, "doc_id", col("v"), 4)
+      .count() == 0)
+  }
+
+  test("NaN order values are excluded (they would poison the envelope and rank first)") {
+    val withNaN = docs.withColumn("v",
+      when(col("doc_id") % 7 === 0, lit(Double.NaN)).otherwise(col("v")))
+    val out = TextOps.curriculumPhases(withNaN, "doc_id", col("v"), 4)
+    val n = withNaN.filter(!isnan(col("v"))).count()
+    assert(out.count() == n)
+    assert(out.agg(max("rank")).collect()(0).getLong(0) == n,
+      "ranks dense over the finite rows")
+  }
+
   test("NULL order values are excluded") {
     val withNulls = docs.withColumn("v",
       when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("v")))

@@ -128,4 +128,32 @@ class FingerprintSpec extends AnyFunSuite {
     assert(!out(1L).isNaN && !out(1L).isInfinite && out(1L) > 0)
     assert(out(-1L) > 0)
   }
+
+  test("PSI: an EMPTY side degrades to the uniform prior, never NULL — the monitor must fire") {
+    import spark.implicits._
+    val ref = (Seq.fill(30)(0) ++ Seq.fill(10)(1)).toDF("bin")
+    val cur = ref.filter(lit(false))
+    val rows = TextOps.psiDrift(ref, cur, col("bin"), nBins = 4).collect()
+    assert(rows.forall(r => !r.isNullAt(3)),
+      "an empty arrival batch must not produce NULL contributions")
+    val total = rows.find(_.getLong(0) == -1L).get.getDouble(3)
+    assert(!total.isNaN && !total.isInfinite && total > 0,
+      s"maximal drift must alert, got $total")
+  }
+
+  test("PSI: out-of-range bins are clamped into the edge bins, not dropped from the shares") {
+    import spark.implicits._
+    val ref = (Seq.fill(20)(0) ++ Seq.fill(20)(1)).toDF("bin")
+    // unclamped caller expression: all the mass at bin 9 must fold into
+    // the top edge bin instead of inflating totals while vanishing
+    val cur = Seq.fill(40)(9).toDF("bin")
+    val out = TextOps.psiDrift(ref, cur, col("bin"), nBins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // shares on each side must sum to ~1 (the smoothing adds nBins
+    // pseudo-counts; nothing is silently dropped)
+    val curShare = out.filterKeys(_ >= 0).values.map(_._1).sum
+    assert(math.abs(curShare - 1.0) < 1e-9, s"cur shares sum $curShare")
+    assert(out(-1L)._2 > 0, "tail drift must register, not hide")
+  }
 }

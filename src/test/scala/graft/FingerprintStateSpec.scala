@@ -80,6 +80,28 @@ class FingerprintStateSpec extends AnyFunSuite {
     assert(state(dir).contains(scan(dir)), "append after compact+vacuum")
   }
 
+  test("re-ingesting a previously-deleted key: the masked row never enters the state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpstate_reing").toString
+    append(dir, 0L, Seq(1L -> (good + "a"), 2L -> (good + "b")))
+    StreamCurate.deleteCurated(spark, dir, Seq(2L).toDF("doc_id"))
+    // key 2 re-crawled with CHANGED bytes: the seen-digest guard admits
+    // it, the corpus stores it, but the live tombstone masks it from
+    // every serve — the append partial must exclude it too, or the
+    // state silently diverges from the serve (review finding r11-s2 #1)
+    append(dir, 1L, Seq(2L -> (good + "b CHANGED")))
+    assert(StreamCurate.load(spark, dir).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L),
+      "the re-ingested key must stay masked")
+    assert(state(dir).contains(scan(dir)),
+      "state must match the serve, not the raw partitions")
+    assert(state(dir).get._1 == 1L)
+    // the fold then physically drops the masked row; state still exact
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    assert(state(dir).contains(scan(dir)))
+  }
+
   test("pre-upgrade coverage refused; compaction is the migration path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fpstate_mig").toString

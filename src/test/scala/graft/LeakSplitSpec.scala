@@ -45,6 +45,20 @@ class LeakSplitSpec extends AnyFunSuite {
     assert(trainShare > 0.35 && trainShare < 0.65, s"share $trainShare")
   }
 
+  test("NULL-text rows survive as their own content group") {
+    import spark.implicits._
+    val d = Seq((1L, "real body one"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "real body two"))
+      .toDF("doc_id", "text")
+    val out = Dedup.leakFreeSplit(d, "doc_id", "text", 0.5)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 4, "null-bodied rows must not vanish")
+    val nulls = out.filter(r => r._1 == 2L || r._1 == 3L)
+    assert(nulls.map(_._2).toSet == Set(2L), "null group rep = min id")
+    assert(nulls.map(_._3).toSet.size == 1, "null group splits together")
+  }
+
   test("deterministic and partition-invariant") {
     import spark.implicits._
     val d = (1L to 100L).map(i => (i, s"body $i word " * 3)).toDF("doc_id", "text")

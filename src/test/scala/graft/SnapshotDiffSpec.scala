@@ -127,6 +127,26 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assertParity(dir, Some(gA), None)
   }
 
+  test("two new masks with different key columns covering the same A row emit ONE removed row") {
+    // A serves (1, T); window: delete by text=T, append (1, T'), delete
+    // by doc_id=1 — both masks cover the A row; the fast path must
+    // dedupe ACROSS mask frames to keep EXCEPT's set semantics
+    val dir = mkDir("snapdiff_twomask")
+    import spark.implicits._
+    val t = good + "covered"
+    append(dir, 0L, Seq(1L -> t, 2L -> (good + "other")))
+    val gA = genOf(dir, Set(0))
+    StreamCurate.deleteCurated(spark, dir, Seq(t).toDF("text"),
+      idCol = "text")
+    append(dir, 1L, Seq(1L -> (good + "covered v2")))
+    StreamCurate.deleteCurated(spark, dir, Seq(1L).toDF("doc_id"))
+    val fast = StreamCurate.diffSnapshots(spark, dir, Some(gA), None)
+    val gen = StreamCurate.diffSnapshotsGeneral(spark, dir, Some(gA), None)
+    assert(fast.exceptAll(gen).isEmpty && gen.exceptAll(fast).isEmpty,
+      "fast and general must agree as MULTISETS (no duplicate removed rows)")
+    assert(fast.filter(col("change") === "removed").count() == 1)
+  }
+
   test("changed body: same key, new content = an added row; payload-identical re-ingest = no diff") {
     // payload carries the text -> the re-ingested body is a NEW row
     val dir = mkDir("snapdiff_changed")
