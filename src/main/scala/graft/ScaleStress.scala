@@ -1245,6 +1245,16 @@ object ScaleStress {
         TextOps.corpusFingerprint(docsOf(m), Seq("doc_id", "text"),
           Seq("lang")).count()
       }),
+      Op("st15_fpstate_fixed", m => {
+        // the MAINTAINED fingerprint serve: one (n, xor) row per live
+        // id regardless of corpus size — must be FLAT (reads a handful
+        // of one-row parquet files + a 2-column agg; the m×-growing
+        // corpus is never touched). Reuses st14's curate dirs (appends
+        // + one takedown — partials and a negative partial, no base).
+        val (dir, _) = builtDiffDir(m)
+        graft.streaming.StreamCurate.fingerprintState(spark, dir)
+          .get.count()
+      }),
       Op("x57_delete_fixed", m => {
         // ONE takedown batch (a fresh ~n(1×)/50 id slice per call — the
         // scoping makes re-deleting the same ids a no-op, so repeated
@@ -1579,7 +1589,8 @@ object ScaleStress {
       mults.foreach(builtSt13Dir)
     if (ops0.exists(_.name == "takedown_forget_fixed"))
       mults.foreach(builtCascade)
-    if (ops0.exists(_.name == "st14_diff_fixed"))
+    if (ops0.exists(o => o.name == "st14_diff_fixed" ||
+        o.name == "st15_fpstate_fixed"))
       mults.foreach(builtDiffDir)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient

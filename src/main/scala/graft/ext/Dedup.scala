@@ -313,6 +313,46 @@ object Dedup {
           .as("contam_frac"))
   }
 
+  /** QUALITY-AWARE exact dedup — keep the BEST copy, not the first:
+    * within each content group (md5 digest) the surviving row maximizes
+    * `qualityCol` (ties → smaller id), the RefinedWeb/FineWeb "keep the
+    * best-rendered duplicate" policy vs [[exactGroups]]' first-seen
+    * keep-min. Two different crawls of the same page often differ in
+    * extraction quality under an identical body hash's near
+    * neighbourhood — and when bodies ARE identical but metadata/scoring
+    * differs, the keeper choice decides what trains.
+    *
+    * Scale shape: winners are decided on NARROW (digest, quality, id)
+    * rows — one digest-keyed window — and joined back onto the scan by
+    * (digest, id); bodies never shuffle. */
+  def keepBestPerContent(docs: DataFrame, idCol: String, textCol: String,
+                         quality: Column): DataFrame = {
+    val nullKey = lit("__null_text__")
+    keepBestByKey(
+      docs.withColumn("__ckey", coalesce(md5(col(textCol)), nullKey)),
+      idCol, "__ckey", quality).drop("__ckey")
+  }
+
+  /** [[keepBestPerContent]] with a PRECOMPUTED content-group key (e.g. a
+    * maintained digest column, or [[duplicateClusters]] labels for the
+    * near-dup-aware variant). NULL keys form their own group. */
+  def keepBestByKey(docs: DataFrame, idCol: String, keyCol: String,
+                    quality: Column): DataFrame = {
+    val narrow = docs.select(col(keyCol), col(idCol), quality.as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col("__q").desc, col(idCol))
+    val winners = narrow
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol).as("__wk"), col(idCol).as("__wi"))
+    // null-SAFE key equality: a NULL-key group's winner must keep its
+    // row (a plain equi-join would silently drop the whole null group)
+    docs.join(winners,
+      col(keyCol) <=> col("__wk") && col(idCol) === col("__wi"),
+      "left_semi")
+  }
+
   /** LEAKAGE-FREE train/val split — the eval-integrity move: a document
     * and every EXACT duplicate of its content land on the SAME side of
     * the split, so a val example can never leak into train through a

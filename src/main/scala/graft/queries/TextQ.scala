@@ -1269,6 +1269,32 @@ object TextQ {
           keyCols = Seq("doc_id", "text"), groupCols = Seq("lang"))
         .orderBy("lang")),
 
+    // X67 — QUALITY-AWARE keep-best dedup ([[Dedup.keepBestByKey]]):
+    // within each content group the surviving copy maximizes a keeper
+    // score — the RefinedWeb "keep the best duplicate" policy vs
+    // x1/x33's first-seen keep-min. Exact copies share text-derived
+    // quality by construction, so the score adds a doc-level freshness
+    // prior (md5-uniform of the id — in production: crawl recency,
+    // source reputation); the corpus plants a deterministic re-crawl
+    // (doc_id % 5 == 0 re-delivered at +2·10¹⁰, the ScaleStress offset
+    // convention), and winners genuinely split between original and
+    // re-crawl. Winners decided on narrow (digest, score, id) rows;
+    // bodies never shuffle.
+    "x67_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "text")
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(20000000000L))
+      val corpus = docs.unionByName(recrawl)
+        .withColumn("score",
+          TextOps.qualityScore(col("text"), stops) +
+            lit(0.1) * TextOps.md5Uniform(col("doc_id")))
+      Dedup.keepBestPerContent(corpus, "doc_id", "text", col("score"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // X66 — LEAKAGE-FREE train/val split ([[Dedup.leakFreeSplit]]):
     // the split coin is flipped once per CONTENT group (md5 digest,
     // keyed by the group's min-id representative), so a doc and every
@@ -2833,6 +2859,27 @@ object TextQ {
              md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))
              AS BIGINT)) AS fingerprint
          FROM documents GROUP BY lang ORDER BY lang""",
+    "x67_dedup_keep_best" ->
+      """WITH c AS (
+           SELECT doc_id, lang, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000000000 AS doc_id, lang, source, text
+           FROM documents WHERE doc_id % 5 = 0),
+         t AS (
+           SELECT doc_id, lang, source, md5(text) AS digest,
+             least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.3
+             + CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x IN ('the','a','data','row','value'))) AS DOUBLE)
+               / len(string_split_regex(text, '\s+')) * 0.4
+             + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text)) * 0.3
+             + 0.1 * CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+               / 16777216.0 AS score
+           FROM c),
+         w AS (SELECT *, row_number() OVER (PARTITION BY digest
+                 ORDER BY score DESC, doc_id) AS rk FROM t)
+         SELECT doc_id, lang, source, round(score, 6) AS score
+         FROM w WHERE rk = 1 ORDER BY doc_id""",
     "x66_leakage_split" ->
       """WITH g AS (SELECT doc_id, lang, md5(text) AS digest
                     FROM documents),

@@ -1301,6 +1301,19 @@ object VectorQ {
     // occupancy account). Centroid-specific → rows-only.
     "v28_ivf_incremental" -> ((s, d) => ivfIncremental(s, d)),
 
+    // V33 — the dense-index DRIFT REPORT driver-visible
+    // ([[Similarity.ivfDriftReport]]): live cells, max/mean occupancy
+    // and their ratio over the prebuilt index — the metered quantities
+    // behind [[Similarity.ivfRetrainNeeded]]'s re-train trigger (the
+    // vector-family member of the x63/st15 monitoring story). A
+    // metadata-only aggregate over the postings: nCells rows grouped,
+    // one output row, never a corpus operation. Centroid-dependent →
+    // gate-SF golden oracle (two-JVM forced-rebuild determinism covers
+    // the artifact); StreamIvfSpec pins the trigger semantics
+    // SF-independently.
+    "v33_ivf_drift" -> ((s, d) =>
+      Similarity.ivfDriftReport(prebuiltIvf(s, d))),
+
     // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
     // k-means cells as blocks, nCells derived from the corpus count as
     // max(16, √n) — the prebuiltRag sizing — so occupancy stays flat and

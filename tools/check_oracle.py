@@ -38,7 +38,10 @@ SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "v31_semdedup_incr_ivf",
                 # r11: x45's index after a cascaded takedown (same
                 # hash-family determinism argument)
-                "x59_sig_takedown"}
+                "x59_sig_takedown",
+                # r11 session 2: occupancy report over the prebuilt IVF
+                # index (centroid-specific, same determinism argument)
+                "v33_ivf_drift"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 
