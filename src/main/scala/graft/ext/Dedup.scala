@@ -313,6 +313,20 @@ object Dedup {
           .as("contam_frac"))
   }
 
+  /** [[leakFreeSplit]] with a PRECOMPUTED group key — the near-dup-aware
+    * variant feeds [[duplicateClusters]] labels (coalesced to the row's
+    * own id for unclustered docs), so a val example can't leak into
+    * train even through a PARAPHRASED copy. Pure scan-side: the coin is
+    * [[TextOps.md5Uniform]] of the group key. */
+  def leakFreeSplitByKey(docs: DataFrame, groupCol: String,
+                         trainFrac: Double): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac must be in (0,1), got $trainFrac")
+    docs.withColumn("split",
+      when(TextOps.md5Uniform(col(groupCol)) < trainFrac, "train")
+        .otherwise("val"))
+  }
+
   /** QUALITY-AWARE exact dedup — keep the BEST copy, not the first:
     * within each content group (md5 digest) the surviving row maximizes
     * `qualityCol` (ties → smaller id), the RefinedWeb/FineWeb "keep the

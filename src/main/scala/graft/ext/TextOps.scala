@@ -839,6 +839,35 @@ object TextOps {
     conv(substring(md5(concat(parts: _*)), 1, 15), 16, 10).cast("long")
   }
 
+  /** CROSS-REPLICA corpus comparison — [[corpusFingerprint]] of two
+    * corpora joined per group: the audit two sites run to find WHICH
+    * slice of a supposedly-mirrored corpus diverged (the middle rung of
+    * the audit ladder: st15/x62 prove global identity in O(state),
+    * this names the diverging groups, [[graft.streaming.StreamCurate
+    * .diffSnapshots]] names the rows). Output per group: (n_a, n_b,
+    * fp_a, fp_b, equal); groups present on only one side report with
+    * the other side's count 0 and a NULL fingerprint — and
+    * `equal = false`. Null-safe comparisons throughout. Cost: one
+    * map-side-combined pass per side, a groups-sized join. */
+  def fingerprintCompare(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame,
+                         keyCols: Seq[String], groupCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val fa = corpusFingerprint(a, keyCols, groupCols)
+      .withColumnRenamed("n_rows", "n_a")
+      .withColumnRenamed("fingerprint", "fp_a")
+    val fb = corpusFingerprint(b, keyCols, groupCols)
+      .withColumnRenamed("n_rows", "n_b")
+      .withColumnRenamed("fingerprint", "fp_b")
+    fa.join(fb, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("fp_a"), col("fp_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L))
+          && col("fp_a") <=> col("fp_b")).as("equal")): _*)
+  }
+
   /** POPULATION-STABILITY-INDEX drift between a reference corpus slice
     * and a new batch over a binned feature — the pipeline monitor that
     * answers "does today's crawl still look like the corpus?" before the

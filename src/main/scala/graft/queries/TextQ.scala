@@ -1295,6 +1295,42 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // X68 — CROSS-REPLICA corpus comparison
+    // ([[TextOps.fingerprintCompare]]): which slice of a
+    // supposedly-mirrored corpus diverged — site A = the full corpus,
+    // site B = a partially-synced replica (the doc_id % 97 == 13 slice
+    // missing). Per-lang (n_a, n_b, fp_a, fp_b, equal): the middle rung
+    // of the audit ladder between st15/x62 (global identity in
+    // O(state)) and st14 (row-level diff). One pass per side, a
+    // groups-sized full-outer join.
+    "x68_corpus_compare" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.fingerprintCompare(
+          docs, docs.filter(col("doc_id") % 97 =!= 13),
+          keyCols = Seq("doc_id", "text"), groupCols = Seq("lang"))
+        .orderBy("lang")
+    }),
+
+    // X69 — NEAR-DUP-AWARE leakage-free split
+    // ([[Dedup.leakFreeSplitByKey]] over x33's real MinHash cluster
+    // labels): x66 closes the exact-copy leak; this closes the
+    // PARAPHRASE leak — every member of a near-dup cluster lands on the
+    // same side of the split (coin on the cluster label, unclustered
+    // docs on their own id). Cluster labels are hash-family-specific →
+    // gate-SF golden (two-JVM forced-rebuild determinism covers the
+    // artifact); the leak-free property itself is pinned
+    // SF-independently in LeakSplitSpec.
+    "x69_leakage_split_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = realPairClusters(s, d)
+      Dedup.leakFreeSplitByKey(
+          docs.join(clusters, docs("doc_id") === col("id"), "left")
+            .withColumn("grp", coalesce(col("cluster_id"), docs("doc_id"))),
+          "grp", trainFrac = 0.9)
+        .select(docs("doc_id"), col("lang"), col("grp"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // X66 — LEAKAGE-FREE train/val split ([[Dedup.leakFreeSplit]]):
     // the split coin is flipped once per CONTENT group (md5 digest,
     // keyed by the group's min-id representative), so a doc and every
@@ -2880,6 +2916,23 @@ object TextQ {
                  ORDER BY score DESC, doc_id) AS rk FROM t)
          SELECT doc_id, lang, source, round(score, 6) AS score
          FROM w WHERE rk = 1 ORDER BY doc_id""",
+    "x68_corpus_compare" ->
+      """WITH fa AS (SELECT lang, count(*) AS n_a,
+             bit_xor(CAST(('0x' || substr(md5(
+               md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))
+               AS BIGINT)) AS fp_a
+           FROM documents GROUP BY lang),
+         fb AS (SELECT lang, count(*) AS n_b,
+             bit_xor(CAST(('0x' || substr(md5(
+               md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))
+               AS BIGINT)) AS fp_b
+           FROM documents WHERE doc_id % 97 <> 13 GROUP BY lang)
+         SELECT lang, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           fp_a, fp_b,
+           (COALESCE(n_a, 0) = COALESCE(n_b, 0)
+             AND fp_a IS NOT DISTINCT FROM fp_b) AS equal
+         FROM fa FULL OUTER JOIN fb USING (lang)
+         ORDER BY lang""",
     "x66_leakage_split" ->
       """WITH g AS (SELECT doc_id, lang, md5(text) AS digest
                     FROM documents),

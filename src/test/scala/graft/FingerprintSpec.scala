@@ -88,6 +88,27 @@ class FingerprintSpec extends AnyFunSuite {
       after("all")._2 != before("all")._2)
   }
 
+  test("fingerprintCompare: diverged groups flagged, identical groups equal, one-sided groups unequal") {
+    val a = docs((1L to 40L).map(i => i -> s"document body $i"): _*)
+    // replica: one de row missing, en intact
+    val b = a.filter(col("doc_id") =!= 7L)
+    // columns: lang(0), n_a(1), n_b(2), fp_a(3), fp_b(4), equal(5)
+    val cmp = TextOps.fingerprintCompare(a, b,
+        Seq("doc_id", "text"), Seq("lang")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(5))).toMap
+    assert(cmp("en")._3, "untouched group must compare equal")
+    assert(!cmp("de")._3 && cmp("de")._1 == cmp("de")._2 + 1)
+    // a group present on one side only is unequal, not invisible
+    val c = a.withColumn("lang", lit("xx"))
+    val one = TextOps.fingerprintCompare(a, c,
+        Seq("doc_id", "text"), Seq("lang")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(5))).toMap
+    assert(one.contains("xx") && !one("xx")._3 && one("xx")._1 == 0L)
+    assert(one.contains("en") && !one("en")._3 && one("en")._2 == 0L)
+  }
+
   test("PSI: exactly zero on identical distributions") {
     val d = docs((1L to 60L).map(i => i -> ("x " * (i.toInt % 10 + 1))): _*)
       .withColumn("n_chars", length(col("text")))

@@ -59,6 +59,26 @@ class LeakSplitSpec extends AnyFunSuite {
     assert(nulls.map(_._3).toSet.size == 1, "null group splits together")
   }
 
+  test("near-dup-aware split (x69 shape): every cluster member lands on one side") {
+    import spark.implicits._
+    // planted cluster labels (x33's realPairClusters shape): docs 1-3
+    // one cluster, 4-5 another, 6-7 unclustered (their own ids)
+    val d = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("doc_id", "grp")
+    val out = Dedup.leakFreeSplitByKey(d, "grp", trainFrac = 0.5)
+      .select("doc_id", "grp", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 7)
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).toSet.size == 1,
+        s"cluster $g straddles the split: $rows")
+    }
+    // the coin depends only on the group key: same key, same side as
+    // the exact-dup split would give (one md5Uniform definition)
+    val coin1 = out.find(_._1 == 1L).get._3
+    assert(out.filter(_._2 == 1L).forall(_._3 == coin1))
+  }
+
   test("deterministic and partition-invariant") {
     import spark.implicits._
     val d = (1L to 100L).map(i => (i, s"body $i word " * 3)).toDF("doc_id", "text")

@@ -41,7 +41,10 @@ SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "x59_sig_takedown",
                 # r11 session 2: occupancy report over the prebuilt IVF
                 # index (centroid-specific, same determinism argument)
-                "v33_ivf_drift"}
+                "v33_ivf_drift",
+                # r11 session 2: split over MinHash cluster labels (same
+                # hash-family determinism argument)
+                "x69_leakage_split_neardup"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 
