@@ -441,6 +441,27 @@ object ScaleStress {
       (dir, genA)
     })
 
+    // x70: the maintained containment index per multiplier (shingle-set
+    // table + 5-gram df), per-copy token salt like the x61 row — the
+    // FIXED copy-0 batch pairs only within copy 0, so candidates stay
+    // constant while the df merge and the postings ng-join grow m×
+    val contIdx = scala.collection.mutable
+      .Map.empty[Int, (DataFrame, DataFrame)]
+    def saltedDocs(m: Int): DataFrame = docsOf(m).select(col("doc_id"),
+      concat_ws(" ", transform(TextOps.tokens(col("text")),
+        t => concat(t, lit("#"), col("copy")))).as("text"))
+    def builtContIdx(m: Int): (DataFrame, DataFrame) =
+      contIdx.getOrElseUpdate(m, {
+        val sets = Dedup.shingleSets(
+          saltedDocs(m).filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", 5).persist()
+        sets.count()
+        val dfT = sets.select(col("__cid"), explode(col("__sh")).as("ng"))
+          .groupBy("ng").agg(count(lit(1)).as("ndocs")).persist()
+        dfT.count()
+        (sets, dfT)
+      })
+
     def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-x57-m$m-").toString
@@ -1229,6 +1250,17 @@ object ScaleStress {
         Dedup.containmentPairs(salted, "doc_id", "text", n = 5,
           maxDf = 20, threshold = 0.4).count()
       }),
+      Op("x70_contain_incr_fixed", m => {
+        // incremental containment of the FIXED copy-0 batch against the
+        // m× maintained index: batch tokenizes itself once; the
+        // m-growing terms are the (ng, ndocs) df merge and the
+        // rare-postings ng-join — both sharded by shingle; stored
+        // bodies are never re-tokenized (the index is the sets table).
+        val (sets, dfT) = builtContIdx(m)
+        val batch = saltedDocs(1).filter(col("doc_id") % 4 === 0)
+        Dedup.containmentAgainst(sets, dfT, batch, "doc_id", "text",
+          n = 5, maxDf = 20, threshold = 0.4).count()
+      }),
       Op("st14_diff_fixed", m => {
         // snapshot diff over a FIXED window (one fresh-id delta batch +
         // one fixed copy-0 takedown) as the shared history grows m×:
@@ -1592,6 +1624,8 @@ object ScaleStress {
     if (ops0.exists(o => o.name == "st14_diff_fixed" ||
         o.name == "st15_fpstate_fixed"))
       mults.foreach(builtDiffDir)
+    if (ops0.exists(_.name == "x70_contain_incr_fixed"))
+      mults.foreach(builtContIdx)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

@@ -436,13 +436,7 @@ object Dedup {
                        n: Int = 5, maxDf: Int = 20,
                        threshold: Double = 0.8): DataFrame = {
     // materialized `toks` under the shingle lambda (the x26 HOF rule)
-    val sets = docs
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol).as("__cid"),
-        TextOps.shingles(col("__toks"), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .persist()
+    val sets = shingleSets(docs, idCol, textCol, n).persist()
     val posting = sets.select(col("__cid"), explode(col("__sh")).as("ng"))
     val rareNg = posting.groupBy("ng").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
@@ -452,7 +446,16 @@ object Dedup {
       .join(rare.select(col("ng"), col("__cid").as("id_b")), Seq("ng"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val contained = cand
+    exactContainment(cand, sets, threshold)
+  }
+
+  /** The exact-containment recheck shared by [[containmentPairs]] and
+    * [[containmentAgainst]]: join the candidate pairs' full shingle
+    * sets, direction = smaller set contained (ties → smaller id),
+    * containment rounded to 6 dp and thresholded. Candidate-sized. */
+  private def exactContainment(cand: DataFrame, sets: DataFrame,
+                               threshold: Double): DataFrame =
+    cand
       .join(sets.select(col("__cid").as("id_a"), col("__sh").as("sh_a")),
         Seq("id_a"))
       .join(sets.select(col("__cid").as("id_b"), col("__sh").as("sh_b")),
@@ -470,7 +473,70 @@ object Dedup {
           .cast("double") /
           least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 6)
           .as("containment"))
-    contained.filter(col("containment") >= threshold)
+      .filter(col("containment") >= threshold)
+
+  /** Tokenize once into the (id, shingle-set) form both containment
+    * entry points consume — and the FORM THE MAINTAINED INDEX STORES
+    * ([[containmentAgainst]]): a doc's shingle set is derived from its
+    * body exactly once, at ingest. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol).as("__cid"),
+        TextOps.shingles(col("__toks"), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+  /** INCREMENTAL containment — the increment-family member
+    * (x36/x45/x49/v28) for [[containmentPairs]]: the corpus is
+    * represented by its maintained SHINGLE-SET INDEX (`indexSets`:
+    * (id, sh) — bodies of past increments are never re-tokenized) plus
+    * its n-gram df table (`dfIndex`: (ng, ndocs) — the x55/st11
+    * maintained artifact shape); the new batch tokenizes itself once
+    * and pairs (a) batch × index and (b) batch × batch through RARE
+    * shingles under the COMBINED df (index + batch — the
+    * [[incrementalFingerprintDedup]] combined-occupancy lesson: capping
+    * on either side alone admits buckets a full-corpus run would
+    * drop). Exact containment then runs on the candidates' stored sets.
+    *
+    * Returns pairs where at least one side is a batch doc — exactly the
+    * full-corpus [[containmentPairs]] output restricted to
+    * batch-touching pairs (the oracle's claim). After the increment,
+    * append `shingleSets(batch)` to the index and fold the batch's df
+    * into the df table; increment N+1 again never touches increment
+    * N's bodies. */
+  def containmentAgainst(indexSets: DataFrame, dfIndex: DataFrame,
+                         batch: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5, maxDf: Int = 20,
+                         threshold: Double = 0.8): DataFrame = {
+    val bSets = shingleSets(batch, idCol, textCol, n).persist()
+    val bPost = bSets.select(col("__cid"), explode(col("__sh")).as("ng"))
+    val bDf = bPost.groupBy("ng").agg(count(lit(1)).as("__nb"))
+    // combined df: disjoint doc sets, so the merge is a plain sum
+    val rareNg = dfIndex
+      .select(col("ng"), col("ndocs").as("__ni"))
+      .join(bDf, Seq("ng"), "full_outer")
+      .filter(coalesce(col("__ni"), lit(0L)) +
+        coalesce(col("__nb"), lit(0L)) <= maxDf)
+      .select("ng")
+    val rb = bPost.join(rareNg, Seq("ng"))
+    // index postings derived from the STORED sets (one columnar pass
+    // over the sh column — never a body re-tokenize); at scale this is
+    // the maintained exploded postings table, same artifact
+    val ri = indexSets
+      .select(col("__cid"), explode(col("__sh")).as("ng"))
+      .join(rareNg, Seq("ng"))
+    val bb = rb.select(col("ng"), col("__cid").as("id_a"))
+      .join(rb.select(col("ng"), col("__cid").as("id_b")), Seq("ng"))
+      .filter(col("id_a") < col("id_b"))
+    val bi = rb.select(col("ng"), col("__cid").as("__bid"))
+      .join(ri.select(col("ng"), col("__cid").as("__iid")), Seq("ng"))
+      .select(least(col("__bid"), col("__iid")).as("id_a"),
+        greatest(col("__bid"), col("__iid")).as("id_b"))
+    val cand = bb.select("id_a", "id_b")
+      .unionByName(bi.select("id_a", "id_b")).distinct()
+    val allSets = bSets.unionByName(indexSets)
+    exactContainment(cand, allSets, threshold)
   }
 
   /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" shape

@@ -584,6 +584,33 @@ object TextQ {
       })
     }
 
+  /** Memoized CONTAINMENT index for x70 — the maintained artifacts of
+    * the incremental containment loop ([[graft.ext.Dedup
+    * .containmentAgainst]]): the shingle-SET table (id, sh — each body
+    * tokenized exactly once, at ingest) and the 5-gram df table, both
+    * over the doc_id % 4 != 0 corpus slice (the x55 split convention).
+    * ArtifactStore'd + prewarmped like every maintained index. */
+  private val contIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def containmentIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    contIdxCache.synchronized {
+      contIdxCache.getOrElseUpdate((s, d), {
+        val Seq(sets, dfT) = graft.ArtifactStore.group(s, d, "cont5",
+          "v1 n=5 corpus=doc_id%4!=0", Seq("sets", "df")) {
+          val idx = Dedup.shingleSets(
+            Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0),
+            "doc_id", "text", n = 5)
+          val df0 = idx.select(col("__cid"), explode(col("__sh")).as("ng"))
+            .groupBy("ng").agg(count(lit(1)).as("ndocs"))
+          Seq(idx, df0)
+        }
+        val st = sets.persist(); st.count()
+        val dfp = dfT.persist(); dfp.count()
+        (st, dfp)
+      })
+    }
+
   /** Memoized MAINTAINED-FINGERPRINT curation dir for st15 — the st9
     * pipeline + the %10 takedown, NO compaction: the fingerprint is
     * served from the per-batch partials and the delete's NEGATIVE
@@ -629,6 +656,7 @@ object TextQ {
     streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
     streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
     takedownClusters(s, d); takedownNgramDf(s, d); fpCuration(s, d)
+    containmentIndex(s, d)
     ()
   }
 
@@ -661,6 +689,10 @@ object TextQ {
     x58Cache.clear()
     st15Cache.values.foreach(_.unpersist())
     st15Cache.clear()
+    contIdxCache.values.foreach { case (a, b) =>
+      a.unpersist(); b.unpersist()
+    }
+    contIdxCache.clear()
     tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt9Dirs.clear()
     // AFTER the temp dirs are gone: a memoized dir path may point into
@@ -1257,6 +1289,23 @@ object TextQ {
       Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
           segTokens = 10)
         .orderBy("doc_id")),
+
+    // X70 — INCREMENTAL containment ([[Dedup.containmentAgainst]]): the
+    // increment-family member for x61 — the corpus is represented by
+    // its maintained SHINGLE-SET index + 5-gram df table (bodies of
+    // past increments never re-tokenized); the % 4 == 0 batch
+    // tokenizes itself once, pairs through rare shingles under the
+    // COMBINED (index + batch) df, and exact containment runs on the
+    // stored sets. Oracle = x61's full-corpus SQL restricted to
+    // batch-touching pairs — the incremental result must equal the
+    // full recompute exactly.
+    "x70_containment_incr" -> ((s, d) => {
+      val (sets, dfT) = containmentIndex(s, d)
+      Dedup.containmentAgainst(sets, dfT,
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 5, maxDf = 20, threshold = 0.4)
+        .orderBy("id_contained", "id_container")
+    }),
 
     // X62 — ORDER-INVARIANT corpus fingerprint
     // ([[TextOps.corpusFingerprint]]): per-lang XOR of a 60-bit md5
@@ -3046,6 +3095,40 @@ object TextQ {
          SELECT -1 AS bin, 1.0 AS p_ref, 1.0 AS p_cur,
            round(sum(contrib), 6) AS contrib FROM b
          ORDER BY bin""",
+    "x70_containment_incr" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] || ' ' || toks[i+4]
+                   FOR i IN range(1, len(toks) - 3)]) AS sh
+               FROM t WHERE len(toks) >= 5),
+         s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         g AS (SELECT doc_id, unnest(sh) AS ng FROM s2),
+         rare AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= 20),
+         rg AS (SELECT g.doc_id, g.ng FROM g JOIN rare USING (ng)),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM rg a JOIN rg b USING (ng)
+                  WHERE a.doc_id < b.doc_id
+                    AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)),
+         x AS (SELECT ia, ib, sa.sh AS sha, sb.sh AS shb
+               FROM cand
+               JOIN s2 sa ON sa.doc_id = cand.ia
+               JOIN s2 sb ON sb.doc_id = cand.ib),
+         d AS (SELECT
+                 CASE WHEN len(sha) < len(shb)
+                        OR (len(sha) = len(shb) AND ia < ib)
+                   THEN ia ELSE ib END AS id_contained,
+                 CASE WHEN len(sha) < len(shb)
+                        OR (len(sha) = len(shb) AND ia < ib)
+                   THEN ib ELSE ia END AS id_container,
+                 round(len(list_intersect(sha, shb))
+                   / CAST(least(len(sha), len(shb)) AS DOUBLE), 6)
+                   AS containment
+               FROM x)
+         SELECT id_contained, id_container, containment FROM d
+         WHERE containment >= 0.4
+         ORDER BY id_contained, id_container""",
     "x61_containment" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

@@ -112,6 +112,56 @@ class ContainmentSpec extends AnyFunSuite {
       r2.head.getLong(1) == 5L)
   }
 
+  test("incremental equals the full recompute restricted to batch-touching pairs") {
+    val quote = (1 to 8).map(i => s"inc$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"idxfill$i").mkString(" ")
+    val corpus = docs(
+      1L -> s"$filler $quote",                       // index: container
+      2L -> (201 to 240).map(i => s"w$i").mkString(" "), // index
+      3L -> (211 to 250).map(i => s"w$i").mkString(" "), // index, overlaps 2
+      10L -> quote,                                   // batch: contained in 1
+      11L -> (221 to 260).map(i => s"w$i").mkString(" ")) // batch, overlaps 2,3
+    val isBatch = (id: Long) => id >= 10L
+    val n = 5; val maxDf = 20; val thr = 0.1
+    val idx = Dedup.shingleSets(
+      corpus.filter(col("doc_id") < 10L), "doc_id", "text", n)
+    val dfT = idx.select(col("__cid"), explode(col("__sh")).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("ndocs"))
+    val inc = Dedup.containmentAgainst(idx, dfT,
+        corpus.filter(col("doc_id").geq(10L)), "doc_id", "text",
+        n, maxDf, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n, maxDf, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => isBatch(p._1) || isBatch(p._2)).toSet
+    assert(inc == full, s"inc $inc vs full-restricted $full")
+    assert(inc.exists(p => p._1 == 10L && p._2 == 1L && p._3 == 1.0),
+      "the cross-boundary containment must be found")
+  }
+
+  test("combined df cap: a shingle pushed over the cap BY THE BATCH generates no candidates") {
+    // 'shared' appears in 3 index docs and 3 batch docs: index df 3 is
+    // under cap 5, combined df 6 is over — capping on the index side
+    // alone would wrongly admit it (the straddling-bucket lesson)
+    val shared = (1 to 10).map(i => s"cap$i").mkString(" ")
+    val corpus = docs((1L to 3L).map(i => i -> shared) ++
+      (11L to 13L).map(i => i -> shared): _*)
+    val idx = Dedup.shingleSets(
+      corpus.filter(col("doc_id") < 10L), "doc_id", "text", 5)
+    val dfT = idx.select(col("__cid"), explode(col("__sh")).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("ndocs"))
+    val batch = corpus.filter(col("doc_id") >= 10L)
+    assert(Dedup.containmentAgainst(idx, dfT, batch, "doc_id", "text",
+      5, maxDf = 5, threshold = 0.5).count() == 0,
+      "combined df 6 > cap 5 must suppress the bucket on BOTH legs")
+    val got = Dedup.containmentAgainst(idx, dfT, batch, "doc_id", "text",
+      5, maxDf = 6, threshold = 0.5).count()
+    // cap 6 admits: all batch-touching pairs of the 6-clique = 12
+    assert(got == 12, s"expected 12 batch-touching pairs, got $got")
+  }
+
   test("plan is cartesian-free") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Dedup.containmentPairs(d, "doc_id", "text",
