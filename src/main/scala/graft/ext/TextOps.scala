@@ -1260,12 +1260,22 @@ object TextOps {
     * sizes the envelope), per-bucket counts → broadcast prefix offsets,
     * rank = offset + within-bucket row_number — one corpus shuffle, the
     * global sequencing travels through nBuckets metadata rows.
-    * Integer-exact (rank arithmetic, no float thresholds), so the
-    * DuckDB oracle is a plain ORDER BY window. Rows with a NULL or NaN
-    * order value are excluded; an empty (or fully excluded) input
-    * returns an empty frame. Degenerate case: a single distinct order value
-    * collapses to one bucket (= the naive sort); pick an order with
-    * spread or raise nBuckets for heavy ties. */
+    * Integer-exact: the phase is an integral `div` (never double
+    * division, whose 2^53 mantissa would misround nPhases·(rank−1) on
+    * a big-enough corpus), so the DuckDB oracle is a plain ORDER BY
+    * window. Rows with a NULL or NaN order value are excluded; an
+    * empty (or fully excluded) input returns an empty frame.
+    *
+    * Tie degeneracy: VALUE-range buckets put every copy of a heavily
+    * repeated order value (a constant quality score is the limit case)
+    * into ONE bucket, and one task would sort them. A second metadata
+    * pass catches that: any SINGLE-VALUED bucket larger than its fair
+    * share is sub-bucketed by `idCol` range (valid exactly because the
+    * sort key inside a one-value bucket degenerates to the id), so the
+    * per-task sort stays bounded even under a constant order column.
+    * Multi-valued hot buckets are the caller's nBuckets dial, as
+    * before. Requires a numerically ordered `idCol` for the tie path
+    * (doc ids here); a non-numeric id skips sub-bucketing. */
   def curriculumPhases(df: org.apache.spark.sql.DataFrame, idCol: String,
                        order: Column, nPhases: Int,
                        nBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
@@ -1285,20 +1295,46 @@ object TextOps {
         .withColumn("rank", lit(0L)).withColumn("phase", lit(0))
     val (lo, hi) = (head.getDouble(0), head.getDouble(1))
     val span = if (hi > lo) hi - lo else 1.0
-    val bucketed = vals.withColumn("__bkt",
+    val idNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bucketed0 = vals.withColumn("__bkt",
       least(floor((col("__v") - lit(lo)) / lit(span) * nBuckets),
         lit((nBuckets - 1).toLong)).cast("int"))
-    val offsets = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+    // tie pass: single-valued buckets above their fair share split by
+    // id range — one nBuckets-sized stats agg, broadcast back
+    val fairShare = math.max(n / nBuckets, 1L) * 4
+    val stats = bucketed0.groupBy("__bkt")
+      .agg(count(lit(1)).as("__n"), min("__v").as("__vlo"),
+        max("__v").as("__vhi"),
+        min(col(idCol).cast("double")).as("__ilo"),
+        max(col(idCol).cast("double")).as("__ihi"))
+      .withColumn("__nsub",
+        when(lit(idNumeric) && col("__vlo") === col("__vhi") &&
+            col("__n") > fairShare && col("__ihi") > col("__ilo"),
+          least(ceil(col("__n") / lit(fairShare.toDouble)),
+            lit(nBuckets.toLong)))
+          .otherwise(lit(1L)))
+      .select("__bkt", "__nsub", "__ilo", "__ihi")
+    val bucketed = bucketed0.join(broadcast(stats), "__bkt")
+      .withColumn("__sbkt",
+        when(col("__nsub") === 1L, lit(0L)).otherwise(
+          least(floor((col(idCol).cast("double") - col("__ilo")) /
+              (col("__ihi") - col("__ilo")) * col("__nsub")),
+            col("__nsub") - 1L)).cast("int"))
+      .drop("__nsub", "__ilo", "__ihi")
+    val offsets = bucketed.groupBy("__bkt", "__sbkt")
+      .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
-        sum("__n").over(Window.orderBy("__bkt")
+        sum("__n").over(Window.orderBy("__bkt", "__sbkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__off"))
-    bucketed.join(broadcast(offsets), "__bkt")
+      .select(col("__bkt"), col("__sbkt"), col("__off"))
+    bucketed.join(broadcast(offsets), Seq("__bkt", "__sbkt"))
       .withColumn("rank", col("__off") + row_number().over(
-        Window.partitionBy("__bkt").orderBy(col("__v"), col(idCol))))
+        Window.partitionBy("__bkt", "__sbkt")
+          .orderBy(col("__v"), col(idCol))))
       .withColumn("phase",
-        floor(lit(nPhases.toLong) * (col("rank") - 1) / lit(n)).cast("int"))
-      .drop("__v", "__bkt", "__off")
+        expr(s"CAST((${nPhases.toLong} * (rank - 1)) DIV $n AS INT)"))
+      .drop("__v", "__bkt", "__sbkt", "__off")
   }
 
   /** Deterministic per-key CAP — the per-domain/per-source quota move

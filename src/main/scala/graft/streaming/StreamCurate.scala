@@ -66,6 +66,10 @@ object StreamCurate {
     * larger ones fall back to a semi-join. */
   private val maxPushdownKeys = 100000
 
+  /** Byte budget for an inlined isin literal list (a guard on top of
+    * the key-count cap: even the id column could be a wide string). */
+  private val maxPushdownBytes = 8L << 20
+
   private def seenDir(dir: String) = s"$dir/seen"
   private def corpusDir(dir: String) = s"$dir/corpus"
   private def tombDir(dir: String) = s"$dir/tombstones"
@@ -406,10 +410,23 @@ object StreamCurate {
             // Takedown.MaxPushdownKeys discipline: parquet row-group
             // stats on the key column prune the shared history to
             // ~nothing; the semi-join fallback engages past the cap
+            // the isin path only for the NARROW key column: tombstone
+            // masks can be keyed by the text column (mixed-idCol
+            // takedowns are supported), and collecting 100k bodies to
+            // inline as a literal list is a driver OOM / plan blowup —
+            // wide keys go straight to the broadcast semi-join
             def probeA(keys: DataFrame, key: String): DataFrame = {
-              val vals = keys.select(key).distinct()
-                .limit(maxPushdownKeys + 1).collect().map(_.get(0))
-              if (vals.length <= maxPushdownKeys)
+              val vals =
+                if (key == idCol) keys.select(key).distinct()
+                  .limit(maxPushdownKeys + 1).collect().map(_.get(0))
+                else Array.empty[Any]
+              val bytes = vals.iterator.map {
+                case s: String => 16L + 2L * s.length
+                case b: Array[Byte] => 16L + b.length
+                case _ => 16L
+              }.sum
+              if (key == idCol && vals.length <= maxPushdownKeys &&
+                  bytes <= maxPushdownBytes)
                 pa.filter(col(key).isInCollection(vals))
               else pa.join(broadcast(keys.select(key).distinct()),
                 Seq(key), "left_semi")
@@ -489,9 +506,15 @@ object StreamCurate {
       val paths = (data ++ tombs).toSeq.sorted
         .map(id => s"${fpDir(dir)}/batch_id=$id").filter(has)
       if (dataUncovered || tombUncovered || paths.isEmpty) None
+      // all-deleted degenerate case: the scan form's zero-row global agg
+      // yields (0, NULL) — null the netted-to-nothing fingerprint too so
+      // "equal by construction" holds at every lifecycle point
       else Some(s.read.option("basePath", fpDir(dir)).parquet(paths: _*)
         .agg(sum(col("n")).as("n_rows"),
-          bit_xor(coalesce(col("fp"), lit(0L))).as("fingerprint")))
+          bit_xor(coalesce(col("fp"), lit(0L))).as("fingerprint"))
+        .select(col("n_rows"),
+          when(col("n_rows") === 0L, lit(null).cast("long"))
+            .otherwise(col("fingerprint")).as("fingerprint")))
     }
 
   /** The general (EXCEPT-both-ways) diff path unconditionally — the

@@ -46,6 +46,25 @@ class CurriculumSpec extends AnyFunSuite {
     }
   }
 
+  test("constant order column: id-range sub-buckets keep the exact rank (tie degeneracy)") {
+    // the limit case of the r11 seam: a single-valued order column puts
+    // EVERY row into one value bucket — the id-range sub-bucket pass
+    // must keep ranks exact (inside a one-value bucket the sort key
+    // degenerates to the id, so id ranges preserve the global order)
+    val const = docs.withColumn("v", lit(7.5))
+    val naive = const.withColumn("rank",
+        row_number().over(Window.orderBy(col("v"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val g = got(const, 4, 32)
+    assert(g.view.mapValues(_._1).toMap == naive,
+      "constant order column must still rank by id, exactly")
+    val n = naive.size
+    g.foreach { case (id, (rank, phase)) =>
+      assert(phase == (4L * (rank - 1) / n).toInt,
+        s"phase arithmetic broken for doc $id under constant order")
+    }
+  }
+
   test("partition-invariant and re-run stable") {
     val a = got(docs, 4, 32)
     val b = got(docs.repartition(17), 4, 32)

@@ -80,6 +80,23 @@ class FingerprintStateSpec extends AnyFunSuite {
     assert(state(dir).contains(scan(dir)), "append after compact+vacuum")
   }
 
+  test("fully-deleted corpus: state and scan agree on (0, NULL)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpstate_empty").toString
+    append(dir, 0L, Seq(1L -> (good + "a"), 2L -> (good + "b")))
+    StreamCurate.deleteCurated(spark, dir, Seq(1L, 2L).toDF("doc_id"))
+    // the scan form's zero-row global agg yields (0, NULL); the state's
+    // netted partials must normalize to the same, not serve (0, 0)
+    val st = StreamCurate.fingerprintState(spark, dir).get.collect().head
+    assert(st.getLong(0) == 0L && st.isNullAt(1),
+      s"state must serve (0, NULL) for an all-deleted corpus, got $st")
+    val served = StreamCurate.load(spark, dir).get.drop("batch_id")
+    val sc = TextOps.corpusFingerprint(served,
+      served.columns.sorted.toSeq, Seq.empty).collect().head
+    assert(sc.getLong(0) == 0L && sc.isNullAt(1),
+      s"scan form changed its empty-corpus contract: $sc")
+  }
+
   test("re-ingesting a previously-deleted key: the masked row never enters the state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fpstate_reing").toString
