@@ -135,10 +135,15 @@ object ArtifactStore {
     * unpersist every built frame — builders persist intermediates
     * internally and those blocks are dead once the parquet copy exists),
     * and returns the read-backs. With the store disabled, returns the
-    * built frames unchanged and never calls `afterWrite`. */
+    * built frames unchanged and never calls `afterWrite`.
+    *
+    * `partitioned` maps an out name to partition columns for its write
+    * (e.g. the containment postings' `ngb` bucket column) so readers
+    * get real partition pruning; unlisted outs write flat as before. */
   def group(s: SparkSession, srcDir: String, name: String, spec: String,
             outs: Seq[String],
-            afterWrite: Seq[DataFrame] => Unit = _.foreach(df => df.unpersist()))(
+            afterWrite: Seq[DataFrame] => Unit = _.foreach(df => df.unpersist()),
+            partitioned: Map[String, Seq[String]] = Map.empty)(
       build: => Seq[DataFrame]): Seq[DataFrame] = {
     groupDir(srcDir, name) match {
       case None => build
@@ -155,7 +160,10 @@ object ArtifactStore {
           deleteRecursively(tmp)
           Files.createDirectories(tmp)
           outs.zip(built).foreach { case (o, df) =>
-            df.write.mode("overwrite").parquet(tmp.resolve(o).toString)
+            val w = df.write.mode("overwrite")
+            val cols = partitioned.getOrElse(o, Nil)
+            (if (cols.isEmpty) w else w.partitionBy(cols: _*))
+              .parquet(tmp.resolve(o).toString)
           }
           Files.write(tmp.resolve(OkMarker),
             specLine(spec, outs).getBytes("UTF-8"))

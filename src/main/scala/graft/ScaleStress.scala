@@ -441,25 +441,34 @@ object ScaleStress {
       (dir, genA)
     })
 
-    // x70: the maintained containment index per multiplier (shingle-set
-    // table + 5-gram df), per-copy token salt like the x61 row — the
+    // x70: the maintained containment index per multiplier — the REAL
+    // on-disk layout (shingle-set table, 5-gram df, EXPLODED postings
+    // partitioned by ngb), per-copy token salt like the x61 row: the
     // FIXED copy-0 batch pairs only within copy 0, so candidates stay
-    // constant while the df merge and the postings ng-join grow m×
+    // constant; with the left-merged df and the partition-pruned
+    // postings read the increment must stay in the family's flat band
     val contIdx = scala.collection.mutable
-      .Map.empty[Int, (DataFrame, DataFrame)]
+      .Map.empty[Int, (DataFrame, DataFrame, DataFrame)]
     def saltedDocs(m: Int): DataFrame = docsOf(m).select(col("doc_id"),
       concat_ws(" ", transform(TextOps.tokens(col("text")),
         t => concat(t, lit("#"), col("copy")))).as("text"))
-    def builtContIdx(m: Int): (DataFrame, DataFrame) =
+    def builtContIdx(m: Int): (DataFrame, DataFrame, DataFrame) =
       contIdx.getOrElseUpdate(m, {
-        val sets = Dedup.shingleSets(
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-x70-m$m-").toString
+        val sets0 = Dedup.shingleSets(
           saltedDocs(m).filter(col("doc_id") % 4 =!= 0),
           "doc_id", "text", 5).persist()
-        sets.count()
-        val dfT = sets.select(col("__cid"), explode(col("__sh")).as("ng"))
-          .groupBy("ng").agg(count(lit(1)).as("ndocs")).persist()
-        dfT.count()
-        (sets, dfT)
+        val post0 = Dedup.postingsOf(sets0)
+        sets0.write.mode("overwrite").parquet(s"$dir/sets")
+        post0.write.mode("overwrite").partitionBy("ngb")
+          .parquet(s"$dir/post")
+        post0.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+          .write.mode("overwrite").parquet(s"$dir/df")
+        sets0.unpersist()
+        (spark.read.parquet(s"$dir/sets"),
+          spark.read.parquet(s"$dir/df"),
+          spark.read.parquet(s"$dir/post"))
       })
 
     def builtTakedownDir(m: Int): String = x57Dirs.getOrElseUpdate(m, {
@@ -1252,14 +1261,16 @@ object ScaleStress {
       }),
       Op("x70_contain_incr_fixed", m => {
         // incremental containment of the FIXED copy-0 batch against the
-        // m× maintained index: batch tokenizes itself once; the
-        // m-growing terms are the (ng, ndocs) df merge and the
-        // rare-postings ng-join — both sharded by shingle; stored
-        // bodies are never re-tokenized (the index is the sets table).
-        val (sets, dfT) = builtContIdx(m)
+        // m× maintained index: batch tokenizes itself once; the df
+        // merge is LEFT from the batch side (O(batch-shingles)) and
+        // index candidates come from the ngb-partitioned exploded
+        // postings (partition-pruned read) — stored bodies are never
+        // re-tokenized, stored sets never re-exploded.
+        val (sets, dfT, post) = builtContIdx(m)
         val batch = saltedDocs(1).filter(col("doc_id") % 4 === 0)
         Dedup.containmentAgainst(sets, dfT, batch, "doc_id", "text",
-          n = 5, maxDf = 20, threshold = 0.4).count()
+          n = 5, maxDf = 20, threshold = 0.4,
+          indexPostings = Some(post)).count()
       }),
       Op("st14_diff_fixed", m => {
         // snapshot diff over a FIXED window (one fresh-id delta batch +

@@ -431,12 +431,16 @@ object Dedup {
     * recheck. The shingle table is referenced three times (df, join
     * legs, exact sets) — persisted for the call like
     * [[minHashCandidates]]'s signature table (ContextCleaner reclaims
-    * when the plan is dropped). */
+    * when the plan is dropped). A caller holding the maintained
+    * [[shingleSets]] artifact passes it as `prebuiltSets` and skips the
+    * tokenize scan entirely (each body shingled once, at ingest). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 5, maxDf: Int = 20,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       prebuiltSets: Option[DataFrame] = None): DataFrame = {
     // materialized `toks` under the shingle lambda (the x26 HOF rule)
-    val sets = shingleSets(docs, idCol, textCol, n).persist()
+    val sets = prebuiltSets
+      .getOrElse(shingleSets(docs, idCol, textCol, n)).persist()
     val posting = sets.select(col("__cid"), explode(col("__sh")).as("ng"))
     val rareNg = posting.groupBy("ng").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
@@ -449,16 +453,41 @@ object Dedup {
     exactContainment(cand, sets, threshold)
   }
 
+  /** Candidate-id sets at or below this size reach the stored set
+    * table as a pushed-down filter (row-group pruning — past Spark's
+    * in-filter threshold it degrades to a min/max range check, still
+    * pruning an id-clustered write); larger ones use the plain join. */
+  private val MaxSetPruneIds = 100000
+
   /** The exact-containment recheck shared by [[containmentPairs]] and
     * [[containmentAgainst]]: join the candidate pairs' full shingle
     * sets, direction = smaller set contained (ties → smaller id),
-    * containment rounded to 6 dp and thresholded. Candidate-sized. */
-  private def exactContainment(cand: DataFrame, sets: DataFrame,
-                               threshold: Double): DataFrame =
+    * containment rounded to 6 dp and thresholded. Candidate-sized.
+    *
+    * `pruneSets` (the increment path): candidate ids are collected
+    * (bounded by [[MaxSetPruneIds]]) and pushed into the set-table scan
+    * — an increment's recheck then reads only the candidates' row
+    * groups instead of every stored set. Off on the full-corpus path,
+    * where candidates span the corpus and the collect buys nothing. */
+  private def exactContainment(cand0: DataFrame, sets: DataFrame,
+                               threshold: Double,
+                               pruneSets: Boolean = false): DataFrame = {
+    // persisted on the prune path: probed for the id collect and then
+    // by both set joins (candidate-sized; ContextCleaner reclaims)
+    val cand = if (pruneSets) cand0.persist() else cand0
+    val pruned =
+      if (pruneSets) {
+        val ids = cand
+          .select(explode(array(col("id_a"), col("id_b"))).as("__cid"))
+          .distinct().limit(MaxSetPruneIds + 1).collect().map(_.get(0))
+        if (ids.length <= MaxSetPruneIds)
+          sets.filter(col("__cid").isInCollection(ids))
+        else sets
+      } else sets
     cand
-      .join(sets.select(col("__cid").as("id_a"), col("__sh").as("sh_a")),
+      .join(pruned.select(col("__cid").as("id_a"), col("__sh").as("sh_a")),
         Seq("id_a"))
-      .join(sets.select(col("__cid").as("id_b"), col("__sh").as("sh_b")),
+      .join(pruned.select(col("__cid").as("id_b"), col("__sh").as("sh_b")),
         Seq("id_b"))
       .withColumn("__a_small",
         size(col("sh_a")) < size(col("sh_b")) ||
@@ -474,6 +503,7 @@ object Dedup {
           least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 6)
           .as("containment"))
       .filter(col("containment") >= threshold)
+  }
 
   /** Tokenize once into the (id, shingle-set) form both containment
     * entry points consume — and the FORM THE MAINTAINED INDEX STORES
@@ -504,40 +534,106 @@ object Dedup {
     * batch-touching pairs (the oracle's claim). After the increment,
     * append `shingleSets(batch)` to the index and fold the batch's df
     * into the df table; increment N+1 again never touches increment
-    * N's bodies. */
+    * N's bodies.
+    *
+    * PER-INCREMENT COST IS O(batch), never O(index) (the r11 x70 seam,
+    * both terms closed): (a) the combined-df merge is a LEFT join FROM
+    * the batch's df — an index-only shingle is absent from the batch's
+    * postings, so neither pair leg can ever emit it as a candidate
+    * (both require the shingle in `bPost`), and enumerating the
+    * index's whole df table per increment bought nothing; (b) index
+    * candidate postings come from `indexPostings` when the caller
+    * maintains the EXPLODED (\_\_cid, ng[, ngb]) table (the artifact
+    * [[postingsOf]] mints and [[graft.streaming.StreamContainment]]
+    * maintains) — a flat columnar read joined on the batch's rare
+    * shingles, with an `ngb` partition column pruning the read to the
+    * batch's rare-shingle buckets ([[postingsBucket]]); only a caller
+    * that never materialized postings pays the per-increment explode
+    * of every stored set (the legacy fallback). Batch ids must be
+    * disjoint from index ids (a re-run already folded into the index
+    * would self-pair at containment 1.0); the batch×index leg enforces
+    * it structurally and [[graft.streaming.StreamContainment]]'s replay
+    * guard enforces it at the store. */
   def containmentAgainst(indexSets: DataFrame, dfIndex: DataFrame,
                          batch: DataFrame, idCol: String, textCol: String,
                          n: Int = 5, maxDf: Int = 20,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8,
+                         indexPostings: Option[DataFrame] = None): DataFrame = {
     val bSets = shingleSets(batch, idCol, textCol, n).persist()
     val bPost = bSets.select(col("__cid"), explode(col("__sh")).as("ng"))
     val bDf = bPost.groupBy("ng").agg(count(lit(1)).as("__nb"))
-    // combined df: disjoint doc sets, so the merge is a plain sum
-    val rareNg = dfIndex
-      .select(col("ng"), col("ndocs").as("__ni"))
-      .join(bDf, Seq("ng"), "full_outer")
-      .filter(coalesce(col("__ni"), lit(0L)) +
-        coalesce(col("__nb"), lit(0L)) <= maxDf)
-      .select("ng")
+    // combined df: disjoint doc sets, so the merge is a plain sum —
+    // from the BATCH side only (index-only shingles can't light a
+    // pair). A plain left join would still SHUFFLE the whole index df
+    // (Spark can't broadcast the outer side), so the index leg is an
+    // inner join streamed against a BROADCAST of the batch's ≤maxDf
+    // shingles: the index df is scanned once (two narrow columns, no
+    // shuffle, no sort) and everything after is batch-sized. The
+    // broadcast is O(batch distinct shingles) — the increment-family
+    // contract that batches are bounded.
+    val bRare = bDf.filter(col("__nb") <= maxDf)
+    val matched = dfIndex.select(col("ng"), col("ndocs").as("__ni"))
+      .join(broadcast(bRare.select("ng")), Seq("ng"))
+    val rareNg = bRare.join(broadcast(matched), Seq("ng"), "left")
+      .filter(col("__nb") + coalesce(col("__ni"), lit(0L)) <= maxDf)
+      .select("ng").persist()
     val rb = bPost.join(rareNg, Seq("ng"))
-    // index postings derived from the STORED sets (one columnar pass
-    // over the sh column — never a body re-tokenize); at scale this is
-    // the maintained exploded postings table, same artifact
-    val ri = indexSets
-      .select(col("__cid"), explode(col("__sh")).as("ng"))
-      .join(rareNg, Seq("ng"))
+    val ri = indexPostings match {
+      case Some(p) =>
+        // maintained exploded postings; prune to the batch's rare
+        // buckets first when the table carries the ngb partition column
+        // (a bounded ≤ PostingsBuckets driver collect — pure partition
+        // metadata, no index data read outside the touched buckets)
+        val pruned =
+          if (p.columns.contains("ngb")) {
+            val buckets = rareNg
+              .select(postingsBucket(col("ng")).as("__b")).distinct()
+              .collect().map(_.getLong(0))
+            p.filter(col("ngb").isin(buckets: _*))
+          } else p
+        pruned.select(col("__cid"), col("ng")).join(rareNg, Seq("ng"))
+      case None =>
+        // legacy fallback: derive postings from the STORED sets (one
+        // columnar explode — still never a body re-tokenize)
+        indexSets.select(col("__cid"), explode(col("__sh")).as("ng"))
+          .join(rareNg, Seq("ng"))
+    }
     val bb = rb.select(col("ng"), col("__cid").as("id_a"))
       .join(rb.select(col("ng"), col("__cid").as("id_b")), Seq("ng"))
       .filter(col("id_a") < col("id_b"))
+    // id disjointness enforced structurally: an id in BOTH the batch
+    // and the index (a replayed increment) must not self-pair
     val bi = rb.select(col("ng"), col("__cid").as("__bid"))
       .join(ri.select(col("ng"), col("__cid").as("__iid")), Seq("ng"))
+      .filter(col("__bid") =!= col("__iid"))
       .select(least(col("__bid"), col("__iid")).as("id_a"),
         greatest(col("__bid"), col("__iid")).as("id_b"))
     val cand = bb.select("id_a", "id_b")
       .unionByName(bi.select("id_a", "id_b")).distinct()
-    val allSets = bSets.unionByName(indexSets)
-    exactContainment(cand, allSets, threshold)
+    // batch rows win the union so a replayed id reads its batch-side
+    // set exactly once (sets are identical by the ingest contract)
+    val allSets = bSets.unionByName(
+      indexSets.join(bSets.select("__cid"), Seq("__cid"), "left_anti"))
+    exactContainment(cand, allSets, threshold, pruneSets = true)
   }
+
+  /** Bucket count for the maintained exploded-postings layout (writer
+    * and reader must agree — [[postingsBucket]]). */
+  val PostingsBuckets = 64
+
+  /** The ngb partition value for a shingle — pmod of a 64-bit hash, so
+    * the batch's rare shingles map to a bounded bucket set and a
+    * partitioned postings table prunes its read to those buckets. */
+  def postingsBucket(ng: Column): Column =
+    pmod(xxhash64(ng), lit(PostingsBuckets.toLong))
+
+  /** Explode stored shingle sets into the maintained postings layout
+    * (\_\_cid, ng, ngb) — the artifact [[containmentAgainst]] consumes
+    * instead of re-exploding every set per increment. Write it
+    * `partitionBy("ngb")` so bucket pruning is partition pruning. */
+  def postingsOf(sets: DataFrame): DataFrame =
+    sets.select(col("__cid"), explode(col("__sh")).as("ng"))
+      .withColumn("ngb", postingsBucket(col("ng")))
 
   /** Segment-level exact dedup — the C4/RefinedWeb "line dedup" shape
     * adapted to untokenized text: chop each document into non-overlapping

@@ -584,30 +584,77 @@ object TextQ {
       })
     }
 
-  /** Memoized CONTAINMENT index for x70 — the maintained artifacts of
-    * the incremental containment loop ([[graft.ext.Dedup
-    * .containmentAgainst]]): the shingle-SET table (id, sh — each body
-    * tokenized exactly once, at ingest) and the 5-gram df table, both
-    * over the doc_id % 4 != 0 corpus slice (the x55 split convention).
-    * ArtifactStore'd + prewarmped like every maintained index. */
+  /** Memoized CONTAINMENT index for x70/x61 — the maintained artifacts
+    * of the containment family ([[graft.ext.Dedup.containmentAgainst]]
+    * / [[graft.ext.Dedup.containmentPairs]]): the FULL-corpus
+    * shingle-SET table (id, sh — each body tokenized exactly once, at
+    * ingest; x61 serves its full-corpus analytic straight from it), the
+    * 5-gram df table and the EXPLODED postings table (ngb-partitioned —
+    * [[graft.ext.Dedup.postingsOf]], so x70's candidate generation is a
+    * partition-pruned flat read, never a per-increment explode of every
+    * stored set) over the doc_id % 4 != 0 index slice (the x55 split
+    * convention). ArtifactStore'd + prewarmed like every maintained
+    * index. */
   private val contIdxCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   private def containmentIndex(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame) =
     contIdxCache.synchronized {
       contIdxCache.getOrElseUpdate((s, d), {
-        val Seq(sets, dfT) = graft.ArtifactStore.group(s, d, "cont5",
-          "v1 n=5 corpus=doc_id%4!=0", Seq("sets", "df")) {
-          val idx = Dedup.shingleSets(
-            Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0),
-            "doc_id", "text", n = 5)
-          val df0 = idx.select(col("__cid"), explode(col("__sh")).as("ng"))
-            .groupBy("ng").agg(count(lit(1)).as("ndocs"))
-          Seq(idx, df0)
+        val Seq(setsFull, dfT, post) = graft.ArtifactStore.group(s, d,
+          "cont5", "v2 n=5 sets=full df/post=doc_id%4!=0 post=ngb",
+          Seq("sets", "df", "post"),
+          partitioned = Map("post" -> Seq("ngb"))) {
+          val all = Dedup.shingleSets(
+            Tables.documents(s, d), "doc_id", "text", n = 5).persist()
+          val idx = all.filter(col("__cid") % 4 =!= 0)
+          val post0 = Dedup.postingsOf(idx)
+          val df0 = post0.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+          Seq(all, df0, post0)
         }
-        val st = sets.persist(); st.count()
+        val st = setsFull.persist(); st.count()
         val dfp = dfT.persist(); dfp.count()
-        (st, dfp)
+        (st, dfp, post)
+      })
+    }
+
+  /** Memoized TAKEDOWN-lifecycle containment sink dir for st16 — the
+    * maintained containment index ([[graft.streaming.StreamContainment]])
+    * through its full lifecycle: three mod-3 appends of the doc_id % 4
+    * != 0 index slice, a % 9 == 2 takedown (id mask + negative df — no
+    * bodies needed, the stored sets are the contribution record), and a
+    * compaction fold (masks and deltas absorbed). st16 then serves the
+    * % 4 == 0 batch's containment against the survivors. */
+  private val st16Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def takedownContainment(s: SparkSession, d: String): String =
+    st16Cache.synchronized {
+      st16Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 corpus=doc_id%4!=0 n=5 " +
+          "delete=%9==2 compact"
+        def build(dir: String): Unit = {
+          val docs = Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamContainment.appendBatch(dir,
+              docs.filter(pmod(col("doc_id"), lit(3)) === i), i)
+          }
+          graft.streaming.StreamContainment.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 9 === 2).select("doc_id"))
+          graft.streaming.StreamContainment.compact(s, dir,
+            into = graft.streaming.StreamContainment.nextCompactId(s, dir))
+        }
+        graft.ArtifactStore.dirArtifact(d, "st16cont", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st16-")
+            tmpSt11Dirs += p
+            build(p.toString)
+            p.toString
+        }
       })
     }
 
@@ -656,7 +703,7 @@ object TextQ {
     streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
     streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
     takedownClusters(s, d); takedownNgramDf(s, d); fpCuration(s, d)
-    containmentIndex(s, d)
+    containmentIndex(s, d); takedownContainment(s, d)
     ()
   }
 
@@ -689,8 +736,8 @@ object TextQ {
     x58Cache.clear()
     st15Cache.values.foreach(_.unpersist())
     st15Cache.clear()
-    contIdxCache.values.foreach { case (a, b) =>
-      a.unpersist(); b.unpersist()
+    contIdxCache.values.foreach { case (a, b, _) =>
+      a.unpersist(); b.unpersist() // postings stay disk-resident
     }
     contIdxCache.clear()
     tmpSt9Dirs.foreach(graft.ArtifactStore.deleteRecursively)
@@ -711,6 +758,9 @@ object TextQ {
     takedownNgDfCache.clear()
     tmpSt11Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt11Dirs.clear()
+    // the st16 dir memo may point into tmpSt11Dirs (same rationale as
+    // x58DirCache above)
+    st16Cache.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -1292,20 +1342,40 @@ object TextQ {
 
     // X70 — INCREMENTAL containment ([[Dedup.containmentAgainst]]): the
     // increment-family member for x61 — the corpus is represented by
-    // its maintained SHINGLE-SET index + 5-gram df table (bodies of
-    // past increments never re-tokenized); the % 4 == 0 batch
+    // its maintained SHINGLE-SET index + 5-gram df table + EXPLODED
+    // ngb-partitioned postings (bodies of past increments never
+    // re-tokenized, stored sets never re-exploded); the % 4 == 0 batch
     // tokenizes itself once, pairs through rare shingles under the
-    // COMBINED (index + batch) df, and exact containment runs on the
-    // stored sets. Oracle = x61's full-corpus SQL restricted to
-    // batch-touching pairs — the incremental result must equal the
-    // full recompute exactly.
+    // COMBINED (index + batch) df — a LEFT merge from the batch side,
+    // so the per-increment cost is O(batch) — and exact containment
+    // runs on the stored sets. Oracle = x61's full-corpus SQL
+    // restricted to batch-touching pairs — the incremental result must
+    // equal the full recompute exactly.
     "x70_containment_incr" -> ((s, d) => {
-      val (sets, dfT) = containmentIndex(s, d)
-      Dedup.containmentAgainst(sets, dfT,
+      val (setsFull, dfT, post) = containmentIndex(s, d)
+      Dedup.containmentAgainst(
+          setsFull.filter(col("__cid") % 4 =!= 0), dfT,
           Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-          "doc_id", "text", n = 5, maxDf = 20, threshold = 0.4)
+          "doc_id", "text", n = 5, maxDf = 20, threshold = 0.4,
+          indexPostings = Some(post))
         .orderBy("id_contained", "id_container")
     }),
+
+    // ST16 — TAKEDOWN-lifecycle containment sink
+    // ([[graft.streaming.StreamContainment]]): x70's increment served
+    // from the MAINTAINED sink after three appends, a % 9 == 2
+    // takedown (id mask + negative df delta derived from the sink's
+    // own stored sets — no bodies needed), and a compaction fold.
+    // Oracle = x61's full-corpus SQL over the survivor index ∪ batch,
+    // restricted to batch-touching pairs — the served result must
+    // equal a recompute over a corpus that never contained the
+    // deleted docs.
+    "st16_containment_takedown" -> ((s, d) =>
+      graft.streaming.StreamContainment.serve(s,
+          takedownContainment(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 5, maxDf = 20, threshold = 0.4)
+        .orderBy("id_contained", "id_container")),
 
     // X62 — ORDER-INVARIANT corpus fingerprint
     // ([[TextOps.corpusFingerprint]]): per-lang XOR of a 60-bit md5
@@ -1454,9 +1524,14 @@ object TextQ {
     // so any rare one lights the pair; ≤ df²/2 pairs per shingle keeps
     // candidate generation bounded at any corpus size), then exact
     // containment on the candidate pairs' full shingle sets.
+    // Served from the maintained full-corpus shingle-set artifact
+    // (cont5's sets table — each body tokenized exactly once, at
+    // ingest): the full-recompute analytic next to x70's increment, no
+    // longer re-tokenizing the corpus per run.
     "x61_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 5, maxDf = 20, threshold = 0.4)
+          n = 5, maxDf = 20, threshold = 0.4,
+          prebuiltSets = Some(containmentIndex(s, d)._1))
         .orderBy("id_contained", "id_container")),
 
     // X29 — segment-overlap decontamination via a broadcast BLOOM
@@ -3095,6 +3170,44 @@ object TextQ {
          SELECT -1 AS bin, 1.0 AS p_ref, 1.0 AS p_cur,
            round(sum(contrib), 6) AS contrib FROM b
          ORDER BY bin""",
+    // st16: x70's shape over the post-takedown corpus — index docs with
+    // doc_id % 9 = 2 were forgotten (batch docs always stay: the % 4 =
+    // 0 side is the probe, not the index)
+    "st16_containment_takedown" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents
+                    WHERE doc_id % 4 = 0 OR doc_id % 9 <> 2),
+         s AS (SELECT doc_id,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] || ' ' || toks[i+4]
+                   FOR i IN range(1, len(toks) - 3)]) AS sh
+               FROM t WHERE len(toks) >= 5),
+         s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         g AS (SELECT doc_id, unnest(sh) AS ng FROM s2),
+         rare AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= 20),
+         rg AS (SELECT g.doc_id, g.ng FROM g JOIN rare USING (ng)),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM rg a JOIN rg b USING (ng)
+                  WHERE a.doc_id < b.doc_id
+                    AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)),
+         x AS (SELECT ia, ib, sa.sh AS sha, sb.sh AS shb
+               FROM cand
+               JOIN s2 sa ON sa.doc_id = cand.ia
+               JOIN s2 sb ON sb.doc_id = cand.ib),
+         d AS (SELECT
+                 CASE WHEN len(sha) < len(shb)
+                        OR (len(sha) = len(shb) AND ia < ib)
+                   THEN ia ELSE ib END AS id_contained,
+                 CASE WHEN len(sha) < len(shb)
+                        OR (len(sha) = len(shb) AND ia < ib)
+                   THEN ib ELSE ia END AS id_container,
+                 round(len(list_intersect(sha, shb))
+                   / CAST(least(len(sha), len(shb)) AS DOUBLE), 6)
+                   AS containment
+               FROM x)
+         SELECT id_contained, id_container, containment FROM d
+         WHERE containment >= 0.4
+         ORDER BY id_contained, id_container""",
     "x70_containment_incr" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                     FROM documents),

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * retry loop over idempotent verbs — the same availability trade
   * every multi-store deletion pipeline makes (there is no cross-store
   * transaction to borrow). TakedownSpec drives the full cascade over
-  * all five sinks and asserts every derivative forgot.
+  * all six sinks and asserts every derivative forgot.
   */
 object Takedown {
 
@@ -57,6 +57,10 @@ object Takedown {
       ivf: Option[(String, String, String)] = None,
       /** Cluster-table dir ([[StreamClusters]]). */
       clustersDir: Option[String] = None,
+      /** Containment index dir ([[StreamContainment]]) — self-sufficient
+        * on delete (the negative df derives from its own stored sets,
+        * never the corpus), so it runs with the id-keyed derivatives. */
+      containmentDir: Option[String] = None,
       /** N-gram df index: (dir, n) ([[StreamNgramDf]]) — requires
         * `curateDir` (the negative delta needs the bodies). */
       ngramDf: Option[(String, Int)] = None,
@@ -139,6 +143,8 @@ object Takedown {
     }
     sinks.clustersDir.foreach(d => StreamClusters.deleteNodes(s, d,
       keys.select(col(sinks.idCol).as("id"))))
+    sinks.containmentDir.foreach(d => StreamContainment.deleteDocs(s, d,
+      keys.select(col(sinks.idCol).as("id"))))
     // 3. the bodies LAST
     sinks.curateDir.foreach(d => StreamCurate.deleteCurated(s, d,
       keys, sinks.idCol))
@@ -188,6 +194,11 @@ object Takedown {
     sinks.clustersDir.foreach { d =>
       StreamClusters.compact(s, d, StreamClusters.nextCompactId(s, d))
       StreamClusters.vacuum(s, d, retainMillis = retainMillis)
+    }
+    sinks.containmentDir.foreach { d =>
+      StreamContainment.compact(s, d,
+        StreamContainment.nextCompactId(s, d))
+      StreamContainment.vacuum(s, d, retainMillis = retainMillis)
     }
     sinks.curateDir.foreach { d =>
       StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d))

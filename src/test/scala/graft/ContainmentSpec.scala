@@ -141,6 +141,54 @@ class ContainmentSpec extends AnyFunSuite {
       "the cross-boundary containment must be found")
   }
 
+  test("maintained postings path: identical output, on-disk ngb partitions pruned") {
+    val quote = (1 to 8).map(i => s"inc$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"idxfill$i").mkString(" ")
+    val corpus = docs(
+      1L -> s"$filler $quote",
+      2L -> (201 to 240).map(i => s"w$i").mkString(" "),
+      3L -> (211 to 250).map(i => s"w$i").mkString(" "),
+      10L -> quote,
+      11L -> (221 to 260).map(i => s"w$i").mkString(" "))
+    val n = 5; val maxDf = 20; val thr = 0.1
+    val idx = Dedup.shingleSets(
+      corpus.filter(col("doc_id") < 10L), "doc_id", "text", n)
+    val dir = java.nio.file.Files
+      .createTempDirectory("cont-post").toString
+    Dedup.postingsOf(idx).write.partitionBy("ngb").parquet(s"$dir/post")
+    val post = spark.read.parquet(s"$dir/post")
+    val dfT = post.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+    val batch = corpus.filter(col("doc_id").geq(10L))
+    def run(p: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.containmentAgainst(idx, dfT, batch, "doc_id", "text",
+          n, maxDf, thr, indexPostings = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(run(Some(post)) == run(None),
+      "postings path must be a pure plan change, never a result change")
+  }
+
+  test("replayed batch id already in the index: no self-pairs, no double-counted sets") {
+    // doc 10 was already folded into the index; the same increment is
+    // re-run (operator retry). The bi leg's id-disjointness filter must
+    // suppress the 10↔10 self-pair at containment 1.0, and the set
+    // union must not read doc 10's set twice.
+    val quote = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"repfill$i").mkString(" ")
+    val corpus = docs(1L -> s"$filler $quote", 10L -> quote)
+    val n = 5; val thr = 0.1
+    val idx = Dedup.shingleSets(corpus, "doc_id", "text", n) // 10 folded
+    val dfT = idx.select(col("__cid"), explode(col("__sh")).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("ndocs"))
+    val got = Dedup.containmentAgainst(idx, dfT,
+        corpus.filter(col("doc_id") === 10L), "doc_id", "text",
+        n, maxDf = 20, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!got.exists(p => p._1 == p._2), s"self-pair emitted: ${got.toSeq}")
+    assert(got.toSet == Set((10L, 1L, 1.0)),
+      s"replay must reduce to the real cross pair, got ${got.toSeq}")
+  }
+
   test("combined df cap: a shingle pushed over the cap BY THE BATCH generates no candidates") {
     // 'shared' appears in 3 index docs and 3 batch docs: index df 3 is
     // under cap 5, combined df 6 is over — capping on the index side

@@ -21,7 +21,7 @@ class TakedownSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .appName("graft-takedown").getOrCreate()
 
-  test("forget + reclaim across all five sinks: every derivative forgets; no on-disk copy survives") {
+  test("forget + reclaim across all six sinks: every derivative forgets; no on-disk copy survives") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("takedown").toString
     val sinks = Takedown.Sinks(
@@ -30,6 +30,7 @@ class TakedownSpec extends AnyFunSuite {
       bm25BlockRecrawl = true,
       ivf = Some((s"$root/ivf", "doc_id", "vec")),
       clustersDir = Some(s"$root/cc"),
+      containmentDir = Some(s"$root/cont"),
       ngramDf = Some((s"$root/ngdf", 3)))
 
     val body = "the quick brown fox jumps over the lazy dog near the "
@@ -53,6 +54,8 @@ class TakedownSpec extends AnyFunSuite {
       StreamClusters.appendBatch(sinks.clustersDir.get,
         slice.select(col("doc_id").as("id1"),
           (col("doc_id") % 3 + 100L).as("id2")), i.toLong)
+      StreamContainment.appendBatch(sinks.containmentDir.get,
+        slice.select("doc_id", "text"), i.toLong)
     }
     val victims = Seq(3L, 4L)
     Takedown.forget(spark, victims.toDF("doc_id"), sinks)
@@ -70,6 +73,12 @@ class TakedownSpec extends AnyFunSuite {
     assert(StreamClusters.load(spark, sinks.clustersDir.get).get
       .filter(col("id").isin(victims: _*)).count() == 0,
       "cluster membership must forget")
+    assert(StreamContainment.loadSets(spark, sinks.containmentDir.get).get
+      .filter(col("__cid").isin(victims: _*)).count() == 0,
+      "containment sets must forget")
+    assert(StreamContainment.loadPostings(spark, sinks.containmentDir.get)
+      .get.filter(col("__cid").isin(victims: _*)).count() == 0,
+      "containment postings must forget")
     // the ngram-df netted the victims' contributions: equal to a
     // scratch index over the survivors
     val survivors = docs.filter(!col("doc_id").isin(victims: _*))
@@ -79,14 +88,24 @@ class TakedownSpec extends AnyFunSuite {
       dfRows(TextOps.ngramDf(survivors.select("doc_id", "text"),
         "doc_id", "text")), "ngram-df must net out the victims")
 
+    // the containment df netted the victims' contributions too
+    val contDf = StreamContainment.loadDf(spark, sinks.containmentDir.get)
+      .get.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val contExp = graft.ext.Dedup.shingleSets(
+        docs.filter(!col("doc_id").isin(victims: _*))
+          .select("doc_id", "text"), "doc_id", "text", 5)
+      .select(col("__cid"), explode(col("__sh")).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("ndocs")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(contDf == contExp, "containment df must net out the victims")
+
     // crash-mid-cascade contract: a second forget() is a full no-op
-    val gens = Seq(sinks.curateDir.get, sinks.bm25Dir.get,
-      sinks.ivf.get._1, sinks.clustersDir.get, sinks.ngramDf.get._1)
-      .map(Manifest.generations(spark, _))
+    val allDirs = Seq(sinks.curateDir.get, sinks.bm25Dir.get,
+      sinks.ivf.get._1, sinks.clustersDir.get, sinks.containmentDir.get,
+      sinks.ngramDf.get._1)
+    val gens = allDirs.map(Manifest.generations(spark, _))
     Takedown.forget(spark, victims.toDF("doc_id"), sinks)
-    assert(Seq(sinks.curateDir.get, sinks.bm25Dir.get, sinks.ivf.get._1,
-      sinks.clustersDir.get, sinks.ngramDf.get._1)
-      .map(Manifest.generations(spark, _)) == gens,
+    assert(allDirs.map(Manifest.generations(spark, _)) == gens,
       "re-running forget must commit nothing anywhere")
 
     // physical reclaim, no retention: forgetting becomes irreversible
@@ -100,6 +119,11 @@ class TakedownSpec extends AnyFunSuite {
       "doc_id", "text")
     StreamNgramDf.appendBatch(sinks.ngramDf.get._1,
       docs.filter(col("doc_id") === 3L).select("doc_id", "text"), 10L)
+    StreamContainment.appendBatch(sinks.containmentDir.get,
+      docs.filter(col("doc_id") === 3L).select("doc_id", "text"), 10L)
+    assert(StreamContainment.loadSets(spark, sinks.containmentDir.get).get
+      .filter(col("__cid") === 3L).count() == 0,
+      "a re-crawl of a forgotten id must stay out of the containment index")
     assert(!StreamCurate.load(spark, sinks.curateDir.get).get
       .select("doc_id").collect().map(_.getLong(0)).contains(3L))
     assert(StreamBm25.load(spark, sinks.bm25Dir.get).get
