@@ -164,7 +164,8 @@ object StreamBm25 {
       batchId.toInt, postingsDir(dir), Seq(
         s"${postingsDir(dir)}/seg_id=${batchId.toInt}",
         s"${termDfDir(dir)}/seg_id=${batchId.toInt}",
-        s"${statsDir(dir)}/seg_id=${batchId.toInt}"))
+        s"${statsDir(dir)}/seg_id=${batchId.toInt}",
+        s"${FpState.fpDir(dir)}/batch_id=${batchId.toInt}"))
     // first-seen guard counts TOMBSTONED keys as seen: load() masks
     // them out of postings, so without this leg a re-crawl of a
     // taken-down doc would re-index it — rows that cost storage but can
@@ -240,6 +241,12 @@ object StreamBm25 {
         .parquet(s"${statsDir(dir)}/seg_id=${batchId.toInt}")
       termDf.drop("seg_id").write.mode("overwrite")
         .parquet(s"${termDfDir(dir)}/seg_id=${batchId.toInt}")
+      // maintained fingerprint partial ([[fingerprintState]]): the doc
+      // set this segment adds as (key, dl) — which docs, at which token
+      // counts — hashed from the just-written partition; same flip
+      FpState.write(dir, batchId.toInt, FpState.partial(
+        written.select(col("key"), col("dl")).distinct(),
+        Seq("key", "dl"), sign = 1))
       // COMMIT (CAS on the generation read at entry): the batch becomes
       // visible in one atomic manifest flip — all three artifacts or
       // none; a concurrent maintenance commit makes this throw and the
@@ -354,6 +361,23 @@ object StreamBm25 {
       .write.mode("overwrite").parquet(s"${termDfDir(dir)}/seg_id=$into")
     mergedStats.drop("seg_id")
       .write.mode("overwrite").parquet(s"${statsDir(dir)}/seg_id=$into")
+    // fingerprint partial for the merged segment: on a FULL fold the
+    // tombstones clear in the same flip, so the partial is an EXACT
+    // base over the merged (masked) survivors — also the migration
+    // path for pre-upgrade dirs; on a PARTIAL fold the tombstones stay
+    // live and keep subtracting, so the partial must carry the folded
+    // segments' RAW (pre-mask) contributions or the kept negatives
+    // would double-subtract — one distinct over the partitions the
+    // merge already read
+    val fullFold = segIds == segLive
+    val fpSrc =
+      if (fullFold) written.select(col("key"), col("dl"))
+      else s.read.option("basePath", postingsDir(dir))
+        .parquet(segIds.toSeq.sorted
+          .map(id => s"${postingsDir(dir)}/seg_id=$id"): _*)
+        .select(col("key"), col("dl"))
+    FpState.write(dir, into, FpState.partial(fpSrc.distinct(),
+      Seq("key", "dl"), sign = 1))
     // 2. COMMIT: one atomic manifest flip — the merged segment becomes
     //    visible and the folded segments invisible in the same instant,
     //    so no reader ever sees a posting twice. (Legacy dirs adopt
@@ -386,6 +410,7 @@ object StreamBm25 {
         val fs = fsOf(s, dir)
         Seq(postingsDir(dir), termDfDir(dir), statsDir(dir)).foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$d/seg_id=$into"), true))
+        FpState.drop(s, dir, into)
         throw e
     }
   }
@@ -472,6 +497,12 @@ object StreamBm25 {
           val id = nextMergedId(s, dir)
           del.coalesce(1) // tombstones are takedown-sized
             .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$id")
+          // NEGATIVE fingerprint partial: the (key, dl) doc rows this
+          // delete masks out of the serve — same flip as the tombstone
+          FpState.write(dir, id, FpState.partial(
+            segs.postings.join(del, Seq("key"), "left_semi")
+              .select(col("key"), col("dl")).distinct(),
+            Seq("key", "dl"), sign = -1))
           Some(id)
         }
       // persistent blocklist: its OWN claimed id + partition, committed
@@ -500,6 +531,7 @@ object StreamBm25 {
           tsId.foreach(id => fsOf(s, dir).delete(
             new org.apache.hadoop.fs.Path(s"${tombDir(dir)}/ts_id=$id"),
             true))
+          tsId.foreach(FpState.drop(s, dir, _))
           blId.foreach(id => fsOf(s, dir).delete(
             new org.apache.hadoop.fs.Path(s"${blockDir(dir)}/bl_id=$id"),
             true))
@@ -543,6 +575,26 @@ object StreamBm25 {
     * (no manifest) keep the directory-listing behavior. */
   def load(s: SparkSession, dir: String): Option[TextOps.Bm25Segments] =
     loadAt(s, dir, asOfGen = None)
+
+  /** The MAINTAINED index fingerprint — "is this the index snapshot X"
+    * answered from O(state) metadata ([[FpState]], the st15 pattern on
+    * the sparse sink): one (n, xor) partial per committed segment, a
+    * negative partial per takedown, a fresh base at every full fold.
+    * The identity bound is the served DOC set as (key, dl) — which
+    * docs, at which token counts — equal by construction to
+    * `corpusFingerprint(load(dir).postings.select(key, dl).distinct,
+    * Seq("dl", "key"), Seq())`. None when some live partition predates
+    * the fingerprint state; a full [[compactSet]] migrates. */
+  def fingerprintState(s: SparkSession, dir: String): Option[DataFrame] =
+    Manifest.readLiveWithGen(s, dir).map(_._2).flatMap { live =>
+      val (segLive, tombIds) = families(s, dir, live)
+      val fs = fsOf(s, dir)
+      def has(p: String) =
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p))
+      FpState.serve(s, dir, segLive ++ tombIds, uncovered = id =>
+        (segLive.contains(id) && has(s"${statsDir(dir)}/seg_id=$id")) ||
+        (tombIds.contains(id) && has(s"${tombDir(dir)}/ts_id=$id")))
+    }
 
   /** TIME-TRAVEL read: the index exactly as of manifest generation
     * `asOfGen` ([[Manifest.readAt]]) — segments are immutable and
@@ -693,7 +745,8 @@ object StreamBm25 {
              retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
         postingsDir(dir) -> "seg_id=", termDfDir(dir) -> "seg_id=",
-        tombDir(dir) -> "ts_id=", blockDir(dir) -> "bl_id="),
+        tombDir(dir) -> "ts_id=", blockDir(dir) -> "bl_id=",
+        FpState.fpDir(dir) -> "batch_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** ALLOCATE the next merged-segment/tombstone id (negative

@@ -114,7 +114,8 @@ object StreamIvf {
     // protocol all three sinks share)
     val (gen, manifest, referenced) = Manifest.enterBatch(spark, dir,
       batchId.toInt, postingsDir(dir),
-      Seq(s"${postingsDir(dir)}/batch_id=${batchId.toInt}"))
+      Seq(s"${postingsDir(dir)}/batch_id=${batchId.toInt}",
+        s"${FpState.fpDir(dir)}/batch_id=${batchId.toInt}"))
     // first-seen guard counts TOMBSTONED ids as seen (the StreamBm25
     // discipline): load() masks them out of the postings, so without
     // this leg a re-crawl of a taken-down vector would re-index rows
@@ -177,6 +178,14 @@ object StreamIvf {
           col(vecCol), col("ivf_cell"))
         .write.mode("append").partitionBy("batch_id")
         .parquet(postingsDir(dir))
+      // maintained fingerprint partial ([[fingerprintState]]): the
+      // served VECTOR-ID set this batch adds, hashed from the
+      // just-written partition (nAssign > 1 duplicates rows per id —
+      // the identity is per id, so distinct); rides the same flip
+      FpState.write(dir, batchId.toInt, FpState.partial(
+        spark.read.parquet(
+            s"${postingsDir(dir)}/batch_id=${batchId.toInt}")
+          .select(col(idCol)).distinct(), Seq(idCol), sign = 1))
       // COMMIT (CAS on the generation read at entry): the batch's
       // postings become visible atomically; a concurrent maintenance
       // commit throws and the engine's batch retry re-runs fresh
@@ -273,6 +282,10 @@ object StreamIvf {
       val tsId = Manifest.claimNegId(s, dir, everUsedIds(s, dir))
       del.coalesce(1) // takedown-sized, not index-sized
         .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
+      // NEGATIVE fingerprint partial: the ids this delete masks out of
+      // the serve, XORed and counted out — same flip as the tombstone
+      FpState.write(dir, tsId, FpState.partial(
+        del.select(col("key").as(idCol)), Seq(idCol), sign = -1))
       try Manifest.commitLiveAfter(s, dir,
         live.copy(tombs = live.tombs + tsId),
         basedOn = st.map(_._1).getOrElse(-1))
@@ -280,6 +293,7 @@ object StreamIvf {
         case e: java.util.ConcurrentModificationException =>
           fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
             s"${tombDir(dir)}/ts_id=$tsId"), true)
+          FpState.drop(s, dir, tsId)
           throw e
       }
     } finally del.unpersist()
@@ -311,6 +325,12 @@ object StreamIvf {
     idx.postings.select(col(idCol), col(vecCol), col("ivf_cell"))
       .write.mode("overwrite")
       .parquet(s"${postingsDir(dir)}/batch_id=$into")
+    // fresh EXACT fingerprint base from the merged survivors — absorbs
+    // every prior partial in the same flip that absorbs the tombstones,
+    // and mints coverage for pre-upgrade dirs (the migration path)
+    FpState.write(dir, into, FpState.partial(
+      s.read.parquet(s"${postingsDir(dir)}/batch_id=$into")
+        .select(col(idCol)).distinct(), Seq(idCol), sign = 1))
     try Manifest.commitLiveAfter(s, dir,
       Manifest.Live(Set(into), Set.empty),
       basedOn = st.map(_._1).getOrElse(-1))
@@ -318,6 +338,7 @@ object StreamIvf {
       case e: java.util.ConcurrentModificationException =>
         fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(
           s"${postingsDir(dir)}/batch_id=$into"), true)
+        FpState.drop(s, dir, into)
         throw e
     }
   }
@@ -330,7 +351,8 @@ object StreamIvf {
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
     Manifest.vacuumHistory(s, dir, Seq(
-        postingsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
+        postingsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id=",
+        FpState.fpDir(dir) -> "batch_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** The maintained index as written so far; None before the first
@@ -342,6 +364,26 @@ object StreamIvf {
   def load(s: SparkSession, dir: String, idCol: String, vecCol: String)
       : Option[Similarity.IvfIndex] =
     loadAt(s, dir, idCol, vecCol, asOfGen = None)
+
+  /** The MAINTAINED index fingerprint — "is this the vector snapshot
+    * X" answered from O(state) metadata ([[FpState]], the st15 pattern
+    * on the dense sink): one (n, xor) partial per committed batch, a
+    * negative partial per takedown, an exact base at compaction. The
+    * identity bound is the served VECTOR-ID set (+ count) — equal by
+    * construction to `corpusFingerprint(load(dir).postings.select(id)
+    * .distinct, Seq(id), Seq())`. None when some live partition
+    * predates the fingerprint state; [[compactAll]] migrates. */
+  def fingerprintState(s: SparkSession, dir: String): Option[DataFrame] =
+    Manifest.readLiveWithGen(s, dir).map(_._2).flatMap { live =>
+      val (dataIds, tombIds) = families(s, dir, live)
+      val fs = fsOf(s, dir)
+      def has(p: String) =
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p))
+      FpState.serve(s, dir, dataIds ++ tombIds, uncovered = id =>
+        (dataIds.contains(id) &&
+          has(s"${postingsDir(dir)}/batch_id=$id")) ||
+        (tombIds.contains(id) && has(s"${tombDir(dir)}/ts_id=$id")))
+    }
 
   /** TIME-TRAVEL read ([[Manifest.readAt]]): the index exactly as of a
     * committed manifest generation — postings partitions are immutable
