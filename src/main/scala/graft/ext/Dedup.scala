@@ -617,6 +617,42 @@ object Dedup {
     exactContainment(cand, allSets, threshold, pruneSets = true)
   }
 
+  /** The containment detector's RECALL ENVELOPE, made observable
+    * (VERDICT r11 #6): [[containmentPairs]]/[[containmentAgainst]] can
+    * only light a pair through a RARE shingle (df ≤ maxDf), so a doc
+    * NONE of whose shingles are rare — pure boilerplate at corpus
+    * scale — can never appear in their output, silently. This query
+    * counts that blind spot per run so an operator can SEE what
+    * fraction of the corpus the detector can't see (and route it to
+    * [[segmentDedup]]/[[boilerplateRemove]], the documented remedy).
+    *
+    * One row: n_docs (input), n_eligible (shingleable — ≥ n tokens,
+    * ≥ 1 shingle), n_unshingled (too short: a different blind class),
+    * n_covered (≥ 1 rare shingle — pairable), n_blind (all shingles
+    * common), coverage (covered / eligible). Same scan shape as the
+    * detector itself: one tokenize (or the prebuilt set artifact), one
+    * df groupBy, one semi-join, three 1-row aggs. */
+  def containmentCoverage(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, maxDf: Int = 20,
+                          prebuiltSets: Option[DataFrame] = None): DataFrame = {
+    val sets = prebuiltSets
+      .getOrElse(shingleSets(docs, idCol, textCol, n)).persist()
+    val posting = sets.select(col("__cid"), explode(col("__sh")).as("ng"))
+    val rareNg = posting.groupBy("ng").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("ng")
+    val covered = posting.join(rareNg, Seq("ng"))
+      .select("__cid").distinct()
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sets.agg(count(lit(1)).as("n_eligible")))
+      .crossJoin(covered.agg(count(lit(1)).as("n_covered")))
+      .select(col("n_docs"), col("n_eligible"),
+        (col("n_docs") - col("n_eligible")).as("n_unshingled"),
+        col("n_covered"),
+        (col("n_eligible") - col("n_covered")).as("n_blind"),
+        round(col("n_covered").cast("double") /
+          col("n_eligible").cast("double"), 6).as("coverage"))
+  }
+
   /** Bucket count for the maintained exploded-postings layout (writer
     * and reader must agree — [[postingsBucket]]). */
   val PostingsBuckets = 64

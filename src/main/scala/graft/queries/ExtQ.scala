@@ -243,11 +243,56 @@ object ExtQ {
       })
     }
 
+  /** Memoized MAINTAINED-FINGERPRINT BM25 dir for st17 — a full
+    * lifecycle that exercises the trickiest leg of the partial algebra:
+    * three mod-3 appends of the doc_id % 4 != 0 slice, a % 10 == 0
+    * takedown (negative partial rides the tombstone), and a PARTIAL
+    * fold of segments {0, 1} — the tombstones stay live and keep
+    * subtracting, so the merged partial must carry the folded segments'
+    * RAW contributions ([[graft.streaming.StreamBm25.fingerprintState]]).
+    * The serve is O(state): one (n, xor) row per live id, never an
+    * index scan. */
+  private val bm25FpDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def fpBm25Dir(s: SparkSession, d: String): String =
+    bm25FpDirCache.synchronized {
+      bm25FpDirCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 corpus=%4!=0 delete=%10==0 " +
+          "partialcompact01 fpstate"
+        def build(dir: String): Unit = {
+          val docs = Tables.documents(s, d).select("doc_id", "text")
+            .filter(col("doc_id") % 4 =!= 0)
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamBm25.appendBatch(dir,
+              docs.filter(pmod(col("doc_id"), lit(3)) === i), i,
+              "doc_id", "text")
+          }
+          graft.streaming.StreamBm25.deleteDocs(s, dir,
+            docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+            "doc_id")
+          graft.streaming.StreamBm25.compactSet(s, dir, Set(0, 1),
+            into = graft.streaming.StreamBm25.nextMergedId(s, dir))
+        }
+        graft.ArtifactStore.dirArtifact(d, "st17bm25fp", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st17-")
+            tmpSegDirs += p
+            build(p.toString)
+            p.toString
+        }
+      })
+    }
+
   /** Bench hook: ingest + load the streamed segment indexes up front (the
     * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
     streamedBm25(s, d); compactedBm25(s, d); takedownBm25(s, d)
-    blocklistBm25(s, d); mediaFingerprintIndex(s, d); ()
+    blocklistBm25(s, d); mediaFingerprintIndex(s, d); fpBm25Dir(s, d); ()
   }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)
@@ -269,6 +314,8 @@ object ExtQ {
     phashIdxCache.clear()
     tmpSegDirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSegDirs.clear()
+    // the st17 dir memo may point into tmpSegDirs
+    bm25FpDirCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -527,9 +574,39 @@ object ExtQ {
         .select(col("q_id"), col("rank"), col("key"),
           round(col("score"), 6).as("score"))
         .orderBy("q_id", "rank")),
+
+    // ST17 — the MAINTAINED BM25 fingerprint
+    // ([[graft.streaming.StreamBm25.fingerprintState]], st15's pattern
+    // on the sparse sink): "is this index snapshot X" answered from one
+    // (n, xor) partial per live id — never an index scan — through a
+    // full lifecycle including a takedown (negative partial) and a
+    // PARTIAL fold (tombstones stay live; the merged partial carries
+    // the folded segments' RAW contributions so the kept negatives
+    // don't double-subtract). The identity bound is the served doc set
+    // as (key, dl); the oracle recomputes the same checksum from the
+    // raw corpus — the driver compare proves the metadata-sized serve
+    // equals a from-scratch recompute of the whole kept-set identity.
+    "st17_bm25_fingerprint" -> ((s, d) =>
+      graft.streaming.StreamBm25.fingerprintState(s, fpBm25Dir(s, d))
+        .getOrElse(throw new IllegalStateException(
+          "st17 dir must carry full fingerprint coverage"))),
   )
 
   val oracles: Map[String, String] = Map(
+    // st17: from-scratch recompute of the served doc-set checksum —
+    // corpus slice minus the taken-down docs, identity = (key, dl)
+    // hashed per the corpusFingerprint contract (sorted column order:
+    // dl, then key)
+    "st17_bm25_fingerprint" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 4 <> 0 AND doc_id % 10 <> 0),
+         dd AS (SELECT doc_id AS key,
+                  len(string_split_regex(text, '\s+')) AS dl FROM corpus)
+         SELECT count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+             md5(CAST(dl AS VARCHAR)) || md5(CAST(key AS VARCHAR))),
+             1, 15)) AS BIGINT)) AS fingerprint
+         FROM dd""",
     "x57_bm25_takedown" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
                          WHERE doc_id % 97 <> 3 AND doc_id % 10 <> 0),

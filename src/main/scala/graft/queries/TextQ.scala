@@ -658,6 +658,48 @@ object TextQ {
       })
     }
 
+  /** Memoized ADMISSION-GATE decision table for x71 — the x63 PSI
+    * monitor wired to a policy ([[graft.streaming.StreamCurate
+    * .admitBatch]]): four arrival batches against a growing curated
+    * corpus — two normal slices (admitted; the first auto-admits with
+    * no reference), a PLANTED length-drifted batch (the % 3 == 2 slice
+    * restricted to n_chars ≥ 400 — quarantined at PSI > 0.25, never
+    * ingested, digests never seen), then the same slice undistorted
+    * (admitted: the quarantine left no residue). The artifact stores
+    * the four decision rows — the monitor's log — which the oracle
+    * recomputes from the raw corpus with x63's PSI arithmetic. */
+  private val x71Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def admissionDecisions(s: SparkSession, d: String): DataFrame =
+    x71Cache.synchronized {
+      x71Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 4batches mod3 bin=nchars/100cap9 drift=nchars>=400 " +
+          "threshold=0.25"
+        val loaded = graft.ArtifactStore.dataFrame(s, d, "x71adm", spec) {
+          val docs = Tables.documents(s, d)
+            .select("doc_id", "n_chars", "text")
+          val policy = (b: DataFrame) => b.select("doc_id", "n_chars")
+          val bin = least(floor(col("n_chars") / 100), lit(9))
+          val dirP = java.nio.file.Files.createTempDirectory("graft-x71-")
+          tmpSt9Dirs += dirP // scratch sink; only the decisions persist
+          val dir = dirP.toString
+          def admit(b: DataFrame, id: Long) =
+            graft.streaming.StreamCurate.admitBatch(dir, b, id, policy,
+              bin, nBins = 10, threshold = 0.25)
+          Seq(
+            admit(docs.filter(col("doc_id") % 3 === 0), 0L),
+            admit(docs.filter(col("doc_id") % 3 === 1), 1L),
+            admit(docs.filter(col("doc_id") % 3 === 2 &&
+              col("n_chars") >= 400), 2L),
+            admit(docs.filter(col("doc_id") % 3 === 2), 3L))
+            .reduce(_ unionByName _) // decisions are literal rows —
+              // each admit() already ran its ingest/refusal eagerly
+        }
+        val out = loaded.persist(); out.count()
+        out
+      })
+    }
+
   /** Memoized MAINTAINED-FINGERPRINT curation dir for st15 — the st9
     * pipeline + the %10 takedown, NO compaction: the fingerprint is
     * served from the per-batch partials and the delete's NEGATIVE
@@ -704,6 +746,7 @@ object TextQ {
     streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
     takedownClusters(s, d); takedownNgramDf(s, d); fpCuration(s, d)
     containmentIndex(s, d); takedownContainment(s, d)
+    admissionDecisions(s, d)
     ()
   }
 
@@ -736,6 +779,8 @@ object TextQ {
     x58Cache.clear()
     st15Cache.values.foreach(_.unpersist())
     st15Cache.clear()
+    x71Cache.values.foreach(_.unpersist())
+    x71Cache.clear()
     contIdxCache.values.foreach { case (a, b, _) =>
       a.unpersist(); b.unpersist() // postings stay disk-resident
     }
@@ -1376,6 +1421,35 @@ object TextQ {
           Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
           "doc_id", "text", n = 5, maxDf = 20, threshold = 0.4)
         .orderBy("id_contained", "id_container")),
+
+    // X72 — the containment RECALL ENVELOPE, observable
+    // ([[Dedup.containmentCoverage]]): x61/x70 can only pair docs
+    // through a rare shingle, so a doc none of whose shingles are rare
+    // is invisible to them — this surfaces the count of that blind
+    // class (plus the too-short-to-shingle class) per run, served from
+    // the same maintained set artifact as the detectors. Coverage
+    // below a floor routes the corpus to segment-level dedup first
+    // (the documented remedy).
+    "x72_containment_coverage" -> ((s, d) =>
+      Dedup.containmentCoverage(Tables.documents(s, d), "doc_id", "text",
+        n = 5, maxDf = 20,
+        prebuiltSets = Some(containmentIndex(s, d)._1))),
+
+    // X71 — PSI-GATED batch admission ([[graft.streaming.StreamCurate
+    // .admitBatch]], [[admissionDecisions]]): the x63 drift monitor
+    // wired to a POLICY — a planted length-drifted batch is
+    // QUARANTINED (PSI > 0.25, never ingested, digests never seen) and
+    // the undistorted re-delivery of the same slice then admits
+    // cleanly. Output = the four decision rows; the oracle recomputes
+    // each batch's PSI against the kept-set reference with x63's exact
+    // arithmetic (Laplace-smoothed shares over length deciles) and
+    // applies the same threshold.
+    "x71_admission_gate" -> ((s, d) =>
+      admissionDecisions(s, d)
+        .select(col("batch_id"), col("n_batch"),
+          round(col("psi"), 6).as("psi"), col("threshold"),
+          col("admitted"), col("action"))
+        .orderBy("batch_id")),
 
     // X62 — ORDER-INVARIANT corpus fingerprint
     // ([[TextOps.corpusFingerprint]]): per-lang XOR of a 60-bit md5
@@ -3146,6 +3220,89 @@ object TextQ {
              md5(CAST(doc_id AS VARCHAR)) || md5(text)), 1, 15))
              AS BIGINT)) AS fingerprint
          FROM t GROUP BY shard ORDER BY shard""",
+    // x72: the same shingle/df CTEs as x61, reduced to the coverage
+    // counts (docs with ≥1 rare shingle vs the all-common blind class)
+    "x72_containment_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id,
+                 list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   || ' ' || toks[i+3] || ' ' || toks[i+4]
+                   FOR i IN range(1, len(toks) - 3)]) AS sh
+               FROM t WHERE len(toks) >= 5),
+         s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         g AS (SELECT doc_id, unnest(sh) AS ng FROM s2),
+         rare AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= 20),
+         cov AS (SELECT DISTINCT g.doc_id FROM g JOIN rare USING (ng)),
+         c AS (SELECT
+             (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM s2) AS n_eligible,
+             (SELECT count(*) FROM cov) AS n_covered)
+         SELECT n_docs, n_eligible,
+           n_docs - n_eligible AS n_unshingled,
+           n_covered, n_eligible - n_covered AS n_blind,
+           round(CAST(n_covered AS DOUBLE) / n_eligible, 6) AS coverage
+         FROM c""",
+    // x71: each batch's PSI against the kept-set reference at its
+    // arrival time (x63's exact arithmetic), thresholded at 0.25. The
+    // drifted batch 2 is quarantined and therefore NOT part of batch
+    // 3's reference.
+    "x71_admission_gate" ->
+      """WITH ref0 AS (SELECT n_chars FROM (
+             SELECT n_chars, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) AS rk
+             FROM documents WHERE doc_id % 3 = 0) WHERE rk = 1),
+         ref01 AS (SELECT n_chars FROM (
+             SELECT n_chars, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id % 3, doc_id) AS rk
+             FROM documents WHERE doc_id % 3 IN (0, 1)) WHERE rk = 1),
+         cur1 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 1),
+         cur2 AS (SELECT n_chars FROM documents
+                  WHERE doc_id % 3 = 2 AND n_chars >= 400),
+         cur3 AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 2),
+         bins AS (SELECT unnest(range(0, 10)) AS bin),
+         p1 AS (SELECT round(sum(round((p_cur - p_ref) * ln(p_cur / p_ref), 6)), 6) AS psi
+                FROM (SELECT
+                    (COALESCE(rc.n, 0) + 1.0) / ((SELECT count(*) FROM ref0) + 10.0) AS p_ref,
+                    (COALESCE(cc.n, 0) + 1.0) / ((SELECT count(*) FROM cur1) + 10.0) AS p_cur
+                  FROM bins
+                  LEFT JOIN (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+                               count(*) AS n FROM ref0 GROUP BY 1) rc USING (bin)
+                  LEFT JOIN (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+                               count(*) AS n FROM cur1 GROUP BY 1) cc USING (bin))),
+         p2 AS (SELECT round(sum(round((p_cur - p_ref) * ln(p_cur / p_ref), 6)), 6) AS psi
+                FROM (SELECT
+                    (COALESCE(rc.n, 0) + 1.0) / ((SELECT count(*) FROM ref01) + 10.0) AS p_ref,
+                    (COALESCE(cc.n, 0) + 1.0) / ((SELECT count(*) FROM cur2) + 10.0) AS p_cur
+                  FROM bins
+                  LEFT JOIN (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+                               count(*) AS n FROM ref01 GROUP BY 1) rc USING (bin)
+                  LEFT JOIN (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+                               count(*) AS n FROM cur2 GROUP BY 1) cc USING (bin))),
+         p3 AS (SELECT round(sum(round((p_cur - p_ref) * ln(p_cur / p_ref), 6)), 6) AS psi
+                FROM (SELECT
+                    (COALESCE(rc.n, 0) + 1.0) / ((SELECT count(*) FROM ref01) + 10.0) AS p_ref,
+                    (COALESCE(cc.n, 0) + 1.0) / ((SELECT count(*) FROM cur3) + 10.0) AS p_cur
+                  FROM bins
+                  LEFT JOIN (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+                               count(*) AS n FROM ref01 GROUP BY 1) rc USING (bin)
+                  LEFT JOIN (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+                               count(*) AS n FROM cur3 GROUP BY 1) cc USING (bin))),
+         d AS (
+           SELECT CAST(0 AS INTEGER) AS batch_id,
+             (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_batch,
+             CAST(NULL AS DOUBLE) AS psi
+           UNION ALL
+           SELECT 1, (SELECT count(*) FROM cur1), (SELECT psi FROM p1)
+           UNION ALL
+           SELECT 2, (SELECT count(*) FROM cur2), (SELECT psi FROM p2)
+           UNION ALL
+           SELECT 3, (SELECT count(*) FROM cur3), (SELECT psi FROM p3))
+         SELECT batch_id, n_batch, psi, 0.25 AS threshold,
+           (psi IS NULL OR psi <= 0.25) AS admitted,
+           CASE WHEN psi IS NULL OR psi <= 0.25
+             THEN 'ingested' ELSE 'quarantined' END AS action
+         FROM d ORDER BY batch_id""",
     "x63_drift_psi" ->
       """WITH rb AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin
                      FROM documents WHERE doc_id % 3 <> 2),

@@ -683,8 +683,46 @@ object VectorQ {
     prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d)
     streamedIvf(s, d); takedownIvf(s, d)
     prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
-    semanticIndex(s, d); semanticIvfIndex(s, d); ()
+    semanticIndex(s, d); semanticIvfIndex(s, d); fpIvfDir(s, d); ()
   }
+
+  /** Memoized MAINTAINED-FINGERPRINT IVF dir for st18 — the st8 ingest
+    * plus a % 10 == 0 takedown, NO compaction: the fingerprint is
+    * served from the per-batch partials and the delete's NEGATIVE
+    * partial alone ([[graft.streaming.StreamIvf.fingerprintState]]) —
+    * the driver query proves the metadata-sized serve equals a DuckDB
+    * recomputation of the surviving vector-id-set checksum. */
+  private val fpIvfDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def fpIvfDir(s: SparkSession, d: String): String =
+    fpIvfDirCache.synchronized {
+      fpIvfDirCache.getOrElseUpdate((s, d), {
+        val spec = "v1 3batches mod3 nCells=16 delete=%10==0 nocompact fpstate"
+        def build(dir: String): Unit = {
+          val c = corpus(s, d).select("vec_id", "vec")
+          (0 to 2).foreach { i =>
+            graft.streaming.StreamIvf.appendBatch(dir,
+              c.filter(col("vec_id") % 3 === i), i, "vec_id", "vec",
+              nCells = 16)
+          }
+          graft.streaming.StreamIvf.deleteVecs(s, dir,
+            c.filter(col("vec_id") % 10 === 0).select("vec_id"),
+            "vec_id")
+        }
+        graft.ArtifactStore.dirArtifact(d, "st18ivffp", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-st18-")
+            tmpIvfDirs += p
+            build(p.toString)
+            p.toString
+        }
+      })
+    }
 
   /** Release the memoized IVF index + PQ artifacts (see
     * Graft.clearCaches): unpersist and drop the references; the next
@@ -734,6 +772,8 @@ object VectorQ {
     semIvfIdxCache.clear()
     tmpIvfDirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpIvfDirs.clear()
+    // the st18 dir memo may point into tmpIvfDirs
+    fpIvfDirCache.clear()
   }
 
   val queries: Map[String, Q] = Map(
@@ -1314,6 +1354,37 @@ object VectorQ {
     "v33_ivf_drift" -> ((s, d) =>
       Similarity.ivfDriftReport(prebuiltIvf(s, d))),
 
+    // V34 — the drift monitor WIRED TO THE POLICY ([[Similarity
+    // .ivfRetrainNeeded]] driver-visible, VERDICT r11 #5): the decision
+    // surface a background maintainer logs — the healthy prebuilt
+    // index next to a PLANTED hot-cell drift (4n copies of one corpus
+    // vector assigned under the same frozen quantizer), each with its
+    // occupancy account, the threshold, the boolean trigger, and the
+    // recommended remedy ([[graft.streaming.StreamIvf.retrain]] — the
+    // rebuild-and-swap StreamIvfSpec proves resets the skew). Both
+    // rows are metadata-only aggregates (nCells-row groupBys);
+    // centroid-dependent → gate-SF golden, trigger semantics pinned
+    // SF-independently by StreamIvfSpec.
+    "v34_ivf_retrain_decision" -> ((s, d) => {
+      val idx = prebuiltIvf(s, d)
+      val n = corpus(s, d).count()
+      val hot = idx.postings.orderBy("vec_id").limit(1).select(col("vec"))
+        .crossJoin(s.range(0, 4 * n)
+          .select((col("id") + 2000000L).as("vec_id")))
+        .select("vec_id", "vec")
+      val drifted = Similarity.ivfAppend(idx, hot, nCellsHint = Some(16))
+      def decide(state: String, i: Similarity.IvfIndex) =
+        Similarity.ivfDriftReport(i).select(
+          lit(state).as("state"), col("n_postings"),
+          col("n_live_cells"), col("max_occ"), col("mean_occ"),
+          col("occ_skew"), lit(4.0).as("threshold"),
+          (col("occ_skew") > 4.0).as("retrain"),
+          when(col("occ_skew") > 4.0, "retrain+reassign")
+            .otherwise("none").as("action"))
+      decide("healthy", idx).unionByName(decide("drifted", drifted))
+        .orderBy("state")
+    }),
+
     // V22 — k-NN graph, PRODUCTION form ([[Similarity.knnGraphIvf]]):
     // k-means cells as blocks, nCells derived from the corpus count as
     // max(16, √n) — the prebuiltRag sizing — so occupancy stays flat and
@@ -1443,9 +1514,29 @@ object VectorQ {
           round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+
+    // ST18 — the MAINTAINED IVF fingerprint
+    // ([[graft.streaming.StreamIvf.fingerprintState]], st15's pattern
+    // on the dense sink): "is this the vector snapshot X" from one
+    // (n, xor) partial per live id — appends hash the just-written
+    // partitions' served id sets, the takedown rides a negative
+    // partial, and the serve never scans a posting. The identity bound
+    // is the served VECTOR-ID set; the oracle recomputes the same
+    // checksum from the raw embeddings table minus the deleted slice.
+    "st18_ivf_fingerprint" -> ((s, d) =>
+      graft.streaming.StreamIvf.fingerprintState(s, fpIvfDir(s, d))
+        .getOrElse(throw new IllegalStateException(
+          "st18 dir must carry full fingerprint coverage"))),
   )
 
   val oracles: Map[String, String] = Map(
+    // st18: from-scratch recompute of the served vector-id-set checksum
+    "st18_ivf_fingerprint" ->
+      """SELECT count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+             md5(CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT))
+             AS fingerprint
+         FROM embeddings WHERE vec_id % 10 <> 0""",
     "v23_hybrid_rrf" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
          qs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),

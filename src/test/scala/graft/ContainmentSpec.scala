@@ -210,6 +210,27 @@ class ContainmentSpec extends AnyFunSuite {
     assert(got == 12, s"expected 12 batch-touching pairs, got $got")
   }
 
+  test("coverage report: an all-common-shingle doc lands in the blind class") {
+    // 25 identical docs (every shingle df=25 > maxDf=20 — the planted
+    // boilerplate blind spot), one unique doc (covered), one too short
+    // to shingle (unshingled)
+    val boiler = (1 to 10).map(i => s"common$i").mkString(" ")
+    val rows = (1L to 25L).map(_ -> boiler) ++
+      Seq(50L -> (1 to 10).map(i => s"unique$i").mkString(" "),
+        60L -> "too short")
+    val r = Dedup.containmentCoverage(docs(rows: _*), "doc_id", "text",
+      n = 5, maxDf = 20).collect().head
+    assert(r.getLong(0) == 27 && r.getLong(1) == 26 && // docs, eligible
+      r.getLong(2) == 1 &&                             // unshingled
+      r.getLong(3) == 1 && r.getLong(4) == 25,         // covered, blind
+      s"coverage classes wrong: $r")
+    // and the detector indeed CANNOT see the blind class: zero pairs
+    // despite 25 exact copies
+    assert(Dedup.containmentPairs(docs(rows: _*), "doc_id", "text",
+      n = 5, maxDf = 20, threshold = 0.5).count() == 0,
+      "the blind class is exactly what the detector misses — the report must expose it")
+  }
+
   test("plan is cartesian-free") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Dedup.containmentPairs(d, "doc_id", "text",

@@ -83,6 +83,44 @@ class StreamCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PSI admission gate: a planted drifted batch quarantines; the clean re-delivery admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("admitspec").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars", "text")
+    val policy = (b: org.apache.spark.sql.DataFrame) =>
+      b.select("doc_id", "n_chars")
+    val bin = least(floor(col("n_chars") / 100), lit(9))
+    def admit(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamCurate.admitBatch(dir, b, id, policy, bin, nBins = 10,
+        threshold = 0.25).collect().head
+    // first batch: no reference — auto-admit with NULL psi
+    val d0 = admit(docs.filter(col("doc_id") % 3 === 0), 0L)
+    assert(d0.isNullAt(2) && d0.getBoolean(4), s"first batch must auto-admit: $d0")
+    // same-distribution slice: admitted
+    val d1 = admit(docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(d1.getBoolean(4) && d1.getDouble(2) <= 0.25)
+    val genBefore = graft.streaming.Manifest.generations(spark, dir)
+    val corpusBefore = StreamCurate.load(spark, dir).get.count()
+    // PLANTED drift: the %3==2 slice restricted to long docs — refused
+    val drifted = docs.filter(col("doc_id") % 3 === 2 &&
+      col("n_chars") >= 400)
+    val d2 = admit(drifted, 2L)
+    assert(!d2.getBoolean(4) && d2.getDouble(2) > 0.25,
+      s"planted drift must quarantine: $d2")
+    // the refusal left NO residue: no generation, no corpus rows, no
+    // seen digests — and the raw batch sits in the operator outbox
+    assert(graft.streaming.Manifest.generations(spark, dir) == genBefore,
+      "a quarantined batch must commit nothing")
+    assert(StreamCurate.load(spark, dir).get.count() == corpusBefore)
+    assert(StreamCurate.quarantine(spark, dir).get
+      .select("doc_id").distinct().count() == drifted.count())
+    // the undistorted slice then admits cleanly (its digests were
+    // never marked seen by the refusal)
+    val d3 = admit(docs.filter(col("doc_id") % 3 === 2), 3L)
+    assert(d3.getBoolean(4), s"clean re-delivery must admit: $d3")
+    assert(StreamCurate.load(spark, dir).get.count() > corpusBefore)
+  }
+
   test("on-disk sink: seen index blocks re-crawls of REJECTED docs; retry no-op; manifest guards orphans") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
