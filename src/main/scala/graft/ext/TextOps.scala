@@ -881,35 +881,61 @@ object TextOps {
     * `contrib` — the number a monitor alerts on. Scale shape: two
     * scans' worth of partial-agg groupBy on the bin key (metadata-sized
     * from there) — no joins wider than nBins rows, nothing shuffles but
-    * bin counts. */
-  def psiDrift(ref: org.apache.spark.sql.DataFrame,
-               cur: org.apache.spark.sql.DataFrame,
-               bin: Column, nBins: Int): org.apache.spark.sql.DataFrame = {
-    def shares(df: org.apache.spark.sql.DataFrame, share: String)
-        : org.apache.spark.sql.DataFrame = {
-      // bins are CLAMPED into [0, nBins): an unclamped caller expression
-      // must not silently drop tail mass from the shares (out-of-range
-      // counts would still inflate the total while vanishing from the
-      // per-bin join — deflating every share and hiding tail drift)
-      val counts = df.select(
-          least(greatest(bin.cast("long"), lit(0L)), lit(nBins - 1L))
-            .as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("n"))
-      val total = counts.agg(coalesce(sum("n"), lit(0L)).as("__tot"))
-      // all nBins bins exist on both sides (Laplace-smoothed), so the
-      // join below never drops a bin observed on only one side; an
-      // EMPTY side degrades to the uniform smoothed prior (total
-      // coalesced to 0), never to NULL shares — a monitor comparing
-      // the summary against 0.25 must fire, not get null
-      val allBins = ref.sparkSession.range(nBins)
-        .select(col("id").as("bin"))
-      allBins.join(counts, Seq("bin"), "left")
-        .crossJoin(broadcast(total)) // 1 row: the total
-        .select(col("bin"),
-          ((coalesce(col("n"), lit(0L)) + lit(1.0)) /
-            (col("__tot") + lit(nBins.toDouble))).as(share))
-    }
-    val joined = shares(ref, "p_ref").join(shares(cur, "p_cur"), Seq("bin"))
+    * bin counts. The family: [[psiDrift]] (two raw sides),
+    * [[psiDriftFromCounts]] (maintained-reference form — ref side is a
+    * pre-counted (bin, n) table), [[psiBinCounts]] (the storable
+    * partial). */
+
+  /** Row-level clamped bin counts — the storable (bin, n) form a
+    * maintained reference keeps per commit ([[graft.streaming
+    * .StreamCurate.admitBatch]]'s metadata partials). Bins are CLAMPED
+    * into [0, nBins): an unclamped caller expression must not silently
+    * drop tail mass from the shares (out-of-range counts would still
+    * inflate the total while vanishing from the per-bin join —
+    * deflating every share and hiding tail drift). */
+  def psiBinCounts(df: org.apache.spark.sql.DataFrame, bin: Column,
+                   nBins: Int): org.apache.spark.sql.DataFrame =
+    df.select(
+        least(greatest(bin.cast("long"), lit(0L)), lit(nBins - 1L))
+          .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** Laplace-smoothed shares from a (bin, n) counts table (re-clamped —
+    * idempotent on [[psiBinCounts]] output, safe on raw sums). */
+  private def psiShares(counts0: org.apache.spark.sql.DataFrame,
+                        nBins: Int, share: String)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = counts0.select(
+        least(greatest(col("bin").cast("long"), lit(0L)),
+          lit(nBins - 1L)).as("bin"), col("n"))
+      .groupBy("bin").agg(sum("n").as("n"))
+    val total = counts.agg(coalesce(sum("n"), lit(0L)).as("__tot"))
+    // all nBins bins exist on both sides (Laplace-smoothed), so the
+    // join below never drops a bin observed on only one side; an
+    // EMPTY side degrades to the uniform smoothed prior (total
+    // coalesced to 0), never to NULL shares — a monitor comparing
+    // the summary against 0.25 must fire, not get null
+    val allBins = counts0.sparkSession.range(nBins)
+      .select(col("id").as("bin"))
+    allBins.join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(total)) // 1 row: the total
+      .select(col("bin"),
+        ((coalesce(col("n"), lit(0L)) + lit(1.0)) /
+          (col("__tot") + lit(nBins.toDouble))).as(share))
+  }
+
+  /** [[psiDrift]] with a PRE-COUNTED reference side — the maintained-
+    * reference form: `refCounts` is a (bin, n) table (e.g. the summed
+    * per-commit partials a sink keeps), so the reference costs
+    * metadata, never a corpus scan. Bit-equal to [[psiDrift]] when
+    * `refCounts = psiBinCounts(ref, bin, nBins)` (PsiDriftSpec). */
+  def psiDriftFromCounts(refCounts: org.apache.spark.sql.DataFrame,
+                         cur: org.apache.spark.sql.DataFrame,
+                         bin: Column, nBins: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val joined = psiShares(refCounts, nBins, "p_ref")
+      .join(psiShares(psiBinCounts(cur, bin, nBins), nBins, "p_cur"),
+        Seq("bin"))
       .withColumn("contrib",
         (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
     val bins = joined.select(col("bin"),
@@ -924,6 +950,11 @@ object TextOps {
         lit(1.0).as("p_cur"), col("contrib"))
     bins.unionByName(total)
   }
+
+  def psiDrift(ref: org.apache.spark.sql.DataFrame,
+               cur: org.apache.spark.sql.DataFrame,
+               bin: Column, nBins: Int): org.apache.spark.sql.DataFrame =
+    psiDriftFromCounts(psiBinCounts(ref, bin, nBins), cur, bin, nBins)
 
   /** Deterministic uniform [0,1) from a row id — md5-prefix, NOT
     * `rand()`: reproducible across runs, engines and partitionings (the

@@ -75,6 +75,7 @@ object StreamCurate {
   private def tombDir(dir: String) = s"$dir/tombstones"
   private def digestMapDir(dir: String) = s"$dir/digestmap"
   private def fpDir(dir: String) = s"$dir/fpstate"
+  private def binsDir(dir: String) = s"$dir/bins"
 
   /** The per-row 60-bit hash under the MAINTAINED fingerprint state
     * ([[fingerprintState]]) — [[graft.ext.TextOps.corpusFingerprint]]'s
@@ -267,6 +268,14 @@ object StreamCurate {
       .select(lit(into).as("batch_id"), col("n"), col("fp"))
       .coalesce(1)
       .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
+    // admission-reference partials ([[admitBatch]]) fold by METADATA —
+    // the summed (bin, n) over live coverage becomes the base's
+    // partial; a dir without full coverage skips (the gate falls back
+    // to the scan form until an admitted batch re-seeds the partials)
+    binCounts(s, dir).foreach(_
+      .select(lit(into).as("batch_id"), col("bin"), col("n"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("batch_id").parquet(binsDir(dir)))
     try Manifest.commitAfter(s, dir, Set(into),
       basedOn = st.map(_._1).getOrElse(-1))
     catch {
@@ -274,7 +283,8 @@ object StreamCurate {
         // lost the CAS: reclaim the staged base partitions (claimed id)
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq(corpusDir(dir), seenDir(dir), digestMapDir(dir), fpDir(dir))
+        Seq(corpusDir(dir), seenDir(dir), digestMapDir(dir), fpDir(dir),
+            binsDir(dir))
           .foreach(d =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"),
               true))
@@ -349,7 +359,7 @@ object StreamCurate {
     Manifest.vacuumHistory(s, dir, Seq(
         corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
         digestMapDir(dir) -> "batch_id=", fpDir(dir) -> "batch_id=",
-        tombDir(dir) -> "ts_id="),
+        binsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
 
   /** CROSS-GENERATION SNAPSHOT DIFF — the reproducibility-audit verb
@@ -551,7 +561,9 @@ object StreamCurate {
     * digest anti-join (ids/digests only — bodies never shuffle) + the
     * curation stage on the deduped batch. */
   def appendBatch(dir: String, batch: DataFrame, batchId: Long,
-                  curate: DataFrame => DataFrame): Unit = {
+                  curate: DataFrame => DataFrame,
+                  bins: Option[(org.apache.spark.sql.Column, Int)] = None)
+      : Unit = {
     val spark = batch.sparkSession
     // LEGACY (pre-manifest) dir: adopt the on-disk batches as the first
     // manifest generation BEFORE entering the protocol — upgrade on
@@ -582,7 +594,8 @@ object StreamCurate {
         s"${seenDir(dir)}/batch_id=${batchId.toInt}",
         s"${corpusDir(dir)}/batch_id=${batchId.toInt}",
         s"${digestMapDir(dir)}/batch_id=${batchId.toInt}",
-        s"${fpDir(dir)}/batch_id=${batchId.toInt}"))
+        s"${fpDir(dir)}/batch_id=${batchId.toInt}",
+        s"${binsDir(dir)}/batch_id=${batchId.toInt}"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__digest").orderBy(col("doc_id"))
     val firstInBatch = batch.withColumn("__digest", md5(col("text")))
@@ -648,6 +661,24 @@ object StreamCurate {
       fpSrc.select(lit(batchId.toInt).as("batch_id"), col("n"), col("fp"))
         .coalesce(1)
         .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
+      // MAINTAINED admission-reference partial ([[admitBatch]]): this
+      // batch's kept rows counted per clamped bin — nBins rows of
+      // metadata riding the same flip, so the gate's reference
+      // distribution never needs a corpus scan. The bin expression is
+      // the dir's contract: pass the SAME (bin, nBins) every call.
+      bins.foreach { case (bin, nBins) =>
+        val src =
+          if (hasDataFiles(spark, writtenPath))
+            graft.ext.TextOps.psiBinCounts(
+              spark.read.parquet(writtenPath), bin, nBins)
+          else spark.range(0).select(col("id").as("bin"),
+            col("id").as("n"))
+        src.select(lit(batchId.toInt).as("batch_id"), col("bin"),
+            col("n"))
+          .coalesce(1)
+          .write.mode("append").partitionBy("batch_id")
+          .parquet(binsDir(dir))
+      }
       // unreachable None after entry-time adoption (every path above
       // leaves a committed manifest); the listing fallback stays as
       // belt-and-braces with this batch's just-staged partitions excluded
@@ -688,12 +719,24 @@ object StreamCurate {
                  threshold: Double): DataFrame = {
     val spark = batch.sparkSession
     val nBatch = batch.count()
-    val psiOpt = load(spark, dir).map { corpus =>
-      graft.ext.TextOps.psiDrift(corpus, batch, bin, nBins)
-        .filter(col("bin") === -1L).head().getDouble(3)
+    // reference: the MAINTAINED bin partials when every live corpus
+    // partition carries one (O(state) — nBins rows per live id), else
+    // the served-corpus scan (the pre-upgrade/fold fallback; a fold
+    // drops partial coverage and the next admitted batch re-enters
+    // the maintained path going forward)
+    val psiOpt = binCounts(spark, dir) match {
+      case Some(refCounts) =>
+        Some(graft.ext.TextOps
+          .psiDriftFromCounts(refCounts, batch, bin, nBins)
+          .filter(col("bin") === -1L).head().getDouble(3))
+      case None => load(spark, dir).map { corpus =>
+        graft.ext.TextOps.psiDrift(corpus, batch, bin, nBins)
+          .filter(col("bin") === -1L).head().getDouble(3)
+      }
     }
     val admitted = psiOpt.forall(_ <= threshold)
-    if (admitted) appendBatch(dir, batch, batchId, curate)
+    if (admitted)
+      appendBatch(dir, batch, batchId, curate, bins = Some((bin, nBins)))
     else batch.write.mode("overwrite")
       .parquet(s"${quarantineDir(dir)}/batch_id=${batchId.toInt}")
     spark.range(1).select(
@@ -715,6 +758,31 @@ object StreamCurate {
     else Some(s.read.option("basePath", quarantineDir(dir))
       .parquet(quarantineDir(dir)))
   }
+
+  /** The MAINTAINED admission-reference distribution: the summed
+    * per-commit (bin, n) partials over the live data ids — nBins-row
+    * metadata, never a corpus scan. None when some live corpus
+    * partition predates the partials (pre-upgrade dir, or a compaction
+    * fold without bin coverage) — [[admitBatch]] then falls back to
+    * the scan form. The reference tracks the INGEST distribution:
+    * takedowns are distribution-neutral at admission granularity. */
+  def binCounts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Option[DataFrame] =
+    liveFamilies(s, dir, asOfGen = None).flatMap { case (dataIds, _) =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def has(d: String) =
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(d))
+      val uncovered = dataIds.exists(id =>
+        has(s"${corpusDir(dir)}/batch_id=$id") &&
+          !has(s"${binsDir(dir)}/batch_id=$id"))
+      val paths = dataIds.toSeq.sorted
+        .map(id => s"${binsDir(dir)}/batch_id=$id").filter(has)
+      if (uncovered || paths.isEmpty) None
+      else Some(s.read.option("basePath", binsDir(dir))
+        .parquet(paths: _*)
+        .groupBy("bin").agg(sum("n").as("n")))
+    }
 
   /** The curated corpus so far (manifest-committed batches only);
     * None before the first batch. */

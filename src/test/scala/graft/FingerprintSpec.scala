@@ -109,6 +109,22 @@ class FingerprintSpec extends AnyFunSuite {
     assert(one.contains("en") && !one("en")._3 && one("en")._2 == 0L)
   }
 
+  test("PSI from pre-counted reference ≡ the two-raw-sides form") {
+    val d = docs((1L to 60L).map(i => i -> ("x " * (i.toInt % 10 + 1))): _*)
+      .withColumn("n_chars", length(col("text")))
+    val ref = d.filter(col("doc_id") % 2 === 0)
+    val cur = d.filter(col("doc_id") % 2 =!= 0)
+    val bin = least(floor(col("n_chars") / 4), lit(4))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val raw = rows(TextOps.psiDrift(ref, cur, bin, nBins = 5))
+    val counted = rows(TextOps.psiDriftFromCounts(
+      TextOps.psiBinCounts(ref, bin, nBins = 5), cur, bin, nBins = 5))
+    assert(raw == counted,
+      "the maintained-reference form must be a pure plan change")
+  }
+
   test("PSI: exactly zero on identical distributions") {
     val d = docs((1L to 60L).map(i => i -> ("x " * (i.toInt % 10 + 1))): _*)
       .withColumn("n_chars", length(col("text")))

@@ -119,6 +119,21 @@ class StreamCurationSpec extends AnyFunSuite {
     val d3 = admit(docs.filter(col("doc_id") % 3 === 2), 3L)
     assert(d3.getBoolean(4), s"clean re-delivery must admit: $d3")
     assert(StreamCurate.load(spark, dir).get.count() > corpusBefore)
+    // the MAINTAINED reference (per-commit bin partials, O(state)) is
+    // live and equals a scan of the served corpus — admission never
+    // needs a corpus read once the partials cover the live set
+    def counts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val maintained = counts(StreamCurate.binCounts(spark, dir).get)
+    val scanned = counts(graft.ext.TextOps.psiBinCounts(
+      StreamCurate.load(spark, dir).get, bin, 10))
+    assert(maintained == scanned,
+      s"maintained reference diverged: $maintained vs $scanned")
+    // a fold carries the partials by METADATA — coverage survives
+    StreamCurate.compact(spark, dir,
+      StreamCurate.nextCompactId(spark, dir))
+    assert(counts(StreamCurate.binCounts(spark, dir).get) == scanned,
+      "the compaction fold must carry the reference partials")
   }
 
   test("on-disk sink: seen index blocks re-crawls of REJECTED docs; retry no-op; manifest guards orphans") {
