@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The test JVM hosts EVERY suite's cached frames and sinks in one heap
+// (getOrCreate shares a single SparkSession across suites); at 78+
+// suites the 8g default starts throwing UNABLE_TO_ACQUIRE_MEMORY on
+// execution-memory-heavy joins. Later -Xmx wins on HotSpot, so this
+// overrides the base setting for tests only.
+Test / javaOptions += "-Xmx16g"

@@ -1368,9 +1368,14 @@ object VectorQ {
     "v34_ivf_retrain_decision" -> ((s, d) => {
       val idx = prebuiltIvf(s, d)
       val n = corpus(s, d).count()
-      val hot = idx.postings.orderBy("vec_id").limit(1).select(col("vec"))
-        .crossJoin(s.range(0, 4 * n)
-          .select((col("id") + 2000000L).as("vec_id")))
+      // broadcast the 1-row hot vector onto the id range (a bare
+      // crossJoin of two plain frames plans a CartesianProduct; the
+      // broadcast side makes it a nested-loop over one row — the
+      // PlanSpec cartesian gate holds for the whole surface)
+      val hot = s.range(0, 4 * n)
+        .select((col("id") + 2000000L).as("vec_id"))
+        .crossJoin(broadcast(
+          idx.postings.orderBy("vec_id").limit(1).select(col("vec"))))
         .select("vec_id", "vec")
       val drifted = Similarity.ivfAppend(idx, hot, nCellsHint = Some(16))
       def decide(state: String, i: Similarity.IvfIndex) =

@@ -44,11 +44,17 @@ private[streaming] object FpState {
       bit_xor(graft.ext.TextOps.fingerprintHash(keyCols.sorted)).as("fp"))
 
   /** Stage the partial for commit id `id` (one tiny file; rides the
-    * same manifest flip as the data partition it describes). */
+    * same manifest flip as the data partition it describes). Written
+    * DIRECTLY to the partition path, never via a dynamic-partition
+    * append into the table root: concurrent committers (append vs
+    * takedown vs compaction — the storm shape) would race on the
+    * root's shared `_temporary` staging dir and fail each other's
+    * task commits; per-partition overwrite keeps every committer's
+    * staging private and makes a restage of a claimed id idempotent. */
   def write(root: String, id: Int, p: DataFrame): Unit =
-    p.select(lit(id).as("batch_id"), col("n"), col("fp"))
+    p.select(col("n"), col("fp"))
       .coalesce(1)
-      .write.mode("append").partitionBy("batch_id").parquet(fpDir(root))
+      .write.mode("overwrite").parquet(s"${fpDir(root)}/batch_id=$id")
 
   /** Reclaim a staged partial after a lost CAS (the id was claimed —
     * this deletes nothing a winner committed). */

@@ -174,10 +174,10 @@ object StreamIvf {
           Similarity.assignToHier(fresh, centroids, idCol, vecCol, nAssign)
         else Similarity.assignTo(fresh, centroids, idCol, vecCol, nAssign)
       assigned
-        .select(lit(batchId.toInt).as("batch_id"), col(idCol),
-          col(vecCol), col("ivf_cell"))
-        .write.mode("append").partitionBy("batch_id")
-        .parquet(postingsDir(dir))
+        .select(col(idCol), col(vecCol), col("ivf_cell"))
+        .write.mode("overwrite") // direct partition write — no shared-
+        .parquet(                // root _temporary staging to race on
+          s"${postingsDir(dir)}/batch_id=${batchId.toInt}")
       // maintained fingerprint partial ([[fingerprintState]]): the
       // served VECTOR-ID set this batch adds, hashed from the
       // just-written partition (nAssign > 1 duplicates rows per id —
