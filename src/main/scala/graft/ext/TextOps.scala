@@ -1013,6 +1013,40 @@ object TextOps {
         md5Uniform(concat(col(idCol).cast("string"), lit("#pos"))))
   }
 
+  /** Takedown BLAST RADIUS over the published training shards — for a
+    * deleted id set, which shards of the [[trainingShards]] release
+    * contained the docs, and by how much: (shard, n_docs, n_affected,
+    * n_tokens_affected, affected_share), affected shards only. The
+    * operator question after every takedown: which release artifacts
+    * must be regenerated, and is the damage concentrated or smeared.
+    *
+    * LINEAGE IS RECOMPUTED, NOT STORED: the shard assignment is a pure
+    * deterministic function of the id (md5-derived — the x37
+    * contract), so the inverse map "doc → shard" costs one expression
+    * on a scan instead of a maintained lineage table; the same call
+    * audits any historical release by passing that release's corpus
+    * snapshot (time-travel or archived) and its nShards. Scale shape:
+    * one scan, one broadcast left join against the takedown-sized id
+    * set, one nShards-bounded groupBy — no shuffle wider than the
+    * shard counts. */
+  def blastRadius(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, ids: org.apache.spark.sql.DataFrame,
+                  nShards: Int): org.apache.spark.sql.DataFrame = {
+    val hits = ids.select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+    trainingShards(df, idCol, nShards)
+      .join(broadcast(hits), Seq(idCol), "left")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_affected"),
+        sum(when(col("__hit") === 1, tokenCount(col(textCol)))
+          .otherwise(0)).cast("long").as("n_tokens_affected"))
+      .filter(col("n_affected") > 0)
+      .withColumn("affected_share",
+        round(col("n_affected").cast("double") /
+          col("n_docs").cast("double"), 6))
+  }
+
   /** Materialize [[trainingShards]] as a sharded parquet layout
     * (`shard=K/` directories, rows pre-sorted in training order): the
     * artifact a data loader streams sequentially. One shuffle total. */

@@ -658,6 +658,80 @@ object TextQ {
       })
     }
 
+  /** Memoized FULL-CASCADE takedown root for x73 — all SIX maintained
+    * sinks ingested from ONE corpus slice (doc_id % 7 == 1; two
+    * arrival batches by doc_id % 2), then one [[graft.streaming
+    * .Takedown.forget]] of the % 5 == 3 victims. x73 then files the
+    * ATTESTATION: per-sink served counts + deleted-id residuals —
+    * the compliance report proving the whole cascade completed. The
+    * IVF vec is a deterministic function of the id (the TakedownSpec
+    * shape — counts, not geometry, are what attest binds); the
+    * cluster edges hang each doc off a % 3 hub above the id space. */
+  private val x73Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def cascadeSinks(root: String) = graft.streaming.Takedown.Sinks(
+    curateDir = Some(s"$root/corpus"),
+    bm25Dir = Some(s"$root/bm25"),
+    ivf = Some((s"$root/ivf", "doc_id", "vec")),
+    clustersDir = Some(s"$root/cc"),
+    containmentDir = Some(s"$root/cont"),
+    ngramDf = Some((s"$root/ngdf", 3)))
+  private def cascadeRoot(s: SparkSession, d: String): String =
+    x73Cache.synchronized {
+      x73Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 slice=%7==1 saltuid 2batches mod2 victims=%5==3 " +
+          "ivf=nCells4 hubs=%3+3e9 ngram=n3 forget"
+        def build(root: String): Unit = {
+          val sinks = cascadeSinks(root)
+          // texts salted with the id: the curation sink's digest dedup
+          // becomes identity, so every ingested id resolves a body and
+          // the ngram leg's per-key guard can never trip on a dup loser
+          // — the attestation binds IDS; the dedup lifecycle is x71's
+          // (and st3's) concern
+          val slice = Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 1)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" uid"), col("doc_id")).as("text"))
+          val vecOf = array((0 to 3).map(j =>
+            pmod(col("doc_id") * (j + 3), lit(7)).cast("double") + 0.1): _*)
+          (0 to 1).foreach { i =>
+            val b = slice.filter(pmod(col("doc_id"), lit(2)) === i)
+            graft.streaming.StreamCurate.appendBatch(
+              sinks.curateDir.get, b, i.toLong,
+              batch => batch.select("doc_id", "text"))
+            graft.streaming.StreamBm25.appendBatch(sinks.bm25Dir.get,
+              b, i.toLong, "doc_id", "text")
+            graft.streaming.StreamIvf.appendBatch(sinks.ivf.get._1,
+              b.select(col("doc_id"), vecOf.as("vec")), i.toLong,
+              "doc_id", "vec", nCells = 4)
+            graft.streaming.StreamClusters.appendBatch(
+              sinks.clustersDir.get,
+              b.select(col("doc_id").as("id1"),
+                (col("doc_id") % 3 + 3000000000L).as("id2")), i.toLong)
+            graft.streaming.StreamContainment.appendBatch(
+              sinks.containmentDir.get, b, i.toLong)
+            graft.streaming.StreamNgramDf.appendBatch(
+              sinks.ngramDf.get._1, b, i.toLong)
+          }
+          graft.streaming.Takedown.forget(s,
+            slice.filter(col("doc_id") % 5 === 3).select("doc_id"),
+            sinks)
+        }
+        graft.ArtifactStore.dirArtifact(d, "x73cascade", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x73-")
+            tmpSt11Dirs += p
+            build(p.toString)
+            p.toString
+        }
+      })
+    }
+
   /** Memoized ADMISSION-GATE decision table for x71 — the x63 PSI
     * monitor wired to a policy ([[graft.streaming.StreamCurate
     * .admitBatch]]): four arrival batches against a growing curated
@@ -746,7 +820,7 @@ object TextQ {
     streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
     takedownClusters(s, d); takedownNgramDf(s, d); fpCuration(s, d)
     containmentIndex(s, d); takedownContainment(s, d)
-    admissionDecisions(s, d)
+    admissionDecisions(s, d); cascadeRoot(s, d)
     ()
   }
 
@@ -803,9 +877,10 @@ object TextQ {
     takedownNgDfCache.clear()
     tmpSt11Dirs.foreach(graft.ArtifactStore.deleteRecursively)
     tmpSt11Dirs.clear()
-    // the st16 dir memo may point into tmpSt11Dirs (same rationale as
-    // x58DirCache above)
+    // the st16/x73 dir memos may point into tmpSt11Dirs (same rationale
+    // as x58DirCache above)
     st16Cache.clear()
+    x73Cache.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -1450,6 +1525,40 @@ object TextQ {
           round(col("psi"), 6).as("psi"), col("threshold"),
           col("admitted"), col("action"))
         .orderBy("batch_id")),
+
+    // X73 — takedown ATTESTATION ([[graft.streaming.Takedown.attest]],
+    // [[cascadeRoot]]): the per-sink residual PROOF after a full
+    // six-sink forget — each row a sink's served-entity count plus how
+    // many of those are deleted ids (0 everywhere = the cascade
+    // completed; anything else names the sink still serving deleted
+    // content). The oracle recomputes every sink's expected survivor
+    // count from the raw corpus (per-id identity via the salted texts;
+    // token-eligible docs for containment, id∪hub nodes for clusters)
+    // — so the attested counts are pinned to ground truth, not to the
+    // sinks agreeing with themselves.
+    "x73_forget_attest" -> ((s, d) => {
+      val root = cascadeRoot(s, d)
+      graft.streaming.Takedown.attest(s,
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 === 3)
+            .select("doc_id"),
+          cascadeSinks(root))
+        .orderBy("sink")
+    }),
+
+    // X74 — takedown BLAST RADIUS over the published training shards
+    // ([[TextOps.blastRadius]]): for the deleted id set, which x37
+    // release shards contained the docs and by how much (docs, tokens,
+    // share) — the "which artifacts must be regenerated" answer.
+    // Lineage is RECOMPUTED, not stored: the shard assignment is a
+    // pure md5 function of the id, so the inverse map costs one scan
+    // expression instead of a maintained lineage table.
+    "x74_blast_radius" -> ((s, d) =>
+      TextOps.blastRadius(Tables.documents(s, d), "doc_id", "text",
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 3)
+            .select("doc_id"),
+          nShards = 8)
+        .orderBy("shard")),
 
     // X62 — ORDER-INVARIANT corpus fingerprint
     // ([[TextOps.corpusFingerprint]]): per-lang XOR of a 60-bit md5
@@ -3303,6 +3412,52 @@ object TextQ {
            CASE WHEN psi IS NULL OR psi <= 0.25
              THEN 'ingested' ELSE 'quarantined' END AS action
          FROM d ORDER BY batch_id""",
+    // x73: every sink's expected survivor count recomputed from the raw
+    // corpus — the fixture salts each text with its id, so identity is
+    // per-id everywhere and one entity per ingested doc serves in
+    // corpus/bm25/ivf/ngram_df; containment serves only docs with ≥ 5
+    // tokens post-salt (shingle-eligible); clusters serve doc nodes
+    // plus the % 3 hub nodes (hubs stay members even when all their
+    // partners were forgotten). Residuals are 0 — the claim under test.
+    "x73_forget_attest" ->
+      """WITH slice AS (SELECT doc_id,
+                          text || ' uid' || CAST(doc_id AS VARCHAR) AS text
+                        FROM documents WHERE doc_id % 7 = 1),
+         ns AS (SELECT count(*) AS n FROM slice),
+         nv AS (SELECT count(*) AS n FROM slice WHERE doc_id % 5 = 3),
+         cont_n AS (SELECT count(*) AS n FROM slice
+                    WHERE doc_id % 5 <> 3
+                      AND len(string_split_regex(text, '\s+')) >= 5),
+         hubs AS (SELECT count(DISTINCT doc_id % 3) AS n FROM slice)
+         SELECT 'bm25' AS sink,
+           (SELECT n FROM ns) - (SELECT n FROM nv) AS n_served,
+           CAST(0 AS BIGINT) AS n_residual
+         UNION ALL SELECT 'clusters',
+           (SELECT n FROM ns) - (SELECT n FROM nv) + (SELECT n FROM hubs),
+           CAST(0 AS BIGINT)
+         UNION ALL SELECT 'containment', (SELECT n FROM cont_n),
+           CAST(0 AS BIGINT)
+         UNION ALL SELECT 'corpus',
+           (SELECT n FROM ns) - (SELECT n FROM nv), CAST(0 AS BIGINT)
+         UNION ALL SELECT 'ivf',
+           (SELECT n FROM ns) - (SELECT n FROM nv), CAST(0 AS BIGINT)
+         UNION ALL SELECT 'ngram_df',
+           (SELECT n FROM ns) - (SELECT n FROM nv), CAST(0 AS BIGINT)
+         ORDER BY sink""",
+    // x74: the x37 shard expression + a victim flag, affected shards only
+    "x74_blast_radius" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks,
+           CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                           AS INTEGER) / 16777216.0 * 8) AS INTEGER) AS shard,
+           CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS hit
+         FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(hit) AS BIGINT) AS n_affected,
+           CAST(sum(CASE WHEN hit = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS n_tokens_affected,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS affected_share
+         FROM t GROUP BY shard HAVING sum(hit) > 0 ORDER BY shard""",
     "x63_drift_psi" ->
       """WITH rb AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin
                      FROM documents WHERE doc_id % 3 <> 2),

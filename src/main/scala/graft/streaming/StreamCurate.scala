@@ -211,9 +211,8 @@ object StreamCurate {
       // (cleared together at compaction, reclaimed together at vacuum)
       fpPartial(corpus.join(del, Seq(idCol), "left_semi")
           .drop("batch_id"), sign = -1)
-        .select(lit(tsId).as("batch_id"), col("n"), col("fp"))
-        .coalesce(1)
-        .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
+        .coalesce(1) // direct partition write — no shared-root staging
+        .write.mode("overwrite").parquet(s"${fpDir(dir)}/batch_id=$tsId")
       try Manifest.commitLiveAfter(s, dir,
         live.copy(tombs = live.tombs + tsId),
         basedOn = st.map(_._1).getOrElse(-1))
@@ -265,17 +264,16 @@ object StreamCurate {
     // the migration path: a dir with pre-upgrade batches becomes
     // incrementally fingerprintable at its first fold
     fpPartial(corpus.drop("batch_id"), sign = 1)
-      .select(lit(into).as("batch_id"), col("n"), col("fp"))
-      .coalesce(1)
-      .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
+      .coalesce(1) // direct partition write — no shared-root staging
+      .write.mode("overwrite").parquet(s"${fpDir(dir)}/batch_id=$into")
     // admission-reference partials ([[admitBatch]]) fold by METADATA —
     // the summed (bin, n) over live coverage becomes the base's
     // partial; a dir without full coverage skips (the gate falls back
     // to the scan form until an admitted batch re-seeds the partials)
     binCounts(s, dir).foreach(_
-      .select(lit(into).as("batch_id"), col("bin"), col("n"))
-      .coalesce(1)
-      .write.mode("append").partitionBy("batch_id").parquet(binsDir(dir)))
+      .select(col("bin"), col("n"))
+      .coalesce(1) // direct partition write — no shared-root staging
+      .write.mode("overwrite").parquet(s"${binsDir(dir)}/batch_id=$into"))
     try Manifest.commitAfter(s, dir, Set(into),
       basedOn = st.map(_._1).getOrElse(-1))
     catch {
@@ -621,9 +619,12 @@ object StreamCurate {
             "time-travel history) but this delivery carries unseen " +
             "documents — a restarted stream against existing state " +
             "needs batch ids above every id ever used (or a new dir)")
-      fresh.select(lit(batchId.toInt).as("batch_id"),
-          col("__digest").as("digest"))
-        .write.mode("append").partitionBy("batch_id").parquet(seenDir(dir))
+      // every staged partition writes DIRECTLY to its path (no dynamic-
+      // partition append into a table root: concurrent committers would
+      // race on the root's shared _temporary staging dir)
+      fresh.select(col("__digest").as("digest"))
+        .write.mode("overwrite")
+        .parquet(s"${seenDir(dir)}/batch_id=${batchId.toInt}")
       // the CONTENT-ADDRESS map (digest → id), written going forward
       // next to the seen index as its OWN table — content-addressed
       // takedown ([[deleteCuratedByContent]]) resolves ids from it.
@@ -631,15 +632,13 @@ object StreamCurate {
       // mixed-schema partition reads, no migration; pre-upgrade batches
       // simply have no map partition and content-deleting their docs
       // fails loudly (the by-id verb still covers them).
-      fresh.select(lit(batchId.toInt).as("batch_id"),
-          col("__digest").as("digest"), col("doc_id").as("id"))
-        .write.mode("append").partitionBy("batch_id")
-        .parquet(digestMapDir(dir))
+      fresh.select(col("__digest").as("digest"), col("doc_id").as("id"))
+        .write.mode("overwrite")
+        .parquet(s"${digestMapDir(dir)}/batch_id=${batchId.toInt}")
       val survivors = curate(fresh.drop("__digest"))
-      survivors.select(lit(batchId.toInt).as("batch_id") +:
-          survivors.columns.map(col): _*)
-        .write.mode("append").partitionBy("batch_id")
-        .parquet(corpusDir(dir))
+      survivors
+        .write.mode("overwrite")
+        .parquet(s"${corpusDir(dir)}/batch_id=${batchId.toInt}")
       // MAINTAINED fingerprint partial ([[fingerprintState]]): one
       // (n, xor) row per batch, computed from the JUST-WRITTEN corpus
       // partition (byte-identical to what will serve — never a
@@ -658,9 +657,10 @@ object StreamCurate {
               c.join(m, Seq(m.columns.head), "left_anti")), sign = 1)
         else spark.range(1).select(lit(0L).as("n"),
           lit(null).cast("long").as("fp"))
-      fpSrc.select(lit(batchId.toInt).as("batch_id"), col("n"), col("fp"))
+      fpSrc.select(col("n"), col("fp"))
         .coalesce(1)
-        .write.mode("append").partitionBy("batch_id").parquet(fpDir(dir))
+        .write.mode("overwrite")
+        .parquet(s"${fpDir(dir)}/batch_id=${batchId.toInt}")
       // MAINTAINED admission-reference partial ([[admitBatch]]): this
       // batch's kept rows counted per clamped bin — nBins rows of
       // metadata riding the same flip, so the gate's reference
@@ -673,11 +673,10 @@ object StreamCurate {
               spark.read.parquet(writtenPath), bin, nBins)
           else spark.range(0).select(col("id").as("bin"),
             col("id").as("n"))
-        src.select(lit(batchId.toInt).as("batch_id"), col("bin"),
-            col("n"))
+        src.select(col("bin"), col("n"))
           .coalesce(1)
-          .write.mode("append").partitionBy("batch_id")
-          .parquet(binsDir(dir))
+          .write.mode("overwrite")
+          .parquet(s"${binsDir(dir)}/batch_id=${batchId.toInt}")
       }
       // unreachable None after entry-time adoption (every path above
       // leaves a committed manifest); the listing fallback stays as
@@ -757,6 +756,60 @@ object StreamCurate {
     if (!Manifest.hasDataFiles(fs, p)) None
     else Some(s.read.option("basePath", quarantineDir(dir))
       .parquet(quarantineDir(dir)))
+  }
+
+  /** RELEASE a quarantined batch back into the pipeline after review —
+    * the verb that closes [[admitBatch]]'s loop: the outboxed rows
+    * re-deliver under a FRESH batch id (`newBatchId` — the original id
+    * stays burned in the decision log), either back through the gate
+    * (default: the corpus may have drifted toward the batch since, or
+    * the operator raised the threshold) or FORCED past it (`force` —
+    * the human reviewed the bytes; the gate's opinion is noted but
+    * overruled). Returns the same one-row decision shape as
+    * [[admitBatch]] (`action` = `ingested_forced` on a forced release).
+    * The original outbox partition clears on ANY outcome — a
+    * re-refused release re-outboxes under the new id, so exactly one
+    * copy of the rows exists at all times. */
+  def releaseQuarantine(s: org.apache.spark.sql.SparkSession, dir: String,
+                        quarantinedId: Long, newBatchId: Long,
+                        curate: DataFrame => DataFrame,
+                        bin: org.apache.spark.sql.Column, nBins: Int,
+                        threshold: Double, force: Boolean = false)
+      : DataFrame = {
+    require(newBatchId != quarantinedId,
+      s"release needs a FRESH batch id (got $newBatchId for both): a " +
+        "re-refused release re-outboxes under the new id, and the old " +
+        "partition clears — the ids must differ or the rows are lost")
+    val qPath = s"${quarantineDir(dir)}/batch_id=${quarantinedId.toInt}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(Manifest.hasDataFiles(fs,
+        new org.apache.hadoop.fs.Path(qPath)),
+      s"no quarantined batch $quarantinedId at $dir")
+    // materialize the rows BEFORE clearing the outbox: the decision/
+    // ingest below must not read a deleted path
+    val rows = s.read.parquet(qPath).persist()
+    try {
+      rows.count()
+      val decision =
+        if (force) {
+          appendBatch(dir, rows, newBatchId, curate,
+            bins = Some((bin, nBins)))
+          s.range(1).select(
+            lit(newBatchId.toInt).as("batch_id"),
+            lit(rows.count()).as("n_batch"),
+            lit(null).cast("double").as("psi"),
+            lit(threshold).as("threshold"),
+            lit(true).as("admitted"),
+            lit("ingested_forced").as("action"))
+        } else admitBatch(dir, rows, newBatchId, curate, bin, nBins,
+          threshold)
+      // admitBatch/appendBatch ran EAGERLY above (ingest or re-outbox
+      // already committed) and the decision frame is literal rows, so
+      // clearing the old outbox partition now orphans nothing
+      fs.delete(new org.apache.hadoop.fs.Path(qPath), true)
+      decision
+    } finally rows.unpersist()
   }
 
   /** The MAINTAINED admission-reference distribution: the summed

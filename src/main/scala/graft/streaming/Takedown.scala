@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *     scaladoc): run reclaim on the schedule that matches the
   *     deployment's "forgetting becomes irreversible after N days"
   *     promise.
+  *   - [[attest]] — the residual PROOF: one row per configured sink
+  *     with what it still serves and how much of that is deleted
+  *     content (0 everywhere = the cascade completed). The report a
+  *     compliance pipeline files, and the alarm that catches a crashed
+  *     cascade leg before the law does.
   *
   * Deliberately NOT atomic across sinks: each sink keeps its own
   * one-commit-point guarantee, and the cascade is an at-least-once
@@ -169,6 +174,66 @@ object Takedown {
           else ids.select(col("doc_id").as(sinks.idCol))
         forget(s, keyed, sinks)
       }
+  }
+
+  /** Phase 3 — ATTESTATION: the per-sink residual PROOF a compliance
+    * pipeline files after [[forget]] — one row per configured sink with
+    * the count of entities the sink still serves (`n_served`) and how
+    * many of those are in the deleted id set (`n_residual`, the number
+    * the report exists for: 0 everywhere = every derivative forgot;
+    * anything else names the sink that still serves deleted content —
+    * a crashed cascade leg, a sink added after the takedown, a bug).
+    *
+    * The entity each sink is attested BY is its served identity: corpus
+    * rows, distinct BM25 doc keys, distinct IVF vector ids, cluster
+    * members, containment set docs, and the ngram-df sink's
+    * counted-contribution ids (its state is df SUMS, so the id ledger —
+    * seen minus deleted — is the attestable view; st13 pins the sums
+    * netting to a survivor recompute). A configured sink with no
+    * committed state attests (0, 0) — deployed, empty, nothing served.
+    *
+    * Scale shape: per sink one metadata-narrow column scan + one
+    * broadcast left join against the takedown-sized key set folding
+    * into a single 1-row count pair — no bodies, no index payloads,
+    * no shuffles wider than the key column. Safe to run on a
+    * schedule. */
+  def attest(s: SparkSession, ids: DataFrame, sinks: Sinks): DataFrame = {
+    val keys = ids.select(col(sinks.idCol).as("__key")).distinct()
+      .withColumn("__del", lit(1))
+    def row(sink: String, served: DataFrame, keyCol: String): DataFrame =
+      served.select(col(keyCol).as("__key"))
+        .join(broadcast(keys), Seq("__key"), "left")
+        .agg(count(lit(1)).as("n_served"),
+          count(col("__del")).as("n_residual"))
+        .select(lit(sink).as("sink"), col("n_served"), col("n_residual"))
+    def zero(sink: String): DataFrame =
+      s.range(1).select(lit(sink).as("sink"), lit(0L).as("n_served"),
+        lit(0L).as("n_residual"))
+    val rows = Seq(
+      sinks.curateDir.map(d => StreamCurate.load(s, d)
+        .map(c => row("corpus", c, sinks.idCol))
+        .getOrElse(zero("corpus"))),
+      sinks.bm25Dir.map(d => StreamBm25.load(s, d)
+        .map(i => row("bm25", i.postings.select("key").distinct(), "key"))
+        .getOrElse(zero("bm25"))),
+      sinks.ivf.map { case (d, idCol, vecCol) =>
+        StreamIvf.load(s, d, idCol, vecCol)
+          .map(i => row("ivf", i.postings.select(idCol).distinct(), idCol))
+          .getOrElse(zero("ivf"))
+      },
+      sinks.clustersDir.map(d => StreamClusters.load(s, d)
+        .map(c => row("clusters", c, "id"))
+        .getOrElse(zero("clusters"))),
+      sinks.containmentDir.map(d => StreamContainment.loadSets(s, d)
+        .map(sets => row("containment", sets, "__cid"))
+        .getOrElse(zero("containment"))),
+      sinks.ngramDf.map { case (d, _) =>
+        StreamNgramDf.countedIds(s, d)
+          .map(c => row("ngram_df", c, "id"))
+          .getOrElse(zero("ngram_df"))
+      }).flatten
+    require(rows.nonEmpty, "attest needs at least one configured sink")
+    rows.reduce(_ unionByName _)
   }
 
   /** Phase 2 — physical reclaim: fold every configured sink (the merge

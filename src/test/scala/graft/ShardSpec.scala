@@ -70,6 +70,39 @@ class ShardSpec extends AnyFunSuite {
     assert(stored == expected, "shard 0 not stored in training order")
   }
 
+  test("blastRadius: recomputed lineage matches the shard assignment; tokens and shares exact; clean set = empty") {
+    import spark.implicits._
+    val victims = docs.filter(col("doc_id") % 5 === 3).select("doc_id")
+    val br = TextOps.blastRadius(docs, "doc_id", "text", victims,
+      nShards = 8)
+    val got = br.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // ground truth from the assignment itself
+    val sh = TextOps.trainingShards(docs, "doc_id", 8)
+      .withColumn("hit", (col("doc_id") % 5 === 3).cast("int"))
+      .withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("hit").as("a"),
+        sum(when(col("hit") === 1, col("toks")).otherwise(0L)).as("t"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val affected = sh.filter(_._2._2 > 0)
+    assert(got.keySet == affected.keySet,
+      s"affected shards mismatch: ${got.keySet} vs ${affected.keySet}")
+    affected.foreach { case (k, (n, a, t)) =>
+      assert(got(k) == ((n, a, t,
+        BigDecimal(a.toDouble / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)), s"shard $k")
+    }
+    // duplicate ids in the request must not double-count
+    val doubled = victims.unionAll(victims)
+    assert(TextOps.blastRadius(docs, "doc_id", "text", doubled, 8)
+      .collect().toSeq.toSet == br.collect().toSeq.toSet)
+    // an id set touching nothing published: empty report
+    assert(TextOps.blastRadius(docs, "doc_id", "text",
+      Seq(-1L, -2L).toDF("doc_id"), 8).count() == 0)
+  }
+
   test("epochUpsample: clamped multiplicity, conservation, epoch indexing") {
     val up = TextOps.epochUpsample(docs, "lang", maxEpochs = 4)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))

@@ -136,6 +136,60 @@ class StreamCurationSpec extends AnyFunSuite {
       "the compaction fold must carry the reference partials")
   }
 
+  test("quarantine release: re-refusal re-outboxes under the new id; forced release ingests and clears; guards loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("releasespec").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars", "text")
+    val policy = (b: org.apache.spark.sql.DataFrame) =>
+      b.select("doc_id", "n_chars")
+    val bin = least(floor(col("n_chars") / 100), lit(9))
+    // reference + a planted drifted batch → quarantined under id 1
+    StreamCurate.admitBatch(dir, docs.filter(col("doc_id") % 3 === 0), 0L,
+      policy, bin, nBins = 10, threshold = 0.25)
+    val drifted = docs.filter(col("doc_id") % 3 === 2 &&
+      col("n_chars") >= 400)
+    StreamCurate.admitBatch(dir, drifted, 1L, policy, bin, nBins = 10,
+      threshold = 0.25)
+    val nDrift = drifted.count()
+    val corpusBefore = StreamCurate.load(spark, dir).get.count()
+    // non-forced release against the unchanged reference: re-refused —
+    // rows move to the NEW outbox id, the old partition clears, exactly
+    // one copy exists, nothing ingests
+    val r = StreamCurate.releaseQuarantine(spark, dir, 1L, 2L, policy,
+      bin, nBins = 10, threshold = 0.25).collect().head
+    assert(!r.getBoolean(4) && r.getString(5) == "quarantined")
+    val outbox = StreamCurate.quarantine(spark, dir).get
+    assert(outbox.count() == nDrift, "exactly one copy of the rows")
+    assert(outbox.select("batch_id").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2), "rows must ride the new id")
+    assert(StreamCurate.load(spark, dir).get.count() == corpusBefore)
+    // forced release: the human overrules the gate — ingests under the
+    // fresh id, decision says so, outbox fully clears
+    val f = StreamCurate.releaseQuarantine(spark, dir, 2L, 3L, policy,
+      bin, nBins = 10, threshold = 0.25, force = true).collect().head
+    assert(f.getBoolean(4) && f.getString(5) == "ingested_forced" &&
+      f.isNullAt(2))
+    assert(StreamCurate.quarantine(spark, dir).isEmpty,
+      "forced release must clear the outbox")
+    // the ingest still applies the digest dedup: expected growth = the
+    // drifted batch's digests not already seen via batch 0
+    val newDigests = drifted.select(md5(col("text")).as("g")).distinct()
+      .join(docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("g")).distinct(), Seq("g"),
+        "left_anti").count()
+    assert(StreamCurate.load(spark, dir).get.count() ==
+      corpusBefore + newDigests, "the released rows must serve")
+    // guards: unknown quarantine id and a reused id are loud
+    intercept[IllegalArgumentException] {
+      StreamCurate.releaseQuarantine(spark, dir, 1L, 4L, policy, bin,
+        10, 0.25)
+    }
+    intercept[IllegalArgumentException] {
+      StreamCurate.releaseQuarantine(spark, dir, 5L, 5L, policy, bin,
+        10, 0.25)
+    }
+  }
+
   test("on-disk sink: seen index blocks re-crawls of REJECTED docs; retry no-op; manifest guards orphans") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

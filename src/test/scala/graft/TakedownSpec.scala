@@ -58,7 +58,26 @@ class TakedownSpec extends AnyFunSuite {
         slice.select("doc_id", "text"), i.toLong)
     }
     val victims = Seq(3L, 4L)
+    def attested = Takedown.attest(spark, victims.toDF("doc_id"), sinks)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // pre-forget attestation: every sink serves, every sink still holds
+    // both victims — the report that would fail a compliance check
+    val pre = attested
+    assert(pre.keySet == Set("corpus", "bm25", "ivf", "clusters",
+      "containment", "ngram_df"))
+    assert(pre.values.forall(_._2 == 2L),
+      s"every sink must report both victims pre-forget: $pre")
     Takedown.forget(spark, victims.toDF("doc_id"), sinks)
+    // post-forget attestation: zero residual everywhere, and the served
+    // counts equal the ground-truth survivor counts per sink's identity
+    val post = attested
+    assert(post.values.forall(_._2 == 0L),
+      s"post-forget residuals must be zero: $post")
+    assert(Seq("corpus", "bm25", "ivf", "containment", "ngram_df")
+      .forall(post(_)._1 == 10L), s"10 survivors expected: $post")
+    assert(post("clusters")._1 == 13L, // 10 doc nodes + 3 hub nodes
+      s"clusters serve survivors plus hubs: $post")
 
     // every serve forgot
     assert(!StreamCurate.load(spark, sinks.curateDir.get).get
@@ -187,5 +206,14 @@ class TakedownSpec extends AnyFunSuite {
     Takedown.forgetByContent(spark,
       Seq("bytes never ingested").toDF("text"), sinks)
     assert(Manifest.generations(spark, sinks.curateDir.get) == gens)
+    // attest with a CONFIGURED-but-empty sink: reported as (0, 0) —
+    // deployed, nothing served — never an error or a missing row
+    val att = Takedown.attest(spark, Seq(3L).toDF("doc_id"),
+        sinks.copy(containmentDir = Some(s"$root/cont_unbuilt")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(att("containment") == ((0L, 0L)), s"empty sink must attest (0,0): $att")
+    assert(att("corpus") == ((5L, 0L)) && att("bm25") == ((5L, 0L)),
+      s"doc 3 forgotten, 5 survivors: $att")
   }
 }
