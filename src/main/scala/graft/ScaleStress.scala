@@ -1343,6 +1343,20 @@ object ScaleStress {
         graft.streaming.Takedown.forget(spark, ids, sinks)
         ids.count()
       }),
+      Op("takedown_attest_fixed", m => {
+        // the per-sink residual PROOF over the m× five-sink cascade
+        // (Takedown.attest, x73): one narrow key-column scan +
+        // broadcast join per sink, one 1-row count pair out. Expect
+        // LINEAR in m by design — the proof reads every served entity
+        // id once (the x61 precedent: the honest full-scan analytic
+        // next to the flat per-increment verbs) — with a small
+        // constant: no bodies, vectors or postings payloads move.
+        val sinks = builtCascade(m)
+        val ids = docsOf(1).select("doc_id")
+          .filter(col("doc_id") % 97 === 11)
+        graft.streaming.Takedown.attest(spark, ids, sinks)
+          .collect().length.toLong
+      }),
       Op("st13_delete_fixed", m => {
         // ONE negative-delta takedown (fresh rotating 1×-range doc ids,
         // with texts) against the m× streamed ngram-df index: one
@@ -1630,7 +1644,8 @@ object ScaleStress {
       mults.foreach(builtV32Dir)
     if (ops0.exists(_.name == "st13_delete_fixed"))
       mults.foreach(builtSt13Dir)
-    if (ops0.exists(_.name == "takedown_forget_fixed"))
+    if (ops0.exists(o => o.name == "takedown_forget_fixed" ||
+        o.name == "takedown_attest_fixed"))
       mults.foreach(builtCascade)
     if (ops0.exists(o => o.name == "st14_diff_fixed" ||
         o.name == "st15_fpstate_fixed"))

@@ -643,8 +643,12 @@ object Dedup {
     val covered = posting.join(rareNg, Seq("ng"))
       .select("__cid").distinct()
     docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(sets.agg(count(lit(1)).as("n_eligible")))
-      .crossJoin(covered.agg(count(lit(1)).as("n_covered")))
+      // broadcast the 1-row aggregates explicitly: left to size
+      // estimation the combine can plan a CartesianProduct when the
+      // agg input's stats are opaque (cache/artifact mid-state) — the
+      // hint pins the nested-loop-over-one-row form
+      .crossJoin(broadcast(sets.agg(count(lit(1)).as("n_eligible"))))
+      .crossJoin(broadcast(covered.agg(count(lit(1)).as("n_covered"))))
       .select(col("n_docs"), col("n_eligible"),
         (col("n_docs") - col("n_eligible")).as("n_unshingled"),
         col("n_covered"),

@@ -1546,6 +1546,25 @@ object TextQ {
         .orderBy("sink")
     }),
 
+    // ST19 — the per-sink MAINTENANCE report
+    // ([[graft.streaming.Takedown.maintenanceReport]]) over the
+    // post-forget cascade root: manifest families, history depth,
+    // quarantine depth, fingerprint coverage and the fold trigger in
+    // one frame — the row set a background maintainer polls. The
+    // fixture state is deterministic AND SF-independent (two appends +
+    // one forget per sink — families, history depth and triggers
+    // depend on the recipe, not the corpus size; verified equal at
+    // sf0.001/sf0.01), so the oracle is the literal expected report:
+    // mask-based sinks (corpus/bm25/ivf/clusters) need a fold NOW —
+    // tombstones cost every serve an anti-join; LSM sinks
+    // (containment/ngram_df) don't — their negative deltas are already
+    // netted by the keyed serve and their delete ledger (n_aux) is
+    // permanent state, not a trigger.
+    "st19_maintenance_report" -> ((s, d) =>
+      graft.streaming.Takedown.maintenanceReport(s,
+          cascadeSinks(cascadeRoot(s, d)))
+        .orderBy("sink")),
+
     // X74 — takedown BLAST RADIUS over the published training shards
     // ([[TextOps.blastRadius]]): for the deleted id set, which x37
     // release shards contained the docs and by how much (docs, tokens,
@@ -3443,6 +3462,32 @@ object TextQ {
            (SELECT n FROM ns) - (SELECT n FROM nv), CAST(0 AS BIGINT)
          UNION ALL SELECT 'ngram_df',
            (SELECT n FROM ns) - (SELECT n FROM nv), CAST(0 AS BIGINT)
+         ORDER BY sink""",
+    // st19: the literal expected report — SF-independent by
+    // construction (see the query comment); n_generations = 2 appends
+    // + the takedown's claim + its commit
+    "st19_maintenance_report" ->
+      """SELECT * FROM (VALUES
+           ('bm25', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+            true, true),
+           ('clusters', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(NULL AS BOOLEAN), true),
+           ('containment', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(NULL AS BOOLEAN), false),
+           ('corpus', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+            true, true),
+           ('ivf', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+            CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+            true, true),
+           ('ngram_df', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(NULL AS BOOLEAN), false))
+         AS t(sink, n_data, n_tombstones, n_aux, n_generations,
+              n_quarantined, fingerprint_ok, needs_compaction)
          ORDER BY sink""",
     // x74: the x37 shard expression + a victim flag, affected shards only
     "x74_blast_radius" ->

@@ -236,6 +236,83 @@ object Takedown {
     rows.reduce(_ unionByName _)
   }
 
+  /** Live data partitions at or above this count recommend a fold in
+    * [[maintenanceReport]] — every serve unions the live deltas, so an
+    * unbounded delta chain degrades reads even when nothing is masked. */
+  val MaxLiveParts = 8
+
+  /** The per-sink HEALTH report a background maintainer polls — every
+    * signal the deployment's policy verbs already expose, in one frame
+    * (one row per configured sink):
+    *
+    *   - `n_data` / `n_tombstones` / `n_aux` — the manifest's declared
+    *     families: live delta partitions, unabsorbed masks, permanent
+    *     ledgers (delete records, the re-crawl blocklist).
+    *   - `n_generations` — time-travel history depth (the vacuum dial).
+    *   - `n_quarantined` — rows waiting in the admission outbox
+    *     (curation sink only; 0 elsewhere).
+    *   - `fingerprint_ok` — whether the maintained O(state) checksum
+    *     covers every live partition (curate/bm25/ivf; NULL for sinks
+    *     without one). False = a pre-upgrade dir — one fold migrates.
+    *   - `needs_compaction` — the fold trigger: unabsorbed TOMBSTONES
+    *     (every serve pays their anti-join), a delta chain at
+    *     [[MaxLiveParts]], or the sink's own policy (BM25's tiered
+    *     small-segment rule, the cluster table's overlay-share rule).
+    *     Deliberately NOT triggered by `n_aux` (permanent ledgers) or
+    *     by LSM negative deltas (already netted by the keyed serve) —
+    *     the report distinguishes "masks cost reads NOW" from "state a
+    *     fold would merely tidy".
+    *
+    * Metadata-only: manifests, nBins/segment-count stats tables and the
+    * cluster overlay count — never postings, vectors or bodies. */
+  def maintenanceReport(s: SparkSession, sinks: Sinks): DataFrame = {
+    def liveOf(dir: String) = Manifest.readLiveWithGen(s, dir).map(_._2)
+    def row(sink: String, dir: String, nQuarantined: Long,
+            fpOk: Option[Boolean], extraNeeds: Boolean): DataFrame = {
+      val l = liveOf(dir)
+      val (nd, nt, na) = l
+        .map(x => (x.data.size.toLong, x.tombs.size.toLong,
+          x.aux.size.toLong))
+        .getOrElse((0L, 0L, 0L))
+      val needs = l.isDefined &&
+        (nt > 0 || nd >= MaxLiveParts || extraNeeds)
+      // an unborn sink has no coverage to judge: fingerprint_ok stays
+      // NULL until the first commit, like the no-checksum sinks
+      val fp = if (l.isEmpty) None else fpOk
+      s.range(1).select(lit(sink).as("sink"),
+        lit(nd).as("n_data"), lit(nt).as("n_tombstones"),
+        lit(na).as("n_aux"),
+        lit(Manifest.generations(s, dir).size.toLong)
+          .as("n_generations"),
+        lit(nQuarantined).as("n_quarantined"),
+        fp.map(b => lit(b)).getOrElse(lit(null)).cast("boolean")
+          .as("fingerprint_ok"),
+        lit(needs).as("needs_compaction"))
+    }
+    val rows = Seq(
+      sinks.curateDir.map(d => row("corpus", d,
+        StreamCurate.quarantine(s, d).map(_.count()).getOrElse(0L),
+        Some(StreamCurate.fingerprintState(s, d).isDefined),
+        extraNeeds = false)),
+      sinks.bm25Dir.map(d => row("bm25", d, 0L,
+        Some(StreamBm25.fingerprintState(s, d).isDefined),
+        extraNeeds = StreamBm25.compactionCandidates(s, d).nonEmpty)),
+      sinks.ivf.map { case (d, _, _) => row("ivf", d, 0L,
+        Some(StreamIvf.fingerprintState(s, d).isDefined),
+        extraNeeds = false)
+      },
+      sinks.clustersDir.map(d => row("clusters", d, 0L, None,
+        extraNeeds = StreamClusters.needsCompaction(s, d))),
+      sinks.containmentDir.map(d => row("containment", d, 0L, None,
+        extraNeeds = false)),
+      sinks.ngramDf.map { case (d, _) => row("ngram_df", d, 0L, None,
+        extraNeeds = false)
+      }).flatten
+    require(rows.nonEmpty,
+      "maintenanceReport needs at least one configured sink")
+    rows.reduce(_ unionByName _)
+  }
+
   /** Phase 2 — physical reclaim: fold every configured sink (the merge
     * absorbs masks and negative deltas) and vacuum its history under
     * `retainMillis` (None = expire everything but the latest snapshot

@@ -118,6 +118,26 @@ class TakedownSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(contDf == contExp, "containment df must net out the victims")
 
+    // the maintenance report post-forget: mask sinks need a fold NOW
+    // (one unabsorbed tombstone each); LSM sinks don't — their negative
+    // deltas are netted by the keyed serve and the delete ledger
+    // (n_aux) is permanent state, not a trigger
+    def report = Takedown.maintenanceReport(spark, sinks).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rep = report
+    Seq("corpus", "bm25", "ivf", "clusters").foreach { k =>
+      assert(rep(k).getBoolean(7), s"$k must need a fold: ${rep(k)}")
+      assert(rep(k).getLong(2) == 1L, s"$k: one tombstone: ${rep(k)}")
+    }
+    Seq("containment", "ngram_df").foreach { k =>
+      assert(!rep(k).getBoolean(7), s"$k deltas are netted: ${rep(k)}")
+      assert(rep(k).getLong(2) == 0L && rep(k).getLong(3) == 1L,
+        s"$k: no masks, one ledger entry: ${rep(k)}")
+    }
+    assert(Seq("corpus", "bm25", "ivf").forall(k =>
+      rep(k).getBoolean(6)), s"maintained fingerprints must cover: $rep")
+    assert(rep("corpus").getLong(5) == 0L, "nothing quarantined")
+
     // crash-mid-cascade contract: a second forget() is a full no-op
     val allDirs = Seq(sinks.curateDir.get, sinks.bm25Dir.get,
       sinks.ivf.get._1, sinks.clustersDir.get, sinks.containmentDir.get,
@@ -129,6 +149,15 @@ class TakedownSpec extends AnyFunSuite {
 
     // physical reclaim, no retention: forgetting becomes irreversible
     Takedown.reclaim(spark, sinks)
+    // post-reclaim report: masks absorbed, single merged base per
+    // sink — nothing needs a fold; the delete ledgers survive (n_aux)
+    val after = report
+    assert(after.values.forall(r => !r.getBoolean(7)),
+      s"reclaim must clear every fold trigger: $after")
+    assert(after.values.forall(_.getLong(2) == 0L),
+      "no tombstone survives a reclaim")
+    assert(Seq("corpus", "bm25", "ivf").forall(k =>
+      after(k).getBoolean(6)), "fingerprint coverage survives the fold")
     // a re-crawl of a victim stays out everywhere it can be guarded:
     // the corpus digest guard, the bm25 blocklist, the ngram-df seen ids
     StreamCurate.appendBatch(sinks.curateDir.get,
