@@ -44,7 +44,10 @@ SF001_GOLDEN = {"r1_trade_report", "w1_balance_panel", "r2_brk_trades",
                 "v33_ivf_drift",
                 # r11 session 2: split over MinHash cluster labels (same
                 # hash-family determinism argument)
-                "x69_leakage_split_neardup"}
+                "x69_leakage_split_neardup",
+                # r12: the retrain decision over the prebuilt IVF index
+                # (centroid-specific occupancy numbers, v33's argument)
+                "v34_ivf_retrain_decision"}
 # (r3_intraday_trades is fixture-driven and SF-independent, so its golden
 # is valid at every SF and is deliberately NOT in the skip set)
 
