@@ -384,7 +384,7 @@ object ScaleStress {
       dir
     })
 
-    // the FULL forget cascade per multiplier: all five sinks fed from
+    // the FULL forget cascade per multiplier: all six sinks fed from
     // the m× corpus, prebuilt outside the timed cells (the one-shot
     // build is each family's own measured ingest cost); the timed row
     // is ONE Takedown.forget call — the operator's per-complaint price
@@ -400,6 +400,7 @@ object ScaleStress {
           bm25BlockRecrawl = true,
           ivf = Some((s"$root/ivf", "vec_id", "vec")),
           clustersDir = Some(s"$root/cc"),
+          containmentDir = Some(s"$root/cont"),
           ngramDf = Some((s"$root/ngdf", 3)))
         val docs = docsOf(m)
         graft.streaming.StreamCurate.appendBatch(sinks.curateDir.get,
@@ -416,6 +417,8 @@ object ScaleStress {
         graft.streaming.StreamClusters.appendBatch(sinks.clustersDir.get,
           docs.select(col("doc_id").as("id1"),
             (pmod(col("doc_id"), lit(9973)) + 30000000000L).as("id2")), 0L)
+        graft.streaming.StreamContainment.appendBatch(
+          sinks.containmentDir.get, docs.select("doc_id", "text"), 0L)
         sinks
       })
     // st14: curated dirs per multiplier — batch 0 = the m× corpus,
@@ -1331,7 +1334,7 @@ object ScaleStress {
         graft.streaming.Manifest.read(spark, dir).get.size.toLong
       }),
       Op("takedown_forget_fixed", m => {
-        // ONE Takedown.forget across ALL FIVE sinks of the m× corpus
+        // ONE Takedown.forget across ALL SIX sinks of the m× corpus
         // (fresh rotating 1×-range ids): the operator's per-complaint
         // cascade price. Body resolution is an isin-pruned corpus read,
         // the ngram leg tokenizes only the takedown batch, every other
@@ -1344,7 +1347,7 @@ object ScaleStress {
         ids.count()
       }),
       Op("takedown_attest_fixed", m => {
-        // the per-sink residual PROOF over the m× five-sink cascade
+        // the per-sink residual PROOF over the m× six-sink cascade
         // (Takedown.attest, x73): one narrow key-column scan +
         // broadcast join per sink, one 1-row count pair out. Expect
         // LINEAR in m by design — the proof reads every served entity

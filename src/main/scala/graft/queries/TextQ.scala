@@ -1565,6 +1565,21 @@ object TextQ {
           cascadeSinks(cascadeRoot(s, d)))
         .orderBy("sink")),
 
+    // ST20 — retention DRY RUN
+    // ([[graft.streaming.Takedown.retentionReport]]) over the same
+    // post-forget cascade: what would a no-retention vacuum delete,
+    // per sink, without deleting anything. The fixture pins the
+    // compact+vacuum pairing lesson driver-visibly: after a forget
+    // with NO fold, every sink's latest generation still references
+    // every partition — history would expire (n_expire = 3) but ZERO
+    // partitions reclaim; the bytes only come back after
+    // maintain/reclaim folds the survivors. Deterministic and
+    // SF-independent like st19 → literal oracle.
+    "st20_retention_plan" -> ((s, d) =>
+      graft.streaming.Takedown.retentionReport(s,
+          cascadeSinks(cascadeRoot(s, d)))
+        .orderBy("sink")),
+
     // X74 — takedown BLAST RADIUS over the published training shards
     // ([[TextOps.blastRadius]]): for the deleted id set, which x37
     // release shards contained the docs and by how much (docs, tokens,
@@ -3488,6 +3503,17 @@ object TextQ {
             CAST(NULL AS BOOLEAN), false))
          AS t(sink, n_data, n_tombstones, n_aux, n_generations,
               n_quarantined, fingerprint_ok, needs_compaction)
+         ORDER BY sink""",
+    // st20: the literal expected dry run — SF-independent like st19;
+    // no fold has run, so the latest generation references every
+    // partition and NOTHING reclaims (the compact+vacuum pairing)
+    "st20_retention_plan" ->
+      """SELECT * FROM (VALUES
+           ('bm25'), ('clusters'), ('containment'), ('corpus'),
+           ('ivf'), ('ngram_df'))
+         AS s(sink), (VALUES (CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+         AS v(n_generations, n_expire, n_reclaimable, n_orphans)
          ORDER BY sink""",
     // x74: the x37 shard expression + a victim flag, affected shards only
     "x74_blast_radius" ->

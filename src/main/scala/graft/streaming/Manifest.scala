@@ -283,15 +283,8 @@ object Manifest {
                     retainMillis: Option[Long] = None): Unit =
     read(s, root).foreach { _ =>
       val fs = fsOf(s, root)
-      val all = gens(fs, root)
-      val cutoff = retainMillis.map(System.currentTimeMillis() - _)
-      val kept = all.zipWithIndex.filter { case ((_, p), i) =>
-        i == all.size - 1 || // the latest always survives
-          cutoff.exists(c => fs.getFileStatus(p).getModificationTime >= c)
-      }.map(_._1)
-      val keptUnion = kept.map { case (_, p) => parse(fs, p) }
-        .foldLeft(Set.empty[Int])(_ ++ _)
-      val referenced = allSets(s, root).foldLeft(Set.empty[Int])(_ ++ _)
+      val (all, kept, keptUnion, referenced) =
+        retentionAccount(fs, root, retainMillis)
       def reclaimable(id: Int): Boolean =
         !keptUnion.contains(id) &&
           (referenced.contains(id) || includeOrphans)
@@ -311,6 +304,62 @@ object Manifest {
       all.foreach { case (g, p) =>
         if (!keptSet.contains(g)) fs.delete(p, false)
       }
+    }
+
+  /** The retention ACCOUNT [[vacuumHistory]] acts on — (every
+    * generation, the kept ones, the union of ids a kept generation
+    * still references, the ids ever referenced by any generation).
+    * Shared with [[vacuumPlan]] so the dry run can never drift from
+    * the delete. */
+  private def retentionAccount(fs: FileSystem, root: String,
+                               retainMillis: Option[Long])
+      : (Seq[(Int, Path)], Seq[(Int, Path)], Set[Int], Set[Int]) = {
+    val all = gens(fs, root)
+    val cutoff = retainMillis.map(System.currentTimeMillis() - _)
+    val kept = all.zipWithIndex.filter { case ((_, p), i) =>
+      i == all.size - 1 || // the latest always survives
+        cutoff.exists(c => fs.getFileStatus(p).getModificationTime >= c)
+    }.map(_._1)
+    val keptUnion = kept.map { case (_, p) => parse(fs, p) }
+      .foldLeft(Set.empty[Int])(_ ++ _)
+    val referenced = all.map { case (_, p) => parse(fs, p) }
+      .foldLeft(Set.empty[Int])(_ ++ _)
+    (all, kept, keptUnion, referenced)
+  }
+
+  /** DRY RUN of [[vacuumHistory]] — what WOULD a vacuum under this
+    * retention window delete, without deleting anything: (total
+    * generations, generations that would expire, history partitions
+    * that would reclaim, orphaned partitions — staged-but-never-
+    * committed dirs an `includeOrphans` vacuum would also take). None
+    * before the first commit. The operator's answer to "is it safe to
+    * run retention now, and what does it buy" — same account, zero
+    * writes. */
+  def vacuumPlan(s: SparkSession, root: String,
+                 families: Seq[(String, String)],
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    read(s, root).map { _ =>
+      val fs = fsOf(s, root)
+      val (all, kept, keptUnion, referenced) =
+        retentionAccount(fs, root, retainMillis)
+      var reclaim = 0L
+      var orphans = 0L
+      families.foreach { case (d, prefix) =>
+        val p = new Path(d)
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(prefix))
+            scala.util.Try(n.stripPrefix(prefix).toInt).toOption
+              .foreach { id =>
+                if (!keptUnion.contains(id)) {
+                  if (referenced.contains(id)) reclaim += 1
+                  else orphans += 1
+                }
+              }
+        }
+      }
+      (all.size.toLong, (all.size - kept.size).toLong, reclaim, orphans)
     }
 
   /** Per-dir cache of the EVER-REFERENCED id union: (identity of the

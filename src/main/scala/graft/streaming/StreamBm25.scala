@@ -743,11 +743,20 @@ object StreamBm25 {
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(
-        postingsDir(dir) -> "seg_id=", termDfDir(dir) -> "seg_id=",
-        tombDir(dir) -> "ts_id=", blockDir(dir) -> "bl_id=",
-        FpState.fpDir(dir) -> "batch_id="),
+    Manifest.vacuumHistory(s, dir, vacuumFamilies(dir),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
+
+  private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
+    postingsDir(dir) -> "seg_id=", termDfDir(dir) -> "seg_id=",
+    tombDir(dir) -> "ts_id=", blockDir(dir) -> "bl_id=",
+    FpState.fpDir(dir) -> "batch_id=")
+
+  /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout) —
+    * (generations, would-expire, reclaimable partitions, orphans). */
+  def vacuumPlan(s: SparkSession, dir: String,
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
   /** ALLOCATE the next merged-segment/tombstone id (negative
     * namespace): one below every id ever written or claimed, CLAIMED

@@ -343,10 +343,18 @@ object StreamClusters {
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(
-        membersDir(dir) -> "batch_id=", rootmapDir(dir) -> "batch_id=",
-        tombDir(dir) -> "ts_id="),
+    Manifest.vacuumHistory(s, dir, vacuumFamilies(dir),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
+
+  private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
+    membersDir(dir) -> "batch_id=", rootmapDir(dir) -> "batch_id=",
+    tombDir(dir) -> "ts_id=")
+
+  /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout). */
+  def vacuumPlan(s: SparkSession, dir: String,
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
   /** The resolved cluster table (id, cluster_id) as committed so far;
     * None before the first batch. */

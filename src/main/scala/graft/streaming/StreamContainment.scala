@@ -235,11 +235,19 @@ object StreamContainment {
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(
-        setsDir(dir) -> "batch_id=", postDir(dir) -> "batch_id=",
-        dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id=",
-        delDir(dir) -> "del_id="),
+    Manifest.vacuumHistory(s, dir, vacuumFamilies(dir),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
+
+  private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
+    setsDir(dir) -> "batch_id=", postDir(dir) -> "batch_id=",
+    dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id=",
+    delDir(dir) -> "del_id=")
+
+  /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout). */
+  def vacuumPlan(s: SparkSession, dir: String,
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
   /** The served shingle-set table (\_\_cid, \_\_sh), deleted docs
     * masked; None before the first batch. */

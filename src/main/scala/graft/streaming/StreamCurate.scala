@@ -354,11 +354,19 @@ object StreamCurate {
   def vacuum(s: org.apache.spark.sql.SparkSession, dir: String,
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(
-        corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
-        digestMapDir(dir) -> "batch_id=", fpDir(dir) -> "batch_id=",
-        binsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id="),
+    Manifest.vacuumHistory(s, dir, vacuumFamilies(dir),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
+
+  private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
+    corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
+    digestMapDir(dir) -> "batch_id=", fpDir(dir) -> "batch_id=",
+    binsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id=")
+
+  /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout). */
+  def vacuumPlan(s: org.apache.spark.sql.SparkSession, dir: String,
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
   /** CROSS-GENERATION SNAPSHOT DIFF — the reproducibility-audit verb
     * ("what changed between the corpus snapshot run A trained on and

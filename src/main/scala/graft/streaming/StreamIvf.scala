@@ -350,10 +350,18 @@ object StreamIvf {
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(
-        postingsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id=",
-        FpState.fpDir(dir) -> "batch_id="),
+    Manifest.vacuumHistory(s, dir, vacuumFamilies(dir),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
+
+  private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
+    postingsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id=",
+    FpState.fpDir(dir) -> "batch_id=")
+
+  /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout). */
+  def vacuumPlan(s: SparkSession, dir: String,
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.Similarity.probeIvf]]; audit with

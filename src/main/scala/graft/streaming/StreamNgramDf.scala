@@ -238,10 +238,18 @@ object StreamNgramDf {
   def vacuum(s: SparkSession, dir: String,
              includeOrphans: Boolean = false,
              retainMillis: Option[Long] = None): Unit =
-    Manifest.vacuumHistory(s, dir, Seq(
-        dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id=",
-        delDir(dir) -> "del_id="),
+    Manifest.vacuumHistory(s, dir, vacuumFamilies(dir),
       includeOrphans = includeOrphans, retainMillis = retainMillis)
+
+  private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
+    dfDir(dir) -> "batch_id=", idsDir(dir) -> "batch_id=",
+    delDir(dir) -> "del_id=")
+
+  /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout). */
+  def vacuumPlan(s: SparkSession, dir: String,
+                 retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long)] =
+    Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
   /** The served (ng, ndocs) index — the keyed sum over live delta
     * partitions; None before the first batch. Feed it to [[graft.ext

@@ -313,6 +313,103 @@ object Takedown {
     rows.reduce(_ unionByName _)
   }
 
+  /** RETENTION DRY RUN across the configured sinks — what WOULD a
+    * vacuum under `retainMillis` delete, per sink, without deleting
+    * anything: (sink, n_generations, n_expire, n_reclaimable,
+    * n_orphans). The operator's pre-flight for [[reclaim]]'s
+    * irreversibility dial: `n_expire` names the time-travel history
+    * that would stop serving, `n_reclaimable` the folded-away
+    * partitions whose bytes actually come back (the compact+vacuum
+    * pairing made visible — a vacuum after a forget with NO fold
+    * reclaims nothing, because the latest generation still references
+    * every partition), `n_orphans` the staged-but-never-committed
+    * leftovers an `includeOrphans` pass would also take. Pure manifest
+    * metadata + directory listings — zero data reads, zero writes. */
+  def retentionReport(s: SparkSession, sinks: Sinks,
+                      retainMillis: Option[Long] = None): DataFrame = {
+    def row(sink: String, plan: Option[(Long, Long, Long, Long)])
+        : DataFrame = {
+      val (g, e, r, o) = plan.getOrElse((0L, 0L, 0L, 0L))
+      s.range(1).select(lit(sink).as("sink"),
+        lit(g).as("n_generations"), lit(e).as("n_expire"),
+        lit(r).as("n_reclaimable"), lit(o).as("n_orphans"))
+    }
+    val rows = Seq(
+      sinks.curateDir.map(d => row("corpus",
+        StreamCurate.vacuumPlan(s, d, retainMillis))),
+      sinks.bm25Dir.map(d => row("bm25",
+        StreamBm25.vacuumPlan(s, d, retainMillis))),
+      sinks.ivf.map { case (d, _, _) => row("ivf",
+        StreamIvf.vacuumPlan(s, d, retainMillis))
+      },
+      sinks.clustersDir.map(d => row("clusters",
+        StreamClusters.vacuumPlan(s, d, retainMillis))),
+      sinks.containmentDir.map(d => row("containment",
+        StreamContainment.vacuumPlan(s, d, retainMillis))),
+      sinks.ngramDf.map { case (d, _) => row("ngram_df",
+        StreamNgramDf.vacuumPlan(s, d, retainMillis))
+      }).flatten
+    require(rows.nonEmpty,
+      "retentionReport needs at least one configured sink")
+    rows.reduce(_ unionByName _)
+  }
+
+  /** The policy CONSUMER for [[maintenanceReport]] — the verb a
+    * scheduled maintainer actually calls: reads the report and folds
+    * exactly the sinks whose trigger fired, leaving healthy sinks
+    * untouched (an unconditional fold loop burns write amplification
+    * and — the StreamClustersSpec lesson — can starve concurrent
+    * appends' CAS). BM25 refinement: tombstones force a FULL fold
+    * (masks must absorb); a tiered-rule-only trigger folds just the
+    * small-segment candidate set, preserving the big segments.
+    *
+    * Returns the report it acted on plus an `acted` column — the
+    * maintenance log line. Vacuum is deliberately NOT run here:
+    * retention is the legal dial and [[reclaim]] owns it. Idempotent:
+    * a fold clears its own trigger, so the next run acts on nothing. */
+  def maintain(s: SparkSession, sinks: Sinks): DataFrame = {
+    val rep = maintenanceReport(s, sinks).collect()
+    val need = rep.filter(_.getBoolean(7)).map(_.getString(0)).toSet
+    if (need("corpus")) sinks.curateDir.foreach(d =>
+      StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d)))
+    if (need("bm25")) sinks.bm25Dir.foreach { d =>
+      val tombed = Manifest.readLiveWithGen(s, d).map(_._2)
+        .exists(_.tombs.nonEmpty)
+      val target =
+        if (tombed) Manifest.read(s, d).getOrElse(Set())
+        else StreamBm25.compactionCandidates(s, d)
+      if (target.nonEmpty)
+        StreamBm25.compactSet(s, d, target,
+          into = StreamBm25.nextMergedId(s, d))
+    }
+    if (need("ivf")) sinks.ivf.foreach { case (d, idCol, vecCol) =>
+      StreamIvf.compactAll(s, d, StreamIvf.nextCompactId(s, d),
+        idCol, vecCol)
+    }
+    if (need("clusters")) sinks.clustersDir.foreach(d =>
+      StreamClusters.compact(s, d, StreamClusters.nextCompactId(s, d)))
+    if (need("containment")) sinks.containmentDir.foreach(d =>
+      StreamContainment.compact(s, d,
+        StreamContainment.nextCompactId(s, d)))
+    if (need("ngram_df")) sinks.ngramDf.foreach { case (d, _) =>
+      StreamNgramDf.compact(s, d, StreamNgramDf.nextCompactId(s, d))
+    }
+    rep.map { r =>
+      val fp: Option[Boolean] =
+        if (r.isNullAt(6)) None else Some(r.getBoolean(6))
+      s.range(1).select(lit(r.getString(0)).as("sink"),
+        lit(r.getLong(1)).as("n_data"),
+        lit(r.getLong(2)).as("n_tombstones"),
+        lit(r.getLong(3)).as("n_aux"),
+        lit(r.getLong(4)).as("n_generations"),
+        lit(r.getLong(5)).as("n_quarantined"),
+        fp.map(b => lit(b)).getOrElse(lit(null)).cast("boolean")
+          .as("fingerprint_ok"),
+        lit(r.getBoolean(7)).as("needs_compaction"),
+        lit(need(r.getString(0))).as("acted"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Phase 2 — physical reclaim: fold every configured sink (the merge
     * absorbs masks and negative deltas) and vacuum its history under
     * `retainMillis` (None = expire everything but the latest snapshot

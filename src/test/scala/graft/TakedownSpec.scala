@@ -201,6 +201,74 @@ class TakedownSpec extends AnyFunSuite {
       s"no on-disk file may hold deleted content after reclaim: $leaked")
   }
 
+  test("maintain: folds exactly the flagged sinks; healthy sinks untouched; second run acts on nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("takedown_m").toString
+    val sinks = Takedown.Sinks(
+      curateDir = Some(s"$root/corpus"),
+      bm25Dir = Some(s"$root/bm25"),
+      containmentDir = Some(s"$root/cont"),
+      ngramDf = Some((s"$root/ngdf", 3)))
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    val docs = (1L to 12L).map(i => (i, body + s"marker$i tail$i", 200))
+      .toDF("doc_id", "text", "n_chars")
+    (0 to 1).foreach { i =>
+      val b = docs.filter(col("doc_id") % 2 === i)
+      StreamCurate.appendBatch(sinks.curateDir.get, b, i.toLong,
+        x => x.select("doc_id", "text"))
+      StreamBm25.appendBatch(sinks.bm25Dir.get,
+        b.select("doc_id", "text"), i.toLong, "doc_id", "text")
+      StreamContainment.appendBatch(sinks.containmentDir.get,
+        b.select("doc_id", "text"), i.toLong)
+      StreamNgramDf.appendBatch(sinks.ngramDf.get._1,
+        b.select("doc_id", "text"), i.toLong)
+    }
+    Takedown.forget(spark, Seq(3L).toDF("doc_id"), sinks)
+    val lsmDirs = Seq(sinks.containmentDir.get, sinks.ngramDf.get._1)
+    val lsmGens = lsmDirs.map(Manifest.generations(spark, _))
+    val served = StreamBm25.load(spark, sinks.bm25Dir.get).get
+      .postings.select("key").distinct().count()
+    // first run: folds exactly the mask sinks; LSM sinks (netted
+    // deltas, permanent ledger) are not touched
+    val acted = Takedown.maintain(spark, sinks).collect()
+      .map(r => r.getString(0) -> r.getBoolean(8)).toMap
+    assert(acted == Map("corpus" -> true, "bm25" -> true,
+      "containment" -> false, "ngram_df" -> false), s"$acted")
+    assert(lsmDirs.map(Manifest.generations(spark, _)) == lsmGens,
+      "maintain must not commit to a healthy sink")
+    // the fold absorbed the masks without moving the serve
+    val rep = Takedown.maintenanceReport(spark, sinks).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.values.forall(r => !r.getBoolean(7)),
+      s"triggers must clear: $rep")
+    assert(rep("bm25").getLong(2) == 0L && rep("corpus").getLong(2) == 0L)
+    assert(StreamBm25.load(spark, sinks.bm25Dir.get).get
+      .postings.select("key").distinct().count() == served)
+    // idempotent: the second run acts on nothing, commits nothing
+    val allGens = Seq(sinks.curateDir.get, sinks.bm25Dir.get) ++ lsmDirs
+    val gens2 = allGens.map(Manifest.generations(spark, _))
+    val acted2 = Takedown.maintain(spark, sinks).collect()
+      .map(r => r.getString(0) -> r.getBoolean(8)).toMap
+    assert(acted2.values.forall(!_), s"second run must be all-false: $acted2")
+    assert(allGens.map(Manifest.generations(spark, _)) == gens2)
+    // retention dry run: the fold stranded history partitions — the
+    // dry run names them WITHOUT deleting; vacuum takes exactly that;
+    // a second dry run finds nothing left to reclaim
+    val plan = Takedown.retentionReport(spark, sinks).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    Seq("corpus", "bm25").foreach { k =>
+      assert(plan(k)._2 > 0, s"$k fold must strand reclaimables: $plan") }
+    Seq("containment", "ngram_df").foreach { k =>
+      assert(plan(k)._2 == 0, s"$k: nothing folded, nothing back: $plan") }
+    val servedPre = StreamCurate.load(spark, sinks.curateDir.get)
+      .get.count()
+    StreamCurate.vacuum(spark, sinks.curateDir.get)
+    assert(StreamCurate.vacuumPlan(spark, sinks.curateDir.get)
+      .get._3 == 0L, "post-vacuum dry run must find nothing")
+    assert(StreamCurate.load(spark, sinks.curateDir.get).get.count()
+      == servedPre, "vacuum must not move the serve")
+  }
+
   test("forgetByContent: the DMCA shape — bytes in, full cascade out") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("takedown_c").toString
