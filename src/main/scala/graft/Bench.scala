@@ -91,7 +91,16 @@ object Bench {
     val preFutures = preWork.map(w => Future {
       // job group is thread-local — set it on each prewarm thread
       spark.sparkContext.setJobGroup("prematerialize", "shared intermediates")
-      try w() catch { case _: Throwable => () }
+      // a prewarm leg failure is survivable (the consumer queries build
+      // lazily) but must be VISIBLE: a silently-dead leg pushes whole
+      // artifact builds into timed query groups — and if the build
+      // failure is persistent, into EVERY sweep (the r12 driver
+      // signature: st20 carrying 326 task-sec of cascade build)
+      try w() catch { case t: Throwable =>
+        System.err.println(
+          s"[bench] prewarm leg FAILED (builds will land in timed " +
+            s"queries): $t")
+      }
       finally spark.sparkContext.clearJobGroup()
     }(preEc))
     preFutures.foreach(Await.result(_, Duration.Inf))
@@ -108,6 +117,7 @@ object Bench {
     // AND task_sec are the per-sweep MEDIAN, so one unlucky co-schedule
     // can't move a query's number.
     val Runs = 3
+    val failed = ConcurrentHashMap.newKeySet[String]()
     val pool = Executors.newFixedThreadPool(math.max(2, cpus.toInt / 4))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val sweeps: Seq[Map[String, Double]] = (0 until Runs).map { r =>
@@ -124,8 +134,15 @@ object Bench {
           // token stats, m2 embeddings…) would be "timed" as a parquet row
           // count. toRdd executes the query's own plan, materializing
           // every output column, which is what a real consumer pays.
+          // A thrown query must be VISIBLE, not a silent wall number: a
+          // persistent failure retries its whole (possibly build-sized)
+          // prefix in every sweep and reads as a regression.
           try { fn(spark, sfDir).queryExecution.toRdd.count() }
-          catch { case _: Throwable => -1L }
+          catch { case t: Throwable =>
+            failed.add(name)
+            System.err.println(s"[bench] $name FAILED in sweep $r: $t")
+            -1L
+          }
           finally {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
             spark.sparkContext.clearJobGroup()
@@ -168,7 +185,11 @@ object Bench {
     // BENCH_DETAIL.json on disk (the judge reads the repo), and the final
     // summary line carries the top task consumers (the attributable
     // regression signal) within the tail budget.
-    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+    val failedList = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
+    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"runs_per_query":$Runs,"failed":$failedList,"sf":"$sfDir"}"""
     println(detail)
     // wrote_detail rides in the summary so a failed/misplaced write is a
     // visible signal, not a stale detail_file pointer (ADVICE r6)
@@ -188,7 +209,7 @@ object Bench {
       .sortBy(-_._2).take(30)
       .map { case (k, ms) => "\"" + k + "\":" + (ms / 100).toDouble / 10 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"task_top_sec":$taskTop,"detail_file":"BENCH_DETAIL.json","wrote_detail":$wroteDetail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"task_top_sec":$taskTop,"n_failed":${failed.size},"failed":$failedList,"detail_file":"BENCH_DETAIL.json","wrote_detail":$wroteDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -252,6 +252,32 @@ object ScaleStress {
         (l, r)
       })
 
+    // Zipf-keyed as-of fixture (a3_asof_auto_zipf): key sizes ∝
+    // 1/(k(k+1)) via floor(N/u) over a hash-uniform u — the head key
+    // holds ~50% of rows, a few hundred tail keys hold the rest. The
+    // realistic exchange-feed shape (one index series dominating) vs
+    // builtAsof's synthetic 90%-one-key stress.
+    val asofZipfFix = scala.collection.mutable.Map
+      .empty[Int, (DataFrame, DataFrame)]
+    def builtAsofZipf(m: Int): (DataFrame, DataFrame) =
+      asofZipfFix.getOrElseUpdate(m, {
+        val base = lit(1600000000L)
+        def zkey(c: org.apache.spark.sql.Column) =
+          floor(lit(65536.0) /
+            (pmod(c * 2654435761L, lit(65536)) + 1)).cast("long")
+        val l = spark.range(400000L * m).select(
+          zkey(col("id")).as("key"),
+          timestamp_seconds(base + col("id") * 3).as("ts")).persist()
+        l.count()
+        val r = spark.range(80000L * m).select(
+          zkey(col("id") * 31L + 7L).as("key"),
+          timestamp_seconds(base + floor(col("id") / 64) * 640 +
+            pmod(col("id"), lit(64)) * 10).as("ts"),
+          (col("id") * 1.0).as("rate")).persist()
+        r.count()
+        (l, r)
+      })
+
     // streamed dense-index dirs per multiplier (StreamIvf 3-batch ingest,
     // nCells ~ √n at each scale — the prebuiltRag sizing); built by the
     // st8_stream_ingest3 row, reused by st8_append_fixed
@@ -1613,6 +1639,26 @@ object ScaleStress {
         val (l, r) = builtAsof(m)
         graft.ops.TimeSeries.asOfJoinTimeSliced(l, r, Seq("key"), "ts",
             Seq("rate"), sliceSeconds = 3600)
+          .filter(col("rate").isNotNull).count()
+      }),
+      Op("a3_asof_auto_zipf", m => {
+        // the DEFAULT form ([[TimeSeries.asOfJoinAuto]], VERDICT r12 #8)
+        // on the Zipf fixture: the probe reads the head key's count and
+        // dispatches — plain under the threshold (m=1: ~200k rows/key),
+        // sliced above it (m≥8) — so the row must stay in the ~linear
+        // band across the switch instead of inheriting the plain form's
+        // superlinear single-partition ceiling.
+        val (l, r) = builtAsofZipf(m)
+        graft.ops.TimeSeries.asOfJoinAuto(l, r, Seq("key"), "ts",
+            Seq("rate"), sliceSeconds = 3600, maxRowsPerKey = 1L << 20)
+          .filter(col("rate").isNotNull).count()
+      }),
+      Op("a3_asof_plain_zipf", m => {
+        // comparison row: the plain per-key window on the same Zipf
+        // fixture — the superlinear wall the auto dispatch exists to
+        // avoid (the head key sorts in ONE partition).
+        val (l, r) = builtAsofZipf(m)
+        graft.ops.TimeSeries.asOfJoin(l, r, Seq("key"), "ts", Seq("rate"))
           .filter(col("rate").isNotNull).count()
       }),
     )

@@ -42,6 +42,14 @@ object TimeOne {
       val n = fn(spark, sf).queryExecution.toRdd.count()
       println(f"[timeone] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
+    // 4th arg "show": print the rows (literal-oracle authoring aid).
+    // collect(), not show(): executeTake on unions of tiny multi-split
+    // Ranges can return empty while the full plan has rows.
+    if (args.lift(3).contains("show")) {
+      val df = fn(spark, sf)
+      println(df.columns.mkString("[show] ", " | ", ""))
+      df.collect().take(200).foreach(r => println(s"[show] $r"))
+    }
     spark.stop()
   }
 }

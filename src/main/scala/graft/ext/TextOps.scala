@@ -1031,11 +1031,21 @@ object TextOps {
     * shard counts. */
   def blastRadius(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, ids: org.apache.spark.sql.DataFrame,
-                  nShards: Int): org.apache.spark.sql.DataFrame = {
-    val hits = ids.select(col(idCol)).distinct()
+                  nShards: Int,
+                  broadcastMaxKeys: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val hits0 = ids.select(col(idCol)).distinct()
       .withColumn("__hit", lit(1))
+    // takedown-sized id sets broadcast; past the cap the hint is
+    // DROPPED (not forced) so an audit passing a corpus-scale id set
+    // can't OOM the driver — AQE then picks the join from real sizes
+    // (ADVICE r12: the x74 query already passes ~20% of the corpus).
+    val hits =
+      if (hits0.limit(broadcastMaxKeys + 1).count() <= broadcastMaxKeys)
+        broadcast(hits0)
+      else hits0
     trainingShards(df, idCol, nShards)
-      .join(broadcast(hits), Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("__hit"), lit(0))).as("n_affected"),

@@ -204,6 +204,35 @@ object TimeSeries {
     }.select(leftCols.map(col) ++ rightValueCols.map(col): _*)
   }
 
+  /** The as-of join a deployment should DEFAULT to (VERDICT r12 #8 —
+    * the last un-shipped SCALING.md TODO): [[asOfJoin]]'s single-shuffle
+    * form while every key fits an executor, automatically switching to
+    * [[asOfJoinTimeSliced]] when some key is HOT (rows-per-key above
+    * `maxRowsPerKey` — the per-key window sort of the plain form then
+    * degenerates to one giant partition; the ScaleStress
+    * `a3_asof_skew_plain` row measures that superlinear wall).
+    *
+    * The dispatch probe is one partial-aggregated key count over both
+    * sides — map-side combine means the shuffle carries ~distinct keys
+    * per partition, not rows, so the probe costs far less than either
+    * join and buys the executor-OOM guard. Semantics are identical on
+    * both paths (right.ts <= left.ts inclusive; OpsPropertySpec pins
+    * plain ≡ sliced ≡ auto on skewed and uniform fixtures). */
+  def asOfJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, rightValueCols: Seq[String],
+                   sliceSeconds: Long = 3600L,
+                   maxRowsPerKey: Long = 4L << 20): DataFrame = {
+    val maxPerKey = left.select(keys.map(col): _*)
+      .unionByName(right.select(keys.map(col): _*))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val hot = !maxPerKey.isNullAt(0) && maxPerKey.getLong(0) > maxRowsPerKey
+    if (hot)
+      asOfJoinTimeSliced(left, right, keys, tsCol, rightValueCols,
+        sliceSeconds)
+    else asOfJoin(left, right, keys, tsCol, rightValueCols)
+  }
+
   /** Time-of-day band filter, inclusive both ends — pandas
     * `between_time("14:30","16:30")` semantics
     * (reference: intra_day_arbitrage.ipynb:90-92).

@@ -47,6 +47,42 @@ object VectorQ {
       })
     }
 
+  /** PREBUILT drifted IVF for v34 (VERDICT r12 #4): the planted
+    * hot-cell drift — 4n copies of one corpus vector appended under the
+    * FROZEN quantizer ([[Similarity.ivfAppend]], same centroids) —
+    * materialized once per fixture like every other serve artifact:
+    * v34's subject is the retrain DECISION (the drift report wired to
+    * the threshold/policy), not the append, so rebuilding the 4n-row
+    * drifted index inside every timed run benched the fixture, not the
+    * verb (69.5 driver task-sec in r12). The append semantics stay
+    * under test in IvfAppendSpec and the v28 query. */
+  private val driftedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Similarity.IvfIndex]
+  private def prebuiltDriftedIvf(s: SparkSession, d: String)
+      : Similarity.IvfIndex =
+    driftedCache.synchronized {
+      driftedCache.getOrElseUpdate((s, d), {
+        val idx = prebuiltIvf(s, d)
+        val drifted = graft.ArtifactStore.dataFrame(s, d, "ivf16drift",
+          "v1 hot=4n id+2e6 nCellsHint=16 base=ivf16") {
+          val n = corpus(s, d).count()
+          // broadcast the 1-row hot vector onto the id range (a bare
+          // crossJoin of two plain frames plans a CartesianProduct; the
+          // broadcast side makes it a nested-loop over one row — the
+          // PlanSpec cartesian gate holds for the whole surface)
+          val hot = s.range(0, 4 * n)
+            .select((col("id") + 2000000L).as("vec_id"))
+            .crossJoin(broadcast(
+              idx.postings.orderBy("vec_id").limit(1).select(col("vec"))))
+            .select("vec_id", "vec")
+          Similarity.ivfAppend(idx, hot, nCellsHint = Some(16)).postings
+        }
+        val p = drifted.persist()
+        p.count() // materialize inside the lock (shared await)
+        idx.copy(postings = p)
+      })
+    }
+
   /** Prebuilt PQ artifacts for v12 — codebook (persisted centroids) and
     * the cell-tagged codes table (PQ codes joined onto the prebuilt IVF
     * postings' cell assignment), memoized per (session, sfDir) like the
@@ -683,7 +719,8 @@ object VectorQ {
     prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d)
     streamedIvf(s, d); takedownIvf(s, d)
     prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
-    semanticIndex(s, d); semanticIvfIndex(s, d); fpIvfDir(s, d); ()
+    semanticIndex(s, d); semanticIvfIndex(s, d); fpIvfDir(s, d)
+    prebuiltDriftedIvf(s, d); ()
   }
 
   /** Memoized MAINTAINED-FINGERPRINT IVF dir for st18 — the st8 ingest
@@ -732,6 +769,8 @@ object VectorQ {
       idx.centroids.unpersist(); idx.postings.unpersist()
     }
     ivfCache.clear()
+    driftedCache.values.foreach(_.postings.unpersist())
+    driftedCache.clear()
     pqCache.values.foreach { case (cb, codes, flat) =>
       cb.centroids.unpersist(); codes.unpersist(); flat.unpersist()
     }
@@ -1367,17 +1406,11 @@ object VectorQ {
     // SF-independently by StreamIvfSpec.
     "v34_ivf_retrain_decision" -> ((s, d) => {
       val idx = prebuiltIvf(s, d)
-      val n = corpus(s, d).count()
-      // broadcast the 1-row hot vector onto the id range (a bare
-      // crossJoin of two plain frames plans a CartesianProduct; the
-      // broadcast side makes it a nested-loop over one row — the
-      // PlanSpec cartesian gate holds for the whole surface)
-      val hot = s.range(0, 4 * n)
-        .select((col("id") + 2000000L).as("vec_id"))
-        .crossJoin(broadcast(
-          idx.postings.orderBy("vec_id").limit(1).select(col("vec"))))
-        .select("vec_id", "vec")
-      val drifted = Similarity.ivfAppend(idx, hot, nCellsHint = Some(16))
+      // the drifted index is the PREBUILT fixture ([[prebuiltDriftedIvf]]
+      // — 4n hot copies appended once per fixture under the frozen
+      // quantizer); the timed verb is the DECISION: two metadata-only
+      // drift reports against the threshold/policy
+      val drifted = prebuiltDriftedIvf(s, d)
       def decide(state: String, i: Similarity.IvfIndex) =
         Similarity.ivfDriftReport(i).select(
           lit(state).as("state"), col("n_postings"),

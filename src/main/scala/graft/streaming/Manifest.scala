@@ -362,6 +362,81 @@ object Manifest {
       (all.size.toLong, (all.size - kept.size).toLong, reclaim, orphans)
     }
 
+  /** BYTES-level extension of [[vacuumPlan]] — the same dry-run account
+    * plus the bytes a vacuum would actually give back: (generations,
+    * would-expire, reclaimable partitions, orphans, reclaimable bytes,
+    * orphan bytes).
+    *
+    * LISTING-COST STORY AT 100 TB: a partition's size is summed (one
+    * recursive listing) exactly ONCE in its lifetime and memoized in a
+    * bytes-sized ledger file under `manifest/psz/` — sound because a
+    * COMMITTED partition is immutable (the manifest protocol: writers
+    * stage under fresh ids and flip visibility at commit; nothing
+    * rewrites a committed dir in place). So a scheduled report costs
+    * O(partitions folded since the last report) listings, not a
+    * per-call `listStatus` storm over every partition of every
+    * generation. ORPHANS (staged-but-never-committed ids) are the one
+    * mutable class — a same-id crash retry wipes and rewrites them —
+    * so their sizes are listed live, never memoized; orphan counts are
+    * takedown/crash-sized by nature. The ledger rides the manifest dir
+    * (the commit owner), survives [[vacuumHistory]] (marker files are
+    * bytes-sized), and a missing entry just re-lists — correctness
+    * never depends on it. */
+  def vacuumPlanBytes(s: SparkSession, root: String,
+                      families: Seq[(String, String)],
+                      retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    read(s, root).map { _ =>
+      val fs = fsOf(s, root)
+      val (all, kept, keptUnion, referenced) =
+        retentionAccount(fs, root, retainMillis)
+      val pszDir = new Path(s"$root/manifest/psz")
+      def dirBytes(p: Path): Long =
+        fs.getContentSummary(p).getLength
+      def committedBytes(familyTag: String, p: Path, id: Int): Long = {
+        val ledger = new Path(pszDir, s"$familyTag=$id")
+        if (fs.exists(ledger)) {
+          val in = fs.open(ledger)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong
+          finally in.close()
+        } else {
+          val b = dirBytes(p)
+          try {
+            if (!fs.exists(pszDir)) fs.mkdirs(pszDir)
+            val out = fs.create(ledger, false)
+            try out.write(b.toString.getBytes("UTF-8"))
+            finally out.close()
+          } catch { case _: java.io.IOException => () } // racer wrote it
+          b
+        }
+      }
+      var reclaim = 0L; var orphans = 0L
+      var reclaimBytes = 0L; var orphanBytes = 0L
+      families.foreach { case (d, prefix) =>
+        val p = new Path(d)
+        val familyTag = p.getName
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(prefix))
+            scala.util.Try(n.stripPrefix(prefix).toInt).toOption
+              .foreach { id =>
+                if (!keptUnion.contains(id)) {
+                  if (referenced.contains(id)) {
+                    reclaim += 1
+                    reclaimBytes += committedBytes(familyTag, st.getPath, id)
+                  } else {
+                    orphans += 1
+                    orphanBytes += dirBytes(st.getPath)
+                  }
+                }
+              }
+        }
+      }
+      (all.size.toLong, (all.size - kept.size).toLong, reclaim, orphans,
+        reclaimBytes, orphanBytes)
+    }
+
   /** Per-dir cache of the EVER-REFERENCED id union: (identity of the
     * generation files folded in, their union). Generations are
     * immutable files, so the union is incremental — [[enterBatch]]

@@ -758,6 +758,14 @@ object StreamBm25 {
       : Option[(Long, Long, Long, Long)] =
     Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
+  /** [[vacuumPlan]] with the bytes a vacuum would give back
+    * ([[Manifest.vacuumPlanBytes]] on this layout — ledgered sizes,
+    * one listing per partition per lifetime). */
+  def vacuumPlanBytes(s: SparkSession, dir: String,
+                      retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    Manifest.vacuumPlanBytes(s, dir, vacuumFamilies(dir), retainMillis)
+
   /** ALLOCATE the next merged-segment/tombstone id (negative
     * namespace): one below every id ever written or claimed, CLAIMED
     * atomically via an exclusive marker create ([[Manifest.claimNegId]])

@@ -356,6 +356,14 @@ object StreamClusters {
       : Option[(Long, Long, Long, Long)] =
     Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
+  /** [[vacuumPlan]] with the bytes a vacuum would give back
+    * ([[Manifest.vacuumPlanBytes]] on this layout — ledgered sizes,
+    * one listing per partition per lifetime). */
+  def vacuumPlanBytes(s: SparkSession, dir: String,
+                      retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    Manifest.vacuumPlanBytes(s, dir, vacuumFamilies(dir), retainMillis)
+
   /** The resolved cluster table (id, cluster_id) as committed so far;
     * None before the first batch. */
   def load(s: SparkSession, dir: String): Option[DataFrame] =

@@ -249,6 +249,14 @@ object StreamContainment {
       : Option[(Long, Long, Long, Long)] =
     Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
+  /** [[vacuumPlan]] with the bytes a vacuum would give back
+    * ([[Manifest.vacuumPlanBytes]] on this layout — ledgered sizes,
+    * one listing per partition per lifetime). */
+  def vacuumPlanBytes(s: SparkSession, dir: String,
+                      retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    Manifest.vacuumPlanBytes(s, dir, vacuumFamilies(dir), retainMillis)
+
   /** The served shingle-set table (\_\_cid, \_\_sh), deleted docs
     * masked; None before the first batch. */
   def loadSets(s: SparkSession, dir: String): Option[DataFrame] =

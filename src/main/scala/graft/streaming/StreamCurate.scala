@@ -368,6 +368,14 @@ object StreamCurate {
       : Option[(Long, Long, Long, Long)] =
     Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
+  /** [[vacuumPlan]] with the bytes a vacuum would give back
+    * ([[Manifest.vacuumPlanBytes]] on this layout — ledgered sizes,
+    * one listing per partition per lifetime). */
+  def vacuumPlanBytes(s: org.apache.spark.sql.SparkSession, dir: String,
+                      retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    Manifest.vacuumPlanBytes(s, dir, vacuumFamilies(dir), retainMillis)
+
   /** CROSS-GENERATION SNAPSHOT DIFF — the reproducibility-audit verb
     * ("what changed between the corpus snapshot run A trained on and
     * the one run B did?"): every row a reader pinned to `genB` serves
@@ -794,6 +802,18 @@ object StreamCurate {
     require(Manifest.hasDataFiles(fs,
         new org.apache.hadoop.fs.Path(qPath)),
       s"no quarantined batch $quarantinedId at $dir")
+    // the target outbox partition must be VIRGIN: a re-refused release
+    // (and the forced path's decision log) writes
+    // quarantine/batch_id=<newBatchId> with mode(overwrite), so a
+    // newBatchId colliding with a DIFFERENT still-quarantined batch
+    // would silently destroy that batch's only copy of rows — breaking
+    // the "exactly one copy at all times" contract. Fail loudly like
+    // the other guards (ADVICE r12, medium).
+    require(!Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(
+        s"${quarantineDir(dir)}/batch_id=${newBatchId.toInt}")),
+      s"batch id $newBatchId already holds a quarantined batch at $dir " +
+        "— releasing under it would overwrite that batch's only copy " +
+        "of rows; pick a fresh id")
     // materialize the rows BEFORE clearing the outbox: the decision/
     // ingest below must not read a deleted path
     val rows = s.read.parquet(qPath).persist()

@@ -363,6 +363,14 @@ object StreamIvf {
       : Option[(Long, Long, Long, Long)] =
     Manifest.vacuumPlan(s, dir, vacuumFamilies(dir), retainMillis)
 
+  /** [[vacuumPlan]] with the bytes a vacuum would give back
+    * ([[Manifest.vacuumPlanBytes]] on this layout — ledgered sizes,
+    * one listing per partition per lifetime). */
+  def vacuumPlanBytes(s: SparkSession, dir: String,
+                      retainMillis: Option[Long] = None)
+      : Option[(Long, Long, Long, Long, Long, Long)] =
+    Manifest.vacuumPlanBytes(s, dir, vacuumFamilies(dir), retainMillis)
+
   /** The maintained index as written so far; None before the first
     * batch. Serve with [[graft.ext.Similarity.probeIvf]]; audit with
     * [[graft.ext.Similarity.ivfDriftReport]]. The `batch_id` partition

@@ -198,11 +198,19 @@ object Takedown {
     * no shuffles wider than the key column. Safe to run on a
     * schedule. */
   def attest(s: SparkSession, ids: DataFrame, sinks: Sinks): DataFrame = {
-    val keys = ids.select(col(sinks.idCol).as("__key")).distinct()
+    val keys0 = ids.select(col(sinks.idCol).as("__key")).distinct()
       .withColumn("__del", lit(1))
+    // mirror [[forget]]'s size discipline (ADVICE r12): takedown batches
+    // are human-complaint-sized by nature, but an oversized id set must
+    // not be force-broadcast — past the cap the hint is dropped and the
+    // join planner (AQE) picks the strategy from real sizes.
+    val keys =
+      if (keys0.limit(MaxPushdownKeys + 1).count() <= MaxPushdownKeys)
+        broadcast(keys0)
+      else keys0
     def row(sink: String, served: DataFrame, keyCol: String): DataFrame =
       served.select(col(keyCol).as("__key"))
-        .join(broadcast(keys), Seq("__key"), "left")
+        .join(keys, Seq("__key"), "left")
         .agg(count(lit(1)).as("n_served"),
           count(col("__del")).as("n_residual"))
         .select(lit(sink).as("sink"), col("n_served"), col("n_residual"))
@@ -354,6 +362,79 @@ object Takedown {
     rows.reduce(_ unionByName _)
   }
 
+  /** BYTES-level retention dry run — [[retentionReport]] plus what the
+    * vacuum actually gives BACK: (sink, n_generations, n_expire,
+    * n_reclaimable, bytes_reclaimable, n_orphans, bytes_orphans). The
+    * number an operator sizes storage against ("how many TB does
+    * running retention now buy"), next to the partition counts the
+    * plain report names.
+    *
+    * Scale shape ([[Manifest.vacuumPlanBytes]]): committed partitions
+    * are immutable, so each one's size is summed ONCE in its lifetime
+    * and memoized in a bytes-sized ledger riding the manifest dir —
+    * a scheduled report costs O(partitions folded since the last
+    * report) listings, never a live `listStatus` storm over the whole
+    * index. Zero data reads, zero Spark jobs beyond the literal report
+    * rows. */
+  def retentionBytesReport(s: SparkSession, sinks: Sinks,
+                           retainMillis: Option[Long] = None): DataFrame = {
+    def row(sink: String,
+            plan: Option[(Long, Long, Long, Long, Long, Long)])
+        : DataFrame = {
+      val (g, e, r, o, rb, ob) = plan.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+      s.range(1).select(lit(sink).as("sink"),
+        lit(g).as("n_generations"), lit(e).as("n_expire"),
+        lit(r).as("n_reclaimable"), lit(rb).as("bytes_reclaimable"),
+        lit(o).as("n_orphans"), lit(ob).as("bytes_orphans"))
+    }
+    val rows = Seq(
+      sinks.curateDir.map(d => row("corpus",
+        StreamCurate.vacuumPlanBytes(s, d, retainMillis))),
+      sinks.bm25Dir.map(d => row("bm25",
+        StreamBm25.vacuumPlanBytes(s, d, retainMillis))),
+      sinks.ivf.map { case (d, _, _) => row("ivf",
+        StreamIvf.vacuumPlanBytes(s, d, retainMillis))
+      },
+      sinks.clustersDir.map(d => row("clusters",
+        StreamClusters.vacuumPlanBytes(s, d, retainMillis))),
+      sinks.containmentDir.map(d => row("containment",
+        StreamContainment.vacuumPlanBytes(s, d, retainMillis))),
+      sinks.ngramDf.map { case (d, _) => row("ngram_df",
+        StreamNgramDf.vacuumPlanBytes(s, d, retainMillis))
+      }).flatten
+    require(rows.nonEmpty,
+      "retentionBytesReport needs at least one configured sink")
+    rows.reduce(_ unionByName _)
+  }
+
+  /** [[attest]] addressed by CONTENT — the DMCA-shaped PROOF: the
+    * request's bytes are digested and resolved to every corpus id ever
+    * seen with that content through the curation sink's digest map
+    * (the same resolution [[forgetByContent]] deletes through,
+    * including ids a re-upload re-introduced AFTER the takedown —
+    * that's the case this report exists to catch), then the standard
+    * per-sink residual attestation runs over the resolved id set.
+    * n_residual = 0 everywhere proves no sink serves the content under
+    * ANY id; a planted re-upload shows up as a corpus residual even
+    * though the original ids were fully forgotten. Unresolvable texts
+    * (never ingested under any id) contribute no ids — content the
+    * corpus never saw attests clean by construction. Requires
+    * `curateDir` (the digest map lives there). */
+  def attestByContent(s: SparkSession, texts: DataFrame, sinks: Sinks,
+                      textCol: String = "text"): DataFrame = {
+    val corpusDir = sinks.curateDir.getOrElse(
+      throw new IllegalArgumentException(
+        "content-addressed attest resolves ids through the curation " +
+          "sink's digest map: configure curateDir"))
+    val ids = StreamCurate
+      .resolveContentIds(s, corpusDir, texts, textCol)
+      .map(r =>
+        if (sinks.idCol == "doc_id") r
+        else r.select(col("doc_id").as(sinks.idCol)))
+      .getOrElse(s.range(0).select(lit(0L).as(sinks.idCol)))
+    attest(s, ids, sinks)
+  }
+
   /** The policy CONSUMER for [[maintenanceReport]] — the verb a
     * scheduled maintainer actually calls: reads the report and folds
     * exactly the sinks whose trigger fired, leaving healthy sinks
@@ -375,9 +456,17 @@ object Takedown {
     if (need("bm25")) sinks.bm25Dir.foreach { d =>
       val tombed = Manifest.readLiveWithGen(s, d).map(_._2)
         .exists(_.tombs.nonEmpty)
+      val cands = StreamBm25.compactionCandidates(s, d)
       val target =
-        if (tombed) Manifest.read(s, d).getOrElse(Set())
-        else StreamBm25.compactionCandidates(s, d)
+        if (tombed || cands.isEmpty)
+          // tombstones force a full fold (masks must absorb). A fired
+          // trigger with an EMPTY tiered candidate set (delta chain at
+          // MaxLiveParts made of segments the tiered rule keeps) must
+          // also fold fully: acting on nothing would leave the trigger
+          // set forever and re-act every run, breaking the documented
+          // "a fold clears its own trigger" idempotency (ADVICE r12).
+          Manifest.read(s, d).getOrElse(Set())
+        else cands
       if (target.nonEmpty)
         StreamBm25.compactSet(s, d, target,
           into = StreamBm25.nextMergedId(s, d))
@@ -409,6 +498,44 @@ object Takedown {
         lit(need(r.getString(0))).as("acted"))
     }.reduce(_ unionByName _)
   }
+
+  /** [[maintain]] on a Structured Streaming TRIGGER — the maintainer as
+    * a stream, not a cron (VERDICT r12 #6 / the r12 close's candidate
+    * #2): a rate-source stream whose every micro-batch runs one
+    * maintain() pass over the configured sinks, so the fold policy
+    * rides the engine's trigger/retry/shutdown lifecycle instead of an
+    * external scheduler.
+    *
+    * CONCURRENCY CONTRACT: each pass's per-sink folds are the sinks'
+    * own CAS-committed verbs ([[Manifest.commitLiveAfter]] + claimed
+    * negative ids), so racing a live append/takedown is SAFE by
+    * construction — the storm suite proves end-state ≡ scratch with
+    * all three actors pounding one manifest. A pass that loses a CAS
+    * throws `ConcurrentModificationException` mid-fold; the stream
+    * treats that as "state moved under me" and simply lets the NEXT
+    * trigger re-read fresh state (maintain is idempotent and a lost
+    * CAS committed nothing), rather than failing the query. Any other
+    * exception fails the stream loudly — a broken sink must not be
+    * silently re-polled forever.
+    *
+    * `onReport` sees each completed pass's report (the maintenance log
+    * line); the default discards it. Stop with the returned query's
+    * `stop()`. */
+  def maintainStream(s: SparkSession, sinks: Sinks,
+                     intervalMs: Long = 1000L,
+                     onReport: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        try onReport(maintain(s, sinks))
+        catch {
+          case _: java.util.ConcurrentModificationException => ()
+        }
+      }
+      .start()
 
   /** Phase 2 — physical reclaim: fold every configured sink (the merge
     * absorbs masks and negative deltas) and vacuum its history under

@@ -154,6 +154,15 @@ class OpsPropertySpec extends AnyFunSuite {
         Seq("rate"), sliceSeconds = 600))
     assert(plain.count(_._1 == 0) == 2700) // the skew really is 90/10
     assert(sliced == plain)
+    // asOfJoinAuto: BOTH dispatch arms must equal plain — a threshold
+    // above the hot key's 2700 rows picks the plain form, one below it
+    // picks the sliced form; either way the answer is the same
+    val autoPlain = canon(TimeSeries.asOfJoinAuto(left, right, Seq("key"),
+      "ts", Seq("rate"), sliceSeconds = 600, maxRowsPerKey = 100000))
+    val autoSliced = canon(TimeSeries.asOfJoinAuto(left, right, Seq("key"),
+      "ts", Seq("rate"), sliceSeconds = 600, maxRowsPerKey = 100))
+    assert(autoPlain == plain)
+    assert(autoSliced == plain)
   }
 
   test("as-of join equals a per-row linear scan on random grids") {

@@ -188,6 +188,24 @@ class StreamCurationSpec extends AnyFunSuite {
       StreamCurate.releaseQuarantine(spark, dir, 5L, 5L, policy, bin,
         10, 0.25)
     }
+    // collision guard (ADVICE r12, medium): with TWO batches in the
+    // outbox, releasing one UNDER THE OTHER'S id must refuse loudly —
+    // a re-refusal would mode(overwrite) the victim's only copy of rows
+    val qa = docs.filter(col("doc_id") % 3 === 1 && col("n_chars") >= 400)
+    val qb = docs.filter(col("doc_id") % 3 === 2 && col("n_chars") < 200)
+    StreamCurate.admitBatch(dir, qa, 6L, policy, bin, nBins = 10,
+      threshold = -1.0) // psi >= 0 > -1: always refused
+    StreamCurate.admitBatch(dir, qb, 7L, policy, bin, nBins = 10,
+      threshold = -1.0)
+    intercept[IllegalArgumentException] {
+      StreamCurate.releaseQuarantine(spark, dir, 6L, 7L, policy, bin,
+        10, 0.25)
+    }
+    val both = StreamCurate.quarantine(spark, dir).get
+      .groupBy("batch_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(both == Map(6 -> qa.count(), 7 -> qb.count()),
+      s"a refused collision must leave both outbox batches intact: $both")
   }
 
   test("on-disk sink: seen index blocks re-crawls of REJECTED docs; retry no-op; manifest guards orphans") {

@@ -312,5 +312,157 @@ class TakedownSpec extends AnyFunSuite {
     assert(att("containment") == ((0L, 0L)), s"empty sink must attest (0,0): $att")
     assert(att("corpus") == ((5L, 0L)) && att("bm25") == ((5L, 0L)),
       s"doc 3 forgotten, 5 survivors: $att")
+    // attestByContent: bytes in, per-sink residuals out — the deleted
+    // bytes resolve to id 3 and attest 0 residuals; a still-served
+    // doc's bytes (marker4) attest residual 1 in every sink serving
+    // it; never-ingested bytes resolve to nothing and attest clean
+    val abc = Takedown.attestByContent(spark,
+        Seq(body + "marker3", body + "marker4", "bytes never ingested")
+          .toDF("text"), sinks).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(abc("corpus") == ((5L, 1L)) && abc("bm25") == ((5L, 1L)) &&
+      abc("ngram_df") == ((5L, 1L)),
+      s"still-served bytes must attest residual 1, deleted bytes 0: $abc")
+  }
+
+  test("retentionBytesReport: ledgered bytes equal a live recompute; vacuum takes exactly what the report priced") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("takedown_b").toString
+    val sinks = Takedown.Sinks(
+      curateDir = Some(s"$root/corpus"),
+      bm25Dir = Some(s"$root/bm25"))
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    val docs = (1L to 12L).map(i => (i, body + s"marker$i tail$i", 200))
+      .toDF("doc_id", "text", "n_chars")
+    (0 to 1).foreach { i =>
+      val b = docs.filter(col("doc_id") % 2 === i)
+      StreamCurate.appendBatch(sinks.curateDir.get, b, i.toLong,
+        x => x.select("doc_id", "text"))
+      StreamBm25.appendBatch(sinks.bm25Dir.get,
+        b.select("doc_id", "text"), i.toLong, "doc_id", "text")
+    }
+    Takedown.forget(spark, Seq(3L).toDF("doc_id"), sinks)
+    Takedown.maintain(spark, sinks) // fold strands the pre-fold history
+    def rep() = Takedown.retentionBytesReport(spark, sinks).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val r1 = rep()
+    // independent recompute for the corpus sink: bytes of every
+    // partition some generation references that the latest one doesn't
+    val cdir = sinks.curateDir.get
+    val latest = Manifest.read(spark, cdir).get
+    val referenced = Manifest.allSets(spark, cdir).flatten.toSet
+    val fs = new org.apache.hadoop.fs.Path(cdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fams = Seq("corpus" -> "batch_id=", "seen" -> "batch_id=",
+      "digestmap" -> "batch_id=", "fpstate" -> "batch_id=",
+      "bins" -> "batch_id=", "tombstones" -> "ts_id=")
+    var expected = 0L
+    fams.foreach { case (sub, prefix) =>
+      val p = new org.apache.hadoop.fs.Path(s"$cdir/$sub")
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix))
+          scala.util.Try(n.stripPrefix(prefix).toInt).toOption.foreach {
+            id =>
+              if (!latest.contains(id) && referenced.contains(id))
+                expected += fs.getContentSummary(st.getPath).getLength
+          }
+      }
+    }
+    assert(r1("corpus")._1 > 0 && r1("corpus")._2 == expected,
+      s"corpus bytes must equal the live recompute ($expected): $r1")
+    assert(r1("bm25")._1 > 0 && r1("bm25")._2 > 0, s"bm25 must price: $r1")
+    assert(r1.values.forall(v => v._3 == 0L && v._4 == 0L),
+      s"no orphans in a clean lifecycle: $r1")
+    // ledger stability: the second call serves the memoized sizes and
+    // must agree byte-for-byte with the first (which listed live)
+    assert(rep() == r1, "ledgered sizes must equal the listing pass")
+    // vacuum takes exactly the priced set: a fresh report reclaims
+    // nothing and prices nothing, and the serve is unmoved
+    val served = StreamCurate.load(spark, cdir).get.count()
+    StreamCurate.vacuum(spark, cdir)
+    StreamBm25.vacuum(spark, sinks.bm25Dir.get)
+    val r2 = rep()
+    assert(r2.values.forall(v => v._1 == 0L && v._2 == 0L),
+      s"post-vacuum dry run must find nothing priced: $r2")
+    assert(StreamCurate.load(spark, cdir).get.count() == served)
+  }
+
+  test("maintainStream: the maintainer on a streaming trigger cannot corrupt state racing appends + takedowns") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("takedown_s").toString
+    val dir = s"$root/bm25"
+    val sinks = Takedown.Sinks(bm25Dir = Some(dir))
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def docsFor(b: Int): Seq[(Long, String)] =
+      (0 until 4).map(i =>
+        (b * 100L + i, s"${words(i % 6)} ${words((i + b) % 6)} tok${b}x$i"))
+    val lastBatch = 7
+    val victimIds = (0 to lastBatch).map(b => b * 100L)
+    (0 to 1).foreach(b => StreamBm25.appendBatch(dir,
+      docsFor(b).toDF("doc_id", "text"), b, "doc_id", "text"))
+    val acted = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the maintainer IS the stream: every 50 ms trigger runs one
+    // maintain() pass; lost CASes are swallowed pass-level (idempotent
+    // — the next trigger re-reads fresh state)
+    val q = Takedown.maintainStream(spark, sinks, intervalMs = 50L,
+      onReport = rep => {
+        if (rep.filter(col("acted")).count() > 0) acted.incrementAndGet()
+        ()
+      })
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      // storm: appends and takedowns race the streaming maintainer's
+      // folds on one manifest (the StreamBm25Spec three-actor shape,
+      // with the maintainer actor replaced by the stream)
+      (2 to lastBatch).foreach { b =>
+        var done = false
+        while (!done) {
+          try {
+            StreamBm25.appendBatch(dir, docsFor(b).toDF("doc_id", "text"),
+              b, "doc_id", "text")
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              cme.incrementAndGet()
+          }
+        }
+        var swept = false
+        while (!swept) {
+          try {
+            StreamBm25.deleteDocs(spark, dir, victimIds.toDF("doc_id"),
+              "doc_id")
+            swept = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              cme.incrementAndGet()
+          }
+        }
+      }
+      // let the trigger absorb the final tombstones (acted must fire
+      // at least once — the stream really maintains, not just polls)
+      val deadline = System.currentTimeMillis() + 20000
+      while (acted.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    assert(acted.get() > 0, "the streaming maintainer never acted")
+    // final deterministic absorb (idempotent; the stream may have been
+    // stopped mid-pass), then scratch equality over the survivors
+    var folded = false
+    while (!folded) {
+      try { Takedown.maintain(spark, sinks); folded = true }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    val survivors = (0 to lastBatch).flatMap(docsFor)
+      .filterNot(d => victimIds.contains(d._1))
+    assert(StreamBm25.load(spark, dir).get
+        .postings.select("key").distinct().collect()
+        .map(_.getLong(0)).toSet ==
+      survivors.map(_._1).toSet,
+      "served keys must be exactly the survivors after the storm")
+    val rep = Takedown.maintenanceReport(spark, sinks).collect()
+    assert(rep.forall(!_.getBoolean(7)),
+      s"triggers must clear after the final absorb: ${rep.toSeq}")
   }
 }
