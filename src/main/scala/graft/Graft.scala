@@ -26,4 +26,19 @@ object Graft {
     queries.BacktestQ.clearCache()
     queries.ReplayQ.clearCache()
   }
+
+  /** Prewarm-builder isolation: run one shared-artifact build, log-and-
+    * continue on failure. A prewarm leg is a SEQUENCE of builders; an
+    * exception in the first used to silently skip every later builder
+    * in the leg, pushing whole artifact builds into timed bench queries
+    * (and, when the failure is persistent, into EVERY sweep — the r12
+    * driver-bench signature). Failures stay survivable (consumers build
+    * lazily) but are now contained to one builder and always named. */
+  private[graft] def warm(name: String)(f: => Any): Unit =
+    try { f; () } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[prewarm] $name FAILED (its consumers will build lazily " +
+            s"inside their own timing): $t")
+    }
 }

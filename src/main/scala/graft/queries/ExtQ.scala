@@ -291,8 +291,14 @@ object ExtQ {
   /** Bench hook: ingest + load the streamed segment indexes up front (the
     * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    streamedBm25(s, d); compactedBm25(s, d); takedownBm25(s, d)
-    blocklistBm25(s, d); mediaFingerprintIndex(s, d); fpBm25Dir(s, d); ()
+    // each builder isolated ([[graft.Graft.warm]]): one failure must not
+    // silently skip the rest of the leg
+    graft.Graft.warm("streamedBm25")(streamedBm25(s, d))
+    graft.Graft.warm("compactedBm25")(compactedBm25(s, d))
+    graft.Graft.warm("takedownBm25")(takedownBm25(s, d))
+    graft.Graft.warm("blocklistBm25")(blocklistBm25(s, d))
+    graft.Graft.warm("mediaFingerprintIndex")(mediaFingerprintIndex(s, d))
+    graft.Graft.warm("fpBm25Dir")(fpBm25Dir(s, d))
   }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)

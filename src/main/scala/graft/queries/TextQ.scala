@@ -827,6 +827,43 @@ object TextQ {
       })
     }
 
+  /** Memoized RELEASE root for x76/x77 — two training releases
+    * published over [[cascadeRoot]]'s corpus sink (read-only on the
+    * shared fixture): `r1` pinned at generation 2 (both arrival
+    * batches committed, PRE-forget — gens are recipe-deterministic:
+    * birth 0, batch0 1, batch1 2, forget 3) and `r2` at the latest
+    * (post-forget) generation. The pair is the audit story: a release
+    * published before a takedown still contains the victims; the one
+    * published after does not. */
+  private val x76Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def releaseRoot(s: SparkSession, d: String): String =
+    x76Cache.synchronized {
+      x76Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 over=x73cascade r1@gen2 r2@latest shards=8"
+        def build(root: String): Unit = {
+          val corpusDir = s"${cascadeRoot(s, d)}/corpus"
+          graft.streaming.Release.publish(s, corpusDir, Some(2), root,
+            "r1", nShards = 8)
+          graft.streaming.Release.publish(s, corpusDir, None, root,
+            "r2", nShards = 8)
+          ()
+        }
+        graft.ArtifactStore.dirArtifact(d, "x76rel", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x76-")
+            tmpSt11Dirs += p
+            build(p.toString)
+            p.toString
+        }
+      })
+    }
+
   /** Memoized ADMISSION-GATE decision table for x71 — the x63 PSI
     * monitor wired to a policy ([[graft.streaming.StreamCurate
     * .admitBatch]]): four arrival batches against a growing curated
@@ -909,15 +946,30 @@ object TextQ {
     }
 
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    chainClusters(s, d); docSignals(s, d); benchSegBloom(s, d)
-    corpusSigIndex(s, d); realPairClusters(s, d); prebuiltSegmented(s, d)
-    prebuiltMerged(s, d)
-    streamedCuration(s, d); ngramDfIndex(s, d); corpusClusterTable(s, d)
-    streamedClusters(s, d); streamedNgramDf(s, d); takedownCuration(s, d)
-    takedownClusters(s, d); takedownNgramDf(s, d); fpCuration(s, d)
-    containmentIndex(s, d); takedownContainment(s, d)
-    admissionDecisions(s, d); cascadeRoot(s, d); maintainedRoot(s, d)
-    ()
+    // each builder isolated ([[graft.Graft.warm]]): one failure must not
+    // silently skip the rest of the leg
+    graft.Graft.warm("chainClusters")(chainClusters(s, d))
+    graft.Graft.warm("docSignals")(docSignals(s, d))
+    graft.Graft.warm("benchSegBloom")(benchSegBloom(s, d))
+    graft.Graft.warm("corpusSigIndex")(corpusSigIndex(s, d))
+    graft.Graft.warm("realPairClusters")(realPairClusters(s, d))
+    graft.Graft.warm("prebuiltSegmented")(prebuiltSegmented(s, d))
+    graft.Graft.warm("prebuiltMerged")(prebuiltMerged(s, d))
+    graft.Graft.warm("streamedCuration")(streamedCuration(s, d))
+    graft.Graft.warm("ngramDfIndex")(ngramDfIndex(s, d))
+    graft.Graft.warm("corpusClusterTable")(corpusClusterTable(s, d))
+    graft.Graft.warm("streamedClusters")(streamedClusters(s, d))
+    graft.Graft.warm("streamedNgramDf")(streamedNgramDf(s, d))
+    graft.Graft.warm("takedownCuration")(takedownCuration(s, d))
+    graft.Graft.warm("takedownClusters")(takedownClusters(s, d))
+    graft.Graft.warm("takedownNgramDf")(takedownNgramDf(s, d))
+    graft.Graft.warm("fpCuration")(fpCuration(s, d))
+    graft.Graft.warm("containmentIndex")(containmentIndex(s, d))
+    graft.Graft.warm("takedownContainment")(takedownContainment(s, d))
+    graft.Graft.warm("admissionDecisions")(admissionDecisions(s, d))
+    graft.Graft.warm("cascadeRoot")(cascadeRoot(s, d))
+    graft.Graft.warm("maintainedRoot")(maintainedRoot(s, d))
+    graft.Graft.warm("releaseRoot")(releaseRoot(s, d))
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -982,6 +1034,7 @@ object TextQ {
     st16Cache.clear()
     x73Cache.clear()
     st21Cache.clear()
+    x76Cache.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -1745,6 +1798,36 @@ object TextQ {
             .select("doc_id"),
           nShards = 8)
         .orderBy("shard")),
+
+    // X76 — CROSS-RELEASE takedown audit ([[graft.streaming.Release
+    // .audit]]): the question x74 answers for one release, asked of the
+    // RELEASE REGISTRY — for the deleted id set, which published
+    // training releases contained the docs, in how many shards, with
+    // how many tokens. Each release audits against its PINNED manifest
+    // generation (time travel), so `r1` — published BEFORE the forget —
+    // reports the victims exactly even though the live corpus has
+    // already forgotten them, and `r2` — published after — reports
+    // clean. Lineage recomputed from the release's recorded nShards
+    // (the x74 md5 contract), never stored.
+    "x76_release_audit" -> ((s, d) =>
+      graft.streaming.Release.audit(s, releaseRoot(s, d),
+          Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 === 3)
+            .select("doc_id"))
+        .orderBy("release")),
+
+    // X77 — the RELEASE REGISTRY ([[graft.streaming.Release
+    // .registry]]): one manifest row per published release — pinned
+    // generation, shard count, doc count, and the x62-style
+    // order-invariant corpus fingerprint a training site re-verifies
+    // without moving a byte. The oracle recomputes doc counts AND
+    // fingerprints from the raw table per release snapshot (r1 = the
+    // full pre-forget slice, r2 = the survivors).
+    "x77_release_registry" -> ((s, d) =>
+      graft.streaming.Release.registry(s, releaseRoot(s, d)).get
+        .select(col("release"), col("gen"), col("n_shards"),
+          col("n_docs"), col("fingerprint"))
+        .orderBy("release")),
 
     // X62 — ORDER-INVARIANT corpus fingerprint
     // ([[TextOps.corpusFingerprint]]): per-lang XOR of a 60-bit md5
@@ -3692,6 +3775,46 @@ object TextQ {
          AS t(sink, n_generations, n_expire, n_reclaimable,
               has_reclaim_bytes, n_orphans, bytes_orphans)
          ORDER BY sink""",
+    // x76: the audit recomputed per release snapshot — r1 (gen 2,
+    // pre-forget) contains every victim with the x74 shard/token
+    // arithmetic; r2 (gen 3, post-forget) is clean. Sums cast back to
+    // BIGINT (DuckDB widens SUM of BIGINT to HUGEINT).
+    "x76_release_audit" ->
+      """WITH slice AS (SELECT doc_id,
+                          text || ' uid' || CAST(doc_id AS VARCHAR) AS text
+                        FROM documents WHERE doc_id % 7 = 1),
+         v AS (SELECT doc_id, text,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 8) AS INTEGER) AS shard,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_toks
+               FROM slice WHERE doc_id % 5 = 3)
+         SELECT 'r1' AS release, CAST(2 AS INTEGER) AS gen, true AS readable,
+           (SELECT count(*) FROM v) AS n_docs_affected,
+           (SELECT count(DISTINCT shard) FROM v) AS n_shards_affected,
+           (SELECT CAST(sum(n_toks) AS BIGINT) FROM v) AS n_tokens_affected
+         UNION ALL SELECT 'r2', CAST(3 AS INTEGER), true,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         ORDER BY release""",
+    // x77: registry rows recomputed — per release snapshot, the doc
+    // count and the x62 fingerprint formula over (doc_id, text)
+    "x77_release_registry" ->
+      """WITH slice AS (SELECT doc_id,
+                          text || ' uid' || CAST(doc_id AS VARCHAR) AS text
+                        FROM documents WHERE doc_id % 7 = 1),
+         r1 AS (SELECT * FROM slice),
+         r2 AS (SELECT * FROM slice WHERE doc_id % 5 <> 3)
+         SELECT 'r1' AS release, CAST(2 AS INTEGER) AS gen,
+           CAST(8 AS INTEGER) AS n_shards,
+           (SELECT count(*) FROM r1) AS n_docs,
+           (SELECT bit_xor(CAST(('0x' || substr(md5(
+              md5(CAST(doc_id AS VARCHAR)) || md5(text)),
+              1, 15)) AS BIGINT)) FROM r1) AS fingerprint
+         UNION ALL SELECT 'r2', CAST(3 AS INTEGER), CAST(8 AS INTEGER),
+           (SELECT count(*) FROM r2),
+           (SELECT bit_xor(CAST(('0x' || substr(md5(
+              md5(CAST(doc_id AS VARCHAR)) || md5(text)),
+              1, 15)) AS BIGINT)) FROM r2)
+         ORDER BY release""",
     // x75: x73's recompute plus the residual leg — the resolved-and-
     // still-served content is exactly the %5==0 slice (the victims'
     // ids are deleted everywhere; never-ingested bytes resolve to

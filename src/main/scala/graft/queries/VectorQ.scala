@@ -715,12 +715,22 @@ object VectorQ {
     * + retrieval artifacts up front (see BacktestQ.prewarm — same
     * attribution rationale). */
   private[graft] def prewarm(s: SparkSession, d: String): Unit = {
-    prebuiltIvf(s, d); prebuiltPq(s, d); prebuiltHier(s, d)
-    prebuiltFilteredIvf(s, d); prebuiltRag(s, d); prebuiltHybrid(s, d)
-    streamedIvf(s, d); takedownIvf(s, d)
-    prebuiltExactL2(s, d); prebuiltEvalExact(s, d)
-    semanticIndex(s, d); semanticIvfIndex(s, d); fpIvfDir(s, d)
-    prebuiltDriftedIvf(s, d); ()
+    // each builder isolated ([[graft.Graft.warm]]): one failure must not
+    // silently skip the rest of the leg
+    graft.Graft.warm("prebuiltIvf")(prebuiltIvf(s, d))
+    graft.Graft.warm("prebuiltPq")(prebuiltPq(s, d))
+    graft.Graft.warm("prebuiltHier")(prebuiltHier(s, d))
+    graft.Graft.warm("prebuiltFilteredIvf")(prebuiltFilteredIvf(s, d))
+    graft.Graft.warm("prebuiltRag")(prebuiltRag(s, d))
+    graft.Graft.warm("prebuiltHybrid")(prebuiltHybrid(s, d))
+    graft.Graft.warm("streamedIvf")(streamedIvf(s, d))
+    graft.Graft.warm("takedownIvf")(takedownIvf(s, d))
+    graft.Graft.warm("prebuiltExactL2")(prebuiltExactL2(s, d))
+    graft.Graft.warm("prebuiltEvalExact")(prebuiltEvalExact(s, d))
+    graft.Graft.warm("semanticIndex")(semanticIndex(s, d))
+    graft.Graft.warm("semanticIvfIndex")(semanticIvfIndex(s, d))
+    graft.Graft.warm("fpIvfDir")(fpIvfDir(s, d))
+    graft.Graft.warm("prebuiltDriftedIvf")(prebuiltDriftedIvf(s, d))
   }
 
   /** Memoized MAINTAINED-FINGERPRINT IVF dir for st18 — the st8 ingest

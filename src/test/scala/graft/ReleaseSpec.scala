@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextOps
+import graft.streaming._
+
+/** Training-release publication ([[graft.streaming.Release]]): a
+  * release binds a time-travel corpus generation to the deterministic
+  * shard layout and the order-invariant fingerprint in one auditable
+  * manifest row. The spec walks the full lifecycle: publish pre- and
+  * post-takedown, verify the registry and the on-disk shards, audit
+  * the victims across releases (the pinned pre-forget release still
+  * names them; the post-forget one is clean), and pin the vacuum edge
+  * (an expired generation audits `readable = false`, loudly in the
+  * row, never an exception). */
+class ReleaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-release").getOrCreate()
+
+  test("publish/registry/audit lifecycle: pinned generations audit exactly; vacuum flips readable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("release").toString
+    val corpusDir = s"$root/corpus"
+    val relRoot = s"$root/releases"
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    val docs = (1L to 12L).map(i => (i, body + s"marker$i tail$i", 200))
+      .toDF("doc_id", "text", "n_chars")
+    (0 to 1).foreach { i =>
+      StreamCurate.appendBatch(corpusDir,
+        docs.filter(col("doc_id") % 2 === i), i.toLong,
+        b => b.select("doc_id", "text"))
+    }
+    val preGen = Manifest.readWithGen(spark, corpusDir).get._1
+    val r1 = Release.publish(spark, corpusDir, None, relRoot, "r1",
+      nShards = 4).collect().head
+    assert(r1.getInt(2) == preGen && r1.getLong(4) == 12L,
+      s"r1 must pin the pre-forget gen with all 12 docs: $r1")
+    // takedown, then the post-forget release
+    StreamCurate.deleteCurated(spark, corpusDir,
+      Seq(3L, 5L).toDF("doc_id"))
+    Release.publish(spark, corpusDir, None, relRoot, "r2", nShards = 4)
+    val reg = Release.registry(spark, relRoot).get.collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(reg.keySet == Set("r1", "r2"))
+    assert(reg("r2").getLong(4) == 10L, "r2 serves the survivors")
+    assert(reg("r1").getLong(5) != reg("r2").getLong(5),
+      "fingerprints must differ across the takedown")
+    // the published shard bytes ARE the snapshot: row count + the
+    // loader-visible fingerprint of r1's shards equal the pinned read
+    val shards1 = spark.read.parquet(Release.shardsDir(relRoot, "r1"))
+    assert(shards1.count() == 12L)
+    assert(TextOps.corpusFingerprint(shards1, Seq("doc_id", "text"),
+        Seq.empty).head().getLong(1) == reg("r1").getLong(5),
+      "shard bytes must carry the manifest fingerprint")
+    // audit: r1 (published BEFORE the forget) still names the victims
+    // exactly — recomputed against its PINNED generation; r2 is clean
+    val victims = Seq(3L, 5L).toDF("doc_id")
+    val audit = Release.audit(spark, relRoot, victims).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val expected = TextOps.blastRadius(
+        StreamCurate.loadAt(spark, corpusDir, Some(preGen)).get,
+        "doc_id", "text", victims, nShards = 4)
+      .agg(count(lit(1)), sum("n_affected"), sum("n_tokens_affected"))
+      .head()
+    assert(audit("r1") == ((true, expected.getLong(1), expected.getLong(0),
+      expected.getLong(2))), s"r1 must audit exactly: $audit vs $expected")
+    assert(audit("r1")._2 == 2L)
+    assert(audit("r2") == ((true, 0L, 0L, 0L)), s"r2 must be clean: $audit")
+    // releases are immutable: double publish refuses
+    intercept[IllegalArgumentException] {
+      Release.publish(spark, corpusDir, None, relRoot, "r1", nShards = 4)
+    }
+    // vacuum collapses history to the latest generation: r1's pinned
+    // snapshot is gone — the audit says so IN THE ROW (readable =
+    // false; the release now audits only from its shard bytes) while
+    // r2 keeps auditing exactly
+    StreamCurate.compact(spark, corpusDir,
+      StreamCurate.nextCompactId(spark, corpusDir))
+    StreamCurate.vacuum(spark, corpusDir)
+    val audit2 = Release.audit(spark, relRoot, victims).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!audit2("r1") , s"expired gen must read as unauditable: $audit2")
+    // r2's pinned gen was ALSO expired by the fold+vacuum (only the
+    // post-fold generation survives) — both flip, loudly, no throw
+    assert(!audit2("r2"), s"r2's pre-fold gen expired too: $audit2")
+    // a crashed publish (shards without meta) is retryable
+    TextOps.writeShards(docs.select("doc_id", "text"), "doc_id", 4,
+      Release.shardsDir(relRoot, "r3")) // shards staged, no meta
+    assert(Release.registry(spark, relRoot).get.count() == 2,
+      "a crashed publish must be invisible to the registry")
+    Release.publish(spark, corpusDir, None, relRoot, "r3", nShards = 4)
+    assert(Release.registry(spark, relRoot).get.count() == 3)
+  }
+}
