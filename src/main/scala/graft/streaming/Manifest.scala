@@ -395,15 +395,22 @@ object Manifest {
         fs.getContentSummary(p).getLength
       def committedBytes(familyTag: String, p: Path, id: Int): Long = {
         val ledger = new Path(pszDir, s"$familyTag=$id")
-        if (fs.exists(ledger)) {
-          val in = fs.open(ledger)
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim.toLong
-          finally in.close()
-        } else {
+        val recorded: Option[Long] =
+          if (!fs.exists(ledger)) None
+          else {
+            val in = fs.open(ledger)
+            // a crash between create and write leaves an EMPTY marker —
+            // treat any unparsable ledger as missing (re-list, rewrite)
+            // rather than poisoning every later report
+            try scala.util.Try(scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim.toLong).toOption
+            finally in.close()
+          }
+        recorded.getOrElse {
           val b = dirBytes(p)
           try {
             if (!fs.exists(pszDir)) fs.mkdirs(pszDir)
+            if (fs.exists(ledger)) fs.delete(ledger, false) // corrupt marker
             val out = fs.create(ledger, false)
             try out.write(b.toString.getBytes("UTF-8"))
             finally out.close()

@@ -103,6 +103,35 @@ object Release {
     else Some(s.read.parquet(metas: _*))
   }
 
+  /** Shard-byte INTEGRITY check — the x64 story as a release verb: one
+    * row per published release comparing the manifest's recorded
+    * (n_docs, fingerprint) against a recompute over the on-disk shard
+    * bytes a loader would actually read. `ok = false` names a release
+    * whose artifact was truncated, re-written or swapped since publish
+    * — the check a training site runs before the first step trains.
+    * One column-pruned scan per release (id + text only). */
+  def verifyShards(s: SparkSession, releaseRoot: String): DataFrame = {
+    val reg = registry(s, releaseRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published releases at $releaseRoot"))
+    val metas = reg.select("release", "n_docs", "fingerprint", "id_col",
+      "text_col").collect() // registry-sized by design
+    metas.toSeq.map { m =>
+      val (name, nDocs, fp, rid, rtx) = (m.getString(0), m.getLong(1),
+        m.getLong(2), m.getString(3), m.getString(4))
+      val got = TextOps.corpusFingerprint(
+          s.read.parquet(shardsDir(releaseRoot, name))
+            .select(col(rid), col(rtx)),
+          Seq(rid, rtx), Seq.empty).head()
+      s.range(1).select(lit(name).as("release"),
+        lit(nDocs).as("n_docs_expected"),
+        lit(got.getLong(0)).as("n_docs_actual"),
+        lit(fp).as("fingerprint_expected"),
+        lit(got.getLong(1)).as("fingerprint_actual"),
+        lit(nDocs == got.getLong(0) && fp == got.getLong(1)).as("ok"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cross-release takedown audit: one row per published release —
     * (release, gen, readable, n_docs_affected, n_shards_affected,
     * n_tokens_affected). `ids` is a one-column frame named `idCol`;

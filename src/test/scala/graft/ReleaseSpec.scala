@@ -76,6 +76,24 @@ class ReleaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Release.publish(spark, corpusDir, None, relRoot, "r1", nShards = 4)
     }
+    // shard-byte integrity: both releases verify against their
+    // manifests; a tampered shard file flips ok = false with the
+    // mismatching fingerprint in the row
+    val ver = Release.verifyShards(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(ver == Map("r1" -> true, "r2" -> true), s"$ver")
+    val shardFs = new org.apache.hadoop.fs.Path(relRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victimFile = shardFs.listStatus(
+        shardFs.listStatus(new org.apache.hadoop.fs.Path(
+            Release.shardsDir(relRoot, "r2")))
+          .filter(_.isDirectory).head.getPath)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    shardFs.delete(victimFile, false) // truncate the release artifact
+    val ver2 = Release.verifyShards(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(ver2 == Map("r1" -> true, "r2" -> false),
+      s"a tampered shard must fail its release's check: $ver2")
     // vacuum collapses history to the latest generation: r1's pinned
     // snapshot is gone — the audit says so IN THE ROW (readable =
     // false; the release now audits only from its shard bytes) while
