@@ -864,6 +864,41 @@ object TextQ {
       })
     }
 
+  /** Memoized DELTA-release root for x78 — `d1` published at the
+    * pre-forget generation with a PRODUCTION-shaped shard count (64:
+    * wide enough that the takedown touches a strict subset), then `d2`
+    * as a [[graft.streaming.Release.publishDelta]] against it at the
+    * post-forget generation: only victim-touched shards rewrite, the
+    * rest byte-copy from d1, victim-only shards drop. */
+  private val x78Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def deltaReleaseRoot(s: SparkSession, d: String): String =
+    x78Cache.synchronized {
+      x78Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 over=x73cascade d1@gen2 d2=delta@latest shards=64"
+        def build(root: String): Unit = {
+          val corpusDir = s"${cascadeRoot(s, d)}/corpus"
+          graft.streaming.Release.publish(s, corpusDir, Some(2), root,
+            "d1", nShards = 64)
+          graft.streaming.Release.publishDelta(s, corpusDir, None, root,
+            "d2", basedOn = "d1")
+          ()
+        }
+        graft.ArtifactStore.dirArtifact(d, "x78rel", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x78-")
+            tmpSt11Dirs += p
+            build(p.toString)
+            p.toString
+        }
+      })
+    }
+
   /** Memoized ADMISSION-GATE decision table for x71 — the x63 PSI
     * monitor wired to a policy ([[graft.streaming.StreamCurate
     * .admitBatch]]): four arrival batches against a growing curated
@@ -970,6 +1005,7 @@ object TextQ {
     graft.Graft.warm("cascadeRoot")(cascadeRoot(s, d))
     graft.Graft.warm("maintainedRoot")(maintainedRoot(s, d))
     graft.Graft.warm("releaseRoot")(releaseRoot(s, d))
+    graft.Graft.warm("deltaReleaseRoot")(deltaReleaseRoot(s, d))
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -1035,6 +1071,7 @@ object TextQ {
     x73Cache.clear()
     st21Cache.clear()
     x76Cache.clear()
+    x78Cache.clear()
   }
   private val langMarkers = Seq(
     "jm" -> Seq("join", "merge", "hash"),
@@ -1815,6 +1852,25 @@ object TextQ {
             .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 === 3)
             .select("doc_id"))
         .orderBy("release")),
+
+    // X78 — INCREMENTAL release publication ([[graft.streaming.Release
+    // .publishDelta]] — the increment-family member for releases: x36
+    // exact dedup, x49/x51 BM25, v28 IVF, x56 clusters… a full publish
+    // rewrites every shard even when a takedown touched 100 docs of a
+    // 100 TB corpus): the one-row DELTA report of publishing the
+    // post-forget snapshot against the pre-forget `d1` at 64 shards —
+    // shards with victims AND survivors rewrite, victim-only shards
+    // drop, untouched shards byte-copy (never read: the diff runs on
+    // d1's RECORDED per-shard fingerprints). The resulting `d2` is a
+    // full self-contained release (content ≡ scratch publish,
+    // ReleaseSpec). The oracle recomputes the per-shard victim/survivor
+    // split with the x74 md5 shard arithmetic.
+    "x78_release_delta" -> ((s, d) =>
+      graft.streaming.Release.deltaReport(s, deltaReleaseRoot(s, d),
+          "d2").get
+        .select(col("release"), col("based_on"), col("base_gen"),
+          col("gen"), col("n_shards"), col("n_shards_rewritten"),
+          col("n_shards_copied"), col("n_shards_emptied"))),
 
     // X77 — the RELEASE REGISTRY ([[graft.streaming.Release
     // .registry]]): one manifest row per published release — pinned
@@ -3795,6 +3851,27 @@ object TextQ {
          UNION ALL SELECT 'r2', CAST(3 AS INTEGER), true,
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          ORDER BY release""",
+    // x78: the delta report recomputed — per 64-way shard (the x74 md5
+    // arithmetic), a shard rewrites iff it holds victims AND
+    // survivors, drops iff victims only, copies iff untouched
+    "x78_release_delta" ->
+      """WITH slice AS (SELECT doc_id
+                        FROM documents WHERE doc_id % 7 = 1),
+         t AS (SELECT doc_id, (doc_id % 5 = 3) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM slice),
+         per AS (SELECT shard,
+                   sum(CASE WHEN victim THEN 1 ELSE 0 END) AS nv,
+                   count(*) AS n
+                 FROM t GROUP BY shard)
+         SELECT 'd2' AS release, 'd1' AS based_on,
+           CAST(2 AS INTEGER) AS base_gen, CAST(3 AS INTEGER) AS gen,
+           CAST(64 AS INTEGER) AS n_shards,
+           (SELECT count(*) FROM per WHERE nv > 0 AND nv < n)
+             AS n_shards_rewritten,
+           (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
+           (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied""",
     // x77: registry rows recomputed — per release snapshot, the doc
     // count and the x62 fingerprint formula over (doc_id, text)
     "x77_release_registry" ->

@@ -44,6 +44,8 @@ object Release {
 
   private def relDir(root: String, name: String) = s"$root/$name"
   private def metaDir(root: String, name: String) = s"$root/$name/meta"
+  private def statsDir(root: String, name: String) = s"$root/$name/shardstats"
+  private def deltaDir(root: String, name: String) = s"$root/$name/delta"
   /** Shard layout of a published release (loader entry point). */
   def shardsDir(root: String, name: String): String = s"$root/$name/shards"
 
@@ -71,21 +73,194 @@ object Release {
       .getOrElse(throw new IllegalArgumentException(
         s"corpus at $corpusDir has no rows at generation $resolved"))
       .select(col(idCol), col(textCol))
+    val tmp = stageName(name)
     TextOps.writeShards(corpus, idCol, nShards,
-      shardsDir(releaseRoot, name))
-    val fp = TextOps.corpusFingerprint(corpus, Seq(idCol, textCol),
-      Seq.empty).head()
+      shardsDir(releaseRoot, tmp))
+    // PER-SHARD stats (shard, n_docs, fingerprint) ride the release so
+    // a later [[publishDelta]] diffs against RECORDED metadata instead
+    // of rescanning this release's bytes — the nShards-row table is the
+    // whole cost of that future saving. The global (n_docs,
+    // fingerprint) folds from the same rows (xor is associative).
+    val stats = TextOps.corpusFingerprint(
+        TextOps.trainingShards(corpus, idCol, nShards)
+          .select(col("shard"), col(idCol), col(textCol)),
+        Seq(idCol, textCol), Seq("shard"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(statsDir(releaseRoot, tmp))
+    commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,
+      nShards, idCol, textCol)
+  }
+
+  /** One publisher's private staging dir: everything (shards, stats,
+    * delta report, meta) writes under `.tmp-<name>-<pid>` — two racing
+    * publishers of one name can never interleave writes — and
+    * [[commitRelease]]'s ATOMIC RENAME into `<name>` is the single
+    * commit point (the [[Manifest]] discipline; same object-store
+    * caveat — no atomic dir rename on S3, use an external arbiter).
+    * Leading dot: [[registry]] skips staging dirs, and release names
+    * are forbidden from starting with one. */
+  private def stageName(name: String) =
+    s".tmp-$name-${ProcessHandle.current.pid}"
+
+  /** Fold the staged per-shard stats to the release's global (n_docs,
+    * fingerprint), write the meta row into the staging dir, and
+    * atomically rename the whole staged release into place — shared
+    * commit tail of [[publish]] and [[publishDelta]]. A loser of the
+    * rename race (target exists) deletes its staging and throws. */
+  private def commitRelease(s: SparkSession, releaseRoot: String,
+                            tmp: String, name: String, corpusDir: String,
+                            gen: Int, nShards: Int, idCol: String,
+                            textCol: String): DataFrame = {
+    val agg = s.read.parquet(statsDir(releaseRoot, tmp))
+      .agg(coalesce(sum("n_rows"), lit(0L)),
+        coalesce(bit_xor(col("fingerprint")), lit(0L))).head()
     val meta = s.range(1).select(
       lit(name).as("release"), lit(corpusDir).as("corpus_dir"),
-      lit(resolved).as("gen"), lit(nShards).as("n_shards"),
-      lit(fp.getLong(0)).as("n_docs"),
-      lit(fp.getLong(1)).as("fingerprint"),
+      lit(gen).as("gen"), lit(nShards).as("n_shards"),
+      lit(agg.getLong(0)).as("n_docs"),
+      lit(agg.getLong(1)).as("fingerprint"),
       lit(idCol).as("id_col"), lit(textCol).as("text_col"))
-    // the meta write IS the commit point (errorifexists: of two racing
-    // publishers of one name, exactly one commits)
     meta.coalesce(1).write.mode("errorifexists")
-      .parquet(metaDir(releaseRoot, name))
+      .parquet(metaDir(releaseRoot, tmp))
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (src, dst) = (new Path(relDir(releaseRoot, tmp)),
+      new Path(relDir(releaseRoot, name)))
+    if (fs.exists(dst)) {
+      // meta present = a committed release (concurrent publisher won);
+      // meta absent = a CRASHED publish's meta-less leftovers from the
+      // pre-staging layout — clear them so the rename lands AT dst
+      // (renaming onto an existing dir would nest inside it)
+      if (Manifest.hasDataFiles(fs, new Path(metaDir(releaseRoot, name)))) {
+        fs.delete(src, true)
+        throw new IllegalArgumentException(
+          s"release '$name' was published concurrently at $releaseRoot " +
+            "— releases are immutable; publish under a new name")
+      }
+      fs.delete(dst, true)
+    }
+    if (!fs.rename(src, dst)) {
+      fs.delete(src, true)
+      throw new IllegalArgumentException(
+        s"release '$name' was published concurrently at $releaseRoot — " +
+          "releases are immutable; publish under a new name")
+    }
     meta
+  }
+
+  /** INCREMENTAL publication — the increment-family member for
+    * releases (exact dedup has x36, BM25 has x49/x51, IVF has v28,
+    * clusters x56 … a full [[publish]] rewrites every shard even when
+    * a takedown touched 100 docs of a 100 TB corpus): publish `name`
+    * at `gen` as a DELTA against the already-published `basedOn` —
+    * rewrite ONLY the shards whose content changed, COPY the untouched
+    * shards' bytes verbatim, drop shards the new snapshot emptied.
+    *
+    * The diff runs against `basedOn`'s RECORDED per-shard stats (the
+    * nShards-row table [[publish]] commits) joined with one scan of
+    * the NEW snapshot — the base release's shard BYTES are never read.
+    * Cost: one snapshot scan + writes ∝ changed shards + an O(shards)
+    * metadata pass; at scale a takedown-sized change rewrites
+    * ~|touched docs| shards out of thousands and byte-copies the rest
+    * (object stores make the copy a server-side operation). The
+    * shard assignment is a pure function of the id (the x37/x74
+    * contract), so "changed" is decidable per shard by fingerprint:
+    * identical (n, xor-of-row-hashes) ⇒ identical row content.
+    *
+    * The result is a FULL, self-contained release — same meta schema,
+    * same audit/verify surface, indistinguishable from a scratch
+    * [[publish]] of the same snapshot (ReleaseSpec pins content
+    * equality + verifyShards) — plus a one-row DELTA REPORT
+    * ([[deltaReport]]): (release, based_on, base_gen, gen, n_shards,
+    * n_shards_rewritten, n_shards_copied, n_shards_emptied). */
+  def publishDelta(s: SparkSession, corpusDir: String, gen: Option[Int],
+                   releaseRoot: String, name: String, basedOn: String,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
+      s"release names are single path segments, got '$name'")
+    val base = registry(s, releaseRoot).toSeq.flatMap(_
+        .filter(col("release") === basedOn).collect()).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown base release '$basedOn' at $releaseRoot"))
+    val (nShards, bGen) = (base.getAs[Int]("n_shards"), base.getAs[Int]("gen"))
+    require(base.getAs[String]("id_col") == idCol &&
+      base.getAs[String]("text_col") == textCol,
+      s"delta must keep the base's columns (${base.getAs[String]("id_col")}" +
+        s", ${base.getAs[String]("text_col")})")
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(metaDir(releaseRoot, name))),
+      s"release '$name' is already published at $releaseRoot — releases " +
+        "are immutable; publish under a new name")
+    require(Manifest.hasDataFiles(fs,
+        new Path(statsDir(releaseRoot, basedOn))),
+      s"base release '$basedOn' carries no per-shard stats (published " +
+        "by an earlier build) — delta-diffing would need a full base " +
+        "scan; publish from scratch instead")
+    val resolved = gen.orElse(Manifest.readWithGen(s, corpusDir).map(_._1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed corpus state at $corpusDir"))
+    val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
+      .getOrElse(throw new IllegalArgumentException(
+        s"corpus at $corpusDir has no rows at generation $resolved"))
+      .select(col(idCol), col(textCol))
+    // one snapshot scan: per-shard stats of the NEW content
+    val sharded = TextOps.trainingShards(corpus, idCol, nShards)
+    val newStats = TextOps.corpusFingerprint(
+        sharded.select(col("shard"), col(idCol), col(textCol)),
+        Seq(idCol, textCol), Seq("shard"))
+      .persist()
+    val newBy = newStats.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val baseBy = s.read.parquet(statsDir(releaseRoot, basedOn)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rewritten = newBy.keySet.filter(k => baseBy.get(k) != Some(newBy(k)))
+    val copied = newBy.keySet.filter(k => baseBy.get(k) == Some(newBy(k)))
+    val emptied = baseBy.keySet -- newBy.keySet
+    val tmp = stageName(name)
+    // rewrite exactly the changed shards (same layout/order contract as
+    // writeShards: per-shard dirs, rows pre-sorted in training order)
+    if (rewritten.nonEmpty)
+      sharded.filter(col("shard").isInCollection(rewritten.toSeq))
+        .repartition(rewritten.size, col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(shardsDir(releaseRoot, tmp))
+    // byte-copy the untouched shards from the base release
+    if (copied.nonEmpty) fs.mkdirs(new Path(shardsDir(releaseRoot, tmp)))
+    copied.toSeq.sorted.foreach { k =>
+      val src = new Path(s"${shardsDir(releaseRoot, basedOn)}/shard=$k")
+      val dst = new Path(s"${shardsDir(releaseRoot, tmp)}/shard=$k")
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          false, s.sparkContext.hadoopConfiguration))
+        throw new java.io.IOException(s"copy of base shard $k failed")
+    }
+    newStats.coalesce(1).write.mode("overwrite")
+      .parquet(statsDir(releaseRoot, tmp))
+    newStats.unpersist()
+    // the delta report rides the release (read back via [[deltaReport]])
+    s.range(1).select(lit(name).as("release"),
+        lit(basedOn).as("based_on"), lit(bGen).as("base_gen"),
+        lit(resolved).as("gen"), lit(nShards).as("n_shards"),
+        lit(rewritten.size.toLong).as("n_shards_rewritten"),
+        lit(copied.size.toLong).as("n_shards_copied"),
+        lit(emptied.size.toLong).as("n_shards_emptied"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(deltaDir(releaseRoot, tmp))
+    commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,
+      nShards, idCol, textCol)
+    deltaReport(s, releaseRoot, name).get
+  }
+
+  /** The one-row delta report of a [[publishDelta]] release; None for
+    * scratch-published releases. */
+  def deltaReport(s: SparkSession, releaseRoot: String, name: String)
+      : Option[DataFrame] = {
+    val p = new Path(deltaDir(releaseRoot, name))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!Manifest.hasDataFiles(fs, p)) None
+    else Some(s.read.parquet(p.toString))
   }
 
   /** Every published release's manifest row; None when nothing was
@@ -95,7 +270,7 @@ object Release {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
     val metas = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
       .map(st => new Path(st.getPath, "meta"))
       .filter(p => Manifest.hasDataFiles(fs, p))
       .map(_.toString)

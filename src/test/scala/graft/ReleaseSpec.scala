@@ -115,4 +115,92 @@ class ReleaseSpec extends AnyFunSuite {
     Release.publish(spark, corpusDir, None, relRoot, "r3", nShards = 4)
     assert(Release.registry(spark, relRoot).get.count() == 3)
   }
+
+  test("publishDelta: rewrites only changed shards, byte-copies the rest; content equals a scratch publish") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("reldelta").toString
+    val corpusDir = s"$root/corpus"
+    val relRoot = s"$root/releases"
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    val docs = (1L to 40L).map(i => (i, body + s"marker$i tail$i", 200))
+      .toDF("doc_id", "text", "n_chars")
+    StreamCurate.appendBatch(corpusDir, docs, 0L,
+      b => b.select("doc_id", "text"))
+    Release.publish(spark, corpusDir, None, relRoot, "base", nShards = 16)
+    // a takedown-sized change, then the DELTA publish vs a SCRATCH one
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(7L, 21L).toDF("doc_id"))
+    val rep = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta", basedOn = "base").collect().head
+    Release.publish(spark, corpusDir, None, relRoot, "scratch",
+      nShards = 16)
+    // content equality: the delta release serves exactly the scratch rows
+    def rows(name: String) =
+      spark.read.parquet(Release.shardsDir(relRoot, name))
+        .select("doc_id", "text", "shard").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows("delta") == rows("scratch"),
+      "delta content must equal a scratch publish of the same snapshot")
+    assert(Release.verifyShards(spark, relRoot).collect()
+      .forall(_.getBoolean(5)), "all three releases must verify")
+    // registry parity: delta's meta equals scratch's (modulo the name)
+    val reg = Release.registry(spark, relRoot).get.collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(reg("delta") == reg("scratch"), s"$reg")
+    // the report accounts for every base shard exactly once
+    val (nRw, nCp, nEm) = (rep.getLong(5), rep.getLong(6), rep.getLong(7))
+    val baseShards = spark.read
+      .parquet(Release.shardsDir(relRoot, "base"))
+      .select("shard").distinct().count()
+    assert(nRw + nCp + nEm >= baseShards && nRw >= 1 && nCp >= 1,
+      s"report must cover the base layout: rw=$nRw cp=$nCp em=$nEm " +
+        s"of $baseShards")
+    // copied shards are BYTE-identical to the base's (true copy, not a
+    // rewrite): compare file names + sizes + content hash per copied
+    // shard dir
+    val fs = new org.apache.hadoop.fs.Path(relRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def shardFiles(name: String, k: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(
+          s"${Release.shardsDir(relRoot, name)}/shard=$k"))
+      .filter(_.isFile).sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val buf = new Array[Byte](st.getLen.toInt)
+        try in.readFully(buf) finally in.close()
+        (st.getPath.getName,
+          java.security.MessageDigest.getInstance("MD5").digest(buf).toSeq)
+      }.toSeq
+    val victimShards = spark.read
+      .parquet(Release.shardsDir(relRoot, "base"))
+      .filter(col("doc_id").isin(7L, 21L))
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    val copiedShard = spark.read
+      .parquet(Release.shardsDir(relRoot, "delta"))
+      .select("shard").distinct().collect().map(_.getInt(0))
+      .filterNot(victimShards).head
+    assert(shardFiles("delta", copiedShard) ==
+      shardFiles("base", copiedShard),
+      "an untouched shard must be a byte copy of the base's")
+    // ADDITIONS flow through the same diff: a new batch lands in its
+    // shards, which rewrite; delta-on-delta content stays ≡ scratch
+    StreamCurate.appendBatch(corpusDir,
+      (41L to 48L).map(i => (i, body + s"marker$i tail$i", 200))
+        .toDF("doc_id", "text", "n_chars"), 1L,
+      b => b.select("doc_id", "text"))
+    val rep2 = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta2", basedOn = "delta").collect().head
+    assert(rep2.getLong(5) >= 1, "added docs must rewrite their shards")
+    Release.publish(spark, corpusDir, None, relRoot, "scratch2",
+      nShards = 16)
+    assert(rows("delta2") == rows("scratch2"),
+      "delta-on-delta content must equal scratch")
+    // a base without per-shard stats refuses loudly (pre-stats publish)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$relRoot/base/shardstats"), true)
+    intercept[IllegalArgumentException] {
+      Release.publishDelta(spark, corpusDir, None, relRoot, "nope",
+        basedOn = "base")
+    }
+  }
 }
