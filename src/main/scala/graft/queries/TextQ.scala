@@ -1853,6 +1853,20 @@ object TextQ {
             .select("doc_id"))
         .orderBy("release")),
 
+    // ST22 — RELEASE-AWARE retention pre-flight ([[graft.streaming
+    // .Release.retentionImpact]]): the loop between the release
+    // registry and the vacuum dial, closed BEFORE the vacuum — for
+    // each published release, does its pinned corpus generation
+    // survive the proposed retention? Over the x76 fixture with no
+    // retention window: r1's pre-forget generation would EXPIRE (its
+    // audits would flip to readable=false; only the shard bytes
+    // remain), r2's is the latest and always survives. Pure manifest
+    // metadata, shared with the real vacuum's account. Recipe-
+    // deterministic and SF-independent → literal oracle.
+    "st22_release_retention" -> ((s, d) =>
+      graft.streaming.Release.retentionImpact(s, releaseRoot(s, d))
+        .orderBy("release")),
+
     // X78 — INCREMENTAL release publication ([[graft.streaming.Release
     // .publishDelta]] — the increment-family member for releases: x36
     // exact dedup, x49/x51 BM25, v28 IVF, x56 clusters… a full publish
@@ -3850,6 +3864,15 @@ object TextQ {
            (SELECT CAST(sum(n_toks) AS BIGINT) FROM v) AS n_tokens_affected
          UNION ALL SELECT 'r2', CAST(3 AS INTEGER), true,
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         ORDER BY release""",
+    // st22: the literal expected pre-flight — SF-independent recipe
+    // (gens: birth 0, batch0 1, batch1 2, forget 3; r1 pinned at 2,
+    // r2 at 3 = latest; a no-window vacuum keeps only the latest)
+    "st22_release_retention" ->
+      """SELECT * FROM (VALUES
+           ('r1', CAST(2 AS INTEGER), true, false),
+           ('r2', CAST(3 AS INTEGER), true, true))
+         AS t(release, gen, auditable_now, auditable_after)
          ORDER BY release""",
     // x78: the delta report recomputed — per 64-way shard (the x74 md5
     // arithmetic), a shard rewrites iff it holds victims AND

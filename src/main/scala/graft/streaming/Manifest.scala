@@ -327,6 +327,19 @@ object Manifest {
     (all, kept, keptUnion, referenced)
   }
 
+  /** The generations a [[vacuumHistory]] under `retainMillis` would
+    * KEEP (same [[retentionAccount]] — plan and delete cannot drift):
+    * the latest always, plus every generation younger than the window.
+    * Empty = no commits. The metadata behind release-aware retention
+    * ([[Release.retentionImpact]]): a reader pinned to a kept
+    * generation stays reproducible through the vacuum. */
+  def keptGenerations(s: SparkSession, root: String,
+                      retainMillis: Option[Long] = None): Seq[Int] = {
+    val fs = fsOf(s, root)
+    if (gens(fs, root).isEmpty) Nil
+    else retentionAccount(fs, root, retainMillis)._2.map(_._1)
+  }
+
   /** DRY RUN of [[vacuumHistory]] — what WOULD a vacuum under this
     * retention window delete, without deleting anything: (total
     * generations, generations that would expire, history partitions

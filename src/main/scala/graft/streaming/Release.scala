@@ -278,6 +278,41 @@ object Release {
     else Some(s.read.parquet(metas: _*))
   }
 
+  /** RELEASE-AWARE retention pre-flight — the loop between the
+    * registry and the vacuum dial, closed BEFORE the vacuum runs: for
+    * every published release, would its pinned corpus generation
+    * survive a `vacuumHistory(retainMillis)` on its corpus? One row
+    * per release: (release, corpus_dir, gen, auditable_now — the
+    * generation is currently committed history — and auditable_after —
+    * it is in the vacuum's kept set). `auditable_after = false` names
+    * a release the proposed retention would orphan: its takedown
+    * audits ([[audit]]) would flip to `readable = false` and only the
+    * published shard bytes would remain. The operator either runs the
+    * vacuum anyway (the shard bytes ARE self-contained) or widens the
+    * window. Pure manifest metadata — zero data reads, shared with the
+    * real vacuum's account so plan and delete cannot drift. */
+  def retentionImpact(s: SparkSession, releaseRoot: String,
+                      retainMillis: Option[Long] = None): DataFrame = {
+    val reg = registry(s, releaseRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published releases at $releaseRoot"))
+    val metas = reg.select("release", "corpus_dir", "gen").collect()
+    require(metas.nonEmpty, s"no published releases at $releaseRoot")
+    // one account per DISTINCT corpus dir (releases usually share one)
+    val dirs = metas.map(_.getString(1)).distinct.map { d =>
+      d -> (Manifest.generations(s, d).toSet,
+        Manifest.keptGenerations(s, d, retainMillis).toSet)
+    }.toMap
+    metas.toSeq.map { m =>
+      val (name, dir, gen) = (m.getString(0), m.getString(1), m.getInt(2))
+      val (now, kept) = dirs(dir)
+      s.range(1).select(lit(name).as("release"),
+        lit(gen).as("gen"),
+        lit(now.contains(gen)).as("auditable_now"),
+        lit(kept.contains(gen)).as("auditable_after"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Shard-byte INTEGRITY check — the x64 story as a release verb: one
     * row per published release comparing the manifest's recorded
     * (n_docs, fingerprint) against a recompute over the on-disk shard

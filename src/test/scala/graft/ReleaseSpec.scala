@@ -94,6 +94,15 @@ class ReleaseSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(ver2 == Map("r1" -> true, "r2" -> false),
       s"a tampered shard must fail its release's check: $ver2")
+    // release-aware retention PRE-FLIGHT: before any vacuum, the
+    // impact report names r1 as the release a no-window vacuum would
+    // orphan (its gen is not the latest) while r2's pinned gen — the
+    // current latest — survives
+    val impact = Release.retentionImpact(spark, relRoot).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(impact == Map("r1" -> ((true, false)), "r2" -> ((true, true))),
+      s"pre-flight must name the orphaned release: $impact")
     // vacuum collapses history to the latest generation: r1's pinned
     // snapshot is gone — the audit says so IN THE ROW (readable =
     // false; the release now audits only from its shard bytes) while
