@@ -278,6 +278,29 @@ object ScaleStress {
         (l, r)
       })
 
+    // Release-family fixture per multiplier (x78): a curated corpus
+    // sink over the scaled documents, a published 256-shard base
+    // release, and a FIXED-size (100-doc) takedown — so the delta row
+    // measures a takedown-sized delta against a growing corpus. Builds
+    // run outside the timed cells (the m6/v6 attribution pattern).
+    val relFix = scala.collection.mutable.Map.empty[Int, String]
+    val relCtr = new java.util.concurrent.atomic.AtomicLong(0)
+    def builtRelease(m: Int): String =
+      relFix.getOrElseUpdate(m, {
+        val root = s"$out/m$m/release"
+        graft.ArtifactStore.deleteRecursively(
+          java.nio.file.Paths.get(root))
+        val corpusDir = s"$root/corpus"
+        graft.streaming.StreamCurate.appendBatch(corpusDir,
+          docsOf(m).select("doc_id", "text"), 0L,
+          b => b.select("doc_id", "text"))
+        graft.streaming.Release.publish(spark, corpusDir, None,
+          s"$root/rel", "base", nShards = 256)
+        graft.streaming.StreamCurate.deleteCurated(spark, corpusDir,
+          docsOf(m).select("doc_id").orderBy("doc_id").limit(100))
+        root
+      })
+
     // streamed dense-index dirs per multiplier (StreamIvf 3-batch ingest,
     // nCells ~ √n at each scale — the prebuiltRag sizing); built by the
     // st8_stream_ingest3 row, reused by st8_append_fixed
@@ -1641,6 +1664,28 @@ object ScaleStress {
             Seq("rate"), sliceSeconds = 3600)
           .filter(col("rate").isNotNull).count()
       }),
+      Op("release_full_fixed", m => {
+        // scratch publish of the post-takedown snapshot: one corpus
+        // scan + a FULL 256-shard write — the baseline the delta row
+        // exists to beat (expect ~linear: scan + write both grow)
+        val root = builtRelease(m)
+        val n = graft.streaming.Release.publish(spark, s"$root/corpus",
+          None, s"$root/rel", s"full${relCtr.incrementAndGet()}",
+          nShards = 256).count()
+        n
+      }),
+      Op("release_delta_fixed", m => {
+        // delta publish of the SAME snapshot vs the pre-takedown base:
+        // one corpus scan (the honest linear term — per-shard
+        // fingerprints need every row once) but writes ∝ the ~100
+        // touched shards and byte-copies the rest — expect the wall to
+        // sit well under release_full_fixed at 64×, write-bound gap
+        val root = builtRelease(m)
+        val rep = graft.streaming.Release.publishDelta(spark,
+          s"$root/corpus", None, s"$root/rel",
+          s"delta${relCtr.incrementAndGet()}", basedOn = "base")
+        rep.count()
+      }),
       Op("a3_asof_auto_zipf", m => {
         // the DEFAULT form ([[TimeSeries.asOfJoinAuto]], VERDICT r12 #8)
         // on the Zipf fixture: the probe reads the head key's count and
@@ -1701,6 +1746,8 @@ object ScaleStress {
       mults.foreach(builtDiffDir)
     if (ops0.exists(_.name == "x70_contain_incr_fixed"))
       mults.foreach(builtContIdx)
+    if (ops0.exists(_.name.startsWith("release_")))
+      mults.foreach(builtRelease)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s
