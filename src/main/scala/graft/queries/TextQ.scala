@@ -875,7 +875,7 @@ object TextQ {
   private def deltaReleaseRoot(s: SparkSession, d: String): String =
     x78Cache.synchronized {
       x78Cache.getOrElseUpdate((s, d), {
-        val spec = "v1 over=x73cascade d1@gen2 d2=delta@latest shards=64"
+        val spec = "v2 over=x73cascade d1@gen2 d2=delta@latest shards=64 +via"
         def build(root: String): Unit = {
           val corpusDir = s"${cascadeRoot(s, d)}/corpus"
           graft.streaming.Release.publish(s, corpusDir, Some(2), root,
@@ -1884,7 +1884,7 @@ object TextQ {
           "d2").get
         .select(col("release"), col("based_on"), col("base_gen"),
           col("gen"), col("n_shards"), col("n_shards_rewritten"),
-          col("n_shards_copied"), col("n_shards_emptied"))),
+          col("n_shards_copied"), col("n_shards_emptied"), col("via"))),
 
     // X77 — the RELEASE REGISTRY ([[graft.streaming.Release
     // .registry]]): one manifest row per published release — pinned
@@ -3894,7 +3894,8 @@ object TextQ {
            (SELECT count(*) FROM per WHERE nv > 0 AND nv < n)
              AS n_shards_rewritten,
            (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
-           (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied""",
+           (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied,
+           'diff' AS via""",
     // x77: registry rows recomputed — per release snapshot, the doc
     // count and the x62 fingerprint formula over (doc_id, text)
     "x77_release_registry" ->

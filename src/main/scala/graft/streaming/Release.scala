@@ -201,32 +201,96 @@ object Release {
     val resolved = gen.orElse(Manifest.readWithGen(s, corpusDir).map(_._1))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed corpus state at $corpusDir"))
-    val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
-      .getOrElse(throw new IllegalArgumentException(
-        s"corpus at $corpusDir has no rows at generation $resolved"))
-      .select(col(idCol), col(textCol))
-    // one snapshot scan: per-shard stats of the NEW content
-    val sharded = TextOps.trainingShards(corpus, idCol, nShards)
-    val newStats = TextOps.corpusFingerprint(
-        sharded.select(col("shard"), col(idCol), col(textCol)),
-        Seq(idCol, textCol), Seq("shard"))
-      .persist()
-    val newBy = newStats.collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val baseBy = s.read.parquet(statsDir(releaseRoot, basedOn)).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val rewritten = newBy.keySet.filter(k => baseBy.get(k) != Some(newBy(k)))
-    val copied = newBy.keySet.filter(k => baseBy.get(k) == Some(newBy(k)))
-    val emptied = baseBy.keySet -- newBy.keySet
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val tmp = stageName(name)
-    // rewrite exactly the changed shards (same layout/order contract as
-    // writeShards: per-shard dirs, rows pre-sorted in training order)
-    if (rewritten.nonEmpty)
-      sharded.filter(col("shard").isInCollection(rewritten.toSeq))
-        .repartition(rewritten.size, col("shard"))
-        .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(shardsDir(releaseRoot, tmp))
+    // DIFF-path eligibility: the target generation extends the base's
+    // by appends/deletes only (no fold between them — partition lineage
+    // intact). Then [[StreamCurate.diffSnapshots]]' fast path reads
+    // ONLY the partitions added since the base plus pushed-down
+    // tombstone probes — never a corpus scan — and the per-shard stats
+    // FOLD from the base's recorded rows (xor is self-inverse: a
+    // removed row xors itself back out), so the whole delta costs
+    // O(diff + touched shards). Across a fold, the snapshot-scan path
+    // below prices one full scan of the NEW snapshot (base bytes are
+    // still never read).
+    val useDiff = (Manifest.readLiveAt(s, corpusDir, Some(bGen)),
+        Manifest.readLiveAt(s, corpusDir, Some(resolved))) match {
+      case (Some(a), Some(b)) =>
+        a.data.subsetOf(b.data) && a.tombs.subsetOf(b.tombs)
+      case _ => false
+    }
+    val (newBy, rewritten, copied, emptied) = if (useDiff) {
+      val d = TextOps.trainingShards(
+          StreamCurate.diffSnapshots(s, corpusDir, Some(bGen),
+              Some(resolved), idCol)
+            .select(col("change"), col(idCol), col(textCol)),
+          idCol, nShards)
+        .withColumn("__h", TextOps.fingerprintHash(Seq(idCol, textCol)))
+        .persist()
+      val deltaStats = d.groupBy("shard").agg(
+          sum(when(col("change") === "added", 1L).otherwise(-1L))
+            .as("dn"),
+          bit_xor(col("__h")).as("dxor"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val nb = (baseBy.keySet ++ deltaStats.keySet).iterator.map { k =>
+        val (bn, bf) = baseBy.getOrElse(k, (0L, 0L))
+        val (dn, dx) = deltaStats.getOrElse(k, (0L, 0L))
+        k -> ((bn + dn, bf ^ dx))
+      }.filter(_._2._1 > 0).toMap
+      val changed = deltaStats.keySet
+      val rw = changed.filter(nb.contains)
+      val cp = baseBy.keySet -- changed
+      val em = changed.filter(k => !nb.contains(k) && baseBy.contains(k))
+      // rebuild ONLY the touched shards: the base's bytes PARTITION-
+      // PRUNED to the changed set (real pruning — the base layout is
+      // shard-partitioned), minus the removed ids, plus the added rows
+      if (rw.nonEmpty) {
+        val baseRows = s.read
+          .option("basePath", shardsDir(releaseRoot, basedOn))
+          .parquet(shardsDir(releaseRoot, basedOn))
+          .filter(col("shard").isInCollection(changed.toSeq))
+          .select(col(idCol), col(textCol), col("shard"), col("pos"))
+        val removedIds = d.filter(col("change") === "removed")
+          .select(col(idCol)).distinct()
+        val addedRows = d.filter(col("change") === "added")
+          .select(col(idCol), col(textCol), col("shard"), col("pos"))
+        baseRows.join(broadcast(removedIds), Seq(idCol), "left_anti")
+          .unionByName(addedRows)
+          .filter(col("shard").isInCollection(rw.toSeq))
+          .repartition(rw.size, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(shardsDir(releaseRoot, tmp))
+      }
+      d.unpersist()
+      (nb, rw, cp, em)
+    } else {
+      // snapshot-scan path: one scan of the new snapshot fingerprints
+      // every shard; content for changed shards comes from the same
+      // lineage (same layout/order contract as writeShards)
+      val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
+        .getOrElse(throw new IllegalArgumentException(
+          s"corpus at $corpusDir has no rows at generation $resolved"))
+        .select(col(idCol), col(textCol))
+      val sharded = TextOps.trainingShards(corpus, idCol, nShards)
+      val nb = TextOps.corpusFingerprint(
+          sharded.select(col("shard"), col(idCol), col(textCol)),
+          Seq(idCol, textCol), Seq("shard"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val rw = nb.keySet.filter(k => baseBy.get(k) != Some(nb(k)))
+      val cp = nb.keySet.filter(k => baseBy.get(k) == Some(nb(k)))
+      val em = baseBy.keySet -- nb.keySet
+      if (rw.nonEmpty)
+        sharded.filter(col("shard").isInCollection(rw.toSeq))
+          .repartition(rw.size, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(shardsDir(releaseRoot, tmp))
+      (nb, rw, cp, em)
+    }
     // byte-copy the untouched shards from the base release
     if (copied.nonEmpty) fs.mkdirs(new Path(shardsDir(releaseRoot, tmp)))
     copied.toSeq.sorted.foreach { k =>
@@ -236,16 +300,21 @@ object Release {
           false, s.sparkContext.hadoopConfiguration))
         throw new java.io.IOException(s"copy of base shard $k failed")
     }
-    newStats.coalesce(1).write.mode("overwrite")
-      .parquet(statsDir(releaseRoot, tmp))
-    newStats.unpersist()
+    locally {
+      import s.implicits._
+      newBy.toSeq.sortBy(_._1).map { case (k, (n, f)) => (k, n, f) }
+        .toDF("shard", "n_rows", "fingerprint")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(statsDir(releaseRoot, tmp))
+    }
     // the delta report rides the release (read back via [[deltaReport]])
     s.range(1).select(lit(name).as("release"),
         lit(basedOn).as("based_on"), lit(bGen).as("base_gen"),
         lit(resolved).as("gen"), lit(nShards).as("n_shards"),
         lit(rewritten.size.toLong).as("n_shards_rewritten"),
         lit(copied.size.toLong).as("n_shards_copied"),
-        lit(emptied.size.toLong).as("n_shards_emptied"))
+        lit(emptied.size.toLong).as("n_shards_emptied"),
+        lit(if (useDiff) "diff" else "scan").as("via"))
       .coalesce(1).write.mode("overwrite")
       .parquet(deltaDir(releaseRoot, tmp))
     commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,

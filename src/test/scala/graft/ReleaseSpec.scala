@@ -156,6 +156,10 @@ class ReleaseSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
     assert(reg("delta") == reg("scratch"), s"$reg")
+    // an append/delete-only lineage takes the DIFF path: per-shard
+    // stats FOLD from the base's recorded rows and the only reads are
+    // the diff + the touched base shards — never a corpus scan
+    assert(rep.getString(8) == "diff", s"expected the diff path: $rep")
     // the report accounts for every base shard exactly once
     val (nRw, nCp, nEm) = (rep.getLong(5), rep.getLong(6), rep.getLong(7))
     val baseShards = spark.read
@@ -200,10 +204,26 @@ class ReleaseSpec extends AnyFunSuite {
     val rep2 = Release.publishDelta(spark, corpusDir, None, relRoot,
       "delta2", basedOn = "delta").collect().head
     assert(rep2.getLong(5) >= 1, "added docs must rewrite their shards")
+    assert(rep2.getString(8) == "diff", s"still append-only: $rep2")
     Release.publish(spark, corpusDir, None, relRoot, "scratch2",
       nShards = 16)
     assert(rows("delta2") == rows("scratch2"),
       "delta-on-delta content must equal scratch")
+    // a FOLD between the generations breaks the partition lineage: the
+    // delta falls back to the snapshot-scan path — same result, one
+    // scan of the new snapshot, base bytes still never read
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(44L).toDF("doc_id"))
+    StreamCurate.compact(spark, corpusDir,
+      StreamCurate.nextCompactId(spark, corpusDir))
+    val rep3 = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta3", basedOn = "delta2").collect().head
+    assert(rep3.getString(8) == "scan", s"a fold must force the scan: $rep3")
+    Release.publish(spark, corpusDir, None, relRoot, "scratch3",
+      nShards = 16)
+    assert(rows("delta3") == rows("scratch3"),
+      "post-fold delta content must equal scratch")
+    assert(Release.verifyShards(spark, relRoot).collect()
+      .forall(_.getBoolean(5)), "every release must still verify")
     // a base without per-shard stats refuses loudly (pre-stats publish)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$relRoot/base/shardstats"), true)
