@@ -189,7 +189,32 @@ object Bench {
       import scala.jdk.CollectionConverters._
       failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"runs_per_query":$Runs,"failed":$failedList,"sf":"$sfDir"}"""
+    // Expected-vs-observed seam (VERDICT r13 #7): BENCH_EXPECTED.json —
+    // the builder's own cold-store driver-shape per-query walls,
+    // committed each round — rides next to the observed medians so pool
+    // anomalies SELF-IDENTIFY in this file: a query at > max(3×expected,
+    // expected + 2 s) is listed under "anomalies" with both numbers
+    // (unchanged-code regressions have read as pool noise for six
+    // straight rounds; this makes the adjudication a one-file read).
+    // Queries without an expectation (new this round) are skipped.
+    val expected: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_EXPECTED.json")))
+        """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val anomalies = results.toSeq
+      .flatMap { case (k, v) => expected.get(k).collect {
+        case e if v > math.max(3 * e, e + 2.0) => k -> ((v, e)) } }
+      .sortBy(-_._2._1)
+    val anomaliesJson = anomalies
+      .map { case (k, (v, e)) =>
+        "\"" + k + "\":[" + math.round(v * 10) / 10.0 + "," +
+          math.round(e * 10) / 10.0 + "]" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"per_query","unit":"sec","queries":$qs,"task_sec":$ts,"prematerialize_sec":$preSec,"runs_per_query":$Runs,"failed":$failedList,"anomalies_obs_vs_expected":$anomaliesJson,"n_anomalies":${anomalies.size},"sf":"$sfDir"}"""
     println(detail)
     // wrote_detail rides in the summary so a failed/misplaced write is a
     // visible signal, not a stale detail_file pointer (ADVICE r6)
@@ -209,7 +234,7 @@ object Bench {
       .sortBy(-_._2).take(30)
       .map { case (k, ms) => "\"" + k + "\":" + (ms / 100).toDouble / 10 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"task_top_sec":$taskTop,"n_failed":${failed.size},"failed":$failedList,"detail_file":"BENCH_DETAIL.json","wrote_detail":$wroteDetail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_sec":${results.values.sum},"task_sum_sec":$taskSum,"task_top_sec":$taskTop,"n_failed":${failed.size},"failed":$failedList,"n_anomalies":${anomalies.size},"detail_file":"BENCH_DETAIL.json","wrote_detail":$wroteDetail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

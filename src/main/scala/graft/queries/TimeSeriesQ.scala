@@ -210,14 +210,19 @@ object TimeSeriesQ {
         .orderBy("day")),
 
     // A3 — as-of join (reindex+ffill, intra.ipynb:111): for every click,
-    // the most recent purchase value at-or-before it, per user.
+    // the most recent purchase value at-or-before it, per user — through
+    // [[TimeSeries.asOfJoinAuto]], the deployment default (VERDICT r13
+    // #5: the driver-visible path now goes through the hot-key dispatch;
+    // the probe picks the plain single-shuffle arm here — no key is hot —
+    // and OpsPropertySpec pins plain ≡ sliced ≡ auto, so the oracle is
+    // unchanged).
     "a3_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       val left = e.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       val right = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value").as("rate"))
-      TimeSeries.asOfJoin(left, right, keys = Seq("user_id"),
+      TimeSeries.asOfJoinAuto(left, right, keys = Seq("user_id"),
           tsCol = "ts", rightValueCols = Seq("rate"))
         .orderBy("event_id")
     }),

@@ -24,6 +24,12 @@ import graft.ext.TextOps
   *     retry.
   *   - [[registry]] — every published release's manifest row; pure
   *     metadata (one tiny parquet per release).
+  *   - [[retire]] / [[gcPlan]] / [[gc]] — the lifecycle's closing
+  *     verbs: retire turns a release registry-invisible at one atomic
+  *     commit point (bytes stay on disk, the name stays claimed), gc
+  *     reclaims retired releases that no LIVE release names as
+  *     `based_on` — plan and act read ONE account so they cannot
+  *     drift (the st22 discipline).
   *   - [[audit]] — the CROSS-RELEASE takedown question x74 answers for
   *     one release: for a deleted id set, which RELEASES contained the
   *     docs, in how many shards, and how many tokens — computed from
@@ -46,6 +52,7 @@ object Release {
   private def metaDir(root: String, name: String) = s"$root/$name/meta"
   private def statsDir(root: String, name: String) = s"$root/$name/shardstats"
   private def deltaDir(root: String, name: String) = s"$root/$name/delta"
+  private def retiredDir(root: String, name: String) = s"$root/$name/retiredmeta"
   /** Shard layout of a published release (loader entry point). */
   def shardsDir(root: String, name: String): String = s"$root/$name/shards"
 
@@ -69,6 +76,10 @@ object Release {
     require(!fs.exists(new Path(metaDir(releaseRoot, name))),
       s"release '$name' is already published at $releaseRoot — releases " +
         "are immutable; publish under a new name")
+    require(!fs.exists(new Path(retiredDir(releaseRoot, name))),
+      s"release '$name' was retired at $releaseRoot — retired names stay " +
+        "claimed (reuse would alias two lineages in based_on provenance); " +
+        "publish under a new name")
     val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
       .getOrElse(throw new IllegalArgumentException(
         s"corpus at $corpusDir has no rows at generation $resolved"))
@@ -128,10 +139,13 @@ object Release {
       new Path(relDir(releaseRoot, name)))
     if (fs.exists(dst)) {
       // meta present = a committed release (concurrent publisher won);
-      // meta absent = a CRASHED publish's meta-less leftovers from the
+      // retired marker present = a retired release whose bytes [[gc]]
+      // owns (clobbering them here would bypass the GC account);
+      // neither = a CRASHED publish's meta-less leftovers from the
       // pre-staging layout — clear them so the rename lands AT dst
       // (renaming onto an existing dir would nest inside it)
-      if (Manifest.hasDataFiles(fs, new Path(metaDir(releaseRoot, name)))) {
+      if (Manifest.hasDataFiles(fs, new Path(metaDir(releaseRoot, name))) ||
+          fs.exists(new Path(retiredDir(releaseRoot, name)))) {
         fs.delete(src, true)
         throw new IllegalArgumentException(
           s"release '$name' was published concurrently at $releaseRoot " +
@@ -141,6 +155,22 @@ object Release {
     }
     if (!fs.rename(src, dst)) {
       fs.delete(src, true)
+      throw new IllegalArgumentException(
+        s"release '$name' was published concurrently at $releaseRoot — " +
+          "releases are immutable; publish under a new name")
+    }
+    // ADVICE r13: on HDFS, rename(src, dst) with dst an EXISTING dir
+    // (a concurrent publisher landed between the check above and our
+    // rename) moves src INSIDE dst and returns true — the loser would
+    // "succeed" and return a meta row the registry doesn't serve. The
+    // staging name is pid-unique, so dst/<tmp> existing after a
+    // successful rename is exactly that signature: clean up the nested
+    // staging and throw like any other lost race. (Local FS renames
+    // onto an existing dir return false and take the branch above —
+    // ReleaseSpec pins the race by planting dst right before commit.)
+    val nested = new Path(dst, tmp)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
       throw new IllegalArgumentException(
         s"release '$name' was published concurrently at $releaseRoot — " +
           "releases are immutable; publish under a new name")
@@ -188,11 +218,24 @@ object Release {
       base.getAs[String]("text_col") == textCol,
       s"delta must keep the base's columns (${base.getAs[String]("id_col")}" +
         s", ${base.getAs[String]("text_col")})")
+    // ADVICE r13: the base's recorded lineage must be THIS corpus — a
+    // different dir would diff its per-shard stats against an unrelated
+    // corpus, and any shard whose (n, xor) happened to collide would
+    // byte-copy from the WRONG corpus into a release whose meta claims
+    // the new corpus's generation
+    require(base.getAs[String]("corpus_dir") == corpusDir,
+      s"base release '$basedOn' was published from " +
+        s"${base.getAs[String]("corpus_dir")}, not $corpusDir — a delta " +
+        "must extend the same corpus lineage; publish from scratch instead")
     val fs = new Path(releaseRoot)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(metaDir(releaseRoot, name))),
       s"release '$name' is already published at $releaseRoot — releases " +
         "are immutable; publish under a new name")
+    require(!fs.exists(new Path(retiredDir(releaseRoot, name))),
+      s"release '$name' was retired at $releaseRoot — retired names stay " +
+        "claimed (reuse would alias two lineages in based_on provenance); " +
+        "publish under a new name")
     require(Manifest.hasDataFiles(fs,
         new Path(statsDir(releaseRoot, basedOn))),
       s"base release '$basedOn' carries no per-shard stats (published " +
@@ -291,6 +334,19 @@ object Release {
           .parquet(shardsDir(releaseRoot, tmp))
       (nb, rw, cp, em)
     }
+    // ADVICE r13: mirror publish's empty-corpus refusal — an
+    // all-emptied delta would commit n_docs=0 with NO shards/ layout,
+    // and verifyShards (and any loader) would then throw path-not-found
+    // for the whole registry. Nothing is staged yet on this path
+    // (rewritten is empty ⇒ no shard writes happened), but clear the
+    // staging defensively before refusing.
+    if (newBy.isEmpty) {
+      fs.delete(new Path(relDir(releaseRoot, tmp)), true)
+      throw new IllegalArgumentException(
+        s"corpus at $corpusDir has no rows at generation $resolved — " +
+          s"the delta against '$basedOn' would empty every shard; " +
+          "refusing to publish an empty release")
+    }
     // byte-copy the untouched shards from the base release
     if (copied.nonEmpty) fs.mkdirs(new Path(shardsDir(releaseRoot, tmp)))
     copied.toSeq.sorted.foreach { k =>
@@ -375,10 +431,109 @@ object Release {
     metas.toSeq.map { m =>
       val (name, dir, gen) = (m.getString(0), m.getString(1), m.getInt(2))
       val (now, kept) = dirs(dir)
+      // ADVICE r13: corpus_dir rides the row — with releases spanning
+      // multiple corpus dirs, the operator must see WHICH corpus's
+      // vacuum each row prices
       s.range(1).select(lit(name).as("release"),
+        lit(dir).as("corpus_dir"),
         lit(gen).as("gen"),
         lit(now.contains(gen)).as("auditable_now"),
         lit(kept.contains(gen)).as("auditable_after"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** RETIRE a published release: remove it from the [[registry]] (and
+    * so from every audit/verify/retention sweep) while its BYTES stay
+    * on disk until [[gc]] reclaims them — the two-step deletion
+    * discipline of every sink in this engine (tombstone now, reclaim
+    * bytes later). One atomic rename of the meta dir to a retired
+    * marker: the release turns registry-invisible at a single commit
+    * point, the marker preserves the manifest row for [[gcPlan]]'s
+    * account, and the NAME STAYS CLAIMED — publish refuses a retired
+    * name, because reusing it would alias two different lineages in
+    * later delta reports' `based_on` provenance. */
+  def retire(s: SparkSession, releaseRoot: String, name: String): Unit = {
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val meta = new Path(metaDir(releaseRoot, name))
+    require(Manifest.hasDataFiles(fs, meta),
+      s"release '$name' is not published at $releaseRoot" +
+        (if (fs.exists(new Path(retiredDir(releaseRoot, name))))
+          " (already retired)" else ""))
+    if (!fs.rename(meta, new Path(retiredDir(releaseRoot, name))))
+      throw new IllegalArgumentException(
+        s"could not retire release '$name' at $releaseRoot — " +
+          "a concurrent retire already moved its meta")
+  }
+
+  /** The ONE GC account [[gcPlan]] and [[gc]] both read (the st22
+    * lesson, applied to releases: plan and delete share an account so
+    * they cannot drift): per on-disk release dir, (name, retired,
+    * referenced) where `referenced` = some LIVE (registry-visible)
+    * release's delta report names it as `based_on`. A retired base
+    * stays on disk while a live delta's provenance chain needs it —
+    * delta releases are byte-self-contained, but proving
+    * delta ≡ base + changes needs the base's bytes. Registry-sized
+    * driver-side metadata loop; dirs with neither meta nor retired
+    * marker (crashed publishes) are publish-retry territory, not GC's. */
+  private def gcAccount(s: SparkSession, releaseRoot: String)
+      : Seq[(String, Boolean, Boolean)] = {
+    val root = new Path(releaseRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val names = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    def live(n: String) =
+      Manifest.hasDataFiles(fs, new Path(metaDir(releaseRoot, n)))
+    def retired(n: String) =
+      Manifest.hasDataFiles(fs, new Path(retiredDir(releaseRoot, n)))
+    val basedOn: Set[String] = names.filter(live).flatMap { n =>
+      deltaReport(s, releaseRoot, n)
+        .map(_.select("based_on").collect().map(_.getString(0)).toSeq)
+        .getOrElse(Seq.empty)
+    }.toSet
+    names.sorted.flatMap { n =>
+      val (l, r) = (live(n), retired(n))
+      if (!l && !r) None
+      else Some((n, r && !l, basedOn.contains(n)))
+    }
+  }
+
+  /** GC DRY RUN — what [[gc]] would reclaim, without deleting a byte:
+    * one row per on-disk release, (release, retired, referenced,
+    * reclaimable = retired ∧ ¬referenced). */
+  def gcPlan(s: SparkSession, releaseRoot: String): DataFrame =
+    gcFrame(s, releaseRoot, gcAccount(s, releaseRoot), "reclaimable")
+
+  /** Reclaim the BYTES of retired, unreferenced releases — the
+    * vacuum-style closing verb of the release lifecycle
+    * ([[publish]]/[[publishDelta]] → [[retire]] → gc). Deletes each
+    * reclaimable release dir wholly; live releases and retired ones
+    * still named `based_on` by a live delta are NEVER touched
+    * (ReleaseSpec pins both). Returns the acted account: (release,
+    * retired, referenced, reclaimed). Reads the SAME account as
+    * [[gcPlan]], and is idempotent — a reclaimed dir is simply absent
+    * from the next account. */
+  def gc(s: SparkSession, releaseRoot: String): DataFrame = {
+    val acct = gcAccount(s, releaseRoot)
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    acct.foreach { case (n, retired, referenced) =>
+      if (retired && !referenced)
+        fs.delete(new Path(relDir(releaseRoot, n)), true)
+    }
+    gcFrame(s, releaseRoot, acct, "reclaimed")
+  }
+
+  private def gcFrame(s: SparkSession, releaseRoot: String,
+                      acct: Seq[(String, Boolean, Boolean)],
+                      verb: String): DataFrame = {
+    if (acct.isEmpty) throw new IllegalArgumentException(
+      s"no published or retired releases at $releaseRoot")
+    acct.map { case (n, r, ref) =>
+      s.range(1).select(lit(n).as("release"), lit(r).as("retired"),
+        lit(ref).as("referenced"), lit(r && !ref).as(verb))
     }.reduce(_ unionByName _)
   }
 
@@ -448,11 +603,35 @@ object Release {
           toks = br.getLong(2))
       } catch {
         // the pinned generation was vacuumed past: the release can only
-        // be audited from its published shard bytes — say so in the row
+        // be audited from its published shard bytes — say so in the row.
+        // ADVICE r13: a generation vacuumed BETWEEN the manifest read
+        // and the blastRadius job surfaces executor-side (Spark job
+        // failure caused by a missing partition read) rather than as
+        // the driver-side IllegalArgumentException — map that to
+        // readable=false too instead of killing the whole sweep;
+        // genuinely unexpected failures still rethrow
         case _: IllegalArgumentException =>
+          row(readable = false, docs = 0L, shards = 0L, toks = 0L)
+        case e: Throwable if isMissingDataFailure(e) =>
           row(readable = false, docs = 0L, shards = 0L, toks = 0L)
       }
     }
     rows.reduce(_ unionByName _)
+  }
+
+  /** Does this failure's cause chain bottom out in "the data is gone"
+    * (a vacuumed/deleted partition read) rather than a genuine engine
+    * error? Walks causes for FileNotFound / path-does-not-exist — the
+    * shapes both the driver-side analysis (`AnalysisException: Path
+    * does not exist`) and an executor-side mid-scan deletion
+    * (`SparkException` caused by `FileNotFoundException`) produce. */
+  private def isMissingDataFailure(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists { t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(m =>
+            m.contains("Path does not exist") ||
+              m.contains("FileNotFoundException"))
+      }
   }
 }

@@ -98,11 +98,15 @@ class ReleaseSpec extends AnyFunSuite {
     // impact report names r1 as the release a no-window vacuum would
     // orphan (its gen is not the latest) while r2's pinned gen — the
     // current latest — survives
-    val impact = Release.retentionImpact(spark, relRoot).collect()
-      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getBoolean(3))))
-      .toMap
+    val impactRows = Release.retentionImpact(spark, relRoot).collect()
+    val impact = impactRows.map(r => r.getAs[String]("release") ->
+      ((r.getAs[Boolean]("auditable_now"),
+        r.getAs[Boolean]("auditable_after")))).toMap
     assert(impact == Map("r1" -> ((true, false)), "r2" -> ((true, true))),
       s"pre-flight must name the orphaned release: $impact")
+    // ADVICE r13: each row names WHICH corpus's vacuum it prices
+    assert(impactRows.forall(_.getAs[String]("corpus_dir") == corpusDir),
+      "impact rows must carry the release's corpus_dir")
     // vacuum collapses history to the latest generation: r1's pinned
     // snapshot is gone — the audit says so IN THE ROW (readable =
     // false; the release now audits only from its shard bytes) while
@@ -224,12 +228,102 @@ class ReleaseSpec extends AnyFunSuite {
       "post-fold delta content must equal scratch")
     assert(Release.verifyShards(spark, relRoot).collect()
       .forall(_.getBoolean(5)), "every release must still verify")
+    // a base from a DIFFERENT corpus refuses loudly (ADVICE r13: a
+    // cross-corpus diff would byte-copy colliding shards from the
+    // wrong lineage into a release claiming this corpus's generation)
+    val corpusDir2 = s"$root/corpus2"
+    StreamCurate.appendBatch(corpusDir2,
+      (1L to 5L).map(i => (i, body + s"other$i", 200))
+        .toDF("doc_id", "text", "n_chars"), 0L,
+      b => b.select("doc_id", "text"))
+    val crossEx = intercept[IllegalArgumentException] {
+      Release.publishDelta(spark, corpusDir2, None, relRoot, "nope",
+        basedOn = "delta2")
+    }
+    assert(crossEx.getMessage.contains("corpus lineage"), crossEx.getMessage)
+    // an ALL-EMPTIED delta refuses like publish's empty-corpus refusal
+    // (ADVICE r13: committing n_docs=0 with no shards/ layout would
+    // break verifyShards and every loader for the whole registry)
+    StreamCurate.deleteCurated(spark, corpusDir,
+      spark.read.parquet(Release.shardsDir(relRoot, "delta3"))
+        .select("doc_id"))
+    val emptyEx = intercept[IllegalArgumentException] {
+      Release.publishDelta(spark, corpusDir, None, relRoot, "nope2",
+        basedOn = "delta3")
+    }
+    assert(emptyEx.getMessage.contains("empty"), emptyEx.getMessage)
+    assert(Release.registry(spark, relRoot).get
+      .filter(col("release").isin("nope", "nope2")).count() == 0,
+      "refused deltas must be registry-invisible")
     // a base without per-shard stats refuses loudly (pre-stats publish)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$relRoot/base/shardstats"), true)
     intercept[IllegalArgumentException] {
       Release.publishDelta(spark, corpusDir, None, relRoot, "nope",
         basedOn = "base")
+    }
+  }
+
+  test("retire + gc: referenced bases survive, unreferenced retired releases reclaim, plan equals act") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("relgc").toString
+    val corpusDir = s"$root/corpus"
+    val relRoot = s"$root/releases"
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    StreamCurate.appendBatch(corpusDir,
+      (1L to 20L).map(i => (i, body + s"marker$i", 200))
+        .toDF("doc_id", "text", "n_chars"), 0L,
+      b => b.select("doc_id", "text"))
+    Release.publish(spark, corpusDir, None, relRoot, "g1", nShards = 8)
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(4L).toDF("doc_id"))
+    Release.publishDelta(spark, corpusDir, None, relRoot, "g2",
+      basedOn = "g1")
+    Release.publish(spark, corpusDir, None, relRoot, "g3", nShards = 8)
+    // retire the delta's base (still referenced) and the standalone g3
+    Release.retire(spark, relRoot, "g1")
+    Release.retire(spark, relRoot, "g3")
+    assert(Release.registry(spark, relRoot).get.collect()
+      .map(_.getString(0)).toSet == Set("g2"),
+      "retired releases must leave the registry")
+    // plan names exactly the unreferenced retired release
+    val plan = Release.gcPlan(spark, relRoot).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(plan == Map("g1" -> ((true, true, false)),
+      "g2" -> ((false, false, false)), "g3" -> ((true, false, true))),
+      s"plan must mark only the unreferenced retired release: $plan")
+    // act: the report equals the plan (shared account), bytes follow it
+    val acted = Release.gc(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(acted == Map("g1" -> false, "g2" -> false, "g3" -> true), s"$acted")
+    val fs = new org.apache.hadoop.fs.Path(relRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$relRoot/g3")),
+      "reclaimed release bytes must be gone")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Release.shardsDir(relRoot, "g1"))),
+      "a referenced retired base must keep its bytes for provenance")
+    // idempotent: the next account simply no longer lists g3
+    val again = Release.gc(spark, relRoot).collect()
+      .map(_.getString(0)).toSet
+    assert(again == Set("g1", "g2"), s"$again")
+    // the registry-facing sweeps ignore retired releases
+    assert(Release.verifyShards(spark, relRoot).collect()
+      .map(_.getString(0)).toSet == Set("g2"))
+    // a retired name stays claimed: republish refuses, retire refuses
+    intercept[IllegalArgumentException] {
+      Release.publish(spark, corpusDir, None, relRoot, "g1", nShards = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Release.retire(spark, relRoot, "g1") // already retired
+    }
+    // retiring g2 frees g1: both reclaim on the next gc
+    Release.retire(spark, relRoot, "g2")
+    val last = Release.gc(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(last == Map("g1" -> true, "g2" -> true), s"$last")
+    intercept[IllegalArgumentException] { // empty root: loud, not silent
+      Release.gcPlan(spark, relRoot)
     }
   }
 }
