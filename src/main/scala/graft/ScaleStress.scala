@@ -301,6 +301,73 @@ object ScaleStress {
         root
       })
 
+    // fold-crossing delta fixture (release_delta_folded): same recipe
+    // with a COMPACTION between the base and the target generation —
+    // the walk must compose across the fold (r14 tier 1)
+    val relFoldFix = scala.collection.mutable.Map.empty[Int, String]
+    def builtReleaseFold(m: Int): String =
+      relFoldFix.getOrElseUpdate(m, {
+        val root = s"$out/m$m/release_fold"
+        graft.ArtifactStore.deleteRecursively(
+          java.nio.file.Paths.get(root))
+        val corpusDir = s"$root/corpus"
+        graft.streaming.StreamCurate.appendBatch(corpusDir,
+          docsOf(m).select("doc_id", "text"), 0L,
+          b => b.select("doc_id", "text"))
+        graft.streaming.Release.publish(spark, corpusDir, None,
+          s"$root/rel", "base", nShards = 256)
+        graft.streaming.StreamCurate.deleteCurated(spark, corpusDir,
+          docsOf(m).select("doc_id").orderBy("doc_id").limit(100))
+        graft.streaming.StreamCurate.compact(spark, corpusDir,
+          graft.streaming.StreamCurate.nextCompactId(spark, corpusDir))
+        root
+      })
+
+    // vacuumed-history delta fixture (release_delta_state): the fold
+    // PLUS a vacuum — the walk is unprovable, the per-shard fingerprint
+    // state must decide every shard from metadata (r14 tier 2)
+    val relStateFix = scala.collection.mutable.Map.empty[Int, String]
+    def builtReleaseState(m: Int): String =
+      relStateFix.getOrElseUpdate(m, {
+        val root = s"$out/m$m/release_state"
+        graft.ArtifactStore.deleteRecursively(
+          java.nio.file.Paths.get(root))
+        val corpusDir = s"$root/corpus"
+        graft.streaming.StreamCurate.appendBatch(corpusDir,
+          docsOf(m).select("doc_id", "text"), 0L,
+          b => b.select("doc_id", "text"))
+        graft.streaming.Release.publish(spark, corpusDir, None,
+          s"$root/rel", "base", nShards = 256)
+        graft.streaming.StreamCurate.deleteCurated(spark, corpusDir,
+          docsOf(m).select("doc_id").orderBy("doc_id").limit(100))
+        graft.streaming.StreamCurate.compact(spark, corpusDir,
+          graft.streaming.StreamCurate.nextCompactId(spark, corpusDir))
+        graft.streaming.StreamCurate.vacuum(spark, corpusDir)
+        root
+      })
+
+    // cross-release audit fixture (release_audit_fixed, VERDICT r13 #6):
+    // FOUR pinned releases (two at the pre-takedown gen, two at the
+    // latest) over builtRelease's corpus — the audit's per-release term
+    // is one column-pruned (id, text) scan + the gated blast join
+    val relAuditFix = scala.collection.mutable.Map.empty[Int, String]
+    def builtReleaseAudit(m: Int): String =
+      relAuditFix.getOrElseUpdate(m, {
+        val corpusDir = s"${builtRelease(m)}/corpus"
+        val ar = s"$out/m$m/relaudit"
+        graft.ArtifactStore.deleteRecursively(java.nio.file.Paths.get(ar))
+        // gens: birth 0, append 1, takedown 2 (the builtRelease recipe)
+        graft.streaming.Release.publish(spark, corpusDir, Some(1), ar,
+          "a1", nShards = 64)
+        graft.streaming.Release.publish(spark, corpusDir, Some(1), ar,
+          "a2", nShards = 64)
+        graft.streaming.Release.publish(spark, corpusDir, None, ar,
+          "a3", nShards = 64)
+        graft.streaming.Release.publish(spark, corpusDir, None, ar,
+          "a4", nShards = 64)
+        ar
+      })
+
     // streamed dense-index dirs per multiplier (StreamIvf 3-batch ingest,
     // nCells ~ √n at each scale — the prebuiltRag sizing); built by the
     // st8_stream_ingest3 row, reused by st8_append_fixed
@@ -1686,6 +1753,52 @@ object ScaleStress {
           s"delta${relCtr.incrementAndGet()}", basedOn = "base")
         rep.count()
       }),
+      Op("release_delta_folded", m => {
+        // delta ACROSS a compaction fold (r14 tier 1, VERDICT r13 #3):
+        // the composed walk nets the forward segments around the
+        // provably-neutral fold, so the post-fold delta still reads
+        // only the diff (pushed-down tombstone probes) + the ~touched
+        // base shards PARTITION-PRUNED from the base release — never a
+        // snapshot scan. Expect the same band as release_delta_fixed.
+        val root = builtReleaseFold(m)
+        val rep = graft.streaming.Release.publishDelta(spark,
+          s"$root/corpus", None, s"$root/rel",
+          s"fold${relCtr.incrementAndGet()}", basedOn = "base")
+        val r = rep.head()
+        require(r.getAs[String]("via") == "diff_folded",
+          s"fold walk must compose: $r")
+        rep.count()
+      }),
+      Op("release_delta_state", m => {
+        // delta with the walk VACUUMED away (r14 tier 2): the
+        // rewritten/copied/emptied DECISION folds from the maintained
+        // per-shard fingerprint partials — zero corpus bytes — and the
+        // one remaining corpus read is the content of the ~touched
+        // shards (a column-pruned snapshot scan, writes ∝ touched).
+        // Expect well under release_full_fixed (no 256-shard write, no
+        // fingerprint pass) with the scan as the honest linear term.
+        val root = builtReleaseState(m)
+        val rep = graft.streaming.Release.publishDelta(spark,
+          s"$root/corpus", None, s"$root/rel",
+          s"state${relCtr.incrementAndGet()}", basedOn = "base")
+        val r = rep.head()
+        require(r.getAs[String]("via") == "state",
+          s"vacuumed walk must use the state tier: $r")
+        rep.count()
+      }),
+      Op("release_audit_fixed", m => {
+        // cross-release takedown audit (VERDICT r13 #6): a FIXED 100-id
+        // set against FOUR pinned releases on the m× corpus. Per
+        // release = one column-pruned (id, text) scan of its pinned
+        // generation + the broadcast-gated blast join folding to one
+        // row — so the wall is (4 × pruned scan), linear in the corpus
+        // with a flat per-release constant and NO per-release shuffle
+        // wider than the shard counts.
+        val ar = builtReleaseAudit(m)
+        val ids = docsOf(1).select("doc_id").orderBy("doc_id").limit(100)
+        graft.streaming.Release.audit(spark, ar, ids)
+          .filter(col("readable")).count()
+      }),
       Op("a3_asof_auto_zipf", m => {
         // the DEFAULT form ([[TimeSeries.asOfJoinAuto]], VERDICT r12 #8)
         // on the Zipf fixture: the probe reads the head key's count and
@@ -1748,6 +1861,12 @@ object ScaleStress {
       mults.foreach(builtContIdx)
     if (ops0.exists(_.name.startsWith("release_")))
       mults.foreach(builtRelease)
+    if (ops0.exists(_.name == "release_delta_folded"))
+      mults.foreach(builtReleaseFold)
+    if (ops0.exists(_.name == "release_delta_state"))
+      mults.foreach(builtReleaseState)
+    if (ops0.exists(_.name == "release_audit_fixed"))
+      mults.foreach(builtReleaseAudit)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient
     // allocations — v4's m=64 cell once drew 44.9 s against an 18-21 s

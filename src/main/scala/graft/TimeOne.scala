@@ -36,12 +36,20 @@ object TimeOne {
           round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }
-    val fn = if (name == "x17_raw") rawX17 else SparkEntry.queries(name)
-    (0 until iters).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sf).queryExecution.toRdd.count()
-      println(f"[timeone] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    // comma-separated names run sequentially in ONE JVM (solo per query
+    // — the adjudication A/B shape; JVM/session warmup amortized)
+    val names = name.split(",").map(_.trim).filter(_.nonEmpty)
+    def fnOf(n: String) =
+      if (n == "x17_raw") rawX17 else SparkEntry.queries(n)
+    names.foreach { nm =>
+      val fn = fnOf(nm)
+      (0 until iters).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sf).queryExecution.toRdd.count()
+        println(f"[timeone] $nm iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
+    val fn = fnOf(names.head)
     // 4th arg "show": print the rows (literal-oracle authoring aid).
     // collect(), not show(): executeTake on unions of tiny multi-split
     // Ranges can return empty while the full plan has rows.

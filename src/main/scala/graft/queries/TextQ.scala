@@ -718,8 +718,8 @@ object TextQ {
   private def cascadeRoot(s: SparkSession, d: String): String =
     x73Cache.synchronized {
       x73Cache.getOrElseUpdate((s, d), {
-        val spec = "v1 slice=%7==1 saltuid 2batches mod2 victims=%5==3 " +
-          "ivf=nCells4 hubs=%3+3e9 ngram=n3 forget"
+        val spec = "v2 slice=%7==1 saltuid 2batches mod2 victims=%5==3 " +
+          "ivf=nCells4 hubs=%3+3e9 ngram=n3 forget +fpshard"
         def build(root: String): Unit = {
           val sinks = cascadeSinks(root)
           // texts salted with the id: the curation sink's digest dedup
@@ -807,7 +807,7 @@ object TextQ {
   private def maintainedRoot(s: SparkSession, d: String): String =
     st21Cache.synchronized {
       st21Cache.getOrElseUpdate((s, d), {
-        val spec = "v1 copyof=x73cascade maintain"
+        val spec = "v2 copyof=x73cascade(v2,+fpshard) maintain"
         def build(root: String): Unit = {
           copyTree(java.nio.file.Paths.get(cascadeRoot(s, d)),
             java.nio.file.Paths.get(root))
@@ -895,6 +895,67 @@ object TextQ {
             p.toString
           case None =>
             val p = java.nio.file.Files.createTempDirectory("graft-x78-")
+            tmpSt11Dirs += p
+            build(p.toString)
+            p.toString
+        }
+      })
+    }
+
+  /** Memoized FOLD-CROSSING release root for x80/x81 — the two
+    * post-r13 [[graft.streaming.Release.publishDelta]] tiers made
+    * driver-visible (VERDICT r13 #3) on a corpus whose lifecycle this
+    * fixture owns (fresh sink, NOT the shared cascade): two arrival
+    * batches (gens 1-2), `f1` published at 64 shards, the % 5 == 1
+    * victims forgotten (gen 3), ONE COMPACTION FOLD (gen 4), then
+    * `f2 = delta(f1)` — the walk composes across the provably-neutral
+    * fold, `via = diff_folded`, zero snapshot scans; then a VACUUM
+    * (f1's pinned gen 2 reclaimed — the walk is no longer provable),
+    * the % 5 == 2 victims forgotten (gen 5), and `f3 = delta(f1)` —
+    * the maintained per-shard fingerprint state decides every shard
+    * from metadata, `via = state`. */
+  private val x80Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def foldReleaseRoot(s: SparkSession, d: String): String =
+    x80Cache.synchronized {
+      x80Cache.getOrElseUpdate((s, d), {
+        val spec = "v1 slice=%7==2 saltuid 2batches mod2 f1@2 shards=64 " +
+          "forget=%5==1 fold f2=delta vacuum forget=%5==2 f3=delta(f1)"
+        def build(root: String): Unit = {
+          val corpusDir = s"$root/corpus"
+          val rel = s"$root/releases"
+          val slice = Tables.documents(s, d)
+            .filter(col("doc_id") % 7 === 2)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" uid"), col("doc_id")).as("text"))
+          (0 to 1).foreach { i =>
+            graft.streaming.StreamCurate.appendBatch(corpusDir,
+              slice.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong,
+              b => b.select("doc_id", "text"))
+          }
+          graft.streaming.Release.publish(s, corpusDir, None, rel,
+            "f1", nShards = 64)
+          graft.streaming.StreamCurate.deleteCurated(s, corpusDir,
+            slice.filter(col("doc_id") % 5 === 1).select("doc_id"))
+          graft.streaming.StreamCurate.compact(s, corpusDir,
+            graft.streaming.StreamCurate.nextCompactId(s, corpusDir))
+          graft.streaming.Release.publishDelta(s, corpusDir, None, rel,
+            "f2", basedOn = "f1")
+          graft.streaming.StreamCurate.vacuum(s, corpusDir)
+          graft.streaming.StreamCurate.deleteCurated(s, corpusDir,
+            slice.filter(col("doc_id") % 5 === 2).select("doc_id"))
+          graft.streaming.Release.publishDelta(s, corpusDir, None, rel,
+            "f3", basedOn = "f1")
+          ()
+        }
+        graft.ArtifactStore.dirArtifact(d, "x80rel", spec) match {
+          case Some((p, true)) => p.toString
+          case Some((p, false)) =>
+            build(p.toString)
+            graft.ArtifactStore.commitDir(p, spec)
+            p.toString
+          case None =>
+            val p = java.nio.file.Files.createTempDirectory("graft-x80-")
             tmpSt11Dirs += p
             build(p.toString)
             p.toString
@@ -1048,6 +1109,7 @@ object TextQ {
     graft.Graft.warm("releaseRoot")(releaseRoot(s, d))
     graft.Graft.warm("deltaReleaseRoot")(deltaReleaseRoot(s, d))
     graft.Graft.warm("gcReport")(gcReport(s, d))
+    graft.Graft.warm("foldReleaseRoot")(foldReleaseRoot(s, d))
   }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
@@ -1927,6 +1989,41 @@ object TextQ {
     "x78_release_delta" -> ((s, d) =>
       graft.streaming.Release.deltaReport(s, deltaReleaseRoot(s, d),
           "d2").get
+        .select(col("release"), col("based_on"), col("base_gen"),
+          col("gen"), col("n_shards"), col("n_shards_rewritten"),
+          col("n_shards_copied"), col("n_shards_emptied"), col("via"))),
+
+    // X80 — FOLD-CROSSING incremental release ([[graft.streaming
+    // .Release.publishDelta]]'s composed-diff tier, VERDICT r13 #3):
+    // the r13 delta refused to diff across a compaction and fell back
+    // to a full snapshot scan; now [[graft.streaming.StreamCurate
+    // .diffSegments]] splits the manifest walk into forward-only
+    // segments across the provably content-neutral fold (fpstate
+    // metadata equality), so the post-fold delta still costs
+    // O(diff + touched shards) with ZERO snapshot scans — the report
+    // says so (`via = diff_folded`). Oracle: the x78 per-shard
+    // victim/survivor recompute at 64 shards over this fixture's slice.
+    "x80_delta_folded" -> ((s, d) =>
+      graft.streaming.Release.deltaReport(s,
+          s"${foldReleaseRoot(s, d)}/releases", "f2").get
+        .select(col("release"), col("based_on"), col("base_gen"),
+          col("gen"), col("n_shards"), col("n_shards_rewritten"),
+          col("n_shards_copied"), col("n_shards_emptied"), col("via"))),
+
+    // X81 — incremental release from the PER-SHARD FINGERPRINT STATE
+    // ([[graft.streaming.StreamCurate.fingerprintShardState]] →
+    // [[graft.streaming.Release.publishDelta]]'s state tier, VERDICT
+    // r13 #3): after a VACUUM reclaimed the base's pinned generation,
+    // the manifest walk is unprovable — but the curate sink's
+    // maintained ≤1024-bin signed partials (appends positive,
+    // takedowns negative, compaction re-bases) fold to per-shard
+    // (n, xor) at ANY power-of-two shard count, so rewritten/copied/
+    // emptied is decided from pure metadata (`via = state`) and only
+    // the changed shards' content is read. Oracle: the per-shard
+    // split with BOTH takedown waves as victims.
+    "x81_delta_state" -> ((s, d) =>
+      graft.streaming.Release.deltaReport(s,
+          s"${foldReleaseRoot(s, d)}/releases", "f3").get
         .select(col("release"), col("based_on"), col("base_gen"),
           col("gen"), col("n_shards"), col("n_shards_rewritten"),
           col("n_shards_copied"), col("n_shards_emptied"), col("via"))),
@@ -3876,12 +3973,13 @@ object TextQ {
     // st21: the literal expected bytes-level dry run — SF-independent
     // like st19/st20 (verified equal at sf0.001/sf0.01): the maintain
     // fold advanced the four mask sinks one generation and stranded
-    // their pre-fold partitions (corpus 10 = 2×{corpus,seen,digestmap}
-    // + 3 fp partials + 1 tombstone; bm25 8; ivf 6; clusters 4), each
-    // carrying real bytes; the LSM sinks folded nothing and reclaim
-    // nothing. Byte VALUES vary with write parallelism → the driver
-    // pins the has-bytes flag; exact byte equality vs a live listing
-    // recompute is TakedownSpec's pin.
+    // their pre-fold partitions (corpus 13 = 2×{corpus,seen,digestmap}
+    // + 3 fp partials + 3 per-shard fp partials (r14 fpshard family)
+    // + 1 tombstone; bm25 8; ivf 6; clusters 4), each carrying real
+    // bytes; the LSM sinks folded nothing and reclaim nothing. Byte
+    // VALUES vary with write parallelism → the driver pins the
+    // has-bytes flag; exact byte equality vs a live listing recompute
+    // is TakedownSpec's pin.
     "st21_retention_bytes" ->
       """SELECT * FROM (VALUES
            ('bm25', CAST(5 AS BIGINT), CAST(4 AS BIGINT),
@@ -3891,7 +3989,7 @@ object TextQ {
            ('containment', CAST(4 AS BIGINT), CAST(3 AS BIGINT),
             CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
            ('corpus', CAST(5 AS BIGINT), CAST(4 AS BIGINT),
-            CAST(10 AS BIGINT), true, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+            CAST(13 AS BIGINT), true, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
            ('ivf', CAST(5 AS BIGINT), CAST(4 AS BIGINT),
             CAST(6 AS BIGINT), true, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
            ('ngram_df', CAST(4 AS BIGINT), CAST(3 AS BIGINT),
@@ -3950,6 +4048,44 @@ object TextQ {
            (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
            (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied,
            'diff' AS via""",
+    // x80/x81: the delta report recomputed per 64-way shard (the x74
+    // md5 arithmetic) over the %7==2 fixture slice — x80 after the
+    // first takedown wave (composed across the fold), x81 with both
+    // waves (decided from the per-shard state after the vacuum)
+    "x80_delta_folded" ->
+      """WITH t AS (SELECT doc_id, (doc_id % 5 = 1) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM documents WHERE doc_id % 7 = 2),
+         per AS (SELECT shard,
+                   sum(CASE WHEN victim THEN 1 ELSE 0 END) AS nv,
+                   count(*) AS n
+                 FROM t GROUP BY shard)
+         SELECT 'f2' AS release, 'f1' AS based_on,
+           CAST(2 AS INTEGER) AS base_gen, CAST(4 AS INTEGER) AS gen,
+           CAST(64 AS INTEGER) AS n_shards,
+           (SELECT count(*) FROM per WHERE nv > 0 AND nv < n)
+             AS n_shards_rewritten,
+           (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
+           (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied,
+           'diff_folded' AS via""",
+    "x81_delta_state" ->
+      """WITH t AS (SELECT doc_id, (doc_id % 5 IN (1, 2)) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM documents WHERE doc_id % 7 = 2),
+         per AS (SELECT shard,
+                   sum(CASE WHEN victim THEN 1 ELSE 0 END) AS nv,
+                   count(*) AS n
+                 FROM t GROUP BY shard)
+         SELECT 'f3' AS release, 'f1' AS based_on,
+           CAST(2 AS INTEGER) AS base_gen, CAST(5 AS INTEGER) AS gen,
+           CAST(64 AS INTEGER) AS n_shards,
+           (SELECT count(*) FROM per WHERE nv > 0 AND nv < n)
+             AS n_shards_rewritten,
+           (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
+           (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied,
+           'state' AS via""",
     // x79: the literal expected gc account — SF-independent recipe
     // (g1 retired but based_on-referenced by live g2 → kept; g2 live;
     // g3 retired and unreferenced → reclaimed)

@@ -187,15 +187,24 @@ object Release {
     * shards' bytes verbatim, drop shards the new snapshot emptied.
     *
     * The diff runs against `basedOn`'s RECORDED per-shard stats (the
-    * nShards-row table [[publish]] commits) joined with one scan of
-    * the NEW snapshot — the base release's shard BYTES are never read.
-    * Cost: one snapshot scan + writes ∝ changed shards + an O(shards)
-    * metadata pass; at scale a takedown-sized change rewrites
-    * ~|touched docs| shards out of thousands and byte-copies the rest
-    * (object stores make the copy a server-side operation). The
-    * shard assignment is a pure function of the id (the x37/x74
-    * contract), so "changed" is decidable per shard by fingerprint:
-    * identical (n, xor-of-row-hashes) ⇒ identical row content.
+    * nShards-row table [[publish]] commits) — the base release's shard
+    * BYTES are never read on any path. The NEW side resolves through a
+    * three-tier ladder, cheapest provable tier first (VERDICT r13 #3):
+    * (1) the COMPOSED DIFF — [[StreamCurate.diffSegments]] splits the
+    * manifest walk into forward-only segments across provably
+    * content-neutral compaction folds, so even a post-fold delta costs
+    * O(diff + touched shards) with zero snapshot scans (`via = diff` /
+    * `diff_folded`); (2) the PER-SHARD STATE —
+    * [[StreamCurate.fingerprintShardState]]'s maintained partials
+    * decide rewritten/copied/emptied from pure metadata when the walk
+    * is unprovable (vacuumed intermediates), content then read only
+    * for changed shards (`via = state`); (3) the SNAPSHOT SCAN — one
+    * scan fingerprints every shard (`via = scan`). At scale a
+    * takedown-sized change rewrites ~|touched docs| shards out of
+    * thousands and byte-copies the rest (server-side on object
+    * stores). The shard assignment is a pure function of the id (the
+    * x37/x74 contract), so "changed" is decidable per shard by
+    * fingerprint: identical (n, xor-of-row-hashes) ⇒ identical rows.
     *
     * The result is a FULL, self-contained release — same meta schema,
     * same audit/verify surface, indistinguishable from a scratch
@@ -241,32 +250,53 @@ object Release {
       s"base release '$basedOn' carries no per-shard stats (published " +
         "by an earlier build) — delta-diffing would need a full base " +
         "scan; publish from scratch instead")
-    val resolved = gen.orElse(Manifest.readWithGen(s, corpusDir).map(_._1))
+    val latestGen = Manifest.readWithGen(s, corpusDir).map(_._1)
+    val resolved = gen.orElse(latestGen)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed corpus state at $corpusDir"))
     val baseBy = s.read.parquet(statsDir(releaseRoot, basedOn)).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val tmp = stageName(name)
-    // DIFF-path eligibility: the target generation extends the base's
-    // by appends/deletes only (no fold between them — partition lineage
-    // intact). Then [[StreamCurate.diffSnapshots]]' fast path reads
-    // ONLY the partitions added since the base plus pushed-down
-    // tombstone probes — never a corpus scan — and the per-shard stats
-    // FOLD from the base's recorded rows (xor is self-inverse: a
-    // removed row xors itself back out), so the whole delta costs
-    // O(diff + touched shards). Across a fold, the snapshot-scan path
-    // below prices one full scan of the NEW snapshot (base bytes are
-    // still never read).
-    val useDiff = (Manifest.readLiveAt(s, corpusDir, Some(bGen)),
-        Manifest.readLiveAt(s, corpusDir, Some(resolved))) match {
-      case (Some(a), Some(b)) =>
-        a.data.subsetOf(b.data) && a.tombs.subsetOf(b.tombs)
-      case _ => false
-    }
-    val (newBy, rewritten, copied, emptied) = if (useDiff) {
+    // Strategy ladder, cheapest provable tier wins (VERDICT r13 #3):
+    //
+    //  1. COMPOSED DIFF ([[StreamCurate.diffSegments]] — generalizes
+    //     the r13 forward-only check ACROSS COMPACTION FOLDS): the
+    //     manifest walk base→target splits into forward-only segments
+    //     separated by provably content-neutral folds; each segment's
+    //     [[StreamCurate.diffSnapshots]] rides the delta-sized fast
+    //     path and the per-shard stats FOLD from the base's recorded
+    //     rows (xor is self-inverse). Cost: O(diff + touched shards) —
+    //     neither the base's bytes nor the new snapshot's bulk is ever
+    //     read; a fold-only window (republish after compaction) reads
+    //     ZERO corpus bytes and byte-copies every shard.
+    //  2. PER-SHARD STATE ([[StreamCurate.fingerprintShardState]] —
+    //     when the walk is NOT provable, e.g. vacuumed intermediates,
+    //     but the maintained per-shard partials cover the live corpus
+    //     and the release hashes exactly the corpus payload): the
+    //     rewritten/copied/emptied DECISION folds from metadata — zero
+    //     corpus bytes — and only the changed shards' content is read
+    //     (one snapshot scan, writes ∝ changed shards).
+    //  3. SNAPSHOT SCAN (always available): one scan fingerprints
+    //     every shard; base bytes still never read.
+    val segments = StreamCurate.diffSegments(s, corpusDir, bGen, resolved)
+    val stateBy: Option[Map[Int, (Long, Long)]] =
+      if (segments.isEmpty && latestGen.contains(resolved))
+        StreamCurate.fingerprintShardState(s, corpusDir, nShards,
+            Seq(idCol, textCol))
+          .map(_.collect().map(r =>
+            r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+      else None
+    val folded = !(bGen == resolved ||
+      segments.contains(Seq((bGen, resolved))))
+    val (newBy, rewritten, copied, emptied, via) = if (
+        segments.exists(_.isEmpty)) {
+      // content-identical window: pure metadata republish — every base
+      // shard byte-copies, zero corpus bytes read
+      (baseBy, Set.empty[Int], baseBy.keySet, Set.empty[Int],
+        if (folded) "diff_folded" else "diff")
+    } else if (segments.isDefined) {
       val d = TextOps.trainingShards(
-          StreamCurate.diffSnapshots(s, corpusDir, Some(bGen),
-              Some(resolved), idCol)
+          StreamCurate.diffAcross(s, corpusDir, segments.get, idCol)
             .select(col("change"), col(idCol), col(textCol)),
           idCol, nShards)
         .withColumn("__h", TextOps.fingerprintHash(Seq(idCol, textCol)))
@@ -308,31 +338,46 @@ object Release {
           .parquet(shardsDir(releaseRoot, tmp))
       }
       d.unpersist()
-      (nb, rw, cp, em)
+      (nb, rw, cp, em, if (folded) "diff_folded" else "diff")
     } else {
-      // snapshot-scan path: one scan of the new snapshot fingerprints
-      // every shard; content for changed shards comes from the same
-      // lineage (same layout/order contract as writeShards)
-      val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
-        .getOrElse(throw new IllegalArgumentException(
-          s"corpus at $corpusDir has no rows at generation $resolved"))
-        .select(col(idCol), col(textCol))
-      val sharded = TextOps.trainingShards(corpus, idCol, nShards)
-      val nb = TextOps.corpusFingerprint(
-          sharded.select(col("shard"), col(idCol), col(textCol)),
-          Seq(idCol, textCol), Seq("shard"))
-        .collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val rw = nb.keySet.filter(k => baseBy.get(k) != Some(nb(k)))
-      val cp = nb.keySet.filter(k => baseBy.get(k) == Some(nb(k)))
-      val em = baseBy.keySet -- nb.keySet
-      if (rw.nonEmpty)
-        sharded.filter(col("shard").isInCollection(rw.toSeq))
+      def writeChanged(rw: Set[Int]): Unit = if (rw.nonEmpty) {
+        val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
+          .getOrElse(throw new IllegalArgumentException(
+            s"corpus at $corpusDir has no rows at generation $resolved"))
+          .select(col(idCol), col(textCol))
+        TextOps.trainingShards(corpus, idCol, nShards)
+          .filter(col("shard").isInCollection(rw.toSeq))
           .repartition(rw.size, col("shard"))
           .sortWithinPartitions(col("shard"), col("pos"), col(idCol))
           .write.mode("overwrite").partitionBy("shard")
           .parquet(shardsDir(releaseRoot, tmp))
-      (nb, rw, cp, em)
+      }
+      val (nb, usedVia) = stateBy match {
+        case Some(nbMap) =>
+          // per-shard STATE tier: the whole decision from metadata
+          (nbMap, "state")
+        case None =>
+          // snapshot-scan path: one scan fingerprints every shard
+          val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
+            .getOrElse(throw new IllegalArgumentException(
+              s"corpus at $corpusDir has no rows at generation $resolved"))
+            .select(col(idCol), col(textCol))
+          (TextOps.corpusFingerprint(
+              TextOps.trainingShards(corpus, idCol, nShards)
+                .select(col("shard"), col(idCol), col(textCol)),
+              Seq(idCol, textCol), Seq("shard"))
+            .collect()
+            .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+            .toMap, "scan")
+      }
+      val rw = nb.keySet.filter(k => baseBy.get(k) != Some(nb(k)))
+      val cp = nb.keySet.filter(k => baseBy.get(k) == Some(nb(k)))
+      val em = baseBy.keySet -- nb.keySet
+      // content for the changed shards: one column-pruned snapshot
+      // scan, WRITES ∝ changed shards (on the state tier a no-change
+      // republish reads zero corpus bytes — rw is empty)
+      writeChanged(rw)
+      (nb, rw, cp, em, usedVia)
     }
     // ADVICE r13: mirror publish's empty-corpus refusal — an
     // all-emptied delta would commit n_docs=0 with NO shards/ layout,
@@ -370,7 +415,7 @@ object Release {
         lit(rewritten.size.toLong).as("n_shards_rewritten"),
         lit(copied.size.toLong).as("n_shards_copied"),
         lit(emptied.size.toLong).as("n_shards_emptied"),
-        lit(if (useDiff) "diff" else "scan").as("via"))
+        lit(via).as("via"))
       .coalesce(1).write.mode("overwrite")
       .parquet(deltaDir(releaseRoot, tmp))
     commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,

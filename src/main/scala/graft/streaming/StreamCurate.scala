@@ -75,7 +75,17 @@ object StreamCurate {
   private def tombDir(dir: String) = s"$dir/tombstones"
   private def digestMapDir(dir: String) = s"$dir/digestmap"
   private def fpDir(dir: String) = s"$dir/fpstate"
+  private def fpShardDir(dir: String) = s"$dir/fpshard"
   private def binsDir(dir: String) = s"$dir/bins"
+
+  /** Bin count of the PER-SHARD fingerprint partials
+    * ([[fingerprintShardState]]): 1024 fixed bins over the same
+    * `md5U(doc_id)` draw as [[graft.ext.TextOps.trainingShards]]. A
+    * power of two, so any power-of-two `nShards ≤ 1024` folds EXACTLY:
+    * shard = ⌊u·n⌋ = ⌊bin/(B/n)⌋ holds bit-for-bit in double
+    * arithmetic because scaling by 2^t is exact (fl(u·B) = fl(u·n)·2^t
+    * — the rounding error scales with the value). */
+  val FpShardBins = 1024
 
   /** The per-row 60-bit hash under the MAINTAINED fingerprint state
     * ([[fingerprintState]]) — [[graft.ext.TextOps.corpusFingerprint]]'s
@@ -94,6 +104,57 @@ object StreamCurate {
     val payload = df.columns.filterNot(_ == "batch_id").toSeq
     df.agg((count(lit(1)) * sign).as("n"),
       bit_xor(fpRowHash(payload)).as("fp"))
+  }
+
+  /** One signed PER-BIN fingerprint partial over `df` — the
+    * [[fpPartial]] row keyed by the [[FpShardBins]]-way training-shard
+    * draw of `doc_id` (the sink's id contract): (bin, n·sign, xor).
+    * ≤1024 metadata rows per commit; the batch-level partial FOLDS
+    * from it (sum/xor are associative), so both states cost ONE pass
+    * over the just-written partition. Zero rows for an empty frame —
+    * coverage is the partial FILE's presence, never a row. */
+  private def fpShardPartial(df: DataFrame, sign: Int): DataFrame = {
+    require(df.columns.contains("doc_id"),
+      "the curate sink's per-shard partials bin on doc_id (the " +
+        s"appendBatch contract); got schema ${df.columns.mkString(", ")}")
+    val payload = df.columns.filterNot(_ == "batch_id").toSeq
+    df.withColumn("__bin",
+        floor(graft.ext.TextOps.md5Uniform(col("doc_id")) * FpShardBins)
+          .cast("int"))
+      .groupBy(col("__bin").as("bin"))
+      .agg((count(lit(1)) * sign).as("n"),
+        bit_xor(fpRowHash(payload)).as("fp"))
+  }
+
+  /** The zero-row per-bin partial an empty commit writes (schema-only
+    * parquet: the file proves coverage, the fold sees no rows). */
+  private def emptyFpShard(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.range(0).select(lit(0).as("bin"), lit(0L).as("n"), lit(0L).as("fp"))
+
+  /** Write the per-bin partial AND fold the batch-level (n, fp) partial
+    * from it — one source pass, two maintained families in the same
+    * flip. Returns nothing; both partitions are staged directly. */
+  private def writeFpPartials(src: Option[DataFrame],
+                              s: org.apache.spark.sql.SparkSession,
+                              dir: String, id: Int, sign: Int): Unit = {
+    val perBin = src.map(fpShardPartial(_, sign))
+      .getOrElse(emptyFpShard(s)).persist()
+    try {
+      perBin.count()
+      perBin.select(col("bin"), col("n"), col("fp"))
+        .coalesce(1) // direct partition write — no shared-root staging
+        .write.mode("overwrite")
+        .parquet(s"${fpShardDir(dir)}/batch_id=$id")
+      // the batch partial folds from the bins: sum/xor associativity
+      // makes it bit-identical to [[fpPartial]] over the same rows
+      // (empty source ⇒ the (0, NULL) identity row, as before)
+      perBin.agg(coalesce(sum("n"), lit(0L)).as("n"),
+          bit_xor(col("fp")).as("fp"))
+        .select(col("n"), col("fp"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${fpDir(dir)}/batch_id=$id")
+    } finally perBin.unpersist()
   }
 
   /** Tombstone partition ids present under the dir (the negative-id
@@ -205,14 +266,14 @@ object StreamCurate {
       val tsId = nextCompactId(s, dir) // claimed — uniquely ours
       del.coalesce(1) // takedown-sized, not corpus-sized
         .write.mode("overwrite").parquet(s"${tombDir(dir)}/ts_id=$tsId")
-      // NEGATIVE fingerprint partial ([[fingerprintState]]): the rows
-      // this delete removes from the serve, XORed out and counted out
-      // — committed in the SAME flip as the tombstone, keyed by its id
-      // (cleared together at compaction, reclaimed together at vacuum)
-      fpPartial(corpus.join(del, Seq(idCol), "left_semi")
-          .drop("batch_id"), sign = -1)
-        .coalesce(1) // direct partition write — no shared-root staging
-        .write.mode("overwrite").parquet(s"${fpDir(dir)}/batch_id=$tsId")
+      // NEGATIVE fingerprint partials ([[fingerprintState]] +
+      // [[fingerprintShardState]]): the rows this delete removes from
+      // the serve, XORed out and counted out — per-bin and batch-level
+      // in one pass, committed in the SAME flip as the tombstone,
+      // keyed by its id (cleared together at compaction, reclaimed
+      // together at vacuum)
+      writeFpPartials(Some(corpus.join(del, Seq(idCol), "left_semi")
+        .drop("batch_id")), s, dir, tsId, sign = -1)
       try Manifest.commitLiveAfter(s, dir,
         live.copy(tombs = live.tombs + tsId),
         basedOn = st.map(_._1).getOrElse(-1))
@@ -224,7 +285,8 @@ object StreamCurate {
           val fs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(s"${tombDir(dir)}/ts_id=$tsId",
-            s"${fpDir(dir)}/batch_id=$tsId").foreach(p =>
+            s"${fpDir(dir)}/batch_id=$tsId",
+            s"${fpShardDir(dir)}/batch_id=$tsId").foreach(p =>
             fs.delete(new org.apache.hadoop.fs.Path(p), true))
           throw e
       }
@@ -259,13 +321,12 @@ object StreamCurate {
     // on dirs whose batches all predate it)
     digestMap(s, dir).foreach(_.drop("batch_id").write.mode("overwrite")
       .parquet(s"${digestMapDir(dir)}/batch_id=$into"))
-    // fresh EXACT fingerprint base ([[fingerprintState]]) computed from
-    // the folded corpus itself (not from the partials) — this is also
-    // the migration path: a dir with pre-upgrade batches becomes
-    // incrementally fingerprintable at its first fold
-    fpPartial(corpus.drop("batch_id"), sign = 1)
-      .coalesce(1) // direct partition write — no shared-root staging
-      .write.mode("overwrite").parquet(s"${fpDir(dir)}/batch_id=$into")
+    // fresh EXACT fingerprint bases ([[fingerprintState]] +
+    // [[fingerprintShardState]]) computed from the folded corpus
+    // itself (not from the partials) — this is also the migration
+    // path: a dir with pre-upgrade batches becomes incrementally
+    // fingerprintable (batch-level AND per-shard) at its first fold
+    writeFpPartials(Some(corpus.drop("batch_id")), s, dir, into, sign = 1)
     // admission-reference partials ([[admitBatch]]) fold by METADATA —
     // the summed (bin, n) over live coverage becomes the base's
     // partial; a dir without full coverage skips (the gate falls back
@@ -282,7 +343,7 @@ object StreamCurate {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         Seq(corpusDir(dir), seenDir(dir), digestMapDir(dir), fpDir(dir),
-            binsDir(dir))
+            fpShardDir(dir), binsDir(dir))
           .foreach(d =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$d/batch_id=$into"),
               true))
@@ -360,7 +421,8 @@ object StreamCurate {
   private def vacuumFamilies(dir: String): Seq[(String, String)] = Seq(
     corpusDir(dir) -> "batch_id=", seenDir(dir) -> "batch_id=",
     digestMapDir(dir) -> "batch_id=", fpDir(dir) -> "batch_id=",
-    binsDir(dir) -> "batch_id=", tombDir(dir) -> "ts_id=")
+    fpShardDir(dir) -> "batch_id=", binsDir(dir) -> "batch_id=",
+    tombDir(dir) -> "ts_id=")
 
   /** DRY RUN of [[vacuum]] ([[Manifest.vacuumPlan]] on this layout). */
   def vacuumPlan(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -541,6 +603,68 @@ object StreamCurate {
             .otherwise(col("fingerprint")).as("fingerprint")))
     }
 
+  /** The MAINTAINED PER-SHARD corpus fingerprint —
+    * [[fingerprintState]]'s release-grade sibling (VERDICT r13 #3):
+    * [[graft.ext.TextOps.corpusFingerprint]] of the SERVED corpus
+    * grouped by the [[graft.ext.TextOps.trainingShards]] assignment at
+    * `nShards`, answered from METADATA-SIZED state — ≤[[FpShardBins]]
+    * rows per commit, same signed-fold lifecycle as the batch partials
+    * (appends positive, takedowns negative, compaction re-bases). This
+    * is what lets [[Release.publishDelta]] decide rewritten/copied/
+    * emptied shards across a compaction FOLD without reading a corpus
+    * byte.
+    *
+    * `nShards` must divide [[FpShardBins]] (any power of two ≤ 1024) —
+    * shard = ⌊bin/(B/n)⌋ then matches ⌊u·n⌋ exactly (power-of-two
+    * scaling is exact in doubles). `payloadCols` guards HASH
+    * compatibility: the partials hash the corpus's full payload in
+    * sorted-name order, so a caller comparing against fingerprints of
+    * a projection (the release stats hash exactly (id, text)) must ask
+    * for exactly the corpus's payload — a mismatch returns None, never
+    * a silently-different hash.
+    *
+    * Returns (shard, n_rows, fingerprint) for non-empty shards — equal
+    * by construction to `corpusFingerprint(trainingShards(load(dir)),
+    * payload, Seq("shard"))` (FingerprintStateSpec pins it at every
+    * lifecycle point). None when coverage is unprovable (some live
+    * batch or tombstone predates this upgrade — compact once to mint a
+    * base), when `nShards` doesn't divide the bins, or when the
+    * payload differs. */
+  def fingerprintShardState(s: org.apache.spark.sql.SparkSession,
+                            dir: String, nShards: Int,
+                            payloadCols: Seq[String]): Option[DataFrame] = {
+    if (nShards <= 0 || FpShardBins % nShards != 0) return None
+    val schemaOk = load(s, dir).exists(df =>
+      df.columns.filterNot(_ == "batch_id").sorted.toSeq ==
+        payloadCols.sorted)
+    if (!schemaOk) return None
+    liveFamilies(s, dir, None).flatMap { case (data, tombs) =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def has(d: String) =
+        Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(d))
+      val dataUncovered = data.exists(id =>
+        has(s"${corpusDir(dir)}/batch_id=$id") &&
+          !has(s"${fpShardDir(dir)}/batch_id=$id"))
+      val tombUncovered = tombs.exists(id =>
+        has(s"${tombDir(dir)}/ts_id=$id") &&
+          !has(s"${fpShardDir(dir)}/batch_id=$id"))
+      val paths = (data ++ tombs).toSeq.sorted
+        .map(id => s"${fpShardDir(dir)}/batch_id=$id").filter(has)
+      if (dataUncovered || tombUncovered || paths.isEmpty) None
+      // netted-to-zero shards drop (a shard with no rows is no group in
+      // the scan form); a fully-cancelled bin xors itself back to 0 and
+      // contributes the identity to its shard's fold
+      else Some(s.read.option("basePath", fpShardDir(dir))
+        .parquet(paths: _*)
+        .groupBy(floor(col("bin") / (FpShardBins / nShards)).cast("int")
+          .as("shard"))
+        .agg(sum(col("n")).as("n_rows"),
+          bit_xor(col("fp")).as("fingerprint"))
+        .filter(col("n_rows") > 0))
+    }
+  }
+
   /** The general (EXCEPT-both-ways) diff path unconditionally — the
     * spec's fast ≡ general parity pin calls this next to
     * [[diffSnapshots]] on a forward-only window. */
@@ -557,6 +681,106 @@ object StreamCurate {
     def tag(df: DataFrame, label: String): DataFrame =
       df.select(lit(label).as("change") +: payload.map(col): _*)
     tag(pb.except(pa), "added").unionByName(tag(pa.except(pb), "removed"))
+  }
+
+  /** Segment the generation walk [genA..genB] for a COMPOSED forward
+    * diff ACROSS COMPACTION FOLDS ([[graft.streaming.Release
+    * .publishDelta]]'s generalized diff eligibility, VERDICT r13 #3):
+    * each consecutive manifest step is classified FORWARD-ONLY (data
+    * and tombstones both grow — an append or a takedown) or PROVABLY
+    * CONTENT-NEUTRAL (a compaction fold: the maintained fpstate
+    * partials at both ends fold to the same (n, xor), pure metadata).
+    * Neutral steps contribute nothing to a diff and are skipped; the
+    * forward runs between them become segments whose [[diffSnapshots]]
+    * each ride the delta-sized fast path. An empty result = the whole
+    * window is content-neutral (e.g. republish right after a fold).
+    *
+    * None when the walk is not provable — a generation in the window
+    * was vacuumed past, a step is neither forward nor neutral, fpstate
+    * coverage breaks, or a partition a segment diff would read is gone
+    * — the caller falls back to a snapshot-level strategy. All checks
+    * are metadata-sized (manifest files, partition listings, 1-row
+    * fpstate partials); no corpus bytes are read here. */
+  private[streaming] def diffSegments(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, genA: Int, genB: Int)
+      : Option[Seq[(Int, Int)]] = {
+    require(genA <= genB, s"walk runs forward (got $genA > $genB)")
+    if (genA == genB) return Some(Seq.empty)
+    val have = Manifest.generations(s, dir).toSet
+    if (!(genA to genB).forall(have.contains)) return None
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def has(p: String) =
+      Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p))
+    val lives = (genA to genB).flatMap(g =>
+      Manifest.readLiveAt(s, dir, Some(g)).map(g -> _)).toMap
+    if (lives.size != genB - genA + 1) return None
+    // every partition any segment diff could read must still exist
+    val present = (genA to genB).forall { g =>
+      lives(g).data.forall(id => has(s"${corpusDir(dir)}/batch_id=$id")) &&
+        lives(g).tombs.forall(id => has(s"${tombDir(dir)}/ts_id=$id"))
+    }
+    if (!present) return None
+    // the (n, xor) fold at a pinned generation, from fpstate metadata
+    def fpAt(g: Int): Option[(Long, Long)] = {
+      val ids = (lives(g).data ++ lives(g).tombs).toSeq.sorted
+      val paths = ids.map(id => s"${fpDir(dir)}/batch_id=$id")
+      if (ids.isEmpty || !paths.forall(has)) None
+      else {
+        val r = s.read.option("basePath", fpDir(dir)).parquet(paths: _*)
+          .agg(coalesce(sum(col("n")), lit(0L)),
+            bit_xor(coalesce(col("fp"), lit(0L)))).head()
+        Some((r.getLong(0), if (r.getLong(0) == 0L) 0L else r.getLong(1)))
+      }
+    }
+    val segs = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var segStart = genA
+    var g = genA
+    while (g < genB) {
+      val (a, b) = (lives(g), lives(g + 1))
+      val forward = a.data.subsetOf(b.data) && a.tombs.subsetOf(b.tombs)
+      if (!forward) {
+        val neutral = (fpAt(g), fpAt(g + 1)) match {
+          case (Some(x), Some(y)) => x == y
+          case _ => false
+        }
+        if (!neutral) return None
+        if (segStart < g) segs += ((segStart, g))
+        segStart = g + 1
+      }
+      g += 1
+    }
+    if (segStart < genB) segs += ((segStart, genB))
+    Some(segs.toList)
+  }
+
+  /** The COMPOSED diff over [[diffSegments]]' windows: per-segment
+    * [[diffSnapshots]] (each fast/delta-sized by construction) netted
+    * by full-payload sign — a row added in one segment and removed in a
+    * later one cancels, a removed-then-re-added row cancels the other
+    * way; alternation bounds every net in {−1, 0, +1}. The netting
+    * shuffle is DELTA-sized (only changed rows ever enter a leg). */
+  private[streaming] def diffAcross(s: org.apache.spark.sql.SparkSession,
+                                    dir: String, segs: Seq[(Int, Int)],
+                                    idCol: String): DataFrame = {
+    require(segs.nonEmpty,
+      "a fold-only window diffs to nothing — handle it without a read")
+    if (segs.size == 1)
+      diffSnapshots(s, dir, Some(segs.head._1), Some(segs.head._2), idCol)
+    else {
+      val u = segs.map { case (a, b) =>
+          diffSnapshots(s, dir, Some(a), Some(b), idCol)
+            .withColumn("__sign",
+              when(col("change") === "added", 1).otherwise(-1))
+            .drop("change")
+        }.reduce(_ unionByName _)
+      val payload = u.columns.filterNot(_ == "__sign").toSeq
+      u.groupBy(payload.map(col): _*)
+        .agg(sum("__sign").as("__net"))
+        .filter(col("__net") =!= 0)
+        .select(when(col("__net") > 0, lit("added"))
+          .otherwise(lit("removed")).as("change") +: payload.map(col): _*)
+    }
   }
 
   /** `foreachBatch` sink body: micro-batch → first-seen dedup against
@@ -609,6 +833,7 @@ object StreamCurate {
         s"${corpusDir(dir)}/batch_id=${batchId.toInt}",
         s"${digestMapDir(dir)}/batch_id=${batchId.toInt}",
         s"${fpDir(dir)}/batch_id=${batchId.toInt}",
+        s"${fpShardDir(dir)}/batch_id=${batchId.toInt}",
         s"${binsDir(dir)}/batch_id=${batchId.toInt}"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__digest").orderBy(col("doc_id"))
@@ -655,28 +880,26 @@ object StreamCurate {
       survivors
         .write.mode("overwrite")
         .parquet(s"${corpusDir(dir)}/batch_id=${batchId.toInt}")
-      // MAINTAINED fingerprint partial ([[fingerprintState]]): one
-      // (n, xor) row per batch, computed from the JUST-WRITTEN corpus
-      // partition (byte-identical to what will serve — never a
-      // re-evaluation of the policy plan) WITH the current tombstone
-      // masks applied — [[loadAt]] masks tombstoned keys against EVERY
-      // live partition, so a batch re-ingesting a previously-deleted
-      // key (fresh digest, same key) appends a row that never serves;
-      // hashing it in would make the state diverge from the serve with
-      // no refusal. Empty-survivor batches write the identity partial
-      // so coverage stays provable.
+      // MAINTAINED fingerprint partials ([[fingerprintState]] +
+      // [[fingerprintShardState]]): per-bin (≤1024 rows) and
+      // batch-level (one row, folded from the bins) partials, computed
+      // from the JUST-WRITTEN corpus partition (byte-identical to what
+      // will serve — never a re-evaluation of the policy plan) WITH
+      // the current tombstone masks applied — [[loadAt]] masks
+      // tombstoned keys against EVERY live partition, so a batch
+      // re-ingesting a previously-deleted key (fresh digest, same key)
+      // appends a row that never serves; hashing it in would make the
+      // state diverge from the serve with no refusal. Empty-survivor
+      // batches write empty/identity partials so coverage stays
+      // provable.
       val writtenPath = s"${corpusDir(dir)}/batch_id=${batchId.toInt}"
-      val fpSrc =
+      writeFpPartials(
         if (hasDataFiles(spark, writtenPath))
-          fpPartial(tombstoneMasks(spark, dir, asOfGen = None)
+          Some(tombstoneMasks(spark, dir, asOfGen = None)
             .foldLeft(spark.read.parquet(writtenPath))((c, m) =>
-              c.join(m, Seq(m.columns.head), "left_anti")), sign = 1)
-        else spark.range(1).select(lit(0L).as("n"),
-          lit(null).cast("long").as("fp"))
-      fpSrc.select(col("n"), col("fp"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"${fpDir(dir)}/batch_id=${batchId.toInt}")
+              c.join(m, Seq(m.columns.head), "left_anti")))
+        else None,
+        spark, dir, batchId.toInt, sign = 1)
       // MAINTAINED admission-reference partial ([[admitBatch]]): this
       // batch's kept rows counted per clamped bin — nBins rows of
       // metadata riding the same flip, so the gate's reference

@@ -119,6 +119,82 @@ class FingerprintStateSpec extends AnyFunSuite {
     assert(state(dir).contains(scan(dir)))
   }
 
+  /** shard → (n, fp) from the maintained per-shard state at nShards. */
+  private def shardState(dir: String, n: Int)
+      : Option[Map[Int, (Long, Long)]] =
+    StreamCurate.fingerprintShardState(spark, dir, n,
+        Seq("doc_id", "text"))
+      .map(_.collect().map(r =>
+        r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+
+  /** shard → (n, fp) from a full scan via trainingShards — the form the
+    * release publisher's per-shard stats use. */
+  private def shardScan(dir: String, n: Int): Map[Int, (Long, Long)] = {
+    val served = StreamCurate.load(spark, dir).get.drop("batch_id")
+    TextOps.corpusFingerprint(
+        TextOps.trainingShards(served, "doc_id", n)
+          .select(col("shard"), col("doc_id"), col("text")),
+        Seq("doc_id", "text"), Seq("shard"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("per-shard state equals the sharded scan at every lifecycle point") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpshard").toString
+    // enough rows to spread over shards at n=8
+    append(dir, 0L, (1L to 24L).map(i => i -> (good + s"a$i")))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)), "after append")
+    assert(shardState(dir, 4).contains(shardScan(dir, 4)),
+      "any power-of-two shard count folds from the same bins")
+    append(dir, 1L, (25L to 40L).map(i => i -> (good + s"b$i")))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)),
+      "after second append")
+    // empty-survivor batch keeps coverage provable
+    append(dir, 2L, Seq(90L -> "short"))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)),
+      "after empty-survivor batch")
+    // takedown folds the victims' bins out
+    StreamCurate.deleteCurated(spark, dir,
+      Seq(2L, 3L, 26L).toDF("doc_id"))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)), "after delete")
+    // compaction re-bases; serve unchanged
+    val pre = shardState(dir, 8).get
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    assert(shardState(dir, 8).contains(pre),
+      "compact must not move the per-shard state")
+    StreamCurate.vacuum(spark, dir)
+    assert(shardState(dir, 8).contains(pre),
+      "vacuum must not move the per-shard state")
+    append(dir, 7L, Seq(50L -> (good + "k")))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)),
+      "append after compact+vacuum")
+    // guards: a non-divisor shard count and a payload mismatch refuse
+    assert(StreamCurate.fingerprintShardState(spark, dir, 3,
+      Seq("doc_id", "text")).isEmpty, "3 does not divide 1024")
+    assert(StreamCurate.fingerprintShardState(spark, dir, 8,
+      Seq("doc_id", "text", "lang")).isEmpty,
+      "a payload mismatch must refuse, never hash differently")
+  }
+
+  test("per-shard pre-upgrade coverage refused; compaction migrates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpshard_mig").toString
+    append(dir, 0L, (1L to 6L).map(i => i -> (good + s"a$i")))
+    append(dir, 1L, (7L to 12L).map(i => i -> (good + s"b$i")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/fpshard/batch_id=0"),
+      true)
+    assert(shardState(dir, 8).isEmpty,
+      "unprovable coverage must refuse, not serve wrong shard stats")
+    StreamCurate.compact(spark, dir,
+      into = StreamCurate.nextCompactId(spark, dir))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)),
+      "compaction mints the per-shard base")
+  }
+
   test("pre-upgrade coverage refused; compaction is the migration path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fpstate_mig").toString

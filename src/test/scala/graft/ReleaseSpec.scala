@@ -213,21 +213,58 @@ class ReleaseSpec extends AnyFunSuite {
       nShards = 16)
     assert(rows("delta2") == rows("scratch2"),
       "delta-on-delta content must equal scratch")
-    // a FOLD between the generations breaks the partition lineage: the
-    // delta falls back to the snapshot-scan path — same result, one
-    // scan of the new snapshot, base bytes still never read
+    // a FOLD between the generations no longer forces a snapshot scan
+    // (r14): the walk composes across the provably content-neutral
+    // compaction — forward segments either side, netted — and the
+    // delta still reads only diff-sized bytes (via = diff_folded)
     StreamCurate.deleteCurated(spark, corpusDir, Seq(44L).toDF("doc_id"))
     StreamCurate.compact(spark, corpusDir,
       StreamCurate.nextCompactId(spark, corpusDir))
     val rep3 = Release.publishDelta(spark, corpusDir, None, relRoot,
       "delta3", basedOn = "delta2").collect().head
-    assert(rep3.getString(8) == "scan", s"a fold must force the scan: $rep3")
+    assert(rep3.getString(8) == "diff_folded",
+      s"a fold must compose, not force a scan: $rep3")
     Release.publish(spark, corpusDir, None, relRoot, "scratch3",
       nShards = 16)
     assert(rows("delta3") == rows("scratch3"),
       "post-fold delta content must equal scratch")
     assert(Release.verifyShards(spark, relRoot).collect()
       .forall(_.getBoolean(5)), "every release must still verify")
+    // a FOLD-ONLY window (republish right after a compaction, no other
+    // change) is a pure metadata republish: every shard byte-copies
+    StreamCurate.compact(spark, corpusDir,
+      StreamCurate.nextCompactId(spark, corpusDir))
+    val repF = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "deltaF", basedOn = "delta3").collect().head
+    assert(repF.getString(8) == "diff_folded" && repF.getLong(5) == 0 &&
+      repF.getLong(7) == 0, s"fold-only window must copy everything: $repF")
+    assert(rows("deltaF") == rows("delta3"))
+    // VACUUMED intermediates make the walk unprovable: the PER-SHARD
+    // STATE tier decides rewritten/copied/emptied from metadata
+    // (via = state) — against a base whose pinned gen is gone
+    StreamCurate.vacuum(spark, corpusDir)
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(31L).toDF("doc_id"))
+    val rep4 = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta4", basedOn = "delta2").collect().head
+    assert(rep4.getString(8) == "state",
+      s"vacuumed walk must use the per-shard state: $rep4")
+    Release.publish(spark, corpusDir, None, relRoot, "scratch4",
+      nShards = 16)
+    assert(rows("delta4") == rows("scratch4"),
+      "state-tier delta content must equal scratch")
+    // and with the per-shard state gone too (pre-upgrade dir), the
+    // snapshot scan remains the correct last resort
+    fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/fpshard"), true)
+    val rep5 = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta5", basedOn = "delta2").collect().head
+    assert(rep5.getString(8) == "scan",
+      s"no walk, no state -> the scan fallback: $rep5")
+    Release.publish(spark, corpusDir, None, relRoot, "scratch5",
+      nShards = 16)
+    assert(rows("delta5") == rows("scratch5"),
+      "scan-tier delta content must equal scratch")
+    assert(rows("delta5") == rows("delta4"),
+      "state and scan must decide identically on the same snapshot")
     // a base from a DIFFERENT corpus refuses loudly (ADVICE r13: a
     // cross-corpus diff would byte-copy colliding shards from the
     // wrong lineage into a release claiming this corpus's generation)

@@ -356,6 +356,7 @@ class TakedownSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fams = Seq("corpus" -> "batch_id=", "seen" -> "batch_id=",
       "digestmap" -> "batch_id=", "fpstate" -> "batch_id=",
+      "fpshard" -> "batch_id=", // r14: the per-shard fingerprint family
       "bins" -> "batch_id=", "tombstones" -> "ts_id=")
     var expected = 0L
     fams.foreach { case (sub, prefix) =>
