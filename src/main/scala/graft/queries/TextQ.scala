@@ -2028,6 +2028,20 @@ object TextQ {
           col("gen"), col("n_shards"), col("n_shards_rewritten"),
           col("n_shards_copied"), col("n_shards_emptied"), col("via"))),
 
+    // X82 — DELTA PRE-FLIGHT ([[graft.streaming.Release
+    // .deltaPreflight]]): the st22 plan-before-act idea for deltas —
+    // price a publishDelta (rewritten/copied/emptied shards vs a base)
+    // from PURE METADATA: the base's recorded per-shard stats vs the
+    // curate sink's maintained per-shard fingerprint state pinned at
+    // the same generation. Zero corpus bytes, nothing staged. Over the
+    // x80/x81 fixture the live-corpus plan against f1 must equal the
+    // account f3's actual publish reported (ReleaseSpec pins
+    // preflight ≡ published report field-for-field).
+    "x82_delta_preflight" -> ((s, d) =>
+      graft.streaming.Release.deltaPreflight(s,
+        s"${foldReleaseRoot(s, d)}/corpus", None,
+        s"${foldReleaseRoot(s, d)}/releases", basedOn = "f1")),
+
     // X79 — release RETIRE + GC ([[graft.streaming.Release.retire]]/
     // [[graft.streaming.Release.gc]], VERDICT r13 #4): the registry's
     // closing verb — retire makes a release registry-invisible in one
@@ -4086,6 +4100,24 @@ object TextQ {
            (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
            (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied,
            'state' AS via""",
+    // x82: x81's per-shard account re-derived — the zero-byte preflight
+    // must price exactly what the state-tier publish then did
+    "x82_delta_preflight" ->
+      """WITH t AS (SELECT doc_id, (doc_id % 5 IN (1, 2)) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM documents WHERE doc_id % 7 = 2),
+         per AS (SELECT shard,
+                   sum(CASE WHEN victim THEN 1 ELSE 0 END) AS nv,
+                   count(*) AS n
+                 FROM t GROUP BY shard)
+         SELECT 'f1' AS based_on,
+           CAST(2 AS INTEGER) AS base_gen, CAST(5 AS INTEGER) AS gen,
+           CAST(64 AS INTEGER) AS n_shards,
+           (SELECT count(*) FROM per WHERE nv > 0 AND nv < n)
+             AS n_shards_rewritten,
+           (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
+           (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied""",
     // x79: the literal expected gc account — SF-independent recipe
     // (g1 retired but based_on-referenced by live g2 → kept; g2 live;
     // g3 retired and unreferenced → reclaimed)

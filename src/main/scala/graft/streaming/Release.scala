@@ -92,10 +92,19 @@ object Release {
     // of rescanning this release's bytes — the nShards-row table is the
     // whole cost of that future saving. The global (n_docs,
     // fingerprint) folds from the same rows (xor is associative).
-    val stats = TextOps.corpusFingerprint(
+    // r14: fold the stats from the sink's MAINTAINED per-shard state
+    // when it covers the published generation (pinned — partials are
+    // immutable per-batch files, so there is no read-vs-resolve race):
+    // publish then costs ONE corpus pass (writeShards' scan) instead of
+    // two. Equality is triple-netted: FingerprintStateSpec pins
+    // state ≡ sharded scan, verifyShards recomputes from the written
+    // bytes, and the x77 oracle recomputes from raw in DuckDB.
+    val stats = StreamCurate.fingerprintShardState(s, corpusDir,
+        nShards, Seq(idCol, textCol), Some(resolved))
+      .getOrElse(TextOps.corpusFingerprint(
         TextOps.trainingShards(corpus, idCol, nShards)
           .select(col("shard"), col(idCol), col(textCol)),
-        Seq(idCol, textCol), Seq("shard"))
+        Seq(idCol, textCol), Seq("shard")))
     stats.coalesce(1).write.mode("overwrite")
       .parquet(statsDir(releaseRoot, tmp))
     commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,
@@ -218,24 +227,8 @@ object Release {
       : DataFrame = {
     require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
       s"release names are single path segments, got '$name'")
-    val base = registry(s, releaseRoot).toSeq.flatMap(_
-        .filter(col("release") === basedOn).collect()).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown base release '$basedOn' at $releaseRoot"))
-    val (nShards, bGen) = (base.getAs[Int]("n_shards"), base.getAs[Int]("gen"))
-    require(base.getAs[String]("id_col") == idCol &&
-      base.getAs[String]("text_col") == textCol,
-      s"delta must keep the base's columns (${base.getAs[String]("id_col")}" +
-        s", ${base.getAs[String]("text_col")})")
-    // ADVICE r13: the base's recorded lineage must be THIS corpus — a
-    // different dir would diff its per-shard stats against an unrelated
-    // corpus, and any shard whose (n, xor) happened to collide would
-    // byte-copy from the WRONG corpus into a release whose meta claims
-    // the new corpus's generation
-    require(base.getAs[String]("corpus_dir") == corpusDir,
-      s"base release '$basedOn' was published from " +
-        s"${base.getAs[String]("corpus_dir")}, not $corpusDir — a delta " +
-        "must extend the same corpus lineage; publish from scratch instead")
+    val (nShards, bGen, baseBy) =
+      baseForDelta(s, releaseRoot, basedOn, corpusDir, idCol, textCol)
     val fs = new Path(releaseRoot)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(metaDir(releaseRoot, name))),
@@ -245,17 +238,9 @@ object Release {
       s"release '$name' was retired at $releaseRoot — retired names stay " +
         "claimed (reuse would alias two lineages in based_on provenance); " +
         "publish under a new name")
-    require(Manifest.hasDataFiles(fs,
-        new Path(statsDir(releaseRoot, basedOn))),
-      s"base release '$basedOn' carries no per-shard stats (published " +
-        "by an earlier build) — delta-diffing would need a full base " +
-        "scan; publish from scratch instead")
-    val latestGen = Manifest.readWithGen(s, corpusDir).map(_._1)
-    val resolved = gen.orElse(latestGen)
+    val resolved = gen.orElse(Manifest.readWithGen(s, corpusDir).map(_._1))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed corpus state at $corpusDir"))
-    val baseBy = s.read.parquet(statsDir(releaseRoot, basedOn)).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val tmp = stageName(name)
     // Strategy ladder, cheapest provable tier wins (VERDICT r13 #3):
     //
@@ -280,9 +265,9 @@ object Release {
     //     every shard; base bytes still never read.
     val segments = StreamCurate.diffSegments(s, corpusDir, bGen, resolved)
     val stateBy: Option[Map[Int, (Long, Long)]] =
-      if (segments.isEmpty && latestGen.contains(resolved))
+      if (segments.isEmpty)
         StreamCurate.fingerprintShardState(s, corpusDir, nShards,
-            Seq(idCol, textCol))
+            Seq(idCol, textCol), Some(resolved))
           .map(_.collect().map(r =>
             r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
       else None
@@ -421,6 +406,83 @@ object Release {
     commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,
       nShards, idCol, textCol)
     deltaReport(s, releaseRoot, name).get
+  }
+
+  /** Resolve a delta base: the registry row's recorded layout plus its
+    * per-shard stats — the shared prologue of [[publishDelta]] and
+    * [[deltaPreflight]], carrying the lineage/column/stats refusals
+    * (ADVICE r13: a cross-corpus diff would byte-copy colliding shards
+    * from the WRONG corpus into a release claiming this corpus's
+    * generation). Returns (nShards, baseGen, per-shard stats map). */
+  private def baseForDelta(s: SparkSession, releaseRoot: String,
+                           basedOn: String, corpusDir: String,
+                           idCol: String, textCol: String)
+      : (Int, Int, Map[Int, (Long, Long)]) = {
+    val base = registry(s, releaseRoot).toSeq.flatMap(_
+        .filter(col("release") === basedOn).collect()).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown base release '$basedOn' at $releaseRoot"))
+    val (nShards, bGen) = (base.getAs[Int]("n_shards"), base.getAs[Int]("gen"))
+    require(base.getAs[String]("id_col") == idCol &&
+      base.getAs[String]("text_col") == textCol,
+      s"delta must keep the base's columns (${base.getAs[String]("id_col")}" +
+        s", ${base.getAs[String]("text_col")})")
+    require(base.getAs[String]("corpus_dir") == corpusDir,
+      s"base release '$basedOn' was published from " +
+        s"${base.getAs[String]("corpus_dir")}, not $corpusDir — a delta " +
+        "must extend the same corpus lineage; publish from scratch instead")
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(Manifest.hasDataFiles(fs,
+        new Path(statsDir(releaseRoot, basedOn))),
+      s"base release '$basedOn' carries no per-shard stats (published " +
+        "by an earlier build) — delta-diffing would need a full base " +
+        "scan; publish from scratch instead")
+    val baseBy = s.read.parquet(statsDir(releaseRoot, basedOn)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (nShards, bGen, baseBy)
+  }
+
+  /** ZERO-BYTE pre-flight of [[publishDelta]] (the st22 plan-before-act
+    * idea, applied to deltas): the rewrite/copy/empty account for
+    * publishing the corpus at `gen` (None = latest) against `basedOn`,
+    * decided ENTIRELY from metadata — the base's recorded per-shard
+    * stats vs the sink's maintained per-shard fingerprint state pinned
+    * at the same generation. No corpus bytes read, nothing staged,
+    * nothing written: the operator prices a delta (how many shards
+    * rewrite, how much of the release byte-copies) before paying for
+    * it. One deltaReport-shaped row minus the release name. Throws
+    * when the state cannot prove the snapshot (pre-upgrade dir,
+    * non-power-of-two shard count, payload mismatch, vacuumed
+    * partials) — the real [[publishDelta]] still has its diff/scan
+    * tiers for those. */
+  def deltaPreflight(s: SparkSession, corpusDir: String, gen: Option[Int],
+                     releaseRoot: String, basedOn: String,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val (nShards, bGen, baseBy) =
+      baseForDelta(s, releaseRoot, basedOn, corpusDir, idCol, textCol)
+    val resolved = gen.orElse(Manifest.readWithGen(s, corpusDir).map(_._1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed corpus state at $corpusDir"))
+    val nb = StreamCurate.fingerprintShardState(s, corpusDir, nShards,
+        Seq(idCol, textCol), Some(resolved))
+      .getOrElse(throw new IllegalArgumentException(
+        s"the per-shard fingerprint state cannot prove generation " +
+          s"$resolved of $corpusDir at $nShards shards — run " +
+          "publishDelta (its diff/scan tiers cover this) or compact " +
+          "once to mint state coverage"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rw = nb.keySet.count(k => baseBy.get(k) != Some(nb(k)))
+    val cp = nb.keySet.count(k => baseBy.get(k) == Some(nb(k)))
+    val em = (baseBy.keySet -- nb.keySet).size
+    s.range(1).select(lit(basedOn).as("based_on"),
+      lit(bGen).as("base_gen"), lit(resolved).as("gen"),
+      lit(nShards).as("n_shards"),
+      lit(rw.toLong).as("n_shards_rewritten"),
+      lit(cp.toLong).as("n_shards_copied"),
+      lit(em.toLong).as("n_shards_emptied"))
   }
 
   /** The one-row delta report of a [[publishDelta]] release; None for

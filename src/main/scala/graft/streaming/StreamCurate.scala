@@ -626,19 +626,24 @@ object StreamCurate {
     * Returns (shard, n_rows, fingerprint) for non-empty shards — equal
     * by construction to `corpusFingerprint(trainingShards(load(dir)),
     * payload, Seq("shard"))` (FingerprintStateSpec pins it at every
-    * lifecycle point). None when coverage is unprovable (some live
-    * batch or tombstone predates this upgrade — compact once to mint a
-    * base), when `nShards` doesn't divide the bins, or when the
-    * payload differs. */
+    * lifecycle point). `gen` pins the answer to a committed generation
+    * (None = latest): partials are per-batch immutable files, so the
+    * state serves ANY generation whose partials still exist — a
+    * publisher resolving a generation first and folding the state for
+    * exactly that snapshot has no read-vs-resolve race. None when
+    * coverage is unprovable (some live batch or tombstone predates
+    * this upgrade — compact once to mint a base), when `nShards`
+    * doesn't divide the bins, or when the payload differs. */
   def fingerprintShardState(s: org.apache.spark.sql.SparkSession,
                             dir: String, nShards: Int,
-                            payloadCols: Seq[String]): Option[DataFrame] = {
+                            payloadCols: Seq[String],
+                            gen: Option[Int] = None): Option[DataFrame] = {
     if (nShards <= 0 || FpShardBins % nShards != 0) return None
     val schemaOk = load(s, dir).exists(df =>
       df.columns.filterNot(_ == "batch_id").sorted.toSeq ==
         payloadCols.sorted)
     if (!schemaOk) return None
-    liveFamilies(s, dir, None).flatMap { case (data, tombs) =>
+    liveFamilies(s, dir, gen).flatMap { case (data, tombs) =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def has(d: String) =

@@ -244,10 +244,23 @@ class ReleaseSpec extends AnyFunSuite {
     // (via = state) — against a base whose pinned gen is gone
     StreamCurate.vacuum(spark, corpusDir)
     StreamCurate.deleteCurated(spark, corpusDir, Seq(31L).toDF("doc_id"))
+    // the ZERO-BYTE pre-flight prices the delta before it is published…
+    val pre4 = Release.deltaPreflight(spark, corpusDir, None, relRoot,
+      basedOn = "delta2").collect().head
     val rep4 = Release.publishDelta(spark, corpusDir, None, relRoot,
       "delta4", basedOn = "delta2").collect().head
     assert(rep4.getString(8) == "state",
       s"vacuumed walk must use the per-shard state: $rep4")
+    // …and must equal the acted report field-for-field
+    assert((pre4.getAs[Long]("n_shards_rewritten"),
+        pre4.getAs[Long]("n_shards_copied"),
+        pre4.getAs[Long]("n_shards_emptied"),
+        pre4.getAs[Int]("gen"), pre4.getAs[Int]("base_gen")) ==
+      ((rep4.getAs[Long]("n_shards_rewritten"),
+        rep4.getAs[Long]("n_shards_copied"),
+        rep4.getAs[Long]("n_shards_emptied"),
+        rep4.getAs[Int]("gen"), rep4.getAs[Int]("base_gen"))),
+      s"preflight must price exactly what publish did: $pre4 vs $rep4")
     Release.publish(spark, corpusDir, None, relRoot, "scratch4",
       nShards = 16)
     assert(rows("delta4") == rows("scratch4"),
