@@ -2028,6 +2028,20 @@ object TextQ {
           col("gen"), col("n_shards"), col("n_shards_rewritten"),
           col("n_shards_copied"), col("n_shards_emptied"), col("via"))),
 
+    // X83 — CROSS-RELEASE per-shard comparison ([[graft.streaming
+    // .Release.compareReleases]]): which shards diverged between two
+    // published releases, from each release's RECORDED nShards-row
+    // stats only — zero shard or corpus bytes. The x64 audit ladder's
+    // release rung: x77's registry fingerprints prove global identity,
+    // this names the diverging shards, the shard bytes name the rows.
+    // f1 (everything) vs f3 (both takedown waves removed) at 64
+    // shards; the oracle recomputes both snapshots' per-shard counts
+    // AND 60-bit xor fingerprints in DuckDB.
+    "x83_release_compare" -> ((s, d) =>
+      graft.streaming.Release.compareReleases(s,
+          s"${foldReleaseRoot(s, d)}/releases", "f1", "f3")
+        .orderBy("shard")),
+
     // X82 — DELTA PRE-FLIGHT ([[graft.streaming.Release
     // .deltaPreflight]]): the st22 plan-before-act idea for deltas —
     // price a publishDelta (rewritten/copied/emptied shards vs a base)
@@ -4100,6 +4114,34 @@ object TextQ {
            (SELECT count(*) FROM per WHERE nv = 0) AS n_shards_copied,
            (SELECT count(*) FROM per WHERE nv = n) AS n_shards_emptied,
            'state' AS via""",
+    // x83: both releases' per-shard (count, 60-bit xor fingerprint)
+    // recomputed over the salted fixture slice — f1 = everything,
+    // f3 = minus both takedown waves; emptied shards carry NULL fp_b
+    "x83_release_compare" ->
+      """WITH t AS (SELECT doc_id,
+                 text || ' uid' || CAST(doc_id AS VARCHAR) AS text,
+                 (doc_id % 5 IN (1, 2)) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM documents WHERE doc_id % 7 = 2),
+         h AS (SELECT shard, victim,
+                 CAST(('0x' || substr(md5(
+                   md5(CAST(doc_id AS VARCHAR)) || md5(text)),
+                   1, 15)) AS BIGINT) AS h60
+               FROM t),
+         a AS (SELECT shard, count(*) AS n_a, bit_xor(h60) AS fp_a
+               FROM h GROUP BY shard),
+         b AS (SELECT shard, count(*) AS n_b, bit_xor(h60) AS fp_b
+               FROM h WHERE NOT victim GROUP BY shard)
+         SELECT shard,
+           coalesce(n_a, CAST(0 AS BIGINT)) AS n_a,
+           coalesce(n_b, CAST(0 AS BIGINT)) AS n_b,
+           fp_a, fp_b,
+           (coalesce(n_a, CAST(0 AS BIGINT)) = coalesce(n_b, CAST(0 AS BIGINT))
+             AND coalesce(fp_a, CAST(0 AS BIGINT)) = coalesce(fp_b, CAST(0 AS BIGINT)))
+             AS equal
+         FROM a FULL OUTER JOIN b USING (shard)
+         ORDER BY shard""",
     // x82: x81's per-shard account re-derived — the zero-byte preflight
     // must price exactly what the state-tier publish then did
     "x82_delta_preflight" ->

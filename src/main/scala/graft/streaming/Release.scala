@@ -485,6 +485,51 @@ object Release {
       lit(em.toLong).as("n_shards_emptied"))
   }
 
+  /** CROSS-RELEASE per-shard comparison — WHICH shards diverged
+    * between two published releases, from RECORDED metadata only (each
+    * release's nShards-row stats table; zero shard bytes read, zero
+    * corpus bytes read): one row per shard present in either release,
+    * (shard, n_a, n_b, fp_a, fp_b, equal). The x64 audit ladder's
+    * release rung — registry fingerprints prove global identity
+    * (x77), THIS names the diverging shards, and the shard bytes (or
+    * [[StreamCurate.diffSnapshots]] on the corpus) name the rows.
+    * Requires equal shard counts: the md5 draw scales with nShards, so
+    * different layouts have no shard-to-shard correspondence. */
+  def compareReleases(s: SparkSession, releaseRoot: String,
+                      a: String, b: String): DataFrame = {
+    val reg = registry(s, releaseRoot).getOrElse(
+        throw new IllegalArgumentException(
+          s"no published releases at $releaseRoot"))
+      .select("release", "n_shards").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    def shardsOf(n: String): Int = reg.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"unknown release '$n' at $releaseRoot"))
+    require(shardsOf(a) == shardsOf(b),
+      s"shard layouts differ ('$a': ${shardsOf(a)}, '$b': ${shardsOf(b)})" +
+        " — per-shard comparison needs one layout")
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def statsOf(n: String): DataFrame = {
+      require(Manifest.hasDataFiles(fs,
+          new Path(statsDir(releaseRoot, n))),
+        s"release '$n' carries no per-shard stats at $releaseRoot")
+      s.read.parquet(statsDir(releaseRoot, n))
+    }
+    val fa = statsOf(a).select(col("shard"),
+      col("n_rows").as("n_a"), col("fingerprint").as("fp_a"))
+    val fb = statsOf(b).select(col("shard"),
+      col("n_rows").as("n_b"), col("fingerprint").as("fp_b"))
+    fa.join(fb, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("fp_a"), col("fp_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          coalesce(col("fp_a"), lit(0L)) === coalesce(col("fp_b"), lit(0L)))
+          .as("equal"))
+  }
+
   /** The one-row delta report of a [[publishDelta]] release; None for
     * scratch-published releases. */
   def deltaReport(s: SparkSession, releaseRoot: String, name: String)

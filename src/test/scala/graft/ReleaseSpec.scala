@@ -199,6 +199,20 @@ class ReleaseSpec extends AnyFunSuite {
     assert(shardFiles("delta", copiedShard) ==
       shardFiles("base", copiedShard),
       "an untouched shard must be a byte copy of the base's")
+    // cross-release per-shard comparison (recorded stats only): the
+    // diverged set is exactly the victims' shards; identical snapshots
+    // compare all-equal; mismatched layouts refuse
+    val cmp = Release.compareReleases(spark, relRoot, "base", "delta")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+    assert(cmp.filter(!_._2).keySet == victimShards,
+      s"diverged shards must be the victims': $cmp vs $victimShards")
+    assert(Release.compareReleases(spark, relRoot, "delta", "scratch")
+      .collect().forall(_.getBoolean(5)),
+      "identical snapshots must compare equal per shard")
+    Release.publish(spark, corpusDir, None, relRoot, "odd8", nShards = 8)
+    intercept[IllegalArgumentException] {
+      Release.compareReleases(spark, relRoot, "base", "odd8")
+    }
     // ADDITIONS flow through the same diff: a new batch lands in its
     // shards, which rewrite; delta-on-delta content stays ≡ scratch
     StreamCurate.appendBatch(corpusDir,
