@@ -919,8 +919,16 @@ object TextQ {
   private def foldReleaseRoot(s: SparkSession, d: String): String =
     x80Cache.synchronized {
       x80Cache.getOrElseUpdate((s, d), {
-        val spec = "v1 slice=%7==2 saltuid 2batches mod2 f1@2 shards=64 " +
-          "forget=%5==1 fold f2=delta vacuum forget=%5==2 f3=delta(f1)"
+        // v2 (r15): the fold writes the base SHARD-CLUSTERED
+        // (clusterBins=64 — one cluster dir per release shard), so
+        // f3's state-tier content read partition-prunes to the
+        // touched shards' dirs (VERDICT r14 #1); content and both
+        // delta reports are bit-identical to v1's. f4 (same final
+        // snapshot at 16 shards) exists for the CROSS-LAYOUT
+        // comparison x84 — different shard count on purpose.
+        val spec = "v2 slice=%7==2 saltuid 2batches mod2 f1@2 shards=64 " +
+          "forget=%5==1 foldcb64 f2=delta vacuum forget=%5==2 " +
+          "f3=delta(f1) f4@16"
         def build(root: String): Unit = {
           val corpusDir = s"$root/corpus"
           val rel = s"$root/releases"
@@ -938,7 +946,8 @@ object TextQ {
           graft.streaming.StreamCurate.deleteCurated(s, corpusDir,
             slice.filter(col("doc_id") % 5 === 1).select("doc_id"))
           graft.streaming.StreamCurate.compact(s, corpusDir,
-            graft.streaming.StreamCurate.nextCompactId(s, corpusDir))
+            graft.streaming.StreamCurate.nextCompactId(s, corpusDir),
+            clusterBins = 64)
           graft.streaming.Release.publishDelta(s, corpusDir, None, rel,
             "f2", basedOn = "f1")
           graft.streaming.StreamCurate.vacuum(s, corpusDir)
@@ -946,6 +955,8 @@ object TextQ {
             slice.filter(col("doc_id") % 5 === 2).select("doc_id"))
           graft.streaming.Release.publishDelta(s, corpusDir, None, rel,
             "f3", basedOn = "f1")
+          graft.streaming.Release.publish(s, corpusDir, None, rel,
+            "f4", nShards = 16)
           ()
         }
         graft.ArtifactStore.dirArtifact(d, "x80rel", spec) match {
@@ -2040,6 +2051,20 @@ object TextQ {
     "x83_release_compare" -> ((s, d) =>
       graft.streaming.Release.compareReleases(s,
           s"${foldReleaseRoot(s, d)}/releases", "f1", "f3")
+        .orderBy("shard")),
+
+    // X84 — CROSS-LAYOUT release comparison ([[graft.streaming.Release
+    // .compareReleasesBinned]], VERDICT r14 #6): x83 refuses unequal
+    // shard counts (no shard-to-shard correspondence), but every
+    // publish records PER-BIN stats (≤1024 rows) that fold EXACTLY to
+    // any power-of-two layout — so f1 (64 shards) and f4 (16 shards,
+    // the post-takedown snapshot) compare at their coarser common
+    // layout (16) from pure recorded metadata: zero shard or corpus
+    // bytes. The oracle recomputes both snapshots' 16-way per-shard
+    // counts and 60-bit xor fingerprints in DuckDB.
+    "x84_release_compare_xlayout" -> ((s, d) =>
+      graft.streaming.Release.compareReleasesBinned(s,
+          s"${foldReleaseRoot(s, d)}/releases", "f1", "f4")
         .orderBy("shard")),
 
     // X82 — DELTA PRE-FLIGHT ([[graft.streaming.Release
@@ -4123,6 +4148,35 @@ object TextQ {
                  (doc_id % 5 IN (1, 2)) AS victim,
                  CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
                                  AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM documents WHERE doc_id % 7 = 2),
+         h AS (SELECT shard, victim,
+                 CAST(('0x' || substr(md5(
+                   md5(CAST(doc_id AS VARCHAR)) || md5(text)),
+                   1, 15)) AS BIGINT) AS h60
+               FROM t),
+         a AS (SELECT shard, count(*) AS n_a, bit_xor(h60) AS fp_a
+               FROM h GROUP BY shard),
+         b AS (SELECT shard, count(*) AS n_b, bit_xor(h60) AS fp_b
+               FROM h WHERE NOT victim GROUP BY shard)
+         SELECT shard,
+           coalesce(n_a, CAST(0 AS BIGINT)) AS n_a,
+           coalesce(n_b, CAST(0 AS BIGINT)) AS n_b,
+           fp_a, fp_b,
+           (coalesce(n_a, CAST(0 AS BIGINT)) = coalesce(n_b, CAST(0 AS BIGINT))
+             AND coalesce(fp_a, CAST(0 AS BIGINT)) = coalesce(fp_b, CAST(0 AS BIGINT)))
+             AS equal
+         FROM a FULL OUTER JOIN b USING (shard)
+         ORDER BY shard""",
+    // x84: the cross-layout comparison recomputed at the coarser
+    // common layout (16 = f4's shard count) — a = f1's full slice,
+    // b = f4's post-both-waves snapshot, folded-bin fingerprints ≡
+    // direct 16-way shard fingerprints by sum/xor associativity
+    "x84_release_compare_xlayout" ->
+      """WITH t AS (SELECT doc_id,
+                 text || ' uid' || CAST(doc_id AS VARCHAR) AS text,
+                 (doc_id % 5 IN (1, 2)) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 16) AS INTEGER) AS shard
                FROM documents WHERE doc_id % 7 = 2),
          h AS (SELECT shard, victim,
                  CAST(('0x' || substr(md5(

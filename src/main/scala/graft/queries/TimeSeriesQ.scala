@@ -226,6 +226,34 @@ object TimeSeriesQ {
           tsCol = "ts", rightValueCols = Seq("rate"))
         .orderBy("event_id")
     }),
+
+    // A3-HOT — the hot-key as-of DISPATCH made driver-visible (VERDICT
+    // r14 #7): a3's fixture has no hot key, so auto always took the
+    // plain single-shuffle arm in the timed path; here 80 % of events
+    // collapse onto one synthetic head user (the Zipf-head shape whose
+    // SCALING.md pins measured sliced 0.30 vs plain 0.84 exponents),
+    // pushing that key past `maxRowsPerKey` so [[TimeSeries
+    // .asOfJoinAuto]] provably dispatches the TIME-SLICED branch — the
+    // 100×-scale path (no per-key partition ever exceeds one slice of
+    // one key). Right side pre-aggregated to unique (key, ts) — the
+    // sliced form's contract, and what makes the DuckDB ASOF oracle
+    // deterministic under the collapsed key. OpsPropertySpec pins the
+    // dispatch takes the sliced arm on this shape.
+    "a3_asof_hot" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("user_id",
+          when(pmod(col("user_id"), lit(10)) < 8, lit(0L))
+            .otherwise(col("user_id")))
+      val left = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val right = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 6).as("rate"))
+      TimeSeries.asOfJoinAuto(left, right, keys = Seq("user_id"),
+          tsCol = "ts", rightValueCols = Seq("rate"),
+          sliceSeconds = 604800L, maxRowsPerKey = 200L)
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,6 +373,18 @@ object TimeSeriesQ {
       """SELECT c.event_id, c.user_id, c.ts, p.rate
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT user_id, ts, value AS rate FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+    "a3_asof_hot" ->
+      """WITH e AS (SELECT event_id,
+                      CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS user_id,
+                      ts, event_type, value
+                    FROM events),
+         c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, round(max(value), 6) AS rate
+               FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT c.event_id, c.user_id, c.ts, p.rate
+         FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.ts
          ORDER BY c.event_id""",
   )

@@ -51,6 +51,7 @@ object Release {
   private def relDir(root: String, name: String) = s"$root/$name"
   private def metaDir(root: String, name: String) = s"$root/$name/meta"
   private def statsDir(root: String, name: String) = s"$root/$name/shardstats"
+  private def binStatsDir(root: String, name: String) = s"$root/$name/binstats"
   private def deltaDir(root: String, name: String) = s"$root/$name/delta"
   private def retiredDir(root: String, name: String) = s"$root/$name/retiredmeta"
   /** Shard layout of a published release (loader entry point). */
@@ -99,16 +100,70 @@ object Release {
     // two. Equality is triple-netted: FingerprintStateSpec pins
     // state ≡ sharded scan, verifyShards recomputes from the written
     // bytes, and the x77 oracle recomputes from raw in DuckDB.
-    val stats = StreamCurate.fingerprintShardState(s, corpusDir,
-        nShards, Seq(idCol, textCol), Some(resolved))
-      .getOrElse(TextOps.corpusFingerprint(
-        TextOps.trainingShards(corpus, idCol, nShards)
-          .select(col("shard"), col(idCol), col(textCol)),
-        Seq(idCol, textCol), Seq("shard")))
+    // ADVICE r14: every release-family hash site orders the payload
+    // SORTED BY NAME — the maintained per-shard partials hash sorted
+    // (StreamCurate.fpRowHash), so a declared-order hash here would
+    // record differently-ordered fingerprints whenever idCol sorts
+    // after textCol and verifyShards/compareReleases would then flag a
+    // healthy release. One invariant, every site: sorted.
+    //
+    // PER-BIN stats (VERDICT r14 #6) ride next to the per-shard table:
+    // ≤[[StreamCurate.FpShardBins]] (bin, n, xor) rows, the layout-free
+    // form that folds EXACTLY to any power-of-two shard count — what
+    // lets [[compareReleasesBinned]] compare releases with different
+    // shard layouts at their coarser common one. From the maintained
+    // state when it covers the snapshot (pure metadata); else both
+    // tables fold from ONE (shard, bin)-grouped scan.
+    val (stats, binStats) = StreamCurate.fingerprintShardState(s,
+        corpusDir, nShards, Seq(idCol, textCol), Some(resolved)) match {
+      case Some(st) =>
+        (st, StreamCurate.fingerprintShardState(s, corpusDir,
+            StreamCurate.FpShardBins, Seq(idCol, textCol), Some(resolved))
+          .map(_.select(col("shard").as("bin"), col("n_rows"),
+            col("fingerprint"))))
+      case None =>
+        val both = scanShardBinStats(s, corpus, idCol, textCol, nShards)
+        (foldScanStats(s, both, byBin = false),
+          Some(foldScanStats(s, both, byBin = true)))
+    }
     stats.coalesce(1).write.mode("overwrite")
       .parquet(statsDir(releaseRoot, tmp))
+    binStats.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(binStatsDir(releaseRoot, tmp)))
     commitRelease(s, releaseRoot, tmp, name, corpusDir, resolved,
       nShards, idCol, textCol)
+  }
+
+  /** ONE scan of the snapshot grouped by (shard, bin) — ≤ FpShardBins
+    * + nShards rows (a bin straddles two shards only when nShards does
+    * not divide the bins); both the per-shard and the per-bin stats
+    * tables fold from it exactly (sum/xor associativity), so the scan
+    * fallback of [[publish]]/[[publishDelta]] prices per-bin stats at
+    * zero extra passes. */
+  private def scanShardBinStats(s: SparkSession, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                nShards: Int)
+      : Array[(Int, Int, Long, Long)] =
+    TextOps.corpusFingerprint(
+        TextOps.trainingShards(corpus, idCol, nShards)
+          .withColumn("bin",
+            floor(TextOps.md5Uniform(col(idCol)) *
+              StreamCurate.FpShardBins).cast("int"))
+          .select(col("shard"), col("bin"), col(idCol), col(textCol)),
+        Seq(idCol, textCol).sorted, Seq("shard", "bin"))
+      .collect() // ≤ 1024 + nShards rows by construction
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+  /** Fold the (shard, bin) scan rows to one of the two stats tables. */
+  private def foldScanStats(s: SparkSession,
+                            rows: Array[(Int, Int, Long, Long)],
+                            byBin: Boolean): DataFrame = {
+    import s.implicits._
+    val keyed = rows.groupBy(r => if (byBin) r._2 else r._1).toSeq
+      .map { case (k, rs) =>
+        (k, rs.map(_._3).sum, rs.map(_._4).reduce(_ ^ _)) }
+      .sortBy(_._1)
+    keyed.toDF(if (byBin) "bin" else "shard", "n_rows", "fingerprint")
   }
 
   /** One publisher's private staging dir: everything (shards, stats,
@@ -271,20 +326,42 @@ object Release {
           .map(_.collect().map(r =>
             r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
       else None
+    // the base's recorded PER-BIN stats (VERDICT r14 #6) — absent on
+    // releases published before the binstats table existed; the new
+    // release then carries none either (the diff can only fold from a
+    // recorded base)
+    val baseBins: Option[Map[Int, (Long, Long)]] =
+      if (Manifest.hasDataFiles(fs,
+          new Path(binStatsDir(releaseRoot, basedOn))))
+        Some(s.read.parquet(binStatsDir(releaseRoot, basedOn)).collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+      else None
+    // the maintained per-bin state pinned at the target generation —
+    // the state/scan tiers' binstats source (pure metadata)
+    def binsFromState(): Option[Map[Int, (Long, Long)]] =
+      StreamCurate.fingerprintShardState(s, corpusDir,
+          StreamCurate.FpShardBins, Seq(idCol, textCol), Some(resolved))
+        .map(_.collect().map(r =>
+          r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
     val folded = !(bGen == resolved ||
       segments.contains(Seq((bGen, resolved))))
-    val (newBy, rewritten, copied, emptied, via) = if (
+    val (newBy, newBins, rewritten, copied, emptied, via) = if (
         segments.exists(_.isEmpty)) {
       // content-identical window: pure metadata republish — every base
-      // shard byte-copies, zero corpus bytes read
-      (baseBy, Set.empty[Int], baseBy.keySet, Set.empty[Int],
+      // shard byte-copies, zero corpus bytes read; binstats ride over
+      // verbatim (same content, same bins)
+      (baseBy, baseBins, Set.empty[Int], baseBy.keySet, Set.empty[Int],
         if (folded) "diff_folded" else "diff")
     } else if (segments.isDefined) {
       val d = TextOps.trainingShards(
           StreamCurate.diffAcross(s, corpusDir, segments.get, idCol)
             .select(col("change"), col(idCol), col(textCol)),
           idCol, nShards)
-        .withColumn("__h", TextOps.fingerprintHash(Seq(idCol, textCol)))
+        // sorted-name hash order (ADVICE r14) — must fold against base
+        // stats recorded by publish's state/scan tiers, which hash
+        // sorted
+        .withColumn("__h",
+          TextOps.fingerprintHash(Seq(idCol, textCol).sorted))
         .persist()
       val deltaStats = d.groupBy("shard").agg(
           sum(when(col("change") === "added", 1L).otherwise(-1L))
@@ -297,6 +374,24 @@ object Release {
         val (dn, dx) = deltaStats.getOrElse(k, (0L, 0L))
         k -> ((bn + dn, bf ^ dx))
       }.filter(_._2._1 > 0).toMap
+      // per-bin stats fold the same way when the base recorded them —
+      // one more delta-sized aggregation on the persisted diff
+      val nbBins = baseBins.map { bb =>
+        val deltaBins = d.withColumn("__bin",
+            floor(TextOps.md5Uniform(col(idCol)) *
+              StreamCurate.FpShardBins).cast("int"))
+          .groupBy("__bin").agg(
+            sum(when(col("change") === "added", 1L).otherwise(-1L))
+              .as("dn"),
+            bit_xor(col("__h")).as("dxor"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        (bb.keySet ++ deltaBins.keySet).iterator.map { k =>
+          val (bn, bf) = bb.getOrElse(k, (0L, 0L))
+          val (dn, dx) = deltaBins.getOrElse(k, (0L, 0L))
+          k -> ((bn + dn, bf ^ dx))
+        }.filter(_._2._1 > 0).toMap
+      }
       val changed = deltaStats.keySet
       val rw = changed.filter(nb.contains)
       val cp = baseBy.keySet -- changed
@@ -323,10 +418,16 @@ object Release {
           .parquet(shardsDir(releaseRoot, tmp))
       }
       d.unpersist()
-      (nb, rw, cp, em, if (folded) "diff_folded" else "diff")
+      (nb, nbBins, rw, cp, em, if (folded) "diff_folded" else "diff")
     } else {
       def writeChanged(rw: Set[Int]): Unit = if (rw.nonEmpty) {
-        val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
+        // content for the changed shards only — PARTITION-PRUNED when
+        // the base generation is shard-clustered (VERDICT r14 #1:
+        // [[StreamCurate.loadAtShards]] lists only the touched shards'
+        // cluster dirs; the returned superset is cut exact by the
+        // shard filter below, which was always there)
+        val corpus = StreamCurate.loadAtShards(s, corpusDir,
+            Some(resolved), nShards, rw)
           .getOrElse(throw new IllegalArgumentException(
             s"corpus at $corpusDir has no rows at generation $resolved"))
           .select(col(idCol), col(textCol))
@@ -337,32 +438,35 @@ object Release {
           .write.mode("overwrite").partitionBy("shard")
           .parquet(shardsDir(releaseRoot, tmp))
       }
-      val (nb, usedVia) = stateBy match {
+      val (nb, nbBins, usedVia) = stateBy match {
         case Some(nbMap) =>
-          // per-shard STATE tier: the whole decision from metadata
-          (nbMap, "state")
+          // per-shard STATE tier: the whole decision from metadata —
+          // binstats fold from the same maintained partials
+          (nbMap, binsFromState(), "state")
         case None =>
-          // snapshot-scan path: one scan fingerprints every shard
+          // snapshot-scan path: ONE (shard, bin)-grouped scan folds
+          // both stats tables
           val corpus = StreamCurate.loadAt(s, corpusDir, Some(resolved))
             .getOrElse(throw new IllegalArgumentException(
               s"corpus at $corpusDir has no rows at generation $resolved"))
             .select(col(idCol), col(textCol))
-          (TextOps.corpusFingerprint(
-              TextOps.trainingShards(corpus, idCol, nShards)
-                .select(col("shard"), col(idCol), col(textCol)),
-              Seq(idCol, textCol), Seq("shard"))
-            .collect()
-            .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
-            .toMap, "scan")
+          val both = scanShardBinStats(s, corpus, idCol, textCol, nShards)
+          (both.groupBy(_._1).map { case (k, rs) =>
+              k -> ((rs.map(_._3).sum, rs.map(_._4).reduce(_ ^ _))) },
+            Some(both.groupBy(_._2).map { case (k, rs) =>
+              k -> ((rs.map(_._3).sum, rs.map(_._4).reduce(_ ^ _))) }
+              .toMap),
+            "scan")
       }
       val rw = nb.keySet.filter(k => baseBy.get(k) != Some(nb(k)))
       val cp = nb.keySet.filter(k => baseBy.get(k) == Some(nb(k)))
       val em = baseBy.keySet -- nb.keySet
-      // content for the changed shards: one column-pruned snapshot
-      // scan, WRITES ∝ changed shards (on the state tier a no-change
-      // republish reads zero corpus bytes — rw is empty)
+      // content for the changed shards: PARTITION-PRUNED to their
+      // cluster dirs when the base generation is shard-clustered
+      // (VERDICT r14 #1), WRITES ∝ changed shards (on the state tier a
+      // no-change republish reads zero corpus bytes — rw is empty)
       writeChanged(rw)
-      (nb, rw, cp, em, usedVia)
+      (nb, nbBins, rw, cp, em, usedVia)
     }
     // ADVICE r13: mirror publish's empty-corpus refusal — an
     // all-emptied delta would commit n_docs=0 with NO shards/ layout,
@@ -392,6 +496,11 @@ object Release {
         .toDF("shard", "n_rows", "fingerprint")
         .coalesce(1).write.mode("overwrite")
         .parquet(statsDir(releaseRoot, tmp))
+      newBins.foreach(bins =>
+        bins.toSeq.sortBy(_._1).map { case (k, (n, f)) => (k, n, f) }
+          .toDF("bin", "n_rows", "fingerprint")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(binStatsDir(releaseRoot, tmp)))
     }
     // the delta report rides the release (read back via [[deltaReport]])
     s.range(1).select(lit(name).as("release"),
@@ -530,6 +639,59 @@ object Release {
           .as("equal"))
   }
 
+  /** CROSS-LAYOUT release comparison (VERDICT r14 #6) — the
+    * [[compareReleases]] question for releases with DIFFERENT shard
+    * counts, answered from each release's recorded PER-BIN stats (the
+    * ≤[[StreamCurate.FpShardBins]]-row table [[publish]] commits):
+    * both sides fold to the COARSER COMMON power-of-two layout — the
+    * largest power of two ≤ min(nA, nB) (= that side's real shard
+    * layout when it divides; a pure content partition otherwise) —
+    * and compare per folded shard. Zero shard or corpus bytes, same
+    * output schema as [[compareReleases]] with `shard` in the folded
+    * layout. Refuses releases published before per-bin stats existed
+    * (nothing recorded to fold). */
+  def compareReleasesBinned(s: SparkSession, releaseRoot: String,
+                            a: String, b: String): DataFrame = {
+    val reg = registry(s, releaseRoot).getOrElse(
+        throw new IllegalArgumentException(
+          s"no published releases at $releaseRoot"))
+      .select("release", "n_shards").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    def shardsOf(n: String): Int = reg.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"unknown release '$n' at $releaseRoot"))
+    val target = math.min(StreamCurate.FpShardBins,
+      Integer.highestOneBit(math.min(shardsOf(a), shardsOf(b))))
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def binsOf(n: String): DataFrame = {
+      require(Manifest.hasDataFiles(fs,
+          new Path(binStatsDir(releaseRoot, n))),
+        s"release '$n' carries no per-bin stats at $releaseRoot " +
+          "(published by an earlier build) — cross-layout comparison " +
+          "folds from recorded bins; re-publish or compare at equal " +
+          "layouts")
+      s.read.parquet(binStatsDir(releaseRoot, n))
+        .groupBy(floor(col("bin") /
+            (StreamCurate.FpShardBins / target)).cast("int").as("shard"))
+        .agg(sum(col("n_rows")).as("n"),
+          bit_xor(col("fingerprint")).as("fp"))
+        .filter(col("n") > 0)
+    }
+    val fa = binsOf(a).select(col("shard"), col("n").as("n_a"),
+      col("fp").as("fp_a"))
+    val fb = binsOf(b).select(col("shard"), col("n").as("n_b"),
+      col("fp").as("fp_b"))
+    fa.join(fb, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("fp_a"), col("fp_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          coalesce(col("fp_a"), lit(0L)) === coalesce(col("fp_b"), lit(0L)))
+          .as("equal"))
+  }
+
   /** The one-row delta report of a [[publishDelta]] release; None for
     * scratch-published releases. */
   def deltaReport(s: SparkSession, releaseRoot: String, name: String)
@@ -625,9 +787,14 @@ object Release {
     * release's delta report names it as `based_on`. A retired base
     * stays on disk while a live delta's provenance chain needs it —
     * delta releases are byte-self-contained, but proving
-    * delta ≡ base + changes needs the base's bytes. Registry-sized
-    * driver-side metadata loop; dirs with neither meta nor retired
-    * marker (crashed publishes) are publish-retry territory, not GC's. */
+    * delta ≡ base + changes needs the base's bytes. `referenced` is the
+    * TRANSITIVE closure from the live set (ADVICE r14): with a chain
+    * g3(live) = delta(g2 retired) = delta(g1 retired), g1 is still
+    * pinned — proving g3 ≡ g1 + changes walks through g2's bytes AND
+    * g1's, so the closure follows `based_on` edges through retired
+    * intermediates until it stops growing. Registry-sized driver-side
+    * metadata loop; dirs with neither meta nor retired marker (crashed
+    * publishes) are publish-retry territory, not GC's. */
   private def gcAccount(s: SparkSession, releaseRoot: String)
       : Seq[(String, Boolean, Boolean)] = {
     val root = new Path(releaseRoot)
@@ -640,15 +807,30 @@ object Release {
       Manifest.hasDataFiles(fs, new Path(metaDir(releaseRoot, n)))
     def retired(n: String) =
       Manifest.hasDataFiles(fs, new Path(retiredDir(releaseRoot, n)))
-    val basedOn: Set[String] = names.filter(live).flatMap { n =>
-      deltaReport(s, releaseRoot, n)
+    val tracked = names.filter(n => live(n) || retired(n))
+    // based_on edges for EVERY tracked release (retire moves only the
+    // meta dir — a retired delta's report is still readable)
+    val edges: Map[String, Seq[String]] = tracked.map { n =>
+      n -> deltaReport(s, releaseRoot, n)
         .map(_.select("based_on").collect().map(_.getString(0)).toSeq)
         .getOrElse(Seq.empty)
-    }.toSet
+    }.toMap
+    // fixpoint from the live set: everything a live release's
+    // provenance chain walks through stays referenced (ADVICE r14 —
+    // the one-hop form reclaimed g1 under a live g3=delta(g2=delta(g1))
+    // chain once g2 was retired)
+    var referenced = Set.empty[String]
+    var frontier = tracked.filter(live).toSet
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n =>
+        edges.getOrElse(n, Seq.empty)).toSet -- referenced
+      referenced ++= next
+      frontier = next
+    }
     names.sorted.flatMap { n =>
       val (l, r) = (live(n), retired(n))
       if (!l && !r) None
-      else Some((n, r && !l, basedOn.contains(n)))
+      else Some((n, r && !l, referenced.contains(n)))
     }
   }
 
@@ -708,7 +890,7 @@ object Release {
       val got = TextOps.corpusFingerprint(
           s.read.parquet(shardsDir(releaseRoot, name))
             .select(col(rid), col(rtx)),
-          Seq(rid, rtx), Seq.empty).head()
+          Seq(rid, rtx).sorted, Seq.empty).head() // sorted (ADVICE r14)
       s.range(1).select(lit(name).as("release"),
         lit(nDocs).as("n_docs_expected"),
         lit(got.getLong(0)).as("n_docs_actual"),

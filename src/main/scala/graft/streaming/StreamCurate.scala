@@ -299,11 +299,30 @@ object StreamCurate {
     * out of the live set in the same flip — PHYSICAL reclaim of every
     * taken-down body. The seen index rides through, so the re-crawl
     * guard survives compaction (the st11 invariant). Folded partitions
-    * stay as time-travel history until [[vacuum]]. */
+    * stay as time-travel history until [[vacuum]].
+    *
+    * `clusterBins` > 1 writes the corpus base SHARD-CLUSTERED (VERDICT
+    * r14 #1): sub-partitioned by `cb = ⌊md5U(doc_id)·clusterBins⌋` —
+    * the same uniform draw as [[graft.ext.TextOps.trainingShards]] and
+    * the [[fingerprintShardState]] bins — so a later
+    * [[graft.streaming.Release.publishDelta]] state-tier content read
+    * PARTITION-PRUNES to the touched shards' cluster dirs instead of
+    * scanning the whole base (the r14 verdict's one remaining
+    * O(corpus) read behind an O(diff) decision). Must be a power of
+    * two dividing [[FpShardBins]] (the exact-fold argument on
+    * [[fingerprintShardState]]); the granularity trades pruning
+    * factor (up to `clusterBins`×) against base file count. Serve
+    * reads are layout-transparent ([[loadAt]] unions clustered and
+    * flat partitions), so 1 (flat, the default) and any mix of folded
+    * generations interoperate. */
   def compact(s: org.apache.spark.sql.SparkSession, dir: String,
-              into: Int): Unit = {
+              into: Int, clusterBins: Int = 1): Unit = {
     require(into < 0, s"compacted ids are negative (got into=$into); " +
       "non-negative ids belong to the streaming engine's batch counter")
+    require(clusterBins >= 1 &&
+      (clusterBins == 1 || FpShardBins % clusterBins == 0),
+      s"clusterBins must be 1 (flat) or a power of two dividing " +
+        s"$FpShardBins, got $clusterBins")
     val used = partitionIds(s, seenDir(dir)) ++
       partitionIds(s, corpusDir(dir)) ++ tombIds(s, dir)
     require(!used.contains(into),
@@ -313,7 +332,29 @@ object StreamCurate {
       throw new IllegalArgumentException(s"no curated state at $dir"))
     val seenD = seen(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no seen state at $dir"))
-    corpus.drop("batch_id").write.mode("overwrite")
+    if (clusterBins > 1) {
+      require(corpus.columns.contains("doc_id"),
+        "shard-clustered compaction bins on doc_id (the appendBatch " +
+          s"contract); got schema ${corpus.columns.mkString(", ")}")
+      require(!corpus.columns.contains("cb"),
+        "'cb' is the reserved cluster-partition column — a payload " +
+          "column of that name cannot ride a clustered base")
+      corpus.drop("batch_id")
+        .withColumn("cb",
+          floor(graft.ext.TextOps.md5Uniform(col("doc_id")) * clusterBins)
+            .cast("int"))
+        .repartition(clusterBins, col("cb"))
+        .write.mode("overwrite").partitionBy("cb")
+        .parquet(s"${corpusDir(dir)}/batch_id=$into")
+      // the granularity marker readers prune by ([[clusterBinsOf]]):
+      // an underscore name, so Spark's data-file listing ignores it
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"${corpusDir(dir)}/batch_id=$into/_clusterbins"), true)
+      try out.write(clusterBins.toString.getBytes("UTF-8"))
+      finally out.close()
+    } else corpus.drop("batch_id").write.mode("overwrite")
       .parquet(s"${corpusDir(dir)}/batch_id=$into")
     seenD.drop("batch_id").write.mode("overwrite")
       .parquet(s"${seenDir(dir)}/batch_id=$into")
@@ -639,6 +680,13 @@ object StreamCurate {
                             payloadCols: Seq[String],
                             gen: Option[Int] = None): Option[DataFrame] = {
     if (nShards <= 0 || FpShardBins % nShards != 0) return None
+    // ADVICE r14: the partials hash in SORTED-NAME order (fpRowHash),
+    // so a caller declaring a different payload order would silently
+    // compare against differently-ordered hashes — require the
+    // declared order to BE the hash order, refuse otherwise (the
+    // "never a silently-different hash" contract, enforced on the
+    // order as well as the set)
+    if (payloadCols != payloadCols.sorted) return None
     val schemaOk = load(s, dir).exists(df =>
       df.columns.filterNot(_ == "batch_id").sorted.toSeq ==
         payloadCols.sorted)
@@ -700,14 +748,21 @@ object StreamCurate {
     * each ride the delta-sized fast path. An empty result = the whole
     * window is content-neutral (e.g. republish right after a fold).
     *
+    * Neutrality is proven PER BIN when the fpshard partials cover both
+    * ends of the step (≤[[FpShardBins]] (n, xor) pairs must ALL match
+    * — ~1024× the collision resistance of the single batch-level pair,
+    * for the same metadata read; VERDICT r14 #2), falling back to the
+    * batch-level (n, xor) equality only when per-bin coverage is
+    * missing on either end.
+    *
     * None when the walk is not provable — a generation in the window
     * was vacuumed past, a step is neither forward nor neutral, fpstate
     * coverage breaks, or a partition a segment diff would read is gone
     * — the caller falls back to a snapshot-level strategy. All checks
-    * are metadata-sized (manifest files, partition listings, 1-row
+    * are metadata-sized (manifest files, partition listings, ≤1024-row
     * fpstate partials); no corpus bytes are read here. */
-  private[streaming] def diffSegments(s: org.apache.spark.sql.SparkSession,
-                                      dir: String, genA: Int, genB: Int)
+  private[graft] def diffSegments(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, genA: Int, genB: Int)
       : Option[Seq[(Int, Int)]] = {
     require(genA <= genB, s"walk runs forward (got $genA > $genB)")
     if (genA == genB) return Some(Seq.empty)
@@ -738,6 +793,21 @@ object StreamCurate {
         Some((r.getLong(0), if (r.getLong(0) == 0L) 0L else r.getLong(1)))
       }
     }
+    // the PER-BIN (n, xor) fold at a pinned generation, from the
+    // fpshard partials (VERDICT r14 #2): bins netted to the (0, 0)
+    // identity drop, so a fully-cancelled bin equals an absent one
+    def fpShardAt(g: Int): Option[Map[Int, (Long, Long)]] = {
+      val ids = (lives(g).data ++ lives(g).tombs).toSeq.sorted
+      val paths = ids.map(id => s"${fpShardDir(dir)}/batch_id=$id")
+      if (ids.isEmpty || !paths.forall(has)) None
+      else Some(
+        s.read.option("basePath", fpShardDir(dir)).parquet(paths: _*)
+          .groupBy("bin")
+          .agg(sum(col("n")).as("n"), bit_xor(col("fp")).as("fp"))
+          .collect() // ≤1024 rows by construction
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap.filterNot { case (_, nf) => nf == ((0L, 0L)) })
+    }
     val segs = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
     var segStart = genA
     var g = genA
@@ -745,9 +815,16 @@ object StreamCurate {
       val (a, b) = (lives(g), lives(g + 1))
       val forward = a.data.subsetOf(b.data) && a.tombs.subsetOf(b.tombs)
       if (!forward) {
-        val neutral = (fpAt(g), fpAt(g + 1)) match {
+        // per-bin equality when both ends carry fpshard coverage —
+        // a bin-level divergence the batch-level xor would cancel
+        // refuses neutrality here; batch-level only as the coverage
+        // fallback (VERDICT r14 #2)
+        val neutral = (fpShardAt(g), fpShardAt(g + 1)) match {
           case (Some(x), Some(y)) => x == y
-          case _ => false
+          case _ => (fpAt(g), fpAt(g + 1)) match {
+            case (Some(x), Some(y)) => x == y
+            case _ => false
+          }
         }
         if (!neutral) return None
         if (segStart < g) segs += ((segStart, g))
@@ -1113,6 +1190,34 @@ object StreamCurate {
         c.join(m, Seq(m.columns.head), "left_anti"))
     }
 
+  /** [[loadAt]] PARTITION-PRUNED to the `shards` of a
+    * [[graft.ext.TextOps.trainingShards]] layout at `nShards` (VERDICT
+    * r14 #1 — [[graft.streaming.Release.publishDelta]]'s state-tier
+    * content read): shard-clustered base partitions ([[compact]]'s
+    * `clusterBins`) list only the `cb=` cluster dirs whose md5-uniform
+    * interval intersects a kept shard's (±1 cluster of boundary slack
+    * for non-power-of-two `nShards`' float rounding), so at scale the
+    * one-dirty-shard rewrite reads ~|shard| bytes instead of the
+    * corpus; flat partitions (appends since the last fold — O(churn))
+    * read fully. Returns a SUPERSET of the kept shards' rows — the
+    * caller applies its exact `shard ∈ shards` filter downstream, so
+    * pruning can never change an answer, only the bytes read.
+    * Tombstone masks apply exactly as in [[loadAt]]. */
+  private[graft] def loadAtShards(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, asOfGen: Option[Int],
+                                  nShards: Int, shards: Set[Int])
+      : Option[DataFrame] = {
+    val keep: (Int, Int) => Boolean = (c, k) => shards.exists { sh =>
+      (k.toLong - 1) * nShards < (sh.toLong + 1) * c &&
+        (k.toLong + 2) * nShards > sh.toLong * c
+    }
+    snapshotRead(s, dir, corpusDir(dir), asOfGen, Some(keep))
+      .map { corpus =>
+        tombstoneMasks(s, dir, asOfGen).foldLeft(corpus)((c, m) =>
+          c.join(m, Seq(m.columns.head), "left_anti"))
+      }
+  }
+
   /** SNAPSHOT-ISOLATED state read (the StreamBm25.loadAt discipline):
     * manifest mode reads exactly the live partitions' paths — immutable,
     * so an in-flight append's staged-partition wipe can race nothing —
@@ -1121,28 +1226,62 @@ object StreamCurate {
     * unreadable-parquet error. */
   private def snapshotRead(s: org.apache.spark.sql.SparkSession,
                            dir: String, dataDir: String,
-                           asOfGen: Option[Int]): Option[DataFrame] =
+                           asOfGen: Option[Int],
+                           keepBin: Option[(Int, Int) => Boolean] = None)
+      : Option[DataFrame] =
     liveFamilies(s, dir, asOfGen) match {
       case Some((dataIds, _)) =>
         // DATA-family ids only: a tombstone id must never be probed
         // against this table — a losing compaction's stranded
         // batch_id=<id> orphan under a live tombstone id would serve
         // (every corpus row duplicated; ADVICE r10, medium)
-        readDataPartitions(s, dataDir, dataIds)
+        readDataPartitions(s, dataDir, dataIds, keepBin)
       case None =>
+        // legacy (manifest-less) dirs are never clustered — a
+        // clustered base only exists under [[compact]]'s commit
         if (!hasDataFiles(s, dataDir)) None
         else Some(s.read.parquet(dataDir)
           .withColumn("batch_id", col("batch_id").cast("int")))
     }
+
+  /** Cluster granularity of one `batch_id=` partition dir — the
+    * `_clusterbins` marker a shard-clustered [[compact]] writes; None
+    * for flat partitions (appends, pre-clustering folds). */
+  private def clusterBinsOf(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = new org.apache.hadoop.fs.Path(p, "_clusterbins")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
 
   /** Read an EXPLICIT set of `batch_id=` partitions under a state table
     * — the shared core of [[snapshotRead]] and [[diffSnapshots]]'s
     * partition-pruned fast path (which reads only the data DELTA
     * between two generations). Ids with no partition dir are skipped
     * (a batch whose survivors were empty writes seen but may not
-    * materialize a corpus partition); None = nothing readable. */
+    * materialize a corpus partition); None = nothing readable.
+    *
+    * LAYOUT-TRANSPARENT over flat and shard-clustered partitions
+    * ([[compact]]'s `clusterBins`): clustered partitions read through
+    * their `cb=` cluster dirs (the `cb` partition column is dropped —
+    * serve schema is identical either way), flat ones as before, and
+    * the two unions. `keepBin` (granularity, cbValue) ⇒ keep is the
+    * PRUNING hook (VERDICT r14 #1): cluster dirs it rejects are never
+    * listed into the scan — true partition pruning — while flat
+    * partitions always read fully; the caller owns the exact row-level
+    * filter, so pruning is a superset optimization, never a semantics
+    * change. */
   private def readDataPartitions(s: org.apache.spark.sql.SparkSession,
-                                 dataDir: String, ids: Set[Int])
+                                 dataDir: String, ids: Set[Int],
+                                 keepBin: Option[(Int, Int) => Boolean] =
+                                   None)
       : Option[DataFrame] =
     if (ids.isEmpty) None
     else {
@@ -1152,9 +1291,32 @@ object StreamCurate {
       val present = paths.filter(p =>
         Manifest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(p)))
       if (present.isEmpty) None
-      else Some(s.read.option("basePath", dataDir)
-        .parquet(present: _*)
-        .withColumn("batch_id", col("batch_id").cast("int")))
+      else {
+        val tagged = present.map(p =>
+          p -> clusterBinsOf(fs, new org.apache.hadoop.fs.Path(p)))
+        val flat = tagged.collect { case (p, None) => p }
+        val clusterLeaves = tagged.collect { case (p, Some(c)) =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith("cb="))
+            .filter(n => keepBin.forall(
+              _(c, n.stripPrefix("cb=").toInt)))
+            .map(n => s"$p/$n")
+        }.flatten
+        val flatDf =
+          if (flat.isEmpty) None
+          else Some(s.read.option("basePath", dataDir)
+            .parquet(flat: _*))
+        val clDf =
+          if (clusterLeaves.isEmpty) None
+          else Some(s.read.option("basePath", dataDir)
+            .parquet(clusterLeaves: _*).drop("cb"))
+        val both = (flatDf, clDf) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        both.map(_.withColumn("batch_id", col("batch_id").cast("int")))
+      }
     }
 
   /** `batch_id=` partition ids present under `d` (empty if the dir

@@ -176,6 +176,119 @@ class FingerprintStateSpec extends AnyFunSuite {
     assert(StreamCurate.fingerprintShardState(spark, dir, 8,
       Seq("doc_id", "text", "lang")).isEmpty,
       "a payload mismatch must refuse, never hash differently")
+    // ADVICE r14: the partials hash in sorted-name order, so a caller
+    // declaring a DIFFERENT order would compare apples to oranges —
+    // the set matches but the order must too
+    assert(StreamCurate.fingerprintShardState(spark, dir, 8,
+      Seq("text", "doc_id")).isEmpty,
+      "an unsorted payload order must refuse, never hash differently")
+  }
+
+  test("fold neutrality is per-bin: a pair-wise partial corruption the batch-level xor cancels still refuses (VERDICT r14 #2)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpbin").toString
+    append(dir, 0L, (1L to 24L).map(i => i -> (good + s"a$i")))
+    append(dir, 1L, (25L to 40L).map(i => i -> (good + s"b$i")))
+    val gA = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+    val into = StreamCurate.nextCompactId(spark, dir)
+    StreamCurate.compact(spark, dir, into)
+    val gB = graft.streaming.Manifest.readWithGen(spark, dir).get._1
+    // the honest fold is provably neutral: the window composes to
+    // nothing (pure-metadata republish territory)
+    assert(StreamCurate.diffSegments(spark, dir, gA, gB)
+      .contains(Seq.empty), "an honest fold must prove neutral")
+    // corrupt the base's per-bin partial PAIR-WISE: swap two bins'
+    // fps — the batch-level (n, xor) folds identically (xor is
+    // permutation-invariant), so the r13 single-pair check would
+    // byte-copy base shards from a divergent base; the per-bin check
+    // must refuse
+    val fpShardPath = s"$dir/fpshard/batch_id=$into"
+    val rows = spark.read.parquet(fpShardPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length >= 2, s"need two bins to swap, got ${rows.length}")
+    val swapped = rows.updated(0, (rows(0)._1, rows(0)._2, rows(1)._3))
+      .updated(1, (rows(1)._1, rows(1)._2, rows(0)._3))
+    swapped.toSeq.toDF("bin", "n", "fp").coalesce(1)
+      .write.mode("overwrite").parquet(fpShardPath)
+    // batch-level state still folds to the same (n, xor) pair…
+    val batchLevel = StreamCurate.fingerprintState(spark, dir)
+      .get.collect().head
+    val scanLevel = {
+      val served = StreamCurate.load(spark, dir).get.drop("batch_id")
+      TextOps.corpusFingerprint(served, served.columns.sorted.toSeq,
+        Seq.empty).collect().head
+    }
+    assert(batchLevel.getLong(0) == scanLevel.getLong(0) &&
+      batchLevel.getLong(1) == scanLevel.getLong(1),
+      "the planted corruption must be invisible at batch level " +
+        "(otherwise this leg proves nothing)")
+    // …but the per-bin neutrality check sees the divergence and the
+    // walk refuses to classify the fold as content-neutral
+    assert(StreamCurate.diffSegments(spark, dir, gA, gB).isEmpty,
+      "a bin-level divergence must refuse neutrality even when the " +
+        "batch-level xor cancels it")
+  }
+
+  test("shard-clustered compaction (VERDICT r14 #1): serve identical, states exact, pruned load skips unrelated cluster dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpclust").toString
+    append(dir, 0L, (1L to 40L).map(i => i -> (good + s"a$i")))
+    append(dir, 1L, (41L to 60L).map(i => i -> (good + s"b$i")))
+    StreamCurate.deleteCurated(spark, dir, Seq(5L, 17L).toDF("doc_id"))
+    def served: Set[(Long, String)] =
+      StreamCurate.load(spark, dir).get.select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val pre = served
+    val preShard = shardState(dir, 8).get
+    val into = StreamCurate.nextCompactId(spark, dir)
+    StreamCurate.compact(spark, dir, into, clusterBins = 64)
+    // layout-transparent serve + both maintained states still exact
+    assert(served == pre, "a clustered fold must not move the serve")
+    assert(shardState(dir, 8).contains(preShard))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)))
+    assert(state(dir).contains(scan(dir)))
+    // appends on top of the clustered base interoperate (mixed layout)
+    append(dir, 7L, Seq(70L -> (good + "k")))
+    assert(served == pre + ((70L, good + "k")))
+    assert(shardState(dir, 8).contains(shardScan(dir, 8)))
+    // pruned load serves every row of the asked shards (superset + the
+    // caller's exact filter = the contract)
+    val full = StreamCurate.load(spark, dir).get
+    val withShard = TextOps.trainingShards(full, "doc_id", 8)
+    val k = withShard.filter(col("doc_id") === 1L)
+      .select("shard").head().getInt(0)
+    def shardRows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      TextOps.trainingShards(df, "doc_id", 8)
+        .filter(col("shard") === k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = shardRows(full)
+    assert(expect.nonEmpty)
+    assert(shardRows(StreamCurate.loadAtShards(spark, dir, None, 8,
+      Set(k)).get) == expect, "pruned load must cover the asked shard")
+    // TRUE pruning: corrupt a cluster dir whose bins cannot belong to
+    // shard k — the pruned read never lists it, the full read dies
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePart = new org.apache.hadoop.fs.Path(
+      s"$dir/corpus/batch_id=$into")
+    // kept cb range for shard k at (c=64, n=8) incl. slack: [8k-1, 8k+8]
+    val victim = fs.listStatus(basePart)
+      .map(_.getPath.getName).filter(_.startsWith("cb="))
+      .map(_.stripPrefix("cb=").toInt)
+      .find(cb => cb < 8 * k - 1 || cb > 8 * k + 8)
+      .getOrElse(fail("need a populated cluster dir outside the range"))
+    val pf = fs.listStatus(new org.apache.hadoop.fs.Path(basePart,
+        s"cb=$victim"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val out = fs.create(pf, true)
+    try out.write("not a parquet file".getBytes("UTF-8"))
+    finally out.close()
+    assert(shardRows(StreamCurate.loadAtShards(spark, dir, None, 8,
+      Set(k)).get) == expect,
+      "the pruned read must never touch an out-of-range cluster dir")
+    intercept[Throwable] {
+      StreamCurate.load(spark, dir).get.count()
+    }
   }
 
   test("per-shard pre-upgrade coverage refused; compaction migrates") {

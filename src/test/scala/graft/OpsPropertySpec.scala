@@ -163,6 +163,19 @@ class OpsPropertySpec extends AnyFunSuite {
       "ts", Seq("rate"), sliceSeconds = 600, maxRowsPerKey = 100))
     assert(autoPlain == plain)
     assert(autoSliced == plain)
+    // the dispatch is PLAN-VISIBLE (VERDICT r14 #7 — a3_asof_hot's
+    // contract): below the threshold the physical plan carries the
+    // __slice shuffle key, above it it doesn't
+    val slicedPlan = TimeSeries.asOfJoinAuto(left, right, Seq("key"),
+        "ts", Seq("rate"), sliceSeconds = 600, maxRowsPerKey = 100)
+      .queryExecution.executedPlan.toString
+    assert(slicedPlan.contains("__slice"),
+      "a hot key must dispatch the time-sliced form")
+    val plainPlan = TimeSeries.asOfJoinAuto(left, right, Seq("key"),
+        "ts", Seq("rate"), sliceSeconds = 600, maxRowsPerKey = 100000)
+      .queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("__slice"),
+      "a cool fixture must keep the single-shuffle form")
   }
 
   test("as-of join equals a per-row linear scan on random grids") {

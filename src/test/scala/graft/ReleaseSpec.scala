@@ -213,6 +213,22 @@ class ReleaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Release.compareReleases(spark, relRoot, "base", "odd8")
     }
+    // CROSS-LAYOUT comparison (VERDICT r14 #6): recorded per-bin stats
+    // fold both releases to the coarser common layout (8) — the same
+    // snapshot at 16 vs 8 shards compares all-equal, and base(16) vs
+    // odd8(8) diverges exactly at the victims' 8-way shards
+    val xl = Release.compareReleasesBinned(spark, relRoot, "delta", "odd8")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+    assert(xl.nonEmpty && xl.values.forall(identity),
+      s"one snapshot at two layouts must compare equal: $xl")
+    val victims8 = TextOps.trainingShards(
+        Seq((7L, ""), (21L, "")).toDF("doc_id", "text"), "doc_id", 8)
+      .select("shard").collect().map(_.getInt(0)).toSet
+    val xl2 = Release.compareReleasesBinned(spark, relRoot, "base", "odd8")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(5)).toMap
+    assert(xl2.filter(!_._2).keySet == victims8,
+      s"cross-layout divergence must name the victims' folded shards: " +
+        s"$xl2 vs $victims8")
     // ADDITIONS flow through the same diff: a new batch lands in its
     // shards, which rewrite; delta-on-delta content stays ≡ scratch
     StreamCurate.appendBatch(corpusDir,
@@ -389,5 +405,120 @@ class ReleaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // empty root: loud, not silent
       Release.gcPlan(spark, relRoot)
     }
+  }
+
+  test("publishDelta state tier over a shard-clustered base reads only touched cluster dirs (VERDICT r14 #1)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("relclust").toString
+    val corpusDir = s"$root/corpus"
+    val relRoot = s"$root/releases"
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    StreamCurate.appendBatch(corpusDir,
+      (1L to 60L).map(i => (i, body + s"marker$i tail$i", 200))
+        .toDF("doc_id", "text", "n_chars"), 0L,
+      b => b.select("doc_id", "text"))
+    Release.publish(spark, corpusDir, None, relRoot, "base", nShards = 16)
+    // takedown → CLUSTERED fold (64 cluster dirs = 4 per release
+    // shard) → vacuum (walk unprovable) → second takedown → delta:
+    // the state tier decides from metadata and reads content only
+    // from the touched shards' cluster dirs
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(7L).toDF("doc_id"))
+    StreamCurate.compact(spark, corpusDir,
+      StreamCurate.nextCompactId(spark, corpusDir), clusterBins = 64)
+    StreamCurate.vacuum(spark, corpusDir)
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(23L).toDF("doc_id"))
+    val rep = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta", basedOn = "base").collect().head
+    assert(rep.getString(8) == "state",
+      s"vacuumed walk over the clustered base must use the state tier: $rep")
+    Release.publish(spark, corpusDir, None, relRoot, "scratch",
+      nShards = 16)
+    def rows(name: String) =
+      spark.read.parquet(Release.shardsDir(relRoot, name))
+        .select("doc_id", "text", "shard").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows("delta") == rows("scratch"),
+      "clustered state-tier delta content must equal scratch")
+    // the pruning proof at the publish level: a THIRD takedown (doc
+    // 37) and a vacuum (walk unprovable again), then corrupt a cluster
+    // dir belonging to NO touched shard — the next state-tier delta
+    // still publishes (its content read never lists the corrupt dir)
+    // while a scratch publish (full scan) dies on it
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(37L).toDF("doc_id"))
+    StreamCurate.vacuum(spark, corpusDir)
+    // delta2's touched set vs "delta"'s snapshot is exactly 37's shard
+    val k37 = TextOps.trainingShards(
+        Seq((37L, "")).toDF("doc_id", "text"), "doc_id", 16)
+      .select("shard").head().getInt(0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePart = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$corpusDir/corpus"))
+      .map(_.getPath).find(_.getName.startsWith("batch_id=-")).get
+    // kept cb values for the touched shard at (c=64, n=16) incl.
+    // slack: [4k-1, 4k+4]
+    val victim = fs.listStatus(basePart)
+      .map(_.getPath.getName).filter(_.startsWith("cb="))
+      .map(_.stripPrefix("cb=").toInt)
+      .find(cb => cb < 4 * k37 - 1 || cb > 4 * k37 + 4)
+      .getOrElse(fail("need a populated cluster dir outside the " +
+        "touched shard"))
+    val pf = fs.listStatus(new org.apache.hadoop.fs.Path(basePart,
+        s"cb=$victim"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val out = fs.create(pf, true)
+    try out.write("not a parquet file".getBytes("UTF-8"))
+    finally out.close()
+    val rep2 = Release.publishDelta(spark, corpusDir, None, relRoot,
+      "delta2", basedOn = "delta").collect().head
+    assert(rep2.getString(8) == "state", s"$rep2")
+    assert(spark.read.parquet(Release.shardsDir(relRoot, "delta2"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ((1L to 60L).toSet -- Set(7L, 23L, 37L)),
+      "the pruned-content delta must still serve the exact snapshot")
+    intercept[Throwable] {
+      Release.publish(spark, corpusDir, None, relRoot, "scratch2",
+        nShards = 16)
+    }
+  }
+
+  test("gc closure is transitive: a retired base of a retired base stays pinned while the chain's head is live (ADVICE r14)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("relgc2").toString
+    val corpusDir = s"$root/corpus"
+    val relRoot = s"$root/releases"
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    StreamCurate.appendBatch(corpusDir,
+      (1L to 20L).map(i => (i, body + s"marker$i", 200))
+        .toDF("doc_id", "text", "n_chars"), 0L,
+      b => b.select("doc_id", "text"))
+    Release.publish(spark, corpusDir, None, relRoot, "c1", nShards = 8)
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(4L).toDF("doc_id"))
+    Release.publishDelta(spark, corpusDir, None, relRoot, "c2",
+      basedOn = "c1")
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(9L).toDF("doc_id"))
+    Release.publishDelta(spark, corpusDir, None, relRoot, "c3",
+      basedOn = "c2")
+    // retire BOTH ancestors; only the chain head c3 stays live — the
+    // one-hop account would keep c2 (named by live c3) but reclaim c1,
+    // breaking c3's provenance chain one link down
+    Release.retire(spark, relRoot, "c1")
+    Release.retire(spark, relRoot, "c2")
+    val acted = Release.gc(spark, relRoot).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(acted == Map("c1" -> ((true, false)), "c2" -> ((true, false)),
+      "c3" -> ((false, false))),
+      s"both retired ancestors must stay referenced by the live head: $acted")
+    val fs = new org.apache.hadoop.fs.Path(relRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Release.shardsDir(relRoot, "c1"))),
+      "the transitive base's bytes must survive gc")
+    // retire the head: the closure empties and the whole chain reclaims
+    Release.retire(spark, relRoot, "c3")
+    val last = Release.gc(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(last == Map("c1" -> true, "c2" -> true, "c3" -> true), s"$last")
   }
 }
