@@ -49,14 +49,14 @@ object TimeOne {
         println(f"[timeone] $nm iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
     }
-    val fn = fnOf(names.head)
-    // 4th arg "show": print the rows (literal-oracle authoring aid).
+    // 4th arg "show": print the rows (literal-oracle authoring aid) —
+    // for EVERY named query, not just the first (ADVICE r14).
     // collect(), not show(): executeTake on unions of tiny multi-split
     // Ranges can return empty while the full plan has rows.
-    if (args.lift(3).contains("show")) {
-      val df = fn(spark, sf)
-      println(df.columns.mkString("[show] ", " | ", ""))
-      df.collect().take(200).foreach(r => println(s"[show] $r"))
+    if (args.lift(3).contains("show")) names.foreach { nm =>
+      val df = fnOf(nm)(spark, sf)
+      println(df.columns.mkString(s"[show:$nm] ", " | ", ""))
+      df.collect().take(200).foreach(r => println(s"[show:$nm] $r"))
     }
     spark.stop()
   }
