@@ -1850,6 +1850,22 @@ object ScaleStress {
           s"a one-shard takedown must touch ~one shard: $r")
         rep.count()
       }),
+      Op("release_delta_linked", m => {
+        // the O(TOUCHED) publication (r15): same one-shard takedown on
+        // the clustered base, but untouched shards are RECORDED as
+        // references (link = true) instead of byte-copied — the last
+        // m-growing term (the copy) is gone, so this row must be FLAT
+        // while release_delta_clustered still carries the copy bytes.
+        val root = builtReleaseClustered(m)
+        val rep = graft.streaming.Release.publishDelta(spark,
+          s"$root/corpus", None, s"$root/rel",
+          s"link${relCtr.incrementAndGet()}", basedOn = "base",
+          link = true)
+        val r = rep.head()
+        require(r.getAs[String]("via") == "state",
+          s"vacuumed walk must use the state tier: $r")
+        rep.count()
+      }),
       Op("release_audit_fixed", m => {
         // cross-release takedown audit (VERDICT r13 #6): a FIXED 100-id
         // set against FOUR pinned releases on the m× corpus. Per
@@ -1932,7 +1948,8 @@ object ScaleStress {
     if (ops0.exists(_.name == "release_audit_fixed"))
       mults.foreach(builtReleaseAudit)
     if (ops0.exists(o => o.name == "release_delta_clustered" ||
-        o.name == "clustered_shard_read"))
+        o.name == "clustered_shard_read" ||
+        o.name == "release_delta_linked"))
       mults.foreach(builtReleaseClustered)
 
     // GC/JIT-outlier-prone cells (candidate-join ops with large transient

@@ -926,9 +926,11 @@ object TextQ {
         // delta reports are bit-identical to v1's. f4 (same final
         // snapshot at 16 shards) exists for the CROSS-LAYOUT
         // comparison x84 — different shard count on purpose.
-        val spec = "v2 slice=%7==2 saltuid 2batches mod2 f1@2 shards=64 " +
+        // f5 = LINKED delta of the same final snapshot (x85): untouched
+        // shards recorded as references into f1's physical dirs
+        val spec = "v3 slice=%7==2 saltuid 2batches mod2 f1@2 shards=64 " +
           "forget=%5==1 foldcb64 f2=delta vacuum forget=%5==2 " +
-          "f3=delta(f1) f4@16"
+          "f3=delta(f1) f4@16 f5=linkdelta(f1)"
         def build(root: String): Unit = {
           val corpusDir = s"$root/corpus"
           val rel = s"$root/releases"
@@ -957,6 +959,8 @@ object TextQ {
             "f3", basedOn = "f1")
           graft.streaming.Release.publish(s, corpusDir, None, rel,
             "f4", nShards = 16)
+          graft.streaming.Release.publishDelta(s, corpusDir, None, rel,
+            "f5", basedOn = "f1", link = true)
           ()
         }
         graft.ArtifactStore.dirArtifact(d, "x80rel", spec) match {
@@ -2066,6 +2070,29 @@ object TextQ {
       graft.streaming.Release.compareReleasesBinned(s,
           s"${foldReleaseRoot(s, d)}/releases", "f1", "f4")
         .orderBy("shard")),
+
+    // X85 — LINKED (reference) release ([[graft.streaming.Release
+    // .publishDelta]] `link = true`, r15): the O(TOUCHED) publication —
+    // untouched shards are RECORDED as references to their physical
+    // owner's shard dirs (shardmap metadata) instead of byte-copied,
+    // so a takedown-sized change publishes in O(touched + metadata)
+    // regardless of corpus size; [[graft.streaming.Release
+    // .loadShards]] resolves references with one partition-pruned read
+    // per owner. The query serves the RESOLVED content's (n_docs,
+    // 60-bit fingerprint) plus the linked-shard count — the oracle
+    // recomputes all three from the raw snapshot (resolution must be
+    // invisible in the bytes).
+    "x85_release_linked" -> ((s, d) => {
+      val root = s"${foldReleaseRoot(s, d)}/releases"
+      val resolved = graft.streaming.Release.loadShards(s, root, "f5")
+      val nLinked = graft.streaming.Release.readShardMap(s, root, "f5")
+        .map(_.size).getOrElse(0)
+      TextOps.corpusFingerprint(resolved.select("doc_id", "text"),
+          Seq("doc_id", "text"), Seq.empty)
+        .select(lit("f5").as("release"),
+          col("n_rows").as("n_docs"), col("fingerprint"),
+          lit(nLinked).as("n_shards_linked"))
+    }),
 
     // X82 — DELTA PRE-FLIGHT ([[graft.streaming.Release
     // .deltaPreflight]]): the st22 plan-before-act idea for deltas —
@@ -4196,6 +4223,29 @@ object TextQ {
              AS equal
          FROM a FULL OUTER JOIN b USING (shard)
          ORDER BY shard""",
+    // x85: the linked release's resolved content recomputed from raw —
+    // survivors' count + 60-bit xor fingerprint, and the linked-shard
+    // count = the shards with no victims (the copied set the map
+    // records instead of copying)
+    "x85_release_linked" ->
+      """WITH t AS (SELECT doc_id,
+                 text || ' uid' || CAST(doc_id AS VARCHAR) AS text,
+                 (doc_id % 5 IN (1, 2)) AS victim,
+                 CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                                 AS INTEGER) / 16777216.0 * 64) AS INTEGER) AS shard
+               FROM documents WHERE doc_id % 7 = 2),
+         per AS (SELECT shard,
+                   sum(CASE WHEN victim THEN 1 ELSE 0 END) AS nv,
+                   count(*) AS n
+                 FROM t GROUP BY shard),
+         surv AS (SELECT doc_id, text FROM t WHERE NOT victim)
+         SELECT 'f5' AS release,
+           (SELECT count(*) FROM surv) AS n_docs,
+           (SELECT bit_xor(CAST(('0x' || substr(md5(
+              md5(CAST(doc_id AS VARCHAR)) || md5(text)),
+              1, 15)) AS BIGINT)) FROM surv) AS fingerprint,
+           (SELECT CAST(count(*) AS INTEGER) FROM per WHERE nv = 0)
+             AS n_shards_linked""",
     // x82: x81's per-shard account re-derived — the zero-byte preflight
     // must price exactly what the state-tier publish then did
     "x82_delta_preflight" ->

@@ -53,6 +53,7 @@ object Release {
   private def statsDir(root: String, name: String) = s"$root/$name/shardstats"
   private def binStatsDir(root: String, name: String) = s"$root/$name/binstats"
   private def deltaDir(root: String, name: String) = s"$root/$name/delta"
+  private def shardMapDir(root: String, name: String) = s"$root/$name/shardmap"
   private def retiredDir(root: String, name: String) = s"$root/$name/retiredmeta"
   /** Shard layout of a published release (loader entry point). */
   def shardsDir(root: String, name: String): String = s"$root/$name/shards"
@@ -275,10 +276,27 @@ object Release {
     * [[publish]] of the same snapshot (ReleaseSpec pins content
     * equality + verifyShards) — plus a one-row DELTA REPORT
     * ([[deltaReport]]): (release, based_on, base_gen, gen, n_shards,
-    * n_shards_rewritten, n_shards_copied, n_shards_emptied). */
+    * n_shards_rewritten, n_shards_copied, n_shards_emptied).
+    *
+    * `link = true` (r15) publishes the O(TOUCHED) form: untouched
+    * shards are RECORDED as references (a shardmap row naming each
+    * shard's physical owner, collapsed transitively at publish)
+    * instead of byte-copied — the publication cost drops from
+    * O(corpus bytes) to O(touched shards + metadata), which at 100 TB
+    * is the difference between hours and seconds for a takedown-sized
+    * change. [[loadShards]] is the loader that resolves references
+    * (one partition-pruned read per distinct owner — same cost as
+    * reading a materialized release); [[verifyShards]] verifies
+    * through them (a tampered owner shard flips the linked release
+    * too); [[gcAccount]]'s transitive `based_on` closure keeps every
+    * physical owner on disk while a linked release lives. Trade-off:
+    * a linked release is not byte-self-contained — exporting it to
+    * another site means materializing (a scratch [[publish]] of the
+    * same generation, or copying through [[loadShards]]). */
   def publishDelta(s: SparkSession, corpusDir: String, gen: Option[Int],
                    releaseRoot: String, name: String, basedOn: String,
-                   idCol: String = "doc_id", textCol: String = "text")
+                   idCol: String = "doc_id", textCol: String = "text",
+                   link: Boolean = false)
       : DataFrame = {
     require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
       s"release names are single path segments, got '$name'")
@@ -400,9 +418,10 @@ object Release {
       // PRUNED to the changed set (real pruning — the base layout is
       // shard-partitioned), minus the removed ids, plus the added rows
       if (rw.nonEmpty) {
-        val baseRows = s.read
-          .option("basePath", shardsDir(releaseRoot, basedOn))
-          .parquet(shardsDir(releaseRoot, basedOn))
+        // loadShards (r15): resolves a LINKED base's references; for a
+        // materialized base this is the same partition-pruned read as
+        // before
+        val baseRows = loadShards(s, releaseRoot, basedOn)
           .filter(col("shard").isInCollection(changed.toSeq))
           .select(col(idCol), col(textCol), col("shard"), col("pos"))
         val removedIds = d.filter(col("change") === "removed")
@@ -481,14 +500,55 @@ object Release {
           s"the delta against '$basedOn' would empty every shard; " +
           "refusing to publish an empty release")
     }
-    // byte-copy the untouched shards from the base release
-    if (copied.nonEmpty) fs.mkdirs(new Path(shardsDir(releaseRoot, tmp)))
-    copied.toSeq.sorted.foreach { k =>
-      val src = new Path(s"${shardsDir(releaseRoot, basedOn)}/shard=$k")
-      val dst = new Path(s"${shardsDir(releaseRoot, tmp)}/shard=$k")
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
-          false, s.sparkContext.hadoopConfiguration))
-        throw new java.io.IOException(s"copy of base shard $k failed")
+    if (link && copied.nonEmpty) {
+      // LINKED (reference) release — the O(touched) publication
+      // (r15): untouched shards are RECORDED, not copied — a
+      // shardmap row (shard, owner) naming the release whose
+      // `shards/shard=K` dir physically holds the bytes. Owners
+      // resolve TRANSITIVELY AT PUBLISH (a linked base's map rows
+      // pass through), so chains stay one hop at read time.
+      // [[loadShards]] is the loader that resolves; [[gcAccount]]'s
+      // transitive based_on closure (ADVICE r14) is exactly what
+      // keeps every physical owner on disk while this release lives.
+      val baseMap = readShardMap(s, releaseRoot, basedOn)
+        .getOrElse(Map.empty[Int, String])
+      locally {
+        import s.implicits._
+        copied.toSeq.sorted
+          .map(k => (k, baseMap.getOrElse(k, basedOn)))
+          .toDF("shard", "owner")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(shardMapDir(releaseRoot, tmp))
+      }
+    } else if (copied.nonEmpty) {
+      // byte-copy the untouched shards from the base release — on a
+      // BOUNDED POOL, not serially: the copies are independent pure
+      // IO, and the serial form became the whole delta wall at
+      // production shard counts (r15 ScaleStress: 19.8 s at m=64/1024
+      // shards, exponent 0.78 — the copy loop, not the decision or
+      // the content read, both of which are flat; the pool halves it,
+      // `link = true` removes it). On an object store each copy is a
+      // server-side call and the pool shape is right there too. Any
+      // failure cancels the publish (no partial-copy commit — the
+      // staged dir never renames).
+      fs.mkdirs(new Path(shardsDir(releaseRoot, tmp)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, copied.size))
+      try {
+        copied.toSeq.sorted.map { k =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val src =
+                new Path(s"${shardsDir(releaseRoot, basedOn)}/shard=$k")
+              val dst = new Path(s"${shardsDir(releaseRoot, tmp)}/shard=$k")
+              if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+                  false, s.sparkContext.hadoopConfiguration))
+                throw new java.io.IOException(
+                  s"copy of base shard $k failed")
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
     }
     locally {
       import s.implicits._
@@ -702,6 +762,54 @@ object Release {
     else Some(s.read.parquet(p.toString))
   }
 
+  /** The recorded shard references of a LINKED release
+    * ([[publishDelta]] `link = true`): shard → the release whose
+    * physical `shards/` dir holds that shard's bytes. None for fully
+    * materialized releases. Registry-sized metadata. */
+  def readShardMap(s: SparkSession, releaseRoot: String, name: String)
+      : Option[Map[Int, String]] = {
+    val p = new Path(shardMapDir(releaseRoot, name))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!Manifest.hasDataFiles(fs, p)) None
+    else Some(s.read.parquet(p.toString).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap)
+  }
+
+  /** THE LOADER ENTRY for a release's rows — resolves linked shards
+    * (r15): a materialized release reads its own `shards/` dir
+    * verbatim; a LINKED one ([[publishDelta]] `link = true`) unions
+    * its physical (rewritten) shards with one partition-pruned read
+    * per distinct physical OWNER of its referenced shards (owners were
+    * collapsed to physical at publish, so this never chases a chain).
+    * Schema identical either way: the payload columns + `pos` +
+    * `shard`. The owner reads prune on the `shard=` partition column —
+    * a linked release's load costs exactly what a materialized one's
+    * does, without the corpus-sized copy at publish. */
+  def loadShards(s: SparkSession, releaseRoot: String, name: String)
+      : DataFrame = {
+    val fs = new Path(releaseRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ownDir = shardsDir(releaseRoot, name)
+    val own =
+      if (Manifest.hasDataFiles(fs, new Path(ownDir)))
+        Some(s.read.option("basePath", ownDir).parquet(ownDir))
+      else None
+    val linked = readShardMap(s, releaseRoot, name).map { m =>
+      m.groupBy(_._2).toSeq.sortBy(_._1).map { case (owner, kvs) =>
+        val od = shardsDir(releaseRoot, owner)
+        s.read.option("basePath", od).parquet(od)
+          .filter(col("shard").isInCollection(kvs.keys.toSeq))
+      }.reduce(_ unionByName _)
+    }
+    (own, linked) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        s"release '$name' has no shards at $releaseRoot")
+    }
+  }
+
   /** Every published release's manifest row; None when nothing was
     * ever published. Pure metadata — one tiny parquet per release. */
   def registry(s: SparkSession, releaseRoot: String): Option[DataFrame] = {
@@ -887,8 +995,12 @@ object Release {
     metas.toSeq.map { m =>
       val (name, nDocs, fp, rid, rtx) = (m.getString(0), m.getLong(1),
         m.getLong(2), m.getString(3), m.getString(4))
+      // loadShards (r15): a LINKED release verifies against the bytes
+      // its references RESOLVE to — a tampered owner shard flips the
+      // linked release's ok too, which is exactly the guarantee a
+      // training site wants before reading through the references
       val got = TextOps.corpusFingerprint(
-          s.read.parquet(shardsDir(releaseRoot, name))
+          loadShards(s, releaseRoot, name)
             .select(col(rid), col(rtx)),
           Seq(rid, rtx).sorted, Seq.empty).head() // sorted (ADVICE r14)
       s.range(1).select(lit(name).as("release"),

@@ -687,8 +687,15 @@ object StreamCurate {
     // "never a silently-different hash" contract, enforced on the
     // order as well as the set)
     if (payloadCols != payloadCols.sorted) return None
-    val schemaOk = load(s, dir).exists(df =>
-      df.columns.filterNot(_ == "batch_id").sorted.toSeq ==
+    // payload guard from ONE data file's footer, not a full corpus
+    // listing (r15): `load()` here built a file index over every
+    // partition — on a 1024-dir clustered base that listing dominated
+    // the otherwise-metadata-sized state fold (the corpus schema is
+    // stable across batches by this state's own contract, so any one
+    // file names the payload; partition columns live in dir names and
+    // never in the file)
+    val schemaOk = firstDataFile(s, corpusDir(dir)).exists(f =>
+      s.read.parquet(f).schema.fieldNames.sorted.toSeq ==
         payloadCols.sorted)
     if (!schemaOk) return None
     liveFamilies(s, dir, gen).flatMap { case (data, tombs) =>
@@ -1243,6 +1250,28 @@ object StreamCurate {
         else Some(s.read.parquet(dataDir)
           .withColumn("batch_id", col("batch_id").cast("int")))
     }
+
+  /** First real data file under `dir` (depth-first, `_`/`.` names
+    * skipped) — the O(few-listings) schema probe
+    * [[fingerprintShardState]] uses instead of building a corpus-wide
+    * file index. None when nothing readable exists. */
+  private def firstDataFile(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Option[String] = {
+      if (depth > 4 || !fs.exists(p)) return None
+      val kids = fs.listStatus(p).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      kids.collectFirst { case st if st.isFile => st.getPath.toString }
+        .orElse(kids.iterator.filter(_.isDirectory)
+          .map(st => walk(st.getPath, depth + 1))
+          .collectFirst { case Some(f) => f })
+    }
+    walk(root, 0)
+  }
 
   /** Cluster granularity of one `batch_id=` partition dir — the
     * `_clusterbins` marker a shard-clustered [[compact]] writes; None

@@ -72,7 +72,16 @@ object Takedown {
       /** The corpus key column (and the text column for the ngram-df
         * leg). */
       idCol: String = "doc_id",
-      textCol: String = "text")
+      textCol: String = "text",
+      /** Cluster granularity for curate-corpus folds (r15 — the
+        * [[StreamCurate.compact]] `clusterBins` the maintainer and
+        * [[reclaim]] pass through): > 1 writes the folded base
+        * SHARD-CLUSTERED so a later [[Release.publishDelta]]
+        * state-tier content read partition-prunes to the touched
+        * shards' cluster dirs. 1 = flat (the default; power of two
+        * dividing [[StreamCurate.FpShardBins]] otherwise). The
+        * production setting: match the release shard granularity. */
+      curateClusterBins: Int = 1)
 
   /** Phase 1 — logical deletes everywhere, derivatives first, bodies
     * last. `ids` is a one-column frame of `sinks.idCol` keys. Safe to
@@ -452,7 +461,8 @@ object Takedown {
     val rep = maintenanceReport(s, sinks).collect()
     val need = rep.filter(_.getBoolean(7)).map(_.getString(0)).toSet
     if (need("corpus")) sinks.curateDir.foreach(d =>
-      StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d)))
+      StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d),
+        clusterBins = sinks.curateClusterBins))
     if (need("bm25")) sinks.bm25Dir.foreach { d =>
       val tombed = Manifest.readLiveWithGen(s, d).map(_._2)
         .exists(_.tombs.nonEmpty)
@@ -567,7 +577,8 @@ object Takedown {
       StreamContainment.vacuum(s, d, retainMillis = retainMillis)
     }
     sinks.curateDir.foreach { d =>
-      StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d))
+      StreamCurate.compact(s, d, StreamCurate.nextCompactId(s, d),
+        clusterBins = sinks.curateClusterBins)
       StreamCurate.vacuum(s, d, retainMillis = retainMillis)
     }
   }

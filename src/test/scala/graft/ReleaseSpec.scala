@@ -482,6 +482,83 @@ class ReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("linked delta (r15): O(touched) publish — references resolve exactly, verify flags tampered owners, gc pins the owner chain") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("rellink").toString
+    val corpusDir = s"$root/corpus"
+    val relRoot = s"$root/releases"
+    val body = "the quick brown fox jumps over the lazy dog near the "
+    StreamCurate.appendBatch(corpusDir,
+      (1L to 40L).map(i => (i, body + s"marker$i tail$i", 200))
+        .toDF("doc_id", "text", "n_chars"), 0L,
+      b => b.select("doc_id", "text"))
+    Release.publish(spark, corpusDir, None, relRoot, "base", nShards = 16)
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(7L, 21L).toDF("doc_id"))
+    Release.publishDelta(spark, corpusDir, None, relRoot, "ldelta",
+      basedOn = "base", link = true)
+    Release.publish(spark, corpusDir, None, relRoot, "scratch",
+      nShards = 16)
+    def resolved(name: String): Set[(Long, String, Int)] =
+      Release.loadShards(spark, relRoot, name)
+        .select("doc_id", "text", "shard").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(resolved("ldelta") == resolved("scratch"),
+      "a linked release must resolve to exactly the scratch content")
+    // the physical dir holds ONLY the rewritten shards; the map names
+    // exactly the rest, all owned by the materialized base
+    val fs = new org.apache.hadoop.fs.Path(relRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victimShards = TextOps.trainingShards(
+        Seq((7L, ""), (21L, "")).toDF("doc_id", "text"), "doc_id", 16)
+      .select("shard").collect().map(_.getInt(0)).toSet
+    val physShards = spark.read
+      .parquet(Release.shardsDir(relRoot, "ldelta"))
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(physShards == victimShards,
+      s"only touched shards may materialize: $physShards vs $victimShards")
+    val map1 = Release.readShardMap(spark, relRoot, "ldelta").get
+    assert(map1.values.toSet == Set("base"))
+    assert(map1.keySet ++ physShards ==
+      spark.read.parquet(Release.shardsDir(relRoot, "base"))
+        .select("shard").distinct().collect().map(_.getInt(0)).toSet,
+      "map + physical must cover the full layout")
+    // link-on-link: owners COLLAPSE to the physical release at publish
+    StreamCurate.deleteCurated(spark, corpusDir, Seq(31L).toDF("doc_id"))
+    Release.publishDelta(spark, corpusDir, None, relRoot, "ldelta2",
+      basedOn = "ldelta", link = true)
+    Release.publish(spark, corpusDir, None, relRoot, "scratch2",
+      nShards = 16)
+    assert(resolved("ldelta2") == resolved("scratch2"))
+    val map2 = Release.readShardMap(spark, relRoot, "ldelta2").get
+    assert(map2.values.toSet.subsetOf(Set("base", "ldelta")),
+      s"owners must be physical releases, never a chain: $map2")
+    assert(map2.filter(_._2 == "ldelta").keySet.subsetOf(physShards),
+      "shards attributed to the middle release must be physically there")
+    assert(Release.verifyShards(spark, relRoot).collect()
+      .forall(_.getBoolean(5)), "all releases must verify through links")
+    // gc: the whole owner chain stays while the linked head lives
+    Release.retire(spark, relRoot, "base")
+    Release.retire(spark, relRoot, "ldelta")
+    val acted = Release.gc(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(acted("base") == false && acted("ldelta") == false,
+      s"live ldelta2's owner chain must survive gc: $acted")
+    assert(resolved("ldelta2") == resolved("scratch2"),
+      "the linked head must still resolve after gc")
+    // a tampered OWNER shard flips the LINKED release's verify row
+    val refShard = map2.collectFirst { case (k, "base") => k }.get
+    val pf = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"${Release.shardsDir(relRoot, "base")}/shard=$refShard"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.delete(pf, false)
+    val ver = Release.verifyShards(spark, relRoot).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(ver("ldelta2") == false,
+      s"a truncated owner shard must fail the linked release: $ver")
+    assert(ver("scratch") && ver("scratch2"),
+      s"materialized releases are unaffected: $ver")
+  }
+
   test("gc closure is transitive: a retired base of a retired base stays pinned while the chain's head is live (ADVICE r14)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("relgc2").toString

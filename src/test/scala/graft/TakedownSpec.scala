@@ -208,7 +208,10 @@ class TakedownSpec extends AnyFunSuite {
       curateDir = Some(s"$root/corpus"),
       bm25Dir = Some(s"$root/bm25"),
       containmentDir = Some(s"$root/cont"),
-      ngramDf = Some((s"$root/ngdf", 3)))
+      ngramDf = Some((s"$root/ngdf", 3)),
+      // r15: production folds cluster the corpus base so release
+      // deltas partition-prune their content reads
+      curateClusterBins = 32)
     val body = "the quick brown fox jumps over the lazy dog near the "
     val docs = (1L to 12L).map(i => (i, body + s"marker$i tail$i", 200))
       .toDF("doc_id", "text", "n_chars")
@@ -236,6 +239,16 @@ class TakedownSpec extends AnyFunSuite {
       "containment" -> false, "ngram_df" -> false), s"$acted")
     assert(lsmDirs.map(Manifest.generations(spark, _)) == lsmGens,
       "maintain must not commit to a healthy sink")
+    // the maintainer's fold wrote the base SHARD-CLUSTERED (r15):
+    // cb= cluster dirs under the folded partition
+    val foldFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedBase = foldFs.listStatus(new org.apache.hadoop.fs.Path(
+        s"${sinks.curateDir.get}/corpus"))
+      .map(_.getPath).filter(_.getName.startsWith("batch_id=-"))
+    assert(foldedBase.nonEmpty && foldedBase.forall(p =>
+      foldFs.listStatus(p).exists(_.getPath.getName.startsWith("cb="))),
+      "a curateClusterBins maintainer fold must write a clustered base")
     // the fold absorbed the masks without moving the serve
     val rep = Takedown.maintenanceReport(spark, sinks).collect()
       .map(r => r.getString(0) -> r).toMap
