@@ -80,31 +80,26 @@ object Bench {
     // instead of landing on whichever consumer grabs the cache lock first,
     // so per-query task_sec stays attributable round-over-round.
     val pre0 = System.nanoTime()
-    val prePool = Executors.newFixedThreadPool(3)
-    val preEc = ExecutionContext.fromExecutor(prePool)
-    val preWork: Seq[() => Unit] = Seq(
-      () => graft.queries.BacktestQ.prewarm(spark, sfDir),
-      () => graft.queries.ReplayQ.prewarm(spark),
-      () => graft.queries.TextQ.prewarm(spark, sfDir),
-      () => graft.queries.VectorQ.prewarm(spark, sfDir),
-      () => graft.queries.ExtQ.prewarm(spark, sfDir))
-    val preFutures = preWork.map(w => Future {
-      // job group is thread-local — set it on each prewarm thread
-      spark.sparkContext.setJobGroup("prematerialize", "shared intermediates")
-      // a prewarm leg failure is survivable (the consumer queries build
-      // lazily) but must be VISIBLE: a silently-dead leg pushes whole
-      // artifact builds into timed query groups — and if the build
-      // failure is persistent, into EVERY sweep (the r12 driver
-      // signature: st20 carrying 326 task-sec of cascade build)
-      try w() catch { case t: Throwable =>
-        System.err.println(
-          s"[bench] prewarm leg FAILED (builds will land in timed " +
-            s"queries): $t")
-      }
-      finally spark.sparkContext.clearJobGroup()
-    }(preEc))
-    preFutures.foreach(Await.result(_, Duration.Inf))
-    prePool.shutdown()
+    // r15: DAG-parallel prewarm ([[Graft.warmAll]]) — the r14 shape (five
+    // sequential module legs on a 3-thread pool) left the 26-builder TextQ
+    // leg as the whole critical path: prematerialize was 310-425 s of the
+    // cold-store suite wall with ~14 of 32 cores busy. Scheduling the 48
+    // builders individually (deps declared, heaviest-first) keeps the
+    // machine full; pool size stays scale-adaptive (3 at the driver's
+    // low-core run, 8 at CPUS=32). Builder failures stay isolated and
+    // VISIBLE exactly as before ([[Graft.warm]] logs and continues — a
+    // silently-dead builder pushes its build into timed query groups,
+    // the r12 driver signature).
+    val preTasks: Seq[(String, Seq[String], () => Unit)] =
+      Seq(("intradayFold", Seq.empty[String],
+            () => graft.queries.BacktestQ.prewarm(spark, sfDir)),
+          ("replayFold", Seq.empty[String],
+            () => graft.queries.ReplayQ.prewarm(spark))) ++
+        graft.queries.TextQ.prewarmTasks(spark, sfDir) ++
+        graft.queries.VectorQ.prewarmTasks(spark, sfDir) ++
+        graft.queries.ExtQ.prewarmTasks(spark, sfDir)
+    graft.Graft.warmAll(spark, preTasks,
+      poolSize = math.min(8, math.max(3, cpus.toInt / 4)))
     val preSec = (System.nanoTime() - pre0) / 1e9
 
     // Median-of-3 SWEEPS: scheduler/attribution jitter under the

@@ -34,11 +34,52 @@ object Graft {
     * (and, when the failure is persistent, into EVERY sweep — the r12
     * driver-bench signature). Failures stay survivable (consumers build
     * lazily) but are now contained to one builder and always named. */
-  private[graft] def warm(name: String)(f: => Any): Unit =
+  /** DAG-parallel prewarm scheduler (r15): run `(name, deps, thunk)` build
+    * tasks on a bounded pool, each task starting the moment its declared
+    * dependencies complete. The r14 shape ran the five module legs on a
+    * 3-thread pool with each leg SEQUENTIAL inside — the TextQ leg's 26
+    * builders summed to ~425 s cold and were the whole prematerialize
+    * wall (56% of the cold-store suite wall, r15 measurement). Tasks must
+    * be declared in topological order (a dep named later is ignored);
+    * failures stay isolated per-builder ([[warm]]) so dependents fall
+    * back to their own lazy builds exactly as before. */
+  private[graft] def warmAll(spark: org.apache.spark.sql.SparkSession,
+                             tasks: Seq[(String, Seq[String], () => Unit)],
+                             poolSize: Int): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, poolSize))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val done = scala.collection.mutable.Map.empty[String, Future[Unit]]
+    tasks.foreach { case (name, deps, thunk) =>
+      val depF = Future.sequence(deps.flatMap(done.get))
+      done(name) = depF.map { _ =>
+        // job group is thread-local — set it on every pool thread a task
+        // lands on, clear after (the Bench attribution contract)
+        spark.sparkContext.setJobGroup("prematerialize",
+          "shared intermediates")
+        try warm(name)(thunk())
+        finally spark.sparkContext.clearJobGroup()
+      }
+    }
+    done.values.foreach(Await.result(_, Duration.Inf))
+    pool.shutdown()
+  }
+
+  private[graft] def warm(name: String)(f: => Any): Unit = {
+    val t0 = System.nanoTime()
     try { f; () } catch {
       case t: Throwable =>
         System.err.println(
           s"[prewarm] $name FAILED (its consumers will build lazily " +
             s"inside their own timing): $t")
+    } finally {
+      // per-builder wall on stderr: the prematerialize phase is >half the
+      // cold-store suite wall (r15 measurement), so its hot spots must be
+      // nameable without a profiler
+      System.err.println(f"[prewarm] $name took " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+  }
 }

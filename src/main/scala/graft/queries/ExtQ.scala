@@ -290,16 +290,22 @@ object ExtQ {
 
   /** Bench hook: ingest + load the streamed segment indexes up front (the
     * BacktestQ.prewarm attribution rationale — st6/st7 time the serve). */
-  private[graft] def prewarm(s: SparkSession, d: String): Unit = {
+  /** Prewarm DAG (r15): see [[graft.queries.TextQ.prewarmTasks]]. Every
+    * streamed-BM25 lifecycle builder owns its own sink dir — no edges;
+    * heaviest-first (cold walls, r15). */
+  private[graft] def prewarmTasks(s: SparkSession, d: String)
+      : Seq[(String, Seq[String], () => Unit)] = Seq(
+    ("streamedBm25", Nil, () => streamedBm25(s, d)),
+    ("compactedBm25", Nil, () => compactedBm25(s, d)),
+    ("takedownBm25", Nil, () => takedownBm25(s, d)),
+    ("blocklistBm25", Nil, () => blocklistBm25(s, d)),
+    ("fpBm25Dir", Nil, () => fpBm25Dir(s, d)),
+    ("mediaFingerprintIndex", Nil, () => mediaFingerprintIndex(s, d)))
+
+  private[graft] def prewarm(s: SparkSession, d: String): Unit =
     // each builder isolated ([[graft.Graft.warm]]): one failure must not
     // silently skip the rest of the leg
-    graft.Graft.warm("streamedBm25")(streamedBm25(s, d))
-    graft.Graft.warm("compactedBm25")(compactedBm25(s, d))
-    graft.Graft.warm("takedownBm25")(takedownBm25(s, d))
-    graft.Graft.warm("blocklistBm25")(blocklistBm25(s, d))
-    graft.Graft.warm("mediaFingerprintIndex")(mediaFingerprintIndex(s, d))
-    graft.Graft.warm("fpBm25Dir")(fpBm25Dir(s, d))
-  }
+    prewarmTasks(s, d).foreach { case (n, _, t) => graft.Graft.warm(n)(t()) }
 
   /** Release the memoized streamed-segment index (see Graft.clearCaches)
     * and delete any temp ingest dirs (store-disabled mode); store-managed

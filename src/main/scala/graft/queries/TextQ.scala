@@ -1097,35 +1097,44 @@ object TextQ {
       })
     }
 
-  private[graft] def prewarm(s: SparkSession, d: String): Unit = {
+  /** Prewarm DAG (r15): (name, deps, thunk) per shared-artifact builder,
+    * declared heaviest-first (cold-store walls, r15 measurement) within
+    * topological order so [[graft.Graft.warmAll]] can overlap independent
+    * builds. The only true edges are the cascade-root release family —
+    * maintainedRoot / releaseRoot / deltaReleaseRoot / gcReport read
+    * cascadeRoot's corpus dir; every other builder owns its fixture. */
+  private[graft] def prewarmTasks(s: SparkSession, d: String)
+      : Seq[(String, Seq[String], () => Unit)] = Seq(
+    ("takedownContainment", Nil, () => takedownContainment(s, d)),
+    ("prebuiltSegmented", Nil, () => prebuiltSegmented(s, d)),
+    ("cascadeRoot", Nil, () => cascadeRoot(s, d)),
+    ("containmentIndex", Nil, () => containmentIndex(s, d)),
+    ("streamedCuration", Nil, () => streamedCuration(s, d)),
+    ("foldReleaseRoot", Nil, () => foldReleaseRoot(s, d)),
+    ("realPairClusters", Nil, () => realPairClusters(s, d)),
+    ("fpCuration", Nil, () => fpCuration(s, d)),
+    ("chainClusters", Nil, () => chainClusters(s, d)),
+    ("takedownCuration", Nil, () => takedownCuration(s, d)),
+    ("admissionDecisions", Nil, () => admissionDecisions(s, d)),
+    ("streamedClusters", Nil, () => streamedClusters(s, d)),
+    ("benchSegBloom", Nil, () => benchSegBloom(s, d)),
+    ("takedownClusters", Nil, () => takedownClusters(s, d)),
+    ("docSignals", Nil, () => docSignals(s, d)),
+    ("prebuiltMerged", Nil, () => prebuiltMerged(s, d)),
+    ("maintainedRoot", Seq("cascadeRoot"), () => maintainedRoot(s, d)),
+    ("gcReport", Seq("cascadeRoot"), () => gcReport(s, d)),
+    ("takedownNgramDf", Nil, () => takedownNgramDf(s, d)),
+    ("deltaReleaseRoot", Seq("cascadeRoot"), () => deltaReleaseRoot(s, d)),
+    ("streamedNgramDf", Nil, () => streamedNgramDf(s, d)),
+    ("releaseRoot", Seq("cascadeRoot"), () => releaseRoot(s, d)),
+    ("corpusSigIndex", Nil, () => corpusSigIndex(s, d)),
+    ("corpusClusterTable", Nil, () => corpusClusterTable(s, d)),
+    ("ngramDfIndex", Nil, () => ngramDfIndex(s, d)))
+
+  private[graft] def prewarm(s: SparkSession, d: String): Unit =
     // each builder isolated ([[graft.Graft.warm]]): one failure must not
     // silently skip the rest of the leg
-    graft.Graft.warm("chainClusters")(chainClusters(s, d))
-    graft.Graft.warm("docSignals")(docSignals(s, d))
-    graft.Graft.warm("benchSegBloom")(benchSegBloom(s, d))
-    graft.Graft.warm("corpusSigIndex")(corpusSigIndex(s, d))
-    graft.Graft.warm("realPairClusters")(realPairClusters(s, d))
-    graft.Graft.warm("prebuiltSegmented")(prebuiltSegmented(s, d))
-    graft.Graft.warm("prebuiltMerged")(prebuiltMerged(s, d))
-    graft.Graft.warm("streamedCuration")(streamedCuration(s, d))
-    graft.Graft.warm("ngramDfIndex")(ngramDfIndex(s, d))
-    graft.Graft.warm("corpusClusterTable")(corpusClusterTable(s, d))
-    graft.Graft.warm("streamedClusters")(streamedClusters(s, d))
-    graft.Graft.warm("streamedNgramDf")(streamedNgramDf(s, d))
-    graft.Graft.warm("takedownCuration")(takedownCuration(s, d))
-    graft.Graft.warm("takedownClusters")(takedownClusters(s, d))
-    graft.Graft.warm("takedownNgramDf")(takedownNgramDf(s, d))
-    graft.Graft.warm("fpCuration")(fpCuration(s, d))
-    graft.Graft.warm("containmentIndex")(containmentIndex(s, d))
-    graft.Graft.warm("takedownContainment")(takedownContainment(s, d))
-    graft.Graft.warm("admissionDecisions")(admissionDecisions(s, d))
-    graft.Graft.warm("cascadeRoot")(cascadeRoot(s, d))
-    graft.Graft.warm("maintainedRoot")(maintainedRoot(s, d))
-    graft.Graft.warm("releaseRoot")(releaseRoot(s, d))
-    graft.Graft.warm("deltaReleaseRoot")(deltaReleaseRoot(s, d))
-    graft.Graft.warm("gcReport")(gcReport(s, d))
-    graft.Graft.warm("foldReleaseRoot")(foldReleaseRoot(s, d))
-  }
+    prewarmTasks(s, d).foreach { case (n, _, t) => graft.Graft.warm(n)(t()) }
 
   /** Release the memoized cluster + signal tables (see Graft.clearCaches):
     * unpersist cached blocks and drop the references so a long-running

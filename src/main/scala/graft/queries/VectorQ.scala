@@ -714,24 +714,36 @@ object VectorQ {
   /** Bench hook: build the shared IVF indexes + PQ artifacts + hier tree
     * + retrieval artifacts up front (see BacktestQ.prewarm — same
     * attribution rationale). */
-  private[graft] def prewarm(s: SparkSession, d: String): Unit = {
+  /** Prewarm DAG (r15): see [[graft.queries.TextQ.prewarmTasks]]. The
+    * shared `vecCorpus` memo goes first so concurrent builders hit the
+    * memo instead of convoying on its cache lock; the real edges are
+    * prebuiltIvf → {pq, hier, drifted} and prebuiltRag → prebuiltHybrid →
+    * {evalExact}. Heaviest-first (cold walls, r15) inside topo order. */
+  private[graft] def prewarmTasks(s: SparkSession, d: String)
+      : Seq[(String, Seq[String], () => Unit)] = Seq(
+    ("vecCorpus", Nil, () => corpus(s, d)),
+    ("prebuiltRag", Seq("vecCorpus"), () => prebuiltRag(s, d)),
+    ("prebuiltIvf", Seq("vecCorpus"), () => prebuiltIvf(s, d)),
+    ("prebuiltPq", Seq("prebuiltIvf"), () => prebuiltPq(s, d)),
+    ("prebuiltHybrid", Seq("prebuiltRag"), () => prebuiltHybrid(s, d)),
+    ("takedownIvf", Seq("vecCorpus"), () => takedownIvf(s, d)),
+    ("prebuiltFilteredIvf", Seq("vecCorpus"),
+      () => prebuiltFilteredIvf(s, d)),
+    ("streamedIvf", Seq("vecCorpus"), () => streamedIvf(s, d)),
+    ("fpIvfDir", Seq("vecCorpus"), () => fpIvfDir(s, d)),
+    ("prebuiltHier", Seq("prebuiltIvf"), () => prebuiltHier(s, d)),
+    ("prebuiltEvalExact", Seq("prebuiltHybrid"),
+      () => prebuiltEvalExact(s, d)),
+    ("semanticIvfIndex", Seq("vecCorpus"), () => semanticIvfIndex(s, d)),
+    ("prebuiltDriftedIvf", Seq("prebuiltIvf"),
+      () => prebuiltDriftedIvf(s, d)),
+    ("prebuiltExactL2", Seq("vecCorpus"), () => prebuiltExactL2(s, d)),
+    ("semanticIndex", Seq("vecCorpus"), () => semanticIndex(s, d)))
+
+  private[graft] def prewarm(s: SparkSession, d: String): Unit =
     // each builder isolated ([[graft.Graft.warm]]): one failure must not
     // silently skip the rest of the leg
-    graft.Graft.warm("prebuiltIvf")(prebuiltIvf(s, d))
-    graft.Graft.warm("prebuiltPq")(prebuiltPq(s, d))
-    graft.Graft.warm("prebuiltHier")(prebuiltHier(s, d))
-    graft.Graft.warm("prebuiltFilteredIvf")(prebuiltFilteredIvf(s, d))
-    graft.Graft.warm("prebuiltRag")(prebuiltRag(s, d))
-    graft.Graft.warm("prebuiltHybrid")(prebuiltHybrid(s, d))
-    graft.Graft.warm("streamedIvf")(streamedIvf(s, d))
-    graft.Graft.warm("takedownIvf")(takedownIvf(s, d))
-    graft.Graft.warm("prebuiltExactL2")(prebuiltExactL2(s, d))
-    graft.Graft.warm("prebuiltEvalExact")(prebuiltEvalExact(s, d))
-    graft.Graft.warm("semanticIndex")(semanticIndex(s, d))
-    graft.Graft.warm("semanticIvfIndex")(semanticIvfIndex(s, d))
-    graft.Graft.warm("fpIvfDir")(fpIvfDir(s, d))
-    graft.Graft.warm("prebuiltDriftedIvf")(prebuiltDriftedIvf(s, d))
-  }
+    prewarmTasks(s, d).foreach { case (n, _, t) => graft.Graft.warm(n)(t()) }
 
   /** Memoized MAINTAINED-FINGERPRINT IVF dir for st18 — the st8 ingest
     * plus a % 10 == 0 takedown, NO compaction: the fingerprint is
