@@ -26,7 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (r15): at 8g the bench JVM — one heap hosting local[32]
+  // execution memory, every prewarmed artifact's storage blocks AND the
+  // driver — thrashed once the ~48 shared artifacts were cached:
+  // measured solo walls grew run-over-run (v25 6.7→9.5 s, m6 5.2→7.5 s
+  // at 8g; both flat at ~2.8/1.7 s once the heap fits), and the m-family
+  // read as residual bench anomalies. The sandbox has 128 GiB; sizing
+  // the JVM to the machine is the §5 memory lever, and the env override
+  // keeps it parameterised for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 
 // The test JVM hosts EVERY suite's cached frames and sinks in one heap

@@ -67,6 +67,35 @@ object Graft {
     pool.shutdown()
   }
 
+  /** Run independent build legs of ONE artifact concurrently (r15): used
+    * by multi-sink fixture builders (e.g. the six-sink cascade ingest)
+    * whose legs write disjoint directories — per-leg content is
+    * deterministic, so concurrency changes wall, never bytes. The
+    * caller thread's job group and scheduler pool are propagated to
+    * each leg thread (both are thread-local) so bench attribution is
+    * unchanged whether the builder runs under prewarm or lazily inside
+    * a timed query. */
+  private[graft] def parLegs(s: org.apache.spark.sql.SparkSession)
+                            (legs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val grp = s.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val desc = s.sparkContext.getLocalProperty("spark.job.description")
+    val pool = s.sparkContext.getLocalProperty("spark.scheduler.pool")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    legs.map(l => Future {
+      if (grp != null) s.sparkContext.setJobGroup(grp,
+        if (desc != null) desc else grp)
+      if (pool != null)
+        s.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      try l()
+      finally {
+        s.sparkContext.clearJobGroup()
+        s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }
+    }).foreach(Await.result(_, Duration.Inf))
+  }
+
   private[graft] def warm(name: String)(f: => Any): Unit = {
     val t0 = System.nanoTime()
     try { f; () } catch {

@@ -52,6 +52,18 @@ object Multimodal {
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
 
+  /** ImageIO's stream cache is DISK-backed by default: every
+    * `createImageInputStream` / `ImageIO.read` over an in-memory payload
+    * writes (and deletes) a temp cache file — one file per decoded ROW,
+    * including rows that immediately fall back because no reader claims
+    * them. Our sources are always `ByteArrayInputStream`s, so the memory
+    * cache is strictly better; decode output is byte-identical (the
+    * cache is I/O plumbing, not codec behaviour). Class-initialization
+    * order guarantees this runs on any JVM before the first decode,
+    * since every decoder below lives in this object. */
+  private val _useMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic stand-in for the real codec: metadata derived
     * arithmetically from the payload (mirrors what a real decoder would
     * emit: dimensions, frame counts, digest). */

@@ -151,7 +151,17 @@ object Similarity {
           struct((-coalesce(cosine(col(vecCol), c.getField("c_vec")),
               lit(-2.0))).as("nsim"),
             c.getField("ivf_cell").as("cell")))), 1, nAssign))
-      .select(corpus.columns.map(col) :+ explode(col("__picks")).as("__p"): _*)
+      // explode_OUTER + explicit null filter, not explode (r15): on a
+      // plain explode, InferFiltersFromGenerate copies the generator
+      // child — the whole nCells-cosine transform+sort — into a
+      // `size(...) > 0` predicate below the Generate, so every input row
+      // scored its centroids TWICE (plan-visible as the duplicated
+      // expression in the cross-join condition). The rule skips outer
+      // generates; picks is non-empty whenever centroids exist, so the
+      // null filter drops exactly the rows explode would have dropped.
+      .select(corpus.columns.map(col) :+
+        explode_outer(col("__picks")).as("__p"): _*)
+      .filter(col("__p").isNotNull)
       .withColumn("ivf_cell", col("__p.cell"))
       .drop("__p")
   }
@@ -291,7 +301,12 @@ object Similarity {
           struct((-coalesce(cosine(col(vecCol), c.getField("fvec")), lit(-2.0)))
               .as("nsim"),
             c.getField("fid").as("cell")))), 1, nAssign))
-      .select(corpus.columns.map(col) :+ explode(col("__picks")).as("__p"): _*)
+      // explode_outer + null filter for the same reason as [[assignTo]]
+      // (r15): the inferred size(...)>0 predicate would re-evaluate BOTH
+      // tree levels' cosine transforms per row
+      .select(corpus.columns.map(col) :+
+        explode_outer(col("__picks")).as("__p"): _*)
+      .filter(col("__p").isNotNull)
       .withColumn("ivf_cell", col("__p.cell"))
       .drop("__p", "__cands")
   }

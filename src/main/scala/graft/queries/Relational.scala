@@ -44,7 +44,13 @@ object Relational {
     // P6 — label range slice by year (history[from_year:], stock.ipynb:26-28)
     "p6_year_slice" -> ((s, d) =>
       Tables.orders(s, d)
-        .filter(year(col("o_orderdate")) >= 1999)
+        // range form of year(o_orderdate) >= 1999 (r15): a year() filter
+        // is a derived-column predicate and never reaches the parquet
+        // scan (PushedFilters carried only IsNotNull); the equivalent
+        // date bound pushes down and prunes row groups by min/max stats.
+        // Identical output for every date (year >= 1999 ⟺ date ≥
+        // 1999-01-01); the oracle still states it as extract(year ...)
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1999-01-01")))
         .select("o_orderkey", "o_custkey", "o_orderdate")
         .orderBy("o_orderkey")),
 

@@ -733,25 +733,31 @@ object TextQ {
               concat(col("text"), lit(" uid"), col("doc_id")).as("text"))
           val vecOf = array((0 to 3).map(j =>
             pmod(col("doc_id") * (j + 3), lit(7)).cast("double") + 0.1): _*)
-          (0 to 1).foreach { i =>
-            val b = slice.filter(pmod(col("doc_id"), lit(2)) === i)
-            graft.streaming.StreamCurate.appendBatch(
-              sinks.curateDir.get, b, i.toLong,
-              batch => batch.select("doc_id", "text"))
-            graft.streaming.StreamBm25.appendBatch(sinks.bm25Dir.get,
-              b, i.toLong, "doc_id", "text")
-            graft.streaming.StreamIvf.appendBatch(sinks.ivf.get._1,
-              b.select(col("doc_id"), vecOf.as("vec")), i.toLong,
-              "doc_id", "vec", nCells = 4)
-            graft.streaming.StreamClusters.appendBatch(
-              sinks.clustersDir.get,
-              b.select(col("doc_id").as("id1"),
-                (col("doc_id") % 3 + 3000000000L).as("id2")), i.toLong)
-            graft.streaming.StreamContainment.appendBatch(
-              sinks.containmentDir.get, b, i.toLong)
-            graft.streaming.StreamNgramDf.appendBatch(
-              sinks.ngramDf.get._1, b, i.toLong)
-          }
+          // the six sinks write disjoint dirs, so their ingest chains run
+          // CONCURRENTLY (batch order preserved WITHIN each sink) — this
+          // builder is the prewarm critical path's root (42 s solo,
+          // ~136 s co-scheduled, r15 measurement) and was 12 sequential
+          // append jobs
+          def b(i: Int) = slice.filter(pmod(col("doc_id"), lit(2)) === i)
+          graft.Graft.parLegs(s)(Seq(
+            () => (0 to 1).foreach(i => graft.streaming.StreamCurate
+              .appendBatch(sinks.curateDir.get, b(i), i.toLong,
+                batch => batch.select("doc_id", "text"))),
+            () => (0 to 1).foreach(i => graft.streaming.StreamBm25
+              .appendBatch(sinks.bm25Dir.get, b(i), i.toLong,
+                "doc_id", "text")),
+            () => (0 to 1).foreach(i => graft.streaming.StreamIvf
+              .appendBatch(sinks.ivf.get._1,
+                b(i).select(col("doc_id"), vecOf.as("vec")), i.toLong,
+                "doc_id", "vec", nCells = 4)),
+            () => (0 to 1).foreach(i => graft.streaming.StreamClusters
+              .appendBatch(sinks.clustersDir.get,
+                b(i).select(col("doc_id").as("id1"),
+                  (col("doc_id") % 3 + 3000000000L).as("id2")), i.toLong)),
+            () => (0 to 1).foreach(i => graft.streaming.StreamContainment
+              .appendBatch(sinks.containmentDir.get, b(i), i.toLong)),
+            () => (0 to 1).foreach(i => graft.streaming.StreamNgramDf
+              .appendBatch(sinks.ngramDf.get._1, b(i), i.toLong))))
           graft.streaming.Takedown.forget(s,
             slice.filter(col("doc_id") % 5 === 3).select("doc_id"),
             sinks)
