@@ -693,10 +693,21 @@ object StreamCurate {
     // the otherwise-metadata-sized state fold (the corpus schema is
     // stable across batches by this state's own contract, so any one
     // file names the payload; partition columns live in dir names and
-    // never in the file)
-    val schemaOk = firstDataFile(s, corpusDir(dir)).exists(f =>
-      s.read.parquet(f).schema.fieldNames.sorted.toSeq ==
-        payloadCols.sorted)
+    // never in the file). The probe takes the first READABLE footer of
+    // a bounded candidate set, not the first file unconditionally: this
+    // guard is a schema-order check, not an integrity sweep, and the
+    // state tier's whole point is deciding without touching untouched
+    // shards — one corrupt file in a shard the delta never rewrites
+    // must not kill the metadata-sized fold (ReleaseSpec's clustered
+    // pruning leg corrupts exactly such a file and the walk-order
+    // probe picked it — the inherited mid-r15 defect this fixes).
+    val schemaOk = firstDataFiles(s, corpusDir(dir), limit = 16)
+      .iterator // lazy: the common case reads exactly ONE footer
+      .flatMap { f =>
+        try Some(s.read.parquet(f).schema.fieldNames.sorted.toSeq)
+        catch { case _: Exception => None } // unreadable footer → next
+      }
+      .nextOption().contains(payloadCols.sorted)
     if (!schemaOk) return None
     liveFamilies(s, dir, gen).flatMap { case (data, tombs) =>
       val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1251,26 +1262,29 @@ object StreamCurate {
           .withColumn("batch_id", col("batch_id").cast("int")))
     }
 
-  /** First real data file under `dir` (depth-first, `_`/`.` names
-    * skipped) — the O(few-listings) schema probe
+  /** First `limit` real data files under `dir` (depth-first, `_`/`.`
+    * names skipped, lazily — listings stop once `limit` files are
+    * found) — the O(few-listings) schema-probe candidates
     * [[fingerprintShardState]] uses instead of building a corpus-wide
-    * file index. None when nothing readable exists. */
-  private def firstDataFile(s: org.apache.spark.sql.SparkSession,
-                            dir: String): Option[String] = {
+    * file index. Empty when nothing exists. */
+  private def firstDataFiles(s: org.apache.spark.sql.SparkSession,
+                             dir: String, limit: Int): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Option[String] = {
-      if (depth > 4 || !fs.exists(p)) return None
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Unit = {
+      if (depth > 4 || out.size >= limit || !fs.exists(p)) return
       val kids = fs.listStatus(p).filterNot { st =>
         val n = st.getPath.getName
         n.startsWith("_") || n.startsWith(".")
       }
-      kids.collectFirst { case st if st.isFile => st.getPath.toString }
-        .orElse(kids.iterator.filter(_.isDirectory)
-          .map(st => walk(st.getPath, depth + 1))
-          .collectFirst { case Some(f) => f })
+      kids.iterator.takeWhile(_ => out.size < limit).foreach { st =>
+        if (st.isFile) out += st.getPath.toString
+        else walk(st.getPath, depth + 1)
+      }
     }
     walk(root, 0)
+    out.toList
   }
 
   /** Cluster granularity of one `batch_id=` partition dir — the
